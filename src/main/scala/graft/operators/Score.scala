@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Min-max 0-100 score normalization (reference `App.scala:175-201`).
+  *
+  * The reference computes global MIN/MAX with a driver-side `.first` and
+  * splices the two doubles back in as literals (`App.scala:179, 183-184`) —
+  * a manual scalar-subquery materialization that costs an extra Spark job
+  * and a driver round-trip. The engine's default is the lazy form: the 1-row
+  * MIN/MAX aggregate is broadcast-cross-joined so the whole thing stays one
+  * job and scales to arbitrarily large inputs. Both variants are provided
+  * and tested equivalent.
+  *
+  * Faithful edge case: when min == max the expression is 0/0 on doubles
+  * -> NaN, exactly like the reference (no guard, SURVEY §2 D5).
+  */
+object Score {
+
+  /** Lazy, scale-preferred variant: one job, no driver round-trip. */
+  def minMaxScore(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val mm = broadcast(
+      df.agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx")))
+    df.crossJoin(mm)
+      .withColumn(outCol, (col(valueCol) - col("__mn")) / (col("__mx") - col("__mn")) * 100)
+      .drop("__mn", "__mx")
+  }
+
+  /** Reference-faithful variant (`App.scala:175-185`): collect the 1-row
+    * MIN/MAX to the driver, fold the doubles in as literals. Runs an extra
+    * job; fine for interactive use, avoid in hot pipelines.
+    */
+  def minMaxScoreCollect(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val mm = df.agg(min(col(valueCol)), max(col(valueCol))).first
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    df.withColumn(outCol, (col(valueCol) - mn) / (mx - mn) * 100)
+  }
+}

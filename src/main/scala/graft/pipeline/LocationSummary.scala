@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Enrich, Score, Snapshot, SummaryOps}
+import graft.sources.Tables
+
+/** The flagship pipeline: the reference job
+  * (`/root/reference/src/main/scala/App.scala:22-270`) re-expressed
+  * Spark-first over the Parquet fixtures (mapping per FIXTURES.md):
+  *
+  *   - dim_location (App.scala:95-108)        -> nation x region, state filter
+  *   - fact_crime_rate (App.scala:22-50)      -> lineitem via supplier;
+  *     crime_type <- l_returnflag; latest snapshot-year per (location, type)
+  *   - fact_living_wage (App.scala:52-75)     -> orders via customer; global
+  *     latest year + one deterministic row per location
+  *   - fact_typical_annual_salary (77-93)     -> customer account balances
+  *   - fact_annual_expense (110-133)          -> lineitem via supplier,
+  *     filtered, global latest year
+  *   - fact_listing (135-169)                 -> orders as listings; removal
+  *     events derived from lineitem (nullable -> left join)
+  *
+  * Every stage is shuffle-parallel: the only broadcast sides are bounded
+  * dimensions (25 nations) and 1-row scalar aggregates. No driver-side
+  * collection anywhere (the reference's `.first` min/max is replaced by the
+  * lazy broadcast-cross-join in [[Score.minMaxScore]]).
+  */
+object LocationSummary {
+
+  val FinalCols: List[String] = List(
+    "ZIP_CODE", "STATE", "COUNTY", "RECOMMENDED_ANNUAL_SALARY", "AVERAGE_ANNUAL_SALARY",
+    "EXPENSE_SCORE", "CRIME_SCORE", "AVERAGE_HOME_PRICE", "AVERAGE_HOME_AGE_IN_YEARS",
+    "AVERAGE_SQUARE_FOOTAGE", "AVERAGE_PRICE_PER_SQUARE_FOOT", "AVERAGE_TIME_ON_MARKET_IN_DAYS",
+    "SNAPSHOT_DATE")
+
+  def build(spark: SparkSession, sfDir: String, asOf: Date = Enrich.DefaultAsOf,
+      state: String = "EUROPE"): DataFrame = {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val orders = Tables.load(spark, sfDir, "orders")
+    val customer = Tables.load(spark, sfDir, "customer")
+    val supplier = Tables.load(spark, sfDir, "supplier")
+
+    // dim_location with the reference's single-state filter (App.scala:106).
+    val dimLocation = broadcast(Tables.dimLocation(spark, sfDir).filter(col("state") === state))
+
+    // fact_crime_rate: latest snapshot-year per (location, crime_type)
+    // via the reference's groupBy-MAX + join-back (App.scala:27-48).
+    val crime = lineitem
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"), "inner")
+      .select(
+        col("s_nationkey").as("location_id"),
+        col("l_returnflag").as("crime_type"),
+        (col("l_extendedprice") / 1000).as("rate"),
+        year(col("l_shipdate")).as("snap_year"))
+    val crimeLatest = Snapshot.latestPerKeyJoin(crime, Seq("location_id", "crime_type"), "snap_year")
+    val crimeAvg = crimeLatest
+      .join(dimLocation, Seq("location_id"), "inner")
+      .groupBy("location_id", "zip_code")
+      .agg(avg(col("rate")).alias("avg_crime_rate"))
+    val crimeNormalized = Score.minMaxScore(crimeAvg, "avg_crime_rate", "normalized_crime_rate")
+
+    // fact_annual_expense: filtered fact, global latest year (App.scala:110-133).
+    val expense = lineitem
+      .filter(col("l_returnflag") === "N")
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"), "inner")
+      .select(
+        col("s_nationkey").as("location_id"),
+        (col("l_extendedprice") * (col("l_tax") + 0.05)).as("amount"),
+        year(col("l_shipdate")).as("snap_year"))
+    val expenseLatest = Snapshot.filterLatestGlobal(expense, "snap_year")
+    val expenseAvg = expenseLatest
+      .join(dimLocation, Seq("location_id"), "inner")
+      .groupBy("location_id", "zip_code")
+      .agg(avg(col("amount")).alias("avg_expense"))
+    val expenseNormalized = Score.minMaxScore(expenseAvg, "avg_expense", "normalized_expense")
+
+    // fact_living_wage: global latest year, one row per location
+    // (App.scala:52-75 — there the household filter selects the row; here a
+    // deterministic argmax by (o_orderdate, o_orderkey) does).
+    val livingWage = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "inner")
+      .select(
+        col("c_nationkey").as("location_id"),
+        (col("o_totalprice") / 1000).as("hourly_wage"),
+        col("o_orderdate"),
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("snap_year"))
+    val recommendedAnnSalary = Snapshot
+      .latestPerKeyWindow(
+        Snapshot.filterLatestGlobal(livingWage, "snap_year"),
+        Seq("location_id"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .withColumn("RECOMMENDED_ANNUAL_SALARY", Enrich.annualize(col("hourly_wage")))
+      .select("location_id", "RECOMMENDED_ANNUAL_SALARY")
+
+    // fact_typical_annual_salary: grouped AVG per location (App.scala:208-209).
+    val avgAnnualSalary = customer
+      .select(col("c_nationkey").as("location_id"), (col("c_acctbal") * 100).as("salary"))
+      .groupBy("location_id")
+      .agg(avg(col("salary")).alias("AVERAGE_ANNUAL_SALARY"))
+
+    // fact_listing: orders as listings; nullable removal via LEFT JOIN against
+    // lineitem-derived removal events (App.scala:135-169).
+    val removals = lineitem
+      .filter(col("l_linenumber") === 7)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("removed_ts"))
+    val listingBase = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "inner")
+      .select(
+        col("o_orderkey"),
+        col("c_nationkey").as("location_id"),
+        col("o_totalprice").as("price"),
+        (col("o_orderkey") % 4 + 1).as("bathrooms"),
+        (col("o_custkey") % 5 + 2).as("bedrooms"),
+        (col("o_totalprice") / 75.0).as("square_footage"),
+        (lit(1950) + col("o_orderkey") % 70).as("year_built"),
+        to_date(col("o_orderdate")).as("listed_date"),
+        year(col("o_orderdate")).as("snap_year"))
+    val listing = Snapshot.filterLatestGlobal(listingBase, "snap_year")
+      .join(removals, listingBase("o_orderkey") === removals("l_orderkey"), "left")
+      .withColumn("removed_date", to_date(col("removed_ts")))
+      .withColumn("age_in_years", Enrich.ageInYears(col("year_built"), asOf))
+      .withColumn("days_on_market",
+        Enrich.daysOnMarket(col("listed_date"), col("removed_date"), asOf))
+    val listingSummary = SummaryOps.multiAvg(
+      listing, Seq("location_id"),
+      Seq("price", "bathrooms", "bedrooms", "age_in_years", "square_footage", "days_on_market"))
+
+    // Star-join chain on location_id (App.scala:217-232), including the
+    // lineage-qualified duplicate-zip_code drops (App.scala:229, 237).
+    val listingLocation = listingSummary.join(dimLocation, Seq("location_id"), "inner")
+    val listingLocRecSal = listingLocation.join(recommendedAnnSalary, Seq("location_id"), "inner")
+    val listingLocRecSalAvgSal = listingLocRecSal.join(avgAnnualSalary, Seq("location_id"), "inner")
+    val withCrime = listingLocRecSalAvgSal
+      .join(crimeNormalized, Seq("location_id"), "inner")
+      .drop(listingLocRecSalAvgSal("zip_code"))
+    val raw = withCrime
+      .join(expenseNormalized, Seq("location_id"), "inner")
+      .withColumn("AVERAGE_PRICE_PER_SQUARE_FOOT",
+        Enrich.ratio(col("avg_price"), col("avg_square_footage")))
+      .drop(withCrime("zip_code"))
+
+    SummaryOps.finalizeReport(
+      raw.withColumn("SNAPSHOT_DATE", lit(asOf)),
+      renames = Seq(
+        "normalized_expense" -> "EXPENSE_SCORE",
+        "normalized_crime_rate" -> "CRIME_SCORE",
+        "avg_price" -> "AVERAGE_HOME_PRICE",
+        "avg_age_in_years" -> "AVERAGE_HOME_AGE_IN_YEARS",
+        "avg_square_footage" -> "AVERAGE_SQUARE_FOOTAGE",
+        "avg_days_on_market" -> "AVERAGE_TIME_ON_MARKET_IN_DAYS",
+        "zip_code" -> "ZIP_CODE",
+        // The reference gets UPPER names for free from Snowflake's identifier
+        // casing (SURVEY §1); over Parquet we rename explicitly so the final
+        // case-insensitive select emits the reporting-schema names.
+        "state" -> "STATE",
+        "county" -> "COUNTY"),
+      roundCols = Seq(
+        "AVERAGE_HOME_PRICE", "AVERAGE_HOME_AGE_IN_YEARS", "AVERAGE_SQUARE_FOOTAGE",
+        "AVERAGE_ANNUAL_SALARY", "EXPENSE_SCORE", "CRIME_SCORE",
+        "AVERAGE_TIME_ON_MARKET_IN_DAYS", "AVERAGE_PRICE_PER_SQUARE_FOOT"),
+      finalCols = FinalCols
+    ).orderBy(col("ZIP_CODE"))
+  }
+
+  /** Append-mode sink, the engine's `summary_zip_code` equivalent
+    * (`App.scala:265-270`).
+    */
+  def writeSummary(df: DataFrame, outPath: String): Unit =
+    df.write.mode("append").parquet(outPath)
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table catalog over the driver-generated Parquet star schema.
+  *
+  * Stand-in for the reference's six Snowflake pushdown sources
+  * (`/root/reference/src/main/scala/App.scala:22-165`): each table is a
+  * columnar Parquet scan; filters/projections that the reference embedded in
+  * SQL text become native DataFrame operators that Catalyst pushes into the
+  * scan (`PushedFilters` / `ReadSchema`).
+  *
+  * Scale notes (100 TB design): a Parquet directory scan splits by row-group
+  * (`spark.sql.files.maxPartitionBytes`), so reads parallelize with no
+  * driver-side involvement. Dimension tables (`region`, `nation`) are bounded
+  * small and safe to broadcast; fact tables must never be broadcast or
+  * collected.
+  */
+object Tables {
+  val relational: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extension: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = relational ++ extension
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The engine's `dim_location` equivalent (reference `App.scala:95-108`):
+    * nation enriched with region. `location_id` <- n_nationkey,
+    * `zip_code` <- n_name, `state` <- r_name, `county` <- derived.
+    * Bounded at 25 rows forever -> always broadcast-able.
+    */
+  def dimLocation(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = load(spark, sfDir, "nation")
+    val region = load(spark, sfDir, "region")
+    nation
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"), "inner")
+      .select(
+        col("n_nationkey").as("location_id"),
+        col("n_name").as("zip_code"),
+        col("r_name").as("state"),
+        concat(lit("C"), col("n_regionkey")).as("county"))
+  }
+}
