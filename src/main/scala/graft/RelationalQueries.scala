@@ -1,0 +1,494 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Agg, Enrich, Score, Snapshot, SummaryOps}
+import graft.sources.Tables
+
+/** One registered query per operator row of SURVEY.md §2 (Q1-Q13, D1-D14),
+  * plus the relational capabilities the reference lacks (§2.4) re-expressed
+  * as first-class operators: top-k per group, distinct aggregation,
+  * semi/anti joins, set ops, rollup, pivot, running windows.
+  *
+  * Conventions (FIXTURES.md determinism): fixed as-of date instead of
+  * wall-clock; canonical ORDER BY on a unique key; `Agg.roundAt(_, 2)` on every
+  * floating aggregate so last-ulp summation-order noise cannot flip the
+  * driver's hash compare; aliases identical to the oracle SQL.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1: surrogate-key decode join (App.scala:33-34) — fact x dim inner equi-join.
+    "q01_dim_decode_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("o_orderdate")).as("order_date"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Q2+Q5: latest-snapshot-per-key via groupBy-MAX + join-back (App.scala:27-48).
+    "q02_latest_per_key_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_returnflag"), col("l_extendedprice"),
+          year(col("l_shipdate")).as("snap_year"))
+      Snapshot.latestPerKeyJoin(li, Seq("l_suppkey", "l_returnflag"), "snap_year")
+        .groupBy(col("l_suppkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          Agg.roundAt(Agg.decAvg(col("l_extendedprice")), 2).as("avg_price"))
+        .orderBy(col("l_suppkey"), col("l_returnflag"))
+    }),
+
+    // Window-form argmax (SURVEY §2 Q2 mapping): exactly one row per key.
+    "q03_latest_per_key_window" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Snapshot.latestPerKeyWindow(li, Seq("l_suppkey"),
+          Seq(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("last_ship_date"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // Q3: left outer join with null misses (App.scala:161-162).
+    "q04_left_join_null" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val removals = t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 7)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("removed_ts"))
+      o.join(removals, o("o_orderkey") === removals("l_orderkey"), "left")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+          to_date(col("removed_ts")).as("removed_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Q4: same dimension joined twice under aliases (App.scala:157-162).
+    "q05_self_alias_join" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val custNation = nation.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      val suppNation = nation.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+        .groupBy(col("cust_nation"), col("supp_nation"))
+        .agg(count(lit(1)).as("n_items"),
+          Agg.roundAt(Agg.decSum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("cust_nation"), col("supp_nation"))
+    }),
+
+    // Q6 + D3: global (ungrouped) MIN/MAX/COUNT — 1-row aggregate (App.scala:57-62, 175-179).
+    "q06_global_minmax" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        to_date(max(col("l_shipdate"))).as("max_ship_date"),
+        to_date(min(col("l_shipdate"))).as("min_ship_date"),
+        Agg.roundAt(min(col("l_extendedprice")), 2).as("min_price"),
+        Agg.roundAt(max(col("l_extendedprice")), 2).as("max_price"),
+        count(lit(1)).as("n_rows"))),
+
+    // Q7: uncorrelated scalar subquery in WHERE, kept lazy (App.scala:70).
+    "q07_scalar_subquery_filter" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("snap_year", year(col("o_orderdate")))
+      Snapshot.filterLatestGlobal(o, "snap_year")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Q8: conjunctive equality predicates (App.scala:71-73).
+    "q08_conjunctive_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "N" && col("l_linestatus") === "O" &&
+          col("l_quantity") === 25)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // Q9 + D1: string-equality dimension filter + USING join (App.scala:106, 171).
+    "q09_dim_filter" -> ((s, dir) =>
+      Tables.dimLocation(s, dir)
+        .filter(col("state") === "EUROPE")
+        .orderBy(col("location_id"))),
+
+    // Q10: projection + filter pushed into the parquet scan (App.scala:100-106).
+    "q10_projection_pushdown" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_size") < 20)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))),
+
+    // D2: programmatic multi-column AVG in one hash aggregate (App.scala:212-214).
+    "q11_multi_avg" -> ((s, dir) => {
+      val res = SummaryOps.multiAvg(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      res.select(col("l_returnflag"), col("l_linestatus"),
+          Agg.roundAt(col("avg_l_quantity"), 2).as("avg_qty"),
+          Agg.roundAt(col("avg_l_extendedprice"), 2).as("avg_price"),
+          Agg.roundAt(col("avg_l_discount"), 4).as("avg_disc"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // D3+D5: min-max 0-100 normalization over a grouped aggregate (App.scala:172-185).
+    "q12_minmax_normalize" -> ((s, dir) => {
+      val avgBal = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(Agg.decAvg(col("s_acctbal")).as("avg_bal"))
+      Score.minMaxScore(avgBal, "avg_bal", "score")
+        .select(col("s_nationkey"), Agg.roundAt(col("avg_bal"), 2).as("avg_bal"),
+          Agg.roundAt(col("score"), 2).as("score"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // D6+D7+D8: derived scalar/date/conditional columns (App.scala:166-169, 204-205).
+    "q13_derived_columns" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val removals = t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 7)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("removed_ts"))
+      o.join(removals, o("o_orderkey") === removals("l_orderkey"), "left")
+        .select(
+          col("o_orderkey"),
+          Agg.roundAt(col("o_totalprice") / 1000 * 40 * 52, 2).as("annualized"),
+          (lit(1950) + col("o_orderkey") % 70).as("year_built"),
+          (year(lit(Enrich.DefaultAsOf)) - (lit(1950) + col("o_orderkey") % 70))
+            .as("age_in_years"),
+          Enrich.daysOnMarket(to_date(col("o_orderdate")), to_date(col("removed_ts")))
+            .as("days_on_market"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // D11+D12: ratio of aggregates + rounding (App.scala:233-236, 254-261).
+    "q14_ratio_round" -> ((s, dir) =>
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(Agg.roundAt(Agg.decAvg(col("p_retailprice")), 2).as("avg_price"),
+          Agg.roundAt(Agg.decAvg(col("p_retailprice")) / Agg.decAvg(col("p_size")), 2).as("price_per_size"))
+        .orderBy(col("p_brand"))),
+
+    // D10+D14: case-insensitive resolution into a renamed reporting projection
+    // (App.scala:239-253) — selects via UPPERCASE names against lowercase attrs.
+    "q15_report_projection" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .select(col("N_NATIONKEY").as("NATION_KEY"), col("N_NAME").as("NATION_NAME"))
+        .orderBy(col("NATION_KEY"))),
+
+    // ---- beyond-reference relational operators (SURVEY §2.4) ----
+
+    // Top-k per group: window rank with total-order tiebreak.
+    "q16_topk_per_group" -> ((s, dir) => {
+      val o = t(s, dir, "orders").join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_nationkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_nationkey"), col("rk"))
+    }),
+
+    // Distinct aggregation.
+    "q17_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
+    // Semi + anti joins: customers with / without orders.
+    "q18_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+    "q19_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    // Set operations: union / intersect / except on key sets.
+    "q20_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+      val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_nationkey"))
+      val union = building.union(machinery).distinct().withColumn("op", lit("union"))
+      val intersect = building.intersect(machinery).withColumn("op", lit("intersect"))
+      val except = building.except(machinery).withColumn("op", lit("except"))
+      union.union(intersect).union(except)
+        .orderBy(col("op"), col("c_nationkey"))
+    }),
+
+    // Grouping sets / rollup with explicit null-safe ordering.
+    "q21_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), Agg.roundAt(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Pivot with explicit value list (stable output schema).
+    "q22_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(Agg.roundAt(sum(col("l_quantity")), 2))
+        .orderBy(col("l_linestatus"))),
+
+    // Running/cumulative window over an explicit ROWS frame and total order.
+    "q23_running_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_spend",
+          Agg.roundAt(sum(col("o_totalprice").cast("decimal(30,6)")).over(w).cast("double"), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Sort + limit (top-k global): deterministic via unique tiebreak.
+    "q24_order_limit" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // Sampling made deterministic: arithmetic hash-mod predicate, not rand().
+    "q25_deterministic_sample" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_dim_decode_join" -> """
+      SELECT l_orderkey, l_linenumber, CAST(o_orderdate AS DATE) AS order_date,
+             l_extendedprice
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q02_latest_per_key_join" -> """
+      WITH li AS (
+        SELECT l_suppkey, l_returnflag, l_extendedprice,
+               year(l_shipdate) AS snap_year
+        FROM lineitem
+      ),
+      latest AS (
+        SELECT l_suppkey, l_returnflag, max(snap_year) AS mx
+        FROM li GROUP BY 1, 2
+      )
+      SELECT li.l_suppkey, li.l_returnflag, count(*) AS n_rows,
+             floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price
+      FROM li JOIN latest
+        ON li.l_suppkey = latest.l_suppkey
+       AND li.l_returnflag = latest.l_returnflag
+       AND li.snap_year = latest.mx
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+
+    "q03_latest_per_key_window" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(l_shipdate AS DATE) AS last_ship_date
+      FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+              ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+            FROM lineitem) t
+      WHERE rn = 1
+      ORDER BY l_suppkey""",
+
+    "q04_left_join_null" -> """
+      WITH removals AS (
+        SELECT l_orderkey, max(l_shipdate) AS removed_ts
+        FROM lineitem WHERE l_linenumber = 7 GROUP BY 1
+      )
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             CAST(removed_ts AS DATE) AS removed_date
+      FROM orders LEFT JOIN removals ON o_orderkey = l_orderkey
+      ORDER BY o_orderkey""",
+
+    "q05_self_alias_join" -> """
+      SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             count(*) AS n_items, floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+
+    "q06_global_minmax" -> """
+      SELECT CAST(max(l_shipdate) AS DATE) AS max_ship_date,
+             CAST(min(l_shipdate) AS DATE) AS min_ship_date,
+             floor((min(l_extendedprice)) * 100 + 0.5) / 100 AS min_price,
+             floor((max(l_extendedprice)) * 100 + 0.5) / 100 AS max_price,
+             count(*) AS n_rows
+      FROM lineitem""",
+
+    "q07_scalar_subquery_filter" -> """
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders)
+      ORDER BY o_orderkey""",
+
+    "q08_conjunctive_filter" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_returnflag = 'N' AND l_linestatus = 'O' AND l_quantity = 25
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q09_dim_filter" -> """
+      SELECT n_nationkey AS location_id, n_name AS zip_code, r_name AS state,
+             'C' || n_regionkey AS county
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      ORDER BY location_id""",
+
+    "q10_projection_pushdown" -> """
+      SELECT p_partkey, p_name, p_retailprice
+      FROM part WHERE p_size < 20
+      ORDER BY p_partkey""",
+
+    "q11_multi_avg" -> """
+      SELECT l_returnflag, l_linestatus,
+             floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
+             floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
+             floor((CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc
+      FROM lineitem
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+
+    "q12_minmax_normalize" -> """
+      WITH avg_bal AS (
+        SELECT s_nationkey, CAST(sum(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(s_acctbal) AS avg_bal
+        FROM supplier GROUP BY 1
+      )
+      SELECT s_nationkey, floor((avg_bal) * 100 + 0.5) / 100 AS avg_bal,
+             floor(((avg_bal - min(avg_bal) OVER ())
+               / (max(avg_bal) OVER () - min(avg_bal) OVER ()) * 100) * 100 + 0.5) / 100 AS score
+      FROM avg_bal
+      ORDER BY s_nationkey""",
+
+    "q13_derived_columns" -> """
+      WITH removals AS (
+        SELECT l_orderkey, max(l_shipdate) AS removed_ts
+        FROM lineitem WHERE l_linenumber = 7 GROUP BY 1
+      )
+      SELECT o_orderkey,
+             floor((o_totalprice / 1000 * 40 * 52) * 100 + 0.5) / 100 AS annualized,
+             1950 + o_orderkey % 70 AS year_built,
+             2002 - (1950 + o_orderkey % 70) AS age_in_years,
+             CAST(CASE WHEN removed_ts IS NULL
+                  THEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                  ELSE date_diff('day', CAST(o_orderdate AS DATE), CAST(removed_ts AS DATE))
+                  END AS INTEGER) AS days_on_market
+      FROM orders LEFT JOIN removals ON o_orderkey = l_orderkey
+      ORDER BY o_orderkey""",
+
+    "q14_ratio_round" -> """
+      SELECT p_brand, floor((CAST(sum(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE) / count(p_retailprice)) * 100 + 0.5) / 100 AS avg_price,
+             floor((CAST(sum(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE) / count(p_retailprice) / (CAST(sum(CAST(p_size AS DECIMAL(30,6))) AS DOUBLE) / count(p_size))) * 100 + 0.5) / 100 AS price_per_size
+      FROM part
+      GROUP BY 1
+      ORDER BY 1""",
+
+    "q15_report_projection" -> """
+      SELECT n_nationkey AS "NATION_KEY", n_name AS "NATION_NAME"
+      FROM nation
+      ORDER BY 1""",
+
+    "q16_topk_per_group" -> """
+      SELECT c_nationkey, rk, o_orderkey, o_totalprice
+      FROM (SELECT c_nationkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY c_nationkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders JOIN customer ON o_custkey = c_custkey) t
+      WHERE rk <= 3
+      ORDER BY c_nationkey, rk""",
+
+    "q17_distinct_agg" -> """
+      SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY 1""",
+
+    "q18_semi_join" -> """
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "q19_anti_join" -> """
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "q20_set_ops" -> """
+      WITH building AS (
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      ),
+      machinery AS (
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      ),
+      combined AS (
+        SELECT c_nationkey, 'union' AS op FROM
+          (SELECT c_nationkey FROM building UNION SELECT c_nationkey FROM machinery) u
+        UNION ALL
+        SELECT c_nationkey, 'intersect' AS op FROM
+          (SELECT c_nationkey FROM building INTERSECT SELECT c_nationkey FROM machinery) i
+        UNION ALL
+        SELECT c_nationkey, 'except' AS op FROM
+          (SELECT c_nationkey FROM building EXCEPT SELECT c_nationkey FROM machinery) e
+      )
+      SELECT c_nationkey, op FROM combined
+      ORDER BY op, c_nationkey""",
+
+    "q21_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q22_pivot" -> """
+      SELECT l_linestatus,
+             floor((sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)) * 100 + 0.5) / 100 AS "A",
+             floor((sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END)) * 100 + 0.5) / 100 AS "N",
+             floor((sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)) * 100 + 0.5) / 100 AS "R"
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY 1""",
+
+    "q23_running_window" -> """
+      SELECT o_custkey, o_orderkey,
+             floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 100 + 0.5) / 100 AS running_spend
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q24_order_limit" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 100""",
+
+    "q25_deterministic_sample" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+      ORDER BY o_orderkey"""
+  )
+}

@@ -54,7 +54,7 @@ crime_latest AS (
        AND c.snap_year = m.mx
 ),
 crime_avg AS (
-  SELECT location_id, zip_code, avg(rate) AS avg_crime_rate
+  SELECT location_id, zip_code, CAST(sum(CAST(rate AS DECIMAL(30,6))) AS DOUBLE) / count(rate) AS avg_crime_rate
   FROM crime_latest JOIN dim_location USING (location_id)
   GROUP BY 1, 2
 ),
@@ -75,7 +75,7 @@ expense_latest AS (
   SELECT * FROM expense WHERE snap_year = (SELECT max(snap_year) FROM expense)
 ),
 expense_avg AS (
-  SELECT location_id, zip_code, avg(amount) AS avg_expense
+  SELECT location_id, zip_code, CAST(sum(CAST(amount AS DECIMAL(30,6))) AS DOUBLE) / count(amount) AS avg_expense
   FROM expense_latest JOIN dim_location USING (location_id)
   GROUP BY 1, 2
 ),
@@ -100,7 +100,7 @@ rec_salary AS (
   WHERE rn = 1
 ),
 avg_salary AS (
-  SELECT c_nationkey AS location_id, avg(c_acctbal * 100) AS "AVERAGE_ANNUAL_SALARY"
+  SELECT c_nationkey AS location_id, CAST(sum(CAST(c_acctbal * 100 AS DECIMAL(30,6))) AS DOUBLE) / count(c_acctbal * 100) AS "AVERAGE_ANNUAL_SALARY"
   FROM customer GROUP BY 1
 ),
 removals AS (
@@ -126,10 +126,10 @@ listing AS (
   WHERE snap_year = (SELECT max(snap_year) FROM listing_base)
 ),
 listing_summary AS (
-  SELECT location_id, avg(price) AS avg_price, avg(bathrooms) AS avg_bathrooms,
-         avg(bedrooms) AS avg_bedrooms, avg(age_in_years) AS avg_age_in_years,
-         avg(square_footage) AS avg_square_footage,
-         avg(days_on_market) AS avg_days_on_market
+  SELECT location_id, CAST(sum(CAST(price AS DECIMAL(30,6))) AS DOUBLE) / count(price) AS avg_price, CAST(sum(CAST(bathrooms AS DECIMAL(30,6))) AS DOUBLE) / count(bathrooms) AS avg_bathrooms,
+         CAST(sum(CAST(bedrooms AS DECIMAL(30,6))) AS DOUBLE) / count(bedrooms) AS avg_bedrooms, CAST(sum(CAST(age_in_years AS DECIMAL(30,6))) AS DOUBLE) / count(age_in_years) AS avg_age_in_years,
+         CAST(sum(CAST(square_footage AS DECIMAL(30,6))) AS DOUBLE) / count(square_footage) AS avg_square_footage,
+         CAST(sum(CAST(days_on_market AS DECIMAL(30,6))) AS DOUBLE) / count(days_on_market) AS avg_days_on_market
   FROM listing GROUP BY 1
 )
 SELECT
@@ -137,14 +137,14 @@ SELECT
   state AS "STATE",
   county AS "COUNTY",
   "RECOMMENDED_ANNUAL_SALARY",
-  round("AVERAGE_ANNUAL_SALARY", 2) AS "AVERAGE_ANNUAL_SALARY",
-  round(normalized_expense, 2) AS "EXPENSE_SCORE",
-  round(normalized_crime_rate, 2) AS "CRIME_SCORE",
-  round(avg_price, 2) AS "AVERAGE_HOME_PRICE",
-  round(avg_age_in_years, 2) AS "AVERAGE_HOME_AGE_IN_YEARS",
-  round(avg_square_footage, 2) AS "AVERAGE_SQUARE_FOOTAGE",
-  round(avg_price / avg_square_footage, 2) AS "AVERAGE_PRICE_PER_SQUARE_FOOT",
-  round(avg_days_on_market, 2) AS "AVERAGE_TIME_ON_MARKET_IN_DAYS",
+  floor(("AVERAGE_ANNUAL_SALARY") * 100 + 0.5) / 100 AS "AVERAGE_ANNUAL_SALARY",
+  floor((normalized_expense) * 100 + 0.5) / 100 AS "EXPENSE_SCORE",
+  floor((normalized_crime_rate) * 100 + 0.5) / 100 AS "CRIME_SCORE",
+  floor((avg_price) * 100 + 0.5) / 100 AS "AVERAGE_HOME_PRICE",
+  floor((avg_age_in_years) * 100 + 0.5) / 100 AS "AVERAGE_HOME_AGE_IN_YEARS",
+  floor((avg_square_footage) * 100 + 0.5) / 100 AS "AVERAGE_SQUARE_FOOTAGE",
+  floor((avg_price / avg_square_footage) * 100 + 0.5) / 100 AS "AVERAGE_PRICE_PER_SQUARE_FOOT",
+  floor((avg_days_on_market) * 100 + 0.5) / 100 AS "AVERAGE_TIME_ON_MARKET_IN_DAYS",
   DATE '2002-01-01' AS "SNAPSHOT_DATE"
 FROM listing_summary
 JOIN dim_location USING (location_id)
@@ -156,12 +156,7 @@ ORDER BY "ZIP_CODE"
 """
 }
 
-/** Placeholder registries, populated as operators land. */
-object RelationalQueries {
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
-}
-
+/** Placeholder registry, populated as extension operators land. */
 object ExtensionQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map()
   def oracles: Map[String, String] = Map()

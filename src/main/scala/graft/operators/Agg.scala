@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataTypes, DoubleType}
+
+/** Deterministic floating-point aggregation.
+  *
+  * `avg`/`sum` over doubles depend on summation order, which depends on
+  * partitioning and partial-merge arrival order — so the same query can
+  * produce last-ulp-different results run to run (and engine to engine),
+  * occasionally flipping a `round(_, 2)` boundary. That is unacceptable for
+  * a correctness-gated engine and for reproducible pipelines at 100 TB,
+  * where partition counts change constantly.
+  *
+  * Fix: quantize to DECIMAL(30, 6) (exact, associative, overflow-safe to
+  * 1e24 — far beyond 100 TB of money columns), sum exactly, then perform at
+  * most ONE IEEE double operation at the end. Identical inputs -> identical
+  * bits on every engine, every partitioning.
+  */
+object Agg {
+  private val Dec = DataTypes.createDecimalType(30, 6)
+
+  /** Exact-decimal-backed average. Null semantics match `avg` (nulls
+    * excluded from both numerator and denominator).
+    */
+  def decAvg(c: Column): Column =
+    sum(c.cast(Dec)).cast(DoubleType) / count(c)
+
+  /** Exact-decimal-backed sum, surfaced as double. */
+  def decSum(c: Column): Column =
+    sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Engine-portable decimal rounding. Spark's `round` converts the exact
+    * binary double to BigDecimal and rounds HALF_UP; DuckDB multiplies by
+    * 10^d first, which can snap a near-boundary value onto .5 — so the two
+    * disagree on values like 51449.854999...  This formula is a fixed
+    * sequence of IEEE ops (multiply, add, floor, divide) that every engine
+    * evaluates bit-identically on identical inputs. Half values round toward
+    * +inf (for negatives that differs from HALF_UP — consistently so).
+    */
+  def roundAt(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p + 0.5) / p
+  }
+
+  /** DuckDB-side spellings of the above, for oracle authors:
+    *   decAvg: CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x)
+    *   decSum: CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+    *   roundAt: floor((x) * 100 + 0.5) / 100
+    */
+}

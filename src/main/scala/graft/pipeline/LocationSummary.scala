@@ -5,7 +5,7 @@ import java.sql.Date
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Enrich, Score, Snapshot, SummaryOps}
+import graft.operators.{Agg, Enrich, Score, Snapshot, SummaryOps}
 import graft.sources.Tables
 
 /** The flagship pipeline: the reference job
@@ -59,7 +59,7 @@ object LocationSummary {
     val crimeAvg = crimeLatest
       .join(dimLocation, Seq("location_id"), "inner")
       .groupBy("location_id", "zip_code")
-      .agg(avg(col("rate")).alias("avg_crime_rate"))
+      .agg(Agg.decAvg(col("rate")).alias("avg_crime_rate"))
     val crimeNormalized = Score.minMaxScore(crimeAvg, "avg_crime_rate", "normalized_crime_rate")
 
     // fact_annual_expense: filtered fact, global latest year (App.scala:110-133).
@@ -74,7 +74,7 @@ object LocationSummary {
     val expenseAvg = expenseLatest
       .join(dimLocation, Seq("location_id"), "inner")
       .groupBy("location_id", "zip_code")
-      .agg(avg(col("amount")).alias("avg_expense"))
+      .agg(Agg.decAvg(col("amount")).alias("avg_expense"))
     val expenseNormalized = Score.minMaxScore(expenseAvg, "avg_expense", "normalized_expense")
 
     // fact_living_wage: global latest year, one row per location
@@ -100,7 +100,7 @@ object LocationSummary {
     val avgAnnualSalary = customer
       .select(col("c_nationkey").as("location_id"), (col("c_acctbal") * 100).as("salary"))
       .groupBy("location_id")
-      .agg(avg(col("salary")).alias("AVERAGE_ANNUAL_SALARY"))
+      .agg(Agg.decAvg(col("salary")).alias("AVERAGE_ANNUAL_SALARY"))
 
     // fact_listing: orders as listings; nullable removal via LEFT JOIN against
     // lineitem-derived removal events (App.scala:135-169).
