@@ -1,0 +1,464 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Agg, Dedup, EventOps, TextOps, VectorOps}
+import graft.sources.Tables
+
+/** LLM-training-data-pipeline operators over the `documents`, `embeddings`
+  * and `events` fixtures (SURVEY §7 step 4): text analysis, exact and
+  * near deduplication (MinHash-LSH, SimHash, Jaccard), similarity search
+  * (brute force + LSH), event windows/sessions, and multimodal plumbing.
+  *
+  * Every query has a DuckDB oracle. The oracle SQL is *generated from the
+  * same parameters* (hash constants, stopword lists, plane formulas) as the
+  * Spark expressions, so the two cannot drift apart silently.
+  */
+object ExtensionQueries {
+
+  private val P = TextOps.P // 1e9+7
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- shared DuckDB SQL fragments (mirrors of TextOps/VectorOps) ----
+
+  /** DuckDB mirror of [[TextOps.charHash]]. */
+  private def chSql(x: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($x,''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"(acc,x) -> (acc*31 + x) % $P)"
+
+  /** DuckDB mirror of [[TextOps.shingleHashes]] with n=2 as a CTE body. */
+  private val featuresCte: String =
+    s"""doc_feat AS (
+      SELECT doc_id, list_distinct(list_transform(
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(range(0, len(toks)-1),
+                    i -> array_to_string(list_slice(toks, i+1, i+2), ' '))
+             ELSE []::VARCHAR[] END,
+        sh -> ${chSql("sh")})) AS features
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents) tok
+    )"""
+
+  /** DuckDB mirror of [[TextOps.minhashAt]]. */
+  private def mhSql(j: Int): String =
+    s"list_min(list_transform(features, h -> (h*${2 * j + 1} + ${7919 * j + 13}) % $P))"
+
+  /** DuckDB mirror of [[TextOps.bandHash]] (rows=3). */
+  private def bandSql(b: Int): String = {
+    val m = (0 until 3).map(r => mhSql(b * 3 + r))
+    s"(((${m(0)}) * 31 + (${m(1)})) % $P * 31 + (${m(2)})) % $P"
+  }
+
+  /** DuckDB mirror of [[VectorOps.dot]] for two 64-dim double lists. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1,65), i -> $a[i] * $b[i])), (acc,x) -> acc + x)"
+
+  /** DuckDB mirror of [[VectorOps.planeWeight]] as a function of plane
+    * expression `p` and the in-lambda index `i` (1-based dim = i-1).
+    */
+  private def planeDotSql(v: String, p: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1,65), " +
+      s"i -> $v[i] * (CAST((($p*64 + (i-1)) * 2654435761) % 1000003 AS DOUBLE)/1000003.0 - 0.5))), " +
+      s"(acc,x) -> acc + x)"
+
+  /** DuckDB mirror of [[VectorOps.lshBucket]]. */
+  private def bucketSql(v: String, planes: Int): String =
+    (0 until planes).map(p =>
+      s"(CASE WHEN ${planeDotSql(v, p.toString)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  private def stopList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private def hitsSql(ws: Seq[String]): String =
+    s"CAST(len(list_filter(toks, w -> list_contains(${stopList(ws)}, w))) AS INTEGER)"
+
+  // ---- Spark-side shared builders ----
+
+  private def docFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextOps.shingleHashes(col("text"), 2).as("features"))
+
+  private def embeddingsD(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- text analysis --
+    "t01_token_stats" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          length(regexp_replace(col("text"), "\\s", "")).as("n_chars_nows"),
+          Agg.roundAt(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+            size(toks), 2).as("avg_word_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t02_quality_score" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks)
+      val punct = size(regexp_extract_all(col("text"), lit("[.!?,;]"), lit(0)))
+      val stop = TextOps.stopwordHits(toks, TextOps.EnStop)
+      val awl = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok
+      t(s, dir, "documents").select(
+          col("doc_id"), nTok.as("n_tokens"), punct.as("n_punct"), stop.as("stop_hits"),
+          Agg.roundAt(stop.cast("double") / nTok * 50 +
+            least(awl / 10, lit(1.0)) * 30 +
+            least(nTok.cast("double") / 100, lit(1.0)) * 20, 2).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t03_lang_id" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val en = TextOps.stopwordHits(toks, TextOps.EnStop)
+      val es = TextOps.stopwordHits(toks, TextOps.EsStop)
+      val fr = TextOps.stopwordHits(toks, TextOps.FrStop)
+      val de = TextOps.stopwordHits(toks, TextOps.DeStop)
+      val cjk = TextOps.cjkCount(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"), en.as("en_hits"), es.as("es_hits"), fr.as("fr_hits"),
+          de.as("de_hits"),
+          when(cjk > 0, "zh")
+            .when(en >= es && en >= fr && en >= de, "en")
+            .when(es >= fr && es >= de, "es")
+            .when(fr >= de, "fr")
+            .otherwise("de").as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t04_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.charHash(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // -- deduplication --
+    "d01_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("keep_id"))),
+
+    "d02_minhash_bands" -> ((s, dir) =>
+      docFeatures(s, dir).select(
+          (Seq(col("id").as("doc_id"), size(col("features")).as("n_features")) ++
+            (0 until 4).map(b => TextOps.bandHash(col("features"), b, 3).as(s"b$b"))): _*)
+        .orderBy(col("doc_id"))),
+
+    "d03_lsh_candidates" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(docFeatures(s, dir), bands = 4, rows = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "d04_jaccard_neardup" -> ((s, dir) => {
+      val feats = docFeatures(s, dir)
+      val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+      Dedup.jaccardOnPairs(pairs, feats)
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          Agg.roundAt(col("jaccard"), 4).as("jaccard"),
+          (col("jaccard") >= 0.5).as("is_dup"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "d05_simhash" -> ((s, dir) =>
+      docFeatures(s, dir)
+        .select(col("id").as("doc_id"), TextOps.simhash32(col("features")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    "d06_embedding_neardup" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+        .withColumn("bucket", VectorOps.lshBucket(col("v"), 8, 64))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("bucket").as("bucket_b"))
+      a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+        .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), Agg.roundAt(col("cos"), 6).as("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // -- similarity search --
+    "s01_knn_brute" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val q = e.filter(col("vec_id") <= 2).select(col("vec_id").as("id"), col("v").as("vec"))
+      val c = e.select(col("vec_id").as("id"), col("v").as("vec"))
+      VectorOps.knnBruteForce(q, c, 5)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          Agg.roundAt(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "s02_knn_lsh" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+        .withColumn("bucket", VectorOps.lshBucket(col("v"), 6, 64))
+      val q = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      val c = e.select(col("vec_id"), col("v").as("cv"), col("bucket").as("bucket_c"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      c.join(broadcast(q), col("bucket") === col("bucket_c") &&
+          col("vec_id") =!= col("query_id"))
+        .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          Agg.roundAt(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // -- event streams (batch form) --
+    "e01_tumbling_daily" -> ((s, dir) =>
+      EventOps.tumblingDaily(t(s, dir, "events"))
+        .orderBy(col("day"), col("event_type"))),
+
+    "e02_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Agg.roundAt(Agg.decAvg(col("k")), 2).as("avg_k"))
+        .orderBy(col("event_type"))),
+
+    "e03_sessionize" -> ((s, dir) =>
+      EventOps.sessionize(t(s, dir, "events"), gapSeconds = 1800)
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    // -- multimodal plumbing: opaque binary payload + typed metadata --
+    "m01_media_plumbing" -> ((s, dir) => {
+      val payload = encode(col("text"), "UTF-8")
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          length(payload).as("n_bytes"),
+          md5(payload).as("checksum"),
+          (TextOps.charHash(col("text")) % 1000).as("feature_bucket"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" -> s"""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+               length(regexp_replace(text, '\\s', '', 'g')) AS nc
+        FROM documents
+      )
+      SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+             CAST(nc AS INTEGER) AS n_chars_nows,
+             floor((CAST(nc AS DOUBLE) / len(toks)) * 100 + 0.5) / 100 AS avg_word_len
+      FROM tok ORDER BY doc_id""",
+
+    "t02_quality_score" -> s"""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+               len(regexp_extract_all(text, '[.!?,;]')) AS np,
+               length(regexp_replace(text, '\\s', '', 'g')) AS nc
+        FROM documents
+      )
+      SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+             CAST(np AS INTEGER) AS n_punct,
+             ${hitsSql(TextOps.EnStop)} AS stop_hits,
+             floor((CAST(len(list_filter(toks, w -> list_contains(${stopList(TextOps.EnStop)}, w))) AS DOUBLE)
+                      / len(toks) * 50
+                    + least((CAST(nc AS DOUBLE) / len(toks)) / 10, 1.0) * 30
+                    + least(CAST(len(toks) AS DOUBLE) / 100, 1.0) * 20) * 100 + 0.5) / 100
+               AS quality
+      FROM tok ORDER BY doc_id""",
+
+    "t03_lang_id" -> s"""
+      WITH tok AS (
+        SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ),
+      hits AS (
+        SELECT doc_id,
+               ${hitsSql(TextOps.EnStop)} AS en_hits,
+               ${hitsSql(TextOps.EsStop)} AS es_hits,
+               ${hitsSql(TextOps.FrStop)} AS fr_hits,
+               ${hitsSql(TextOps.DeStop)} AS de_hits,
+               len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+        FROM tok
+      )
+      SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+             CASE WHEN cjk > 0 THEN 'zh'
+                  WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+                  WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+                  WHEN fr_hits >= de_hits THEN 'fr'
+                  ELSE 'de' END AS pred_lang
+      FROM hits ORDER BY doc_id""",
+
+    "t04_fingerprint" -> s"""
+      SELECT doc_id, ${chSql("text")} AS fingerprint
+      FROM documents ORDER BY doc_id""",
+
+    "d01_dedup_exact" -> """
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             count(*) AS n_copies
+      FROM documents
+      GROUP BY 1 ORDER BY keep_id""",
+
+    "d02_minhash_bands" -> s"""
+      WITH $featuresCte
+      SELECT doc_id, CAST(len(features) AS INTEGER) AS n_features,
+             ${bandSql(0)} AS b0, ${bandSql(1)} AS b1,
+             ${bandSql(2)} AS b2, ${bandSql(3)} AS b3
+      FROM doc_feat ORDER BY doc_id""",
+
+    "d03_lsh_candidates" -> s"""
+      WITH $featuresCte,
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${bandSql(0)} AS bh FROM doc_feat
+        UNION ALL SELECT doc_id, 1, ${bandSql(1)} FROM doc_feat
+        UNION ALL SELECT doc_id, 2, ${bandSql(2)} FROM doc_feat
+        UNION ALL SELECT doc_id, 3, ${bandSql(3)} FROM doc_feat
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "d04_jaccard_neardup" -> s"""
+      WITH $featuresCte,
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${bandSql(0)} AS bh FROM doc_feat
+        UNION ALL SELECT doc_id, 1, ${bandSql(1)} FROM doc_feat
+        UNION ALL SELECT doc_id, 2, ${bandSql(2)} FROM doc_feat
+        UNION ALL SELECT doc_id, 3, ${bandSql(3)} FROM doc_feat
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, n_shared_bands,
+             floor((CAST(len(list_intersect(fa.features, fb.features)) AS DOUBLE)
+                    / len(list_distinct(list_concat(fa.features, fb.features)))) * 10000 + 0.5) / 10000
+               AS jaccard,
+             (CAST(len(list_intersect(fa.features, fb.features)) AS DOUBLE)
+                    / len(list_distinct(list_concat(fa.features, fb.features)))) >= 0.5
+               AS is_dup
+      FROM pairs
+      JOIN doc_feat fa ON pairs.doc_a = fa.doc_id
+      JOIN doc_feat fb ON pairs.doc_b = fb.doc_id
+      ORDER BY doc_a, doc_b""",
+
+    "d05_simhash" -> s"""
+      WITH $featuresCte
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0,32),
+               b -> CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(features, h -> CASE WHEN CAST(floor(h / pow(2,b)) AS BIGINT) % 2 = 1
+                                                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                 (v,x) -> v + x)) > 0
+                 THEN CAST(floor(pow(2,b)) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+               (acc,y) -> acc + y) AS simhash
+      FROM doc_feat ORDER BY doc_id""",
+
+    "d06_embedding_neardup" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      eb AS (
+        SELECT vec_id, v, ${bucketSql("v", 8)} AS bucket, sqrt(${dotSql("v", "v")}) AS nrm
+        FROM e
+      )
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             floor((${dotSql("a.v", "b.v")} / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cos
+      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
+      ORDER BY vec_a, vec_b""",
+
+    "s01_knn_brute" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+        FROM en q JOIN en c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 2
+      ),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored
+      )
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+             floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
+    "s02_knn_lsh" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      eb AS (
+        SELECT vec_id, v, ${bucketSql("v", 6)} AS bucket, sqrt(${dotSql("v", "v")}) AS nrm
+        FROM e
+      ),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+        FROM eb q JOIN eb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 2
+      ),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored
+      )
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+             floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
+    "e01_tumbling_daily" -> """
+      SELECT CAST(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, event_type,
+             count(*) AS n_events,
+             floor((CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "e02_json_extract" -> """
+      WITH e AS (
+        SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+      )
+      SELECT event_type, count(*) AS n_events,
+             floor((CAST(sum(CAST(k AS DECIMAL(30,6))) AS DOUBLE) / count(k)) * 100 + 0.5) / 100 AS avg_k
+      FROM e GROUP BY 1 ORDER BY 1""",
+
+    "e03_sessionize" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, epoch(CAST(ts AS TIMESTAMP)) AS sec FROM events
+      ),
+      m AS (
+        SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      s AS (
+        SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        FROM m
+      )
+      SELECT user_id, session_idx, count(*) AS n_events,
+             floor((max(sec) - min(sec)) * 1000 + 0.5) / 1000 AS duration_secs
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "m01_media_plumbing" -> s"""
+      SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+             md5(text) AS checksum,
+             ${chSql("text")} % 1000 AS feature_bucket
+      FROM documents ORDER BY doc_id"""
+  )
+}

@@ -155,9 +155,3 @@ JOIN expense_norm USING (location_id)
 ORDER BY "ZIP_CODE"
 """
 }
-
-/** Placeholder registry, populated as extension operators land. */
-object ExtensionQueries {
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
-}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant is expressed as hash -> groupBy/join on the
+  * hash — the canonical shuffle-partitionable shape. Nothing is pairwise
+  * over the full corpus: candidate generation always goes through a bucket
+  * key (exact hash, MinHash band, or SimHash prefix), so pair counts stay
+  * proportional to bucket occupancy, not n^2.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical content by md5, keep the smallest id.
+    * One shuffle on the 128-bit content hash; at 100 TB this is the
+    * standard first pass (hash is computed map-side, shuffle carries only
+    * (hash, id)).
+    */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash-LSH candidate pairs: docs sharing >=1 of `bands` band hashes.
+    * Expects a df with (id, features) where features = distinct shingle
+    * hashes (see [[TextOps.shingleHashes]]). Returns (doc_a < doc_b,
+    * n_shared_bands).
+    */
+  def lshCandidatePairs(docs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = docs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        TextOps.bandHash(col("features"), b, rows)): _*)).as(Seq("band_idx", "bh")))
+    val a = banded.select(col("id").as("doc_a"), col("band_idx"), col("bh"))
+    val b = banded.select(col("id").as("doc_b"), col("band_idx").as("band_idx_b"),
+      col("bh").as("bh_b"))
+    a.join(b, col("band_idx") === col("band_idx_b") && col("bh") === col("bh_b") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Exact Jaccard similarity on candidate pairs (the verify step after LSH
+    * candidate generation). `withFeatures`: (id, features).
+    */
+  def jaccardOnPairs(pairs: DataFrame, withFeatures: DataFrame): DataFrame = {
+    val fa = withFeatures.select(col("id").as("doc_a"), col("features").as("fa"))
+    val fb = withFeatures.select(col("id").as("doc_b"), col("features").as("fb"))
+    pairs.join(fa, "doc_a").join(fb, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("fa"), col("fb"))).cast("double") /
+          size(array_union(col("fa"), col("fb"))))
+      .drop("fa", "fb")
+  }
+}

@@ -24,7 +24,20 @@ object Tables {
   val all: Seq[String] = relational ++ extension
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default. Read it as raw nanos (legacy conf) and convert to a
+    * microsecond TimestampType with exact integer division (`DIV` — a
+    * double division would lose precision above 2^53 ns). Oracle side
+    * mirrors with CAST(ts AS TIMESTAMP), which also truncates to micros.
+    */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** The engine's `dim_location` equivalent (reference `App.scala:95-108`):
     * nation enriched with region. `location_id` <- n_nationkey,
