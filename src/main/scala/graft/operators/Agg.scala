@@ -22,10 +22,12 @@ object Agg {
   private val Dec = DataTypes.createDecimalType(30, 6)
 
   /** Exact-decimal-backed average. Null semantics match `avg` (nulls
-    * excluded from both numerator and denominator).
+    * excluded from both numerator and denominator; all-null group -> null,
+    * guarded so ANSI mode's divide-by-zero cannot fire).
     */
   def decAvg(c: Column): Column =
-    sum(c.cast(Dec)).cast(DoubleType) / count(c)
+    when(count(c) > 0, sum(c.cast(Dec)).cast(DoubleType) / count(c))
+      .otherwise(lit(null).cast(DoubleType))
 
   /** Exact-decimal-backed sum, surfaced as double. */
   def decSum(c: Column): Column =

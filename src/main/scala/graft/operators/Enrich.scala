@@ -33,9 +33,15 @@ object Enrich {
   /** Linear transform `hourly_wage * 40 * 52` (`App.scala:204-205`). */
   def annualize(hourlyWage: Column): Column = hourlyWage * 40 * 52
 
-  /** Ratio with double semantics (`App.scala:233-236`): x/0 -> null is NOT
-    * what doubles do; Spark double division by zero yields +-Infinity/NaN,
-    * matching the reference exactly.
+  /** Ratio with the reference's IEEE double semantics (`App.scala:233-236`):
+    * x/0 -> +-Infinity, 0/0 -> NaN. Spark 4's default ANSI mode would throw
+    * instead, so the zero-denominator cases are branched explicitly (CASE
+    * WHEN evaluates lazily — the division never sees a zero).
     */
-  def ratio(num: Column, den: Column): Column = num / den
+  def ratio(num: Column, den: Column): Column =
+    when(den === 0,
+      when(num === 0, lit(Double.NaN))
+        .when(num > 0, lit(Double.PositiveInfinity))
+        .otherwise(lit(Double.NegativeInfinity)))
+      .otherwise(num / den)
 }

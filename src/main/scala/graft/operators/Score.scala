@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Min-max 0-100 score normalization (reference `App.scala:175-201`).
@@ -18,12 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Score {
 
+  /** The normalization expression with the degenerate case made explicit:
+    * Spark 4 runs ANSI mode by default, where even double division by zero
+    * throws — the reference (Spark 3.3, ANSI off) produced IEEE 0/0 = NaN.
+    * CASE WHEN branches evaluate lazily per row, so the division never sees
+    * a zero denominator and the NaN semantics survive any ANSI setting.
+    */
+  private def scoreExpr(v: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, lit(Double.NaN))
+      .otherwise((v - mn) / (mx - mn) * 100)
+
   /** Lazy, scale-preferred variant: one job, no driver round-trip. */
   def minMaxScore(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
     val mm = broadcast(
       df.agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx")))
     df.crossJoin(mm)
-      .withColumn(outCol, (col(valueCol) - col("__mn")) / (col("__mx") - col("__mn")) * 100)
+      .withColumn(outCol, scoreExpr(col(valueCol), col("__mn"), col("__mx")))
       .drop("__mn", "__mx")
   }
 
@@ -34,6 +44,6 @@ object Score {
   def minMaxScoreCollect(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
     val mm = df.agg(min(col(valueCol)), max(col(valueCol))).first
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
-    df.withColumn(outCol, (col(valueCol) - mn) / (mx - mn) * 100)
+    df.withColumn(outCol, scoreExpr(col(valueCol), lit(mn), lit(mx)))
   }
 }

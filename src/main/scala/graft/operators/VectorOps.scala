@@ -29,7 +29,13 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; zero-norm inputs yield NaN (IEEE), branched
+    * explicitly so Spark 4's ANSI divide-by-zero check cannot fire.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den === 0, lit(Double.NaN)).otherwise(dot(a, b) / den)
+  }
 
   /** Deterministic pseudo-random hyperplane weight for (plane p, dim d):
     * integer arithmetic -> exact double, reproducible in any engine:
