@@ -176,7 +176,7 @@ object ExtensionQueries {
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
         col("bucket").as("bucket_b"))
       a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
-        .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
+        .withColumn("cos", VectorOps.cosineFast(col("va"), col("vb")))
         .filter(col("cos") >= 0.4)
         .select(col("vec_a"), col("vec_b"), Agg.roundAt(col("cos"), 6).as("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
@@ -203,7 +203,7 @@ object ExtensionQueries {
         .orderBy(col("cos").desc, col("vec_id").asc)
       c.join(broadcast(q), col("bucket") === col("bucket_c") &&
           col("vec_id") =!= col("query_id"))
-        .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+        .withColumn("cos", VectorOps.cosineFast(col("qv"), col("cv")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("vec_id"),

@@ -31,11 +31,21 @@ object VectorOps {
 
   /** Cosine similarity; zero-norm inputs yield NaN (IEEE), branched
     * explicitly so Spark 4's ANSI divide-by-zero check cannot fire.
+    * This is the portable-fold reference form (mirrorable in oracle SQL);
+    * hot paths use [[cosineFast]], which is bit-identical.
     */
   def cosine(a: Column, b: Column): Column = {
     val den = norm(a) * norm(b)
     when(den === 0, lit(Double.NaN)).otherwise(dot(a, b) / den)
   }
+
+  /** Codegen'd native cosine ([[graft.functions.CosineSimilarity]]):
+    * same accumulation order, same zero-norm semantics, bit-identical
+    * results (asserted in CosineSimilaritySpec) — but a fused compiled loop
+    * instead of interpreted higher-order lambdas.
+    */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   /** Deterministic pseudo-random hyperplane weight for (plane p, dim d):
     * integer arithmetic -> exact double, reproducible in any engine:
@@ -62,7 +72,7 @@ object VectorOps {
     val c = corpus.select(col("id").as("vec_id"), col("vec").as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineFast(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
