@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
+  * with typed metadata, processed in partition-local batches.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch shape — is real and
+  * tested; the actual media decode is STUBBED (this container has no
+  * image/audio libraries): [[StubDecoder.decode]] is a deterministic fake
+  * that a real deployment replaces with an actual decoder (e.g. JNI/FFI to
+  * libjpeg/ffmpeg) without touching any of the distribution logic.
+  *
+  * Scale design: decode runs via `mapPartitions` so each task amortizes
+  * decoder initialization over its whole partition (the same batch shape
+  * Python pipelines get from mapInPandas); payload bytes never leave their
+  * partition, and the feature output is narrow (id + small vector), so the
+  * expensive stage is shuffle-free.
+  */
+object Multimodal {
+
+  /** An opaque media record: payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte],
+      width: Int, height: Int)
+
+  /** Decoded, feature-extracted output: narrow row per media item. */
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+      frames_sampled: Int, features: Array[Float])
+
+  /** The decode seam. REAL deployments swap this object out. */
+  object StubDecoder {
+    /** Deterministic fake "decode + feature extract": an 8-bin byte
+      * histogram normalized by payload length. Stands in for a real
+      * image/audio feature extractor; same signature, same batch usage.
+      */
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val bins = new Array[Float](8)
+      var i = 0
+      while (i < payload.length) {
+        bins((payload(i) & 0xff) >> 5) += 1f
+        i += 1
+      }
+      if (payload.length > 0) {
+        var b = 0
+        while (b < 8) { bins(b) /= payload.length; b += 1 }
+      }
+      bins
+    }
+
+    /** Deterministic frame sampling stub: every `stride`-th 16-byte slice
+      * counts as a "frame".
+      */
+    def sampleFrames(payload: Array[Byte], stride: Int): Int =
+      if (payload.isEmpty) 0 else (payload.length / (16 * stride)).max(1)
+  }
+
+  /** Build a media table from the documents fixture: payload = UTF-8 bytes
+    * (the opaque stand-in), media_type cycling deterministically, metadata
+    * derived from content. In production this would be `spark.read.format
+    * ("binaryFile")` or parquet with a binary column.
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
+      .as[MediaRecord]
+  }
+
+  /** The partition-batched decode stage. One decoder per partition, reused
+    * across the whole batch — the mapInPandas shape, in Scala.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord], frameStride: Int = 4): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      // per-partition init of the (stub) decoder happens here
+      records.map { r =>
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length,
+          StubDecoder.sampleFrames(r.payload, frameStride),
+          StubDecoder.decode(r.payload))
+      }
+    }
+  }
+}

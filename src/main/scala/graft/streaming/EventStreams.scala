@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event operators (batch forms in
+  * [[graft.operators.EventOps]] share the same semantics — windowed
+  * aggregation results are identical because `window()` is the same
+  * expression in both modes).
+  *
+  * Scale design: the windowed aggregate is a streaming state store keyed by
+  * (window, event_type) — bounded by watermark expiry; sessionization keeps
+  * one small state record per active user key via mapGroupsWithState, with
+  * processing-time timeout so abandoned sessions flush. Both scale
+  * horizontally with `spark.sql.shuffle.partitions` state-store shards.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(nEvents: Long, firstSec: Double, lastSec: Double)
+
+  case class SessionUpdate(user_id: Long, n_events: Long, duration_secs: Double,
+      closed: Boolean)
+
+  /** Watermarked tumbling-window aggregate (guide: readStream -> transforms
+    * -> writeStream). 10-minute lateness tolerance; append output emits each
+    * window once it is final.
+    */
+  def windowedCounts(events: DataFrame, window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  // Spark's `window` function shadows the parameter name in this scope.
+  private object functions {
+    def window(c: org.apache.spark.sql.Column, w: String) =
+      org.apache.spark.sql.functions.window(c, w)
+  }
+
+  /** Stateful gap-based sessionization with mapGroupsWithState: one state
+    * record per user; a gap larger than `gapSeconds` between event times
+    * starts a new session. The gap logic is event-time-driven, so the
+    * default timeout conf is NoTimeout; a production deployment that also
+    * wants idle-state eviction passes ProcessingTimeTimeout (with a real
+    * trigger interval — under the default no-delay trigger a processing
+    * timeout makes the query re-fire batches continuously, which is why it
+    * is opt-in).
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Double,
+      timeoutConf: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](timeoutConf) {
+        case (userId, evts, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec, closed = true)
+          } else {
+            val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val secs = sorted.map(_.ts.getTime / 1000.0)
+            val init = state.getOption.getOrElse(
+              SessionState(0L, secs.head, secs.head))
+            // fold events into the state, resetting when a gap exceeds the threshold
+            val folded = secs.foldLeft(init) { (s, sec) =>
+              if (s.nEvents > 0 && sec - s.lastSec > gapSeconds)
+                SessionState(1L, sec, sec) // new session (previous one closes)
+              else
+                SessionState(s.nEvents + 1, if (s.nEvents == 0) sec else s.firstSec, sec)
+            }
+            state.update(folded)
+            if (timeoutConf == GroupStateTimeout.ProcessingTimeTimeout) {
+              state.setTimeoutDuration(((gapSeconds * 1000).toLong).max(1L))
+            }
+            SessionUpdate(userId, folded.nEvents, folded.lastSec - folded.firstSec,
+              closed = false)
+          }
+      }
+  }
+
+  /** File-source entry point for continuous ingestion of a directory of
+    * event parquet files (the FileStreamSource contract — new files landing
+    * in the directory become new micro-batches).
+    */
+  def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    // Same TIMESTAMP(NANOS) handling as the batch path (Tables.loadEvents):
+    // nanos surface as long, converted with exact integer division.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(rawSchema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion against an in-memory sink and
+    * return the materialized result (test/driver harness).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

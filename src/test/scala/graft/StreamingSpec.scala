@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming windowed agg matches the batch form on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1L, ts("2024-01-01 00:05:00"), 1L, "view", 1.0),
+      Event(2L, ts("2024-01-01 00:45:00"), 1L, "view", 2.0),
+      Event(3L, ts("2024-01-01 01:05:00"), 2L, "click", 4.0),
+      Event(4L, ts("2024-01-01 02:30:00"), 2L, "view", 8.0))
+
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val got = EventStreams.runToMemory(
+        EventStreams.windowedCounts(stream.toDF(), "1 hour"),
+        "windowed_counts", OutputMode.Complete())
+      .orderBy("window_start", "event_type")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+
+    val batch = EventStreams.windowedCounts(events.toDF())
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+
+    assert(got == batch)
+    assert(got.map(_._3).sum == 4)
+  }
+
+  test("stateful sessionization tracks per-user sessions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val updates = EventStreams.sessionize(stream.toDS(), gapSeconds = 1800)
+    val q = updates.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("sessions").start()
+
+    stream.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 7L, "view", 1.0),
+      Event(2L, ts("2024-01-01 00:10:00"), 7L, "view", 1.0))
+    q.processAllAvailable()
+    // next batch: same user continues within the gap
+    stream.addData(Event(3L, ts("2024-01-01 00:20:00"), 7L, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sessions")
+      .select("user_id", "n_events", "duration_secs", "closed")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    // state carried across micro-batches: final update sees 3 events, 20 min
+    assert(rows.contains((7L, 3L, 1200.0, false)))
+  }
+
+  test("file-source streaming read ingests the events fixture") {
+    // stage the fixture as a directory of event files (the source contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val got = EventStreams.runToMemory(
+      EventStreams.windowedCounts(stream, "1 day"),
+      "daily_from_files", OutputMode.Complete())
+    assert(got.agg(sum("n_events")).first.getLong(0) == 1000L)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  import graft.operators.Multimodal
+
+  test("media table has the opaque-binary schema with typed metadata") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val schema = media.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(schema("payload") == "binary")
+    assert(schema("media_type") == "string")
+    assert(media.count() == docs.count())
+  }
+
+  test("partition-batched decode is deterministic and partition-independent") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val a = Multimodal.decodeFeatures(media.repartition(1))
+      .select("doc_id", "n_bytes", "frames_sampled", "features")
+      .as[(Long, Int, Int, Seq[Float])].collect().sortBy(_._1).toSeq
+    val b = Multimodal.decodeFeatures(media.repartition(7))
+      .select("doc_id", "n_bytes", "frames_sampled", "features")
+      .as[(Long, Int, Int, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // features are normalized histograms: 8 bins summing to ~1
+    a.take(5).foreach { case (_, nBytes, frames, feats) =>
+      assert(feats.length == 8 && nBytes > 0 && frames > 0)
+      assert(math.abs(feats.sum - 1.0f) < 1e-3)
+    }
+  }
+
+  test("decode stub is the documented byte histogram") {
+    val payload = Array.tabulate[Byte](256)(i => i.toByte)
+    val f = Multimodal.StubDecoder.decode(payload)
+    assert(f.toSeq == Seq.fill(8)(32f / 256))
+  }
+}
