@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT, codegen cache, parquet footer/file-index reads.
+    // Otherwise whichever query happens to run first absorbs ~4s of
+    // session warmup and the per-query numbers are noise.
+    try SparkEntry.queries("q01_dim_decode_join")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

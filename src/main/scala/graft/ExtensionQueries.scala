@@ -83,7 +83,7 @@ object ExtensionQueries {
 
   private def docFeatures(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id").as("id"),
-      TextOps.shingleHashes(col("text"), 2).as("features"))
+      graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
 
   private def embeddingsD(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"),
@@ -145,9 +145,11 @@ object ExtensionQueries {
         .orderBy(col("keep_id"))),
 
     "d02_minhash_bands" -> ((s, dir) =>
-      docFeatures(s, dir).select(
+      docFeatures(s, dir)
+        .withColumn("__bands", graft.functions.TextHash.minhashBands(col("features"), 4, 3))
+        .select(
           (Seq(col("id").as("doc_id"), size(col("features")).as("n_features")) ++
-            (0 until 4).map(b => TextOps.bandHash(col("features"), b, 3).as(s"b$b"))): _*)
+            (0 until 4).map(b => element_at(col("__bands"), b + 1).as(s"b$b"))): _*)
         .orderBy(col("doc_id"))),
 
     "d03_lsh_candidates" -> ((s, dir) =>
@@ -171,7 +173,7 @@ object ExtensionQueries {
 
     "d06_embedding_neardup" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
-        .withColumn("bucket", VectorOps.lshBucket(col("v"), 8, 64))
+        .withColumn("bucket", VectorOps.lshBucketFast(col("v"), 8, 64))
       val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
         col("bucket").as("bucket_b"))
@@ -195,7 +197,7 @@ object ExtensionQueries {
 
     "s02_knn_lsh" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
-        .withColumn("bucket", VectorOps.lshBucket(col("v"), 6, 64))
+        .withColumn("bucket", VectorOps.lshBucketFast(col("v"), 6, 64))
       val q = e.filter(col("vec_id") <= 2)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
       val c = e.select(col("vec_id"), col("v").as("cv"), col("bucket").as("bucket_c"))

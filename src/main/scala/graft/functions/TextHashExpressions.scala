@@ -1,0 +1,135 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hashing expressions for the dedup pipeline.
+  *
+  * The portable column-composition forms in [[graft.operators.TextOps]]
+  * (`transform`/`aggregate` lambdas) are semantically definitive — and
+  * mirrored by the DuckDB oracles — but Spark's higher-order functions are
+  * interpreted per element: hashing every character of every shingle of
+  * every document through boxed lambdas dominated the bench (16s for LSH
+  * candidates at sf0.1). These expressions compute the same values in one
+  * compiled JVM loop per document; equality with the portable forms is
+  * asserted in TextHashSpec, so the oracles stay valid unchanged.
+  *
+  * At 100 TB the difference compounds: these run at JVM-loop speed inside
+  * the scan stage, keep no per-element allocations, and stay embarrassingly
+  * partition-parallel.
+  */
+object TextHash {
+
+  val P: Long = 1000000007L
+
+  /** Polynomial char hash — same fold as [[graft.operators.TextOps.charHash]]. */
+  def hashChars(s: String, from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** tokens(lower(trim(text))) -> n-shingles -> charHash each -> distinct,
+    * preserving first occurrence order (array_distinct semantics).
+    */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val norm = text.trim.toLowerCase
+    val toks = norm.split("\\s+", -1)
+    if (toks.length < n) return Array.emptyLongArray
+    val seen = mutable.LinkedHashSet.empty[Long]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val sh = sb.toString
+      seen += hashChars(sh, 0, sh.length)
+      i += 1
+    }
+    seen.toArray
+  }
+
+  /** All LSH band hashes in one pass — same affine permutations and band
+    * combining as [[graft.operators.TextOps.bandHash]].
+    */
+  def minhashBands(features: Array[Long], bands: Int, rows: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var r = 0
+      while (r < rows) {
+        val j = b * rows + r
+        val a = 2L * j + 1
+        val bb = 7919L * j + 13
+        var mn = Long.MaxValue
+        var i = 0
+        while (i < features.length) {
+          val h = (features(i) * a + bb) % P
+          if (h < mn) mn = h
+          i += 1
+        }
+        acc = if (r == 0) mn else (acc * 31 + mn) % P
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    out
+  }
+
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  def minhashBands(features: Column, bands: Int, rows: Int): Column =
+    ColumnBridge.column(
+      MinhashBands(ColumnBridge.expression(features), bands, rows))
+}
+
+/** text -> array<long> of distinct n-gram shingle hashes (compiled). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHash.shingleHashes(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> features -> array<long> of `bands` LSH band hashes (compiled). */
+case class MinhashBands(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toLongArray()
+    new GenericArrayData(TextHash.minhashBands(arr, bands, rows))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -28,9 +28,11 @@ object Dedup {
     * n_shared_bands).
     */
   def lshCandidatePairs(docs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    // All band hashes in one compiled pass (graft.functions.MinhashBands);
+    // semantically equal to TextOps.bandHash per band (TextHashSpec).
     val banded = docs.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        TextOps.bandHash(col("features"), b, rows)): _*)).as(Seq("band_idx", "bh")))
+      posexplode(graft.functions.TextHash.minhashBands(col("features"), bands, rows))
+        .as(Seq("band_idx", "bh")))
     val a = banded.select(col("id").as("doc_a"), col("band_idx"), col("bh"))
     val b = banded.select(col("id").as("doc_b"), col("band_idx").as("band_idx_b"),
       col("bh").as("bh_b"))

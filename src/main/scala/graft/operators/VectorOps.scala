@@ -57,12 +57,19 @@ object VectorOps {
   /** Sign-random-projection bucket id over `planes` hyperplanes (bucket
     * space 2^planes). The plane vectors are generated inline as literal
     * arrays from [[planeWeight]] — no randomness, no driver state.
+    * Portable-fold reference form; hot paths use [[lshBucketFast]].
     */
   def lshBucket(v: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
       val plane = array((0 until dims).map(d => lit(planeWeight(p, d, dims))): _*)
       when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Native compiled variant of [[lshBucket]] — same plane formula, same
+    * accumulation order, value-identical (LshBucketSpec).
+    */
+  def lshBucketFast(v: Column, planes: Int, dims: Int): Column =
+    graft.functions.LshBucketExpr.lshBucket(v, planes, dims)
 
   /** Brute-force top-k cosine neighbors of each query vector (exact).
     * `queries`/`corpus`: (id, vec) with double arrays. Excludes self-match.

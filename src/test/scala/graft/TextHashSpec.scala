@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextHash
+import graft.operators.TextOps
+
+/** The native compiled expressions must be value-identical to the portable
+  * column-composition forms (which the DuckDB oracles mirror).
+  */
+class TextHashSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = graft.sources.Tables
+    .load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("ShingleHashes equals the portable shingleHashes on the fixture") {
+    val diff = docs.select(
+        TextOps.shingleHashes(col("text"), 2).as("a"),
+        TextHash.shingleHashes(col("text"), 2).as("b"))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("MinhashBands equals the portable bandHash per band on the fixture") {
+    val feats = docs.select(TextHash.shingleHashes(col("text"), 2).as("features"))
+    val checks = (0 until 4).map(b =>
+      (TextOps.bandHash(col("features"), b, 3) =!=
+        element_at(TextHash.minhashBands(col("features"), 4, 3), b + 1)).cast("int"))
+    val mismatches = feats.select(checks.reduce(_ + _).as("m"))
+      .agg(sum(col("m"))).first.getLong(0)
+    assert(mismatches == 0)
+  }
+
+  test("edge cases: under-n tokens give empty features; scalar fold matches") {
+    assert(TextHash.shingleHashes("solo", 2).isEmpty)
+    assert(TextHash.hashChars("hi", 0, 2) == 3329L)
+    val viaDf = Seq("engine row scan").toDF("t")
+      .select(TextHash.shingleHashes(col("t"), 2)).as[Seq[Long]].first
+    assert(viaDf.length == 2)
+  }
+}
