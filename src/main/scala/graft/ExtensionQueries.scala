@@ -86,7 +86,7 @@ object ExtensionQueries {
       graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
 
   private def embeddingsD(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").select(col("vec_id"),
+    t(s, dir, "embeddings").select(col("vec_id"), col("label"),
       VectorOps.toDouble(col("embedding")).as("v"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -209,6 +209,47 @@ object ExtensionQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("vec_id"),
+          Agg.roundAt(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-style vector aggregation: deterministic per-(cell, dim) centroid
+    // via explode + decAvg — the oracle-checkable form (the typed
+    // Aggregator fast path lives in operators.VectorAgg).
+    "s03_vector_centroids" -> ((s, dir) =>
+      embeddingsD(s, dir)
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("label"), col("dim"))
+        .agg(Agg.roundAt(Agg.decAvg(col("val")), 6).as("centroid"))
+        .orderBy(col("label"), col("dim"))),
+
+    // IVF ANN (nprobe=1): route each query to its nearest cell centroid,
+    // search only that cell. Cells are the fixture's label partitions; the
+    // centroid assembly sorts by dim so the array is deterministic.
+    "s04_knn_ivf" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val cent = e
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("label"), col("dim"))
+        .agg(Agg.decAvg(col("val")).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cv"))
+      val q = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val probe = q.crossJoin(broadcast(cent))
+        .withColumn("ccos", VectorOps.cosineFast(col("qv"), col("cv")))
+      val best = graft.operators.Snapshot.latestPerKeyWindow(probe, Seq("query_id"),
+          Seq(col("ccos").desc, col("label").asc))
+        .select(col("query_id"), col("qv"), col("label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      best.join(e, Seq("label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", VectorOps.cosineFast(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("label"), col("vec_id"),
           Agg.roundAt(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -421,6 +462,52 @@ object ExtensionQueries {
       SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
              floor(cos * 1000000 + 0.5) / 1000000 AS cos
       FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
+    "s03_vector_centroids" -> s"""
+      WITH e AS (
+        SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      )
+      SELECT label, CAST(i AS INTEGER) AS dim,
+             floor((CAST(sum(CAST(v[i+1] AS DECIMAL(30,6))) AS DOUBLE) / count(v[i+1])) * 1000000 + 0.5) / 1000000 AS centroid
+      FROM e CROSS JOIN range(0, 64) t(i)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "s04_knn_ivf" -> s"""
+      WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      cd AS (
+        SELECT label, CAST(i AS INTEGER) AS dim,
+               CAST(sum(CAST(v[i+1] AS DECIMAL(30,6))) AS DOUBLE) / count(v[i+1]) AS c
+        FROM e CROSS JOIN range(0, 64) t(i)
+        GROUP BY 1, 2
+      ),
+      cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),
+      probe AS (
+        SELECT query_id, qv, label,
+               ${dotSql("qv", "cv")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS ccos
+        FROM q CROSS JOIN cent
+      ),
+      best AS (
+        SELECT query_id, qv, label
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY ccos DESC, label ASC) AS rn FROM probe) t
+        WHERE rn = 1
+      ),
+      scored AS (
+        SELECT b.query_id, b.label, e.vec_id,
+               ${dotSql("b.qv", "e.v")} / (sqrt(${dotSql("b.qv", "b.qv")}) * sqrt(${dotSql("e.v", "e.v")})) AS cos
+        FROM best b JOIN e ON b.label = e.label AND e.vec_id <> b.query_id
+      )
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, label, vec_id,
+             floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) t
+      WHERE rank <= 5
       ORDER BY query_id, rank""",
 
     "e01_tumbling_daily" -> """

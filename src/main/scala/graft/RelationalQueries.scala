@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Agg, Enrich, Score, Snapshot, SummaryOps}
+import graft.operators.{Agg, Enrich, JoinOps, Score, Snapshot, SummaryOps}
 import graft.sources.Tables
 
 /** One registered query per operator row of SURVEY.md §2 (Q1-Q13, D1-D14),
@@ -270,7 +270,37 @@ object RelationalQueries {
       t(s, dir, "orders")
         .filter(col("o_orderkey") % 97 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))),
+
+    // Skew-salted join: same result as the plain join (the oracle IS the
+    // plain join), but hot keys spread over 8 reducer sub-keys.
+    "q26_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
+      val sup = t(s, dir, "supplier").withColumnRenamed("s_suppkey", "suppkey")
+      JoinOps.saltedJoin(li, sup, Seq("suppkey"),
+          saltFrom = col("l_orderkey") * 8 + col("l_linenumber"), factor = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          Agg.roundAt(Agg.decSum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // As-of join (union + ordered-window form) vs DuckDB's native ASOF JOIN:
+    // for each purchase, the latest view by the same user at or before it.
+    "q27_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = Snapshot.latestPerKeyWindow(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"),
+            col("value").as("view_value")),
+        Seq("user_id", "ts"), Seq(col("view_event_id").desc))
+      JoinOps.asofJoin(purchases, views, Seq("user_id"), "ts",
+          Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"), col("view_event_id"), col("view_value"))
+        .orderBy(col("event_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -489,6 +519,33 @@ object RelationalQueries {
     "q25_deterministic_sample" -> """
       SELECT o_orderkey, o_totalprice
       FROM orders WHERE o_orderkey % 97 = 0
-      ORDER BY o_orderkey"""
+      ORDER BY o_orderkey""",
+
+    "q26_salted_join" -> """
+      SELECT s_nationkey, count(*) AS n_items,
+             floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1 ORDER BY 1""",
+
+    "q27_asof_join" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        FROM events
+      ),
+      purchases AS (
+        SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase'
+      ),
+      views AS (
+        SELECT user_id, ts, view_event_id, view_value
+        FROM (SELECT user_id, ts, event_id AS view_event_id, value AS view_value,
+                     row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM ev WHERE event_type = 'view') t
+        WHERE rn = 1
+      )
+      SELECT p.event_id, p.user_id, v.view_event_id, v.view_value
+      FROM purchases p ASOF LEFT JOIN views v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY p.event_id"""
   )
 }

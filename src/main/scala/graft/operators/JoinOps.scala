@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join-shape operators for scale: skew salting and as-of joins.
+  *
+  * Both are pure plan rewrites — the output is identical to the naive
+  * formulation (the DuckDB oracles check the salted join against a plain
+  * join, and the as-of join against DuckDB's native ASOF JOIN), but the
+  * physical shape survives 100 TB:
+  *
+  *   - saltedJoin splits each hot key into `factor` sub-keys so one key's
+  *     rows spread over `factor` reducers instead of one straggler task.
+  *     (AQE's skew-join handles moderate skew adaptively; explicit salting
+  *     is the deterministic heavy-hammer for known-pathological keys.)
+  *   - asofJoin is the union + ordered-window formulation: one shuffle on
+  *     the key, one sort, no per-key driver logic, no range-explosion —
+  *     the scalable shape for "latest right row at or before each left
+  *     row" (market-data style temporal alignment).
+  */
+object JoinOps {
+
+  /** Inner equi-join with the left side's hot keys salted across `factor`
+    * sub-partitions. `saltFrom` must be a left-side column expression that
+    * varies within a key (any unique-ish id) — it only controls row
+    * placement, never the result.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFrom: Column, factor: Int): DataFrame = {
+    val l = left.withColumn("__salt", pmod(xxhash64(saltFrom), lit(factor)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Left as-of join: for every left row, attach the latest `rightVals`
+    * from the right row with the same `keys` and right.`ts` <= left.`ts`
+    * (inclusive); null when no such row. The right side must be unique per
+    * (keys, ts) — pre-dedupe with [[Snapshot.latestPerKeyWindow]] —
+    * otherwise the match is ambiguous.
+    *
+    * Implementation: tag and union both sides, then carry the last
+    * non-null right value forward over a per-key window ordered by
+    * (ts, side) with right rows sorting before left rows at equal ts.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+      rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = rightVals.foldLeft(left.withColumn("__side", lit(1))) { (d, v) =>
+      d.withColumn(v, lit(null).cast(right.schema(v).dataType))
+    }
+    val rBase = right
+      .select((keys :+ ts).map(col) ++ rightVals.map(col): _*)
+      .withColumn("__side", lit(0))
+    val r = leftCols.filterNot(c => keys.contains(c) || c == ts).foldLeft(rBase) {
+      (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val outCols = (leftCols ++ rightVals :+ "__side").map(col)
+    val all = l.select(outCols: _*).unionByName(r.select(outCols: _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightVals.foldLeft(all) { (d, v) =>
+        d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+      }
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+}

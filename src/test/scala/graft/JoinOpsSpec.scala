@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{JoinOps, VectorAgg, VectorOps}
+
+class JoinOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedJoin result is identical to the plain join") {
+    val li = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .withColumnRenamed("l_suppkey", "suppkey")
+    val sup = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "supplier")
+      .withColumnRenamed("s_suppkey", "suppkey")
+    val salted = JoinOps.saltedJoin(li, sup, Seq("suppkey"),
+        col("l_orderkey") * 8 + col("l_linenumber"), 8)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("s_nationkey").as[(Int, Long)].collect().toSeq
+    val plain = li.join(sup, Seq("suppkey"))
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("s_nationkey").as[(Int, Long)].collect().toSeq
+    assert(salted == plain)
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: latest at-or-before match per key, inclusive, null on miss") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // matches right@09:00
+      (1L, 11L, ts("2024-01-01 08:00:00")), // before any right -> null
+      (2L, 12L, ts("2024-01-01 12:00:00")), // equal-ts match (inclusive)
+      (3L, 13L, ts("2024-01-01 12:00:00"))  // key with no right rows -> null
+    ).toDF("k", "lid", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100.0),
+      (1L, ts("2024-01-01 09:30:00"), 200.0), // later but still <= 10:00 -> wins
+      (2L, ts("2024-01-01 12:00:00"), 300.0)
+    ).toDF("k", "ts", "val")
+    val got = JoinOps.asofJoin(left, right, Seq("k"), "ts", Seq("val"))
+      .orderBy("lid").select("lid", "val").as[(Long, Option[Double])].collect().toSeq
+    assert(got == Seq((10L, Some(200.0)), (11L, None), (12L, Some(300.0)), (13L, None)))
+  }
+}
+
+class VectorAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("typed Aggregator centroid agrees with the explode+decAvg form") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("label"), VectorOps.toDouble(col("embedding")).as("v"))
+    // fast path: element-wise sum via Aggregator, divided by count
+    val fast = e.as[(Int, Array[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(VectorAgg.sumVec(64).toColumn.name("sum"))
+      .collect().toMap
+    val counts = e.groupBy("label").count().as[(Int, Long)].collect().toMap
+    // oracle-checkable path
+    val slow = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "val")))
+      .groupBy(col("label"), col("dim"))
+      .agg(graft.operators.Agg.decAvg(col("val")).as("c"))
+      .as[(Int, Int, Double)].collect()
+    slow.foreach { case (label, dim, c) =>
+      val fastAvg = fast(label)(dim) / counts(label)
+      // decAvg quantizes inputs at 6 decimals, so agreement is bounded by
+      // that quantization, not machine epsilon
+      assert(math.abs(fastAvg - c) < 1e-6, s"label=$label dim=$dim")
+    }
+  }
+
+  test("Aggregator input mapping uses _2 as the vector") {
+    val df = Seq((0, Array(1.0, 2.0)), (0, Array(3.0, 4.0))).toDS()
+    val got = df.groupByKey(_._1).mapValues(_._2).agg(VectorAgg.sumVec(2).toColumn).collect()
+    assert(got.head._2.toSeq == Seq(4.0, 6.0))
+  }
+}
