@@ -300,7 +300,40 @@ object RelationalQueries {
           Seq("view_event_id", "view_value"))
         .select(col("event_id"), col("user_id"), col("view_event_id"), col("view_value"))
         .orderBy(col("event_id"))
-    })
+    }),
+
+    // Exact interpolated percentiles (distribution stats for data QA).
+    // Spark's percentile == DuckDB's quantile_cont bit-for-bit on the same
+    // doubles (both sort + linearly interpolate).
+    "q28_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        .orderBy(col("l_returnflag"))),
+
+    // CUBE grouping sets (rollup's big sibling).
+    "q29_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Agg.roundAt(Agg.decSum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // String-function surface (absent from the reference, SURVEY §2.4).
+    "q30_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("upper_name"),
+          substring(col("p_brand"), 7, 2).as("brand_num"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"),
+          regexp_replace(col("p_type"), "\\s+", "_").as("type_slug"),
+          length(col("p_name")).as("name_len"))
+        .orderBy(col("p_partkey")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -546,6 +579,31 @@ object RelationalQueries {
       SELECT p.event_id, p.user_id, v.view_event_id, v.view_value
       FROM purchases p ASOF LEFT JOIN views v
         ON p.user_id = v.user_id AND p.ts >= v.ts
-      ORDER BY p.event_id"""
+      ORDER BY p.event_id""",
+
+    "q28_percentiles" -> """
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS p50,
+             quantile_cont(l_extendedprice, 0.95) AS p95,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem
+      GROUP BY 1 ORDER BY 1""",
+
+    "q29_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "q30_string_funcs" -> """
+      SELECT p_partkey,
+             upper(p_name) AS upper_name,
+             substr(p_brand, 7, 2) AS brand_num,
+             concat_ws('/', p_brand, p_type) AS brand_type,
+             lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+             regexp_replace(p_type, '\s+', '_', 'g') AS type_slug,
+             CAST(length(p_name) AS INTEGER) AS name_len
+      FROM part ORDER BY p_partkey"""
   )
 }
