@@ -134,6 +134,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF-style distinctive terms: one explode + two hash aggregates +
+    // a broadcast join on term. Ranking uses only integers/strings (tf desc,
+    // df asc, term asc) so it is engine-exact; the tfidf double is
+    // informational output (rounded).
+    "t05_distinctive_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count() // bounded metadata lookup, not a per-row collect
+      val terms = docs.select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      val tf = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+          Agg.roundAt(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     "t04_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.charHash(col("text")).as("fingerprint"))
@@ -267,6 +289,28 @@ object ExtensionQueries {
           Agg.roundAt(Agg.decAvg(col("k")), 2).as("avg_k"))
         .orderBy(col("event_type"))),
 
+    // Conversion funnel: first view -> first click-after-view ->
+    // first purchase-after-click, per user. Pure timestamp/integer logic.
+    "e04_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def firstOf(tpe: String, name: String) = ev
+        .filter(col("event_type") === tpe)
+        .groupBy(col("user_id")).agg(min(col("ts")).as(name))
+      val v = firstOf("view", "first_view")
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("first_view"))
+        .groupBy(col("user_id"), col("first_view")).agg(min(col("ts")).as("first_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") >= col("first_click"))
+        .groupBy(col("user_id"), col("first_view"), col("first_click"))
+        .agg(min(col("ts")).as("first_purchase"))
+      v.join(c.select("user_id", "first_click"), Seq("user_id"), "left")
+        .join(p.select("user_id", "first_purchase"), Seq("user_id"), "left")
+        .orderBy(col("user_id"))
+    }),
+
     "e03_sessionize" -> ((s, dir) =>
       EventOps.sessionize(t(s, dir, "events"), gapSeconds = 1800)
         .orderBy(col("user_id"), col("session_idx"))),
@@ -333,6 +377,33 @@ object ExtensionQueries {
                   WHEN fr_hits >= de_hits THEN 'fr'
                   ELSE 'de' END AS pred_lang
       FROM hits ORDER BY doc_id""",
+
+    "t05_distinctive_terms" -> """
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM tok, unnest(toks) AS u(term)
+        GROUP BY 1, 2
+      ),
+      docfreq AS (
+        SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM tok, unnest(toks) AS u(term)) t
+        GROUP BY 1
+      ),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf DESC, docfreq.df ASC, tf.term ASC) AS rk
+        FROM tf JOIN docfreq USING (term)
+      )
+      SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df,
+             floor((tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df)) * 1000000 + 0.5) / 1000000 AS tfidf
+      FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, rk""",
 
     "t04_fingerprint" -> s"""
       SELECT doc_id, ${chSql("text")} AS fingerprint
@@ -525,6 +596,31 @@ object ExtensionQueries {
       SELECT event_type, count(*) AS n_events,
              floor((CAST(sum(CAST(k AS DECIMAL(30,6))) AS DOUBLE) / count(k)) * 100 + 0.5) / 100 AS avg_k
       FROM e GROUP BY 1 ORDER BY 1""",
+
+    "e04_funnel" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      ),
+      v AS (
+        SELECT user_id, min(ts) AS first_view FROM ev
+        WHERE event_type = 'view' GROUP BY 1
+      ),
+      c AS (
+        SELECT ev.user_id, v.first_view, min(ev.ts) AS first_click
+        FROM ev JOIN v ON ev.user_id = v.user_id
+        WHERE ev.event_type = 'click' AND ev.ts >= v.first_view
+        GROUP BY 1, 2
+      ),
+      p AS (
+        SELECT ev.user_id, min(ev.ts) AS first_purchase
+        FROM ev JOIN c ON ev.user_id = c.user_id
+        WHERE ev.event_type = 'purchase' AND ev.ts >= c.first_click
+        GROUP BY 1
+      )
+      SELECT v.user_id, v.first_view, c.first_click, p.first_purchase
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id""",
 
     "e03_sessionize" -> """
       WITH e AS (
