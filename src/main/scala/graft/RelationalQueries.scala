@@ -333,7 +333,20 @@ object RelationalQueries {
           lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"),
           regexp_replace(col("p_type"), "\\s+", "_").as("type_slug"),
           length(col("p_name")).as("name_len"))
-        .orderBy(col("p_partkey")))
+        .orderBy(col("p_partkey"))),
+
+    // Sketch aggregates (HLL++ distinct, approximate quantiles). No DuckDB
+    // oracle — sketch implementations differ across engines by design — so
+    // the driver records the weaker rows-only check; error bounds vs exact
+    // values are pinned in SketchSpec instead.
+    "q31_sketches" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")))
   )
 
   val oracles: Map[String, String] = Map(

@@ -89,6 +89,18 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: keep the first occurrence of each `idCols`
+    * combination, with state bounded by the watermark (duplicates arriving
+    * later than `watermark` after the original may pass — the standard
+    * state/completeness tradeoff for continuous dedup of a document or
+    * event feed).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(idCols :+ "ts")
+
   /** File-source entry point for continuous ingestion of a directory of
     * event parquet files (the FileStreamSource contract — new files landing
     * in the directory become new micro-batches).

@@ -65,6 +65,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((7L, 3L, 1200.0, false)))
   }
 
+  test("streaming dedup drops in-watermark duplicates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val deduped = EventStreams.dedupStream(stream.toDF(), Seq("event_id"))
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("deduped").start()
+    stream.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0), // same-batch dup
+      Event(2L, ts("2024-01-01 00:01:00"), 1L, "view", 1.0))
+    q.processAllAvailable()
+    stream.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0), // cross-batch dup
+      Event(3L, ts("2024-01-01 00:02:00"), 1L, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("deduped").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("file-source streaming read ingests the events fixture") {
     // stage the fixture as a directory of event files (the source contract)
     val dir = java.nio.file.Files.createTempDirectory("graft_events")
