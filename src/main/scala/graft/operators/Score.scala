@@ -42,7 +42,7 @@ object Score {
     * job; fine for interactive use, avoid in hot pipelines.
     */
   def minMaxScoreCollect(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
-    val mm = df.agg(min(col(valueCol)), max(col(valueCol))).first
+    val mm = df.agg(min(col(valueCol)), max(col(valueCol))).first()
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
     df.withColumn(outCol, scoreExpr(col(valueCol), lit(mn), lit(mx)))
   }

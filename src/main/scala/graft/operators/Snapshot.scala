@@ -34,7 +34,7 @@ object Snapshot {
       .select(keys.map(k => col(k).as(s"__k_$k")) :+ col(maxName): _*)
     val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _) &&
       (col(ordCol) === col(maxName))
-    df.join(latest, cond).select(df.columns.map(col(_)): _*)
+    df.join(latest, cond).select(df.columns.toIndexedSeq.map(col(_)): _*)
   }
 
   /** Window form: exactly one row per key, ordered by `orderCols` descending

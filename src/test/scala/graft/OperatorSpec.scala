@@ -168,3 +168,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(tmp).count() == 2 * n)
   }
 }
+
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("operators are total on empty inputs") {
+    val emptyFact = Seq.empty[(String, Int, Double)].toDF("k", "year", "v")
+    assert(Snapshot.latestPerKeyJoin(emptyFact, Seq("k"), "year").count() == 0)
+    assert(Snapshot.latestPerKeyWindow(emptyFact, Seq("k"), Seq(col("year").desc)).count() == 0)
+    assert(Snapshot.filterLatestGlobal(emptyFact, "year").count() == 0)
+    assert(Score.minMaxScore(emptyFact, "v", "s").count() == 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactGroups(emptyDocs, "text", "doc_id").count() == 0)
+    val emptyEvents = Seq.empty[(Long, Long, java.sql.Timestamp)]
+      .toDF("user_id", "event_id", "ts")
+    assert(EventOps.sessionize(emptyEvents, 1800).count() == 0)
+  }
+}
