@@ -19,14 +19,20 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
-      "flagship_location_summary" -> ((s, dir) => LocationSummary.build(s, dir))
+      "flagship_location_summary" -> ((s, dir) => LocationSummary.build(s, dir)),
+      // same pipeline, pure SQL surface (parity proof; shares the oracle)
+      "flagship_sql" -> ((s, dir) => {
+        graft.sources.Tables.createTempViews(s, dir)
+        s.sql(FlagshipSql.sql)
+      })
     ) ++ RelationalQueries.all ++ ExtensionQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Map("flagship_location_summary" -> FlagshipOracle.sql) ++
+    Map("flagship_location_summary" -> FlagshipOracle.sql,
+      "flagship_sql" -> FlagshipOracle.sql) ++
       RelationalQueries.oracles ++ ExtensionQueries.oracles
 }
 
@@ -153,5 +159,134 @@ JOIN avg_salary USING (location_id)
 JOIN crime_norm USING (location_id)
 JOIN expense_norm USING (location_id)
 ORDER BY "ZIP_CODE"
+"""
+}
+
+/** The flagship as PURE Spark SQL over the registered temp views — the
+  * SQL-surface parity proof: a SQL-only user of the engine runs the same
+  * pipeline and gets the same oracle-verified answer. Derived from the
+  * DuckDB oracle text with only dialect changes (datediff argument order,
+  * identifier quoting).
+  */
+object FlagshipSql {
+  val sql: String = """
+WITH dim_location AS (
+  SELECT n_nationkey AS location_id, n_name AS zip_code, r_name AS state,
+         'C' || n_regionkey AS county
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+crime AS (
+  SELECT s_nationkey AS location_id, l_returnflag AS crime_type,
+         l_extendedprice / 1000 AS rate, year(l_shipdate) AS snap_year
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+),
+crime_latest AS (
+  SELECT c.* FROM crime c
+  JOIN (SELECT location_id, crime_type, max(snap_year) AS mx
+        FROM crime GROUP BY 1, 2) m
+    ON c.location_id = m.location_id AND c.crime_type = m.crime_type
+       AND c.snap_year = m.mx
+),
+crime_avg AS (
+  SELECT location_id, zip_code, CAST(sum(CAST(rate AS DECIMAL(30,6))) AS DOUBLE) / count(rate) AS avg_crime_rate
+  FROM crime_latest JOIN dim_location USING (location_id)
+  GROUP BY 1, 2
+),
+crime_norm AS (
+  SELECT location_id,
+         (avg_crime_rate - min(avg_crime_rate) OVER ())
+           / (max(avg_crime_rate) OVER () - min(avg_crime_rate) OVER ()) * 100
+           AS normalized_crime_rate
+  FROM crime_avg
+),
+expense AS (
+  SELECT s_nationkey AS location_id, l_extendedprice * (l_tax + 0.05) AS amount,
+         year(l_shipdate) AS snap_year
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag = 'N'
+),
+expense_latest AS (
+  SELECT * FROM expense WHERE snap_year = (SELECT max(snap_year) FROM expense)
+),
+expense_avg AS (
+  SELECT location_id, zip_code, CAST(sum(CAST(amount AS DECIMAL(30,6))) AS DOUBLE) / count(amount) AS avg_expense
+  FROM expense_latest JOIN dim_location USING (location_id)
+  GROUP BY 1, 2
+),
+expense_norm AS (
+  SELECT location_id,
+         (avg_expense - min(avg_expense) OVER ())
+           / (max(avg_expense) OVER () - min(avg_expense) OVER ()) * 100
+           AS normalized_expense
+  FROM expense_avg
+),
+living_wage AS (
+  SELECT c_nationkey AS location_id, o_totalprice / 1000 AS hourly_wage,
+         o_orderdate, o_orderkey, year(o_orderdate) AS snap_year
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+rec_salary AS (
+  SELECT location_id, hourly_wage * 40 * 52 AS RECOMMENDED_ANNUAL_SALARY
+  FROM (SELECT *, row_number() OVER (PARTITION BY location_id
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM living_wage
+        WHERE snap_year = (SELECT max(snap_year) FROM living_wage)) t
+  WHERE rn = 1
+),
+avg_salary AS (
+  SELECT c_nationkey AS location_id, CAST(sum(CAST(c_acctbal * 100 AS DECIMAL(30,6))) AS DOUBLE) / count(c_acctbal * 100) AS AVERAGE_ANNUAL_SALARY
+  FROM customer GROUP BY 1
+),
+removals AS (
+  SELECT l_orderkey, max(l_shipdate) AS removed_ts
+  FROM lineitem WHERE l_linenumber = 7 GROUP BY 1
+),
+listing_base AS (
+  SELECT o_orderkey, c_nationkey AS location_id, o_totalprice AS price,
+         o_orderkey % 4 + 1 AS bathrooms, o_custkey % 5 + 2 AS bedrooms,
+         o_totalprice / 75.0 AS square_footage,
+         1950 + o_orderkey % 70 AS year_built,
+         CAST(o_orderdate AS DATE) AS listed_date, year(o_orderdate) AS snap_year
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+listing AS (
+  SELECT lb.*,
+         2002 - year_built AS age_in_years,
+         CASE WHEN removed_ts IS NULL
+              THEN datediff(DATE '2002-01-01', listed_date)
+              ELSE datediff(CAST(removed_ts AS DATE), listed_date) END
+           AS days_on_market
+  FROM listing_base lb LEFT JOIN removals r ON lb.o_orderkey = r.l_orderkey
+  WHERE snap_year = (SELECT max(snap_year) FROM listing_base)
+),
+listing_summary AS (
+  SELECT location_id, CAST(sum(CAST(price AS DECIMAL(30,6))) AS DOUBLE) / count(price) AS avg_price, CAST(sum(CAST(bathrooms AS DECIMAL(30,6))) AS DOUBLE) / count(bathrooms) AS avg_bathrooms,
+         CAST(sum(CAST(bedrooms AS DECIMAL(30,6))) AS DOUBLE) / count(bedrooms) AS avg_bedrooms, CAST(sum(CAST(age_in_years AS DECIMAL(30,6))) AS DOUBLE) / count(age_in_years) AS avg_age_in_years,
+         CAST(sum(CAST(square_footage AS DECIMAL(30,6))) AS DOUBLE) / count(square_footage) AS avg_square_footage,
+         CAST(sum(CAST(days_on_market AS DECIMAL(30,6))) AS DOUBLE) / count(days_on_market) AS avg_days_on_market
+  FROM listing GROUP BY 1
+)
+SELECT
+  zip_code AS ZIP_CODE,
+  state AS STATE,
+  county AS COUNTY,
+  RECOMMENDED_ANNUAL_SALARY,
+  floor((AVERAGE_ANNUAL_SALARY) * 100 + 0.5) / 100 AS AVERAGE_ANNUAL_SALARY,
+  floor((normalized_expense) * 100 + 0.5) / 100 AS EXPENSE_SCORE,
+  floor((normalized_crime_rate) * 100 + 0.5) / 100 AS CRIME_SCORE,
+  floor((avg_price) * 100 + 0.5) / 100 AS AVERAGE_HOME_PRICE,
+  floor((avg_age_in_years) * 100 + 0.5) / 100 AS AVERAGE_HOME_AGE_IN_YEARS,
+  floor((avg_square_footage) * 100 + 0.5) / 100 AS AVERAGE_SQUARE_FOOTAGE,
+  floor((avg_price / avg_square_footage) * 100 + 0.5) / 100 AS AVERAGE_PRICE_PER_SQUARE_FOOT,
+  floor((avg_days_on_market) * 100 + 0.5) / 100 AS AVERAGE_TIME_ON_MARKET_IN_DAYS,
+  DATE '2002-01-01' AS SNAPSHOT_DATE
+FROM listing_summary
+JOIN dim_location USING (location_id)
+JOIN rec_salary USING (location_id)
+JOIN avg_salary USING (location_id)
+JOIN crime_norm USING (location_id)
+JOIN expense_norm USING (location_id)
+ORDER BY ZIP_CODE
 """
 }

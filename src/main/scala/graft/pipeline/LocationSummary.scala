@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.sql.Date
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Agg, Enrich, Score, Snapshot, SummaryOps}
@@ -172,4 +172,31 @@ object LocationSummary {
     */
   def writeSummary(df: DataFrame, outPath: String): Unit =
     df.write.mode("append").parquet(outPath)
+
+  /** Partitioned append sink — the 100 TB shape: one directory per STATE so
+    * downstream readers prune partitions instead of scanning history.
+    */
+  def writeSummaryPartitioned(df: DataFrame, outPath: String): Unit =
+    df.write.mode("append").partitionBy("STATE").parquet(outPath)
+
+  /** The reporting row as a typed record (field names resolve
+    * case-insensitively against the UPPER_SNAKE reporting schema).
+    */
+  case class SummaryRow(
+      ZIP_CODE: String, STATE: String, COUNTY: String,
+      RECOMMENDED_ANNUAL_SALARY: Double, AVERAGE_ANNUAL_SALARY: Double,
+      EXPENSE_SCORE: Double, CRIME_SCORE: Double, AVERAGE_HOME_PRICE: Double,
+      AVERAGE_HOME_AGE_IN_YEARS: Double, AVERAGE_SQUARE_FOOTAGE: Double,
+      AVERAGE_PRICE_PER_SQUARE_FOOT: Double, AVERAGE_TIME_ON_MARKET_IN_DAYS: Double,
+      SNAPSHOT_DATE: java.sql.Date)
+
+  /** Typed Dataset view of the flagship — compile-time field access for
+    * downstream Scala consumers.
+    */
+  def buildTyped(spark: SparkSession, sfDir: String,
+      asOf: Date = Enrich.DefaultAsOf,
+      state: String = "EUROPE"): Dataset[SummaryRow] = {
+    import spark.implicits._
+    build(spark, sfDir, asOf, state).as[SummaryRow]
+  }
 }

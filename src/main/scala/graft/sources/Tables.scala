@@ -39,6 +39,12 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Register every fixture table as a temp view so the engine's full SQL
+    * surface works: `spark.sql("SELECT ... FROM lineitem JOIN ...")`.
+    */
+  def createTempViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(name => load(spark, sfDir, name).createOrReplaceTempView(name))
+
   /** The engine's `dim_location` equivalent (reference `App.scala:95-108`):
     * nation enriched with region. `location_id` <- n_nationkey,
     * `zip_code` <- n_name, `state` <- r_name, `county` <- derived.

@@ -167,6 +167,25 @@ class PipelineSpec extends AnyFunSuite {
     graft.pipeline.LocationSummary.writeSummary(df, tmp)
     assert(spark.read.parquet(tmp).count() == 2 * n)
   }
+
+  test("partitioned sink lays out STATE= directories and round-trips") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_psink").toString + "/out"
+    val df = SparkEntry.entry(spark)
+    graft.pipeline.LocationSummary.writeSummaryPartitioned(df, tmp)
+    val dirs = new java.io.File(tmp).listFiles().map(_.getName).filter(_.startsWith("STATE="))
+    assert(dirs.nonEmpty)
+    assert(spark.read.parquet(tmp).count() == df.count())
+  }
+
+  test("typed Dataset view exposes compile-time fields") {
+    val ds = graft.pipeline.LocationSummary.buildTyped(spark, "/root/testdata/sf0.001")
+    val rows = ds.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.STATE == "EUROPE")
+      assert(r.CRIME_SCORE.isNaN || (r.CRIME_SCORE >= 0 && r.CRIME_SCORE <= 100))
+    }
+  }
 }
 
 class EmptyInputSpec extends AnyFunSuite {
