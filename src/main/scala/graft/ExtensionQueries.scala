@@ -193,6 +193,17 @@ object ExtensionQueries {
         .select(col("id").as("doc_id"), TextOps.simhash32(col("features")).as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // Duplicate-cluster resolution over the LSH candidate graph: 8 rounds
+    // of min-label propagation (fixed round count -> deterministic, oracle
+    // runs the identical 8 unrolled rounds).
+    "d07_dedup_clusters" -> ((s, dir) => {
+      val feats = docFeatures(s, dir)
+      val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+      Dedup.labelClusters(feats.select("id"), pairs, rounds = 8)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d06_embedding_neardup" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
         .withColumn("bucket", VectorOps.lshBucketFast(col("v"), 8, 64))
@@ -472,6 +483,84 @@ object ExtensionQueries {
                  THEN CAST(floor(pow(2,b)) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
                (acc,y) -> acc + y) AS simhash
       FROM doc_feat ORDER BY doc_id""",
+
+    "d07_dedup_clusters" -> s"""
+      WITH $featuresCte,
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${bandSql(0)} AS bh FROM doc_feat
+        UNION ALL SELECT doc_id, 1, ${bandSql(1)} FROM doc_feat
+        UNION ALL SELECT doc_id, 2, ${bandSql(2)} FROM doc_feat
+        UNION ALL SELECT doc_id, 3, ${bandSql(3)} FROM doc_feat
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+      ),
+      l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+      l1 AS (
+        SELECT id, min(label) AS label
+        FROM (SELECT id, label FROM l0
+              UNION ALL
+              SELECT e.dst AS id, l.label FROM edges e JOIN l0 l ON e.src = l.id) u
+        GROUP BY id
+      ),
+      l2 AS (
+        SELECT id, min(label) AS label
+        FROM (SELECT id, label FROM l1
+              UNION ALL
+              SELECT e.dst AS id, l.label FROM edges e JOIN l1 l ON e.src = l.id) u
+        GROUP BY id
+      ),
+      l3 AS (
+        SELECT id, min(label) AS label
+        FROM (SELECT id, label FROM l2
+              UNION ALL
+              SELECT e.dst AS id, l.label FROM edges e JOIN l2 l ON e.src = l.id) u
+        GROUP BY id
+      ),
+      l4 AS (
+        SELECT id, min(label) AS label
+        FROM (SELECT id, label FROM l3
+              UNION ALL
+              SELECT e.dst AS id, l.label FROM edges e JOIN l3 l ON e.src = l.id) u
+        GROUP BY id
+      ),
+      l5 AS (
+        SELECT id, min(label) AS label
+        FROM (SELECT id, label FROM l4
+              UNION ALL
+              SELECT e.dst AS id, l.label FROM edges e JOIN l4 l ON e.src = l.id) u
+        GROUP BY id
+      ),
+      l6 AS (
+        SELECT id, min(label) AS label
+        FROM (SELECT id, label FROM l5
+              UNION ALL
+              SELECT e.dst AS id, l.label FROM edges e JOIN l5 l ON e.src = l.id) u
+        GROUP BY id
+      ),
+      l7 AS (
+        SELECT id, min(label) AS label
+        FROM (SELECT id, label FROM l6
+              UNION ALL
+              SELECT e.dst AS id, l.label FROM edges e JOIN l6 l ON e.src = l.id) u
+        GROUP BY id
+      ),
+      l8 AS (
+        SELECT id, min(label) AS label
+        FROM (SELECT id, label FROM l7
+              UNION ALL
+              SELECT e.dst AS id, l.label FROM edges e JOIN l7 l ON e.src = l.id) u
+        GROUP BY id
+      )
+      SELECT id AS doc_id, label AS cluster_id FROM l8
+      ORDER BY doc_id""",
 
     "d06_embedding_neardup" -> s"""
       WITH e AS (

@@ -346,7 +346,23 @@ object RelationalQueries {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
           count(lit(1)).as("n_rows"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // Data-profiling audit: per-column null/distinct counts (the first
+    // thing any 100 TB ingestion pipeline runs). Integer-only output.
+    "q32_data_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+          o.agg(count(lit(1)).as("n_rows"),
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+              countDistinct(col(c)).as("n_distinct"))
+            .select(lit(c).as("column"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy(col("column"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -617,6 +633,38 @@ object RelationalQueries {
              lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
              regexp_replace(p_type, '\s+', '_', 'g') AS type_slug,
              CAST(length(p_name) AS INTEGER) AS name_len
-      FROM part ORDER BY p_partkey"""
+      FROM part ORDER BY p_partkey""",
+
+    "q32_data_profile" -> """
+      SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             count(DISTINCT o_custkey) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus' AS "column", count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             count(DISTINCT o_orderstatus) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice' AS "column", count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             count(DISTINCT o_totalprice) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate' AS "column", count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             count(DISTINCT o_orderdate) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority' AS "column", count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             count(DISTINCT o_orderpriority) AS n_distinct
+      FROM orders
+      ORDER BY "column" """
   )
 }

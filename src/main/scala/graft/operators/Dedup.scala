@@ -42,6 +42,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Resolve candidate pairs into duplicate clusters: min-label propagation
+    * over the pair graph for a FIXED number of rounds (deterministic plan,
+    * no driver-side convergence polling — after r rounds every doc carries
+    * the min id within r hops, which labels real dedup clusters whose
+    * diameter is small; singletons keep their own id). Each round is one
+    * join + one aggregate — shuffle-parallel, r = O(log n) in practice.
+    */
+  def labelClusters(docs: DataFrame, pairs: DataFrame, rounds: Int): DataFrame = {
+    // Iterative-algorithm hygiene (the GraphX pattern): `labels` appears
+    // twice per round, so without lineage truncation the logical plan
+    // doubles every iteration (2^rounds leaf copies — measured 24s at
+    // sf0.1). Eager localCheckpoint keeps each round's plan constant-size,
+    // and the edge set is computed once and cached instead of re-deriving
+    // the LSH pipeline per round.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = docs.select(col("id"), col("id").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "__src"), col("src") === col("__src"))
+        .select(col("dst").as("id"), col("label"))
+      labels = labels.select("id", "label").union(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact Jaccard similarity on candidate pairs (the verify step after LSH
     * candidate generation). `withFeatures`: (id, features).
     */
