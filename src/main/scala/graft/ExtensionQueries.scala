@@ -93,9 +93,15 @@ object ExtensionQueries {
     // -- text analysis --
     "t01_token_stats" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
+      // explicit character classes (not word-class escapes) so Java and RE2
+      // regex dialects agree; approximates BPE pre-tokenization: word runs
+      // + individual punctuation marks
+      val bpeish = regexp_extract_all(col("text"),
+        lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
       t(s, dir, "documents").select(
           col("doc_id"),
           size(toks).as("n_tokens"),
+          size(bpeish).as("n_bpe_tokens"),
           length(regexp_replace(col("text"), "\\s", "")).as("n_chars_nows"),
           Agg.roundAt(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
             size(toks), 2).as("avg_word_len"))
@@ -108,8 +114,10 @@ object ExtensionQueries {
       val punct = size(regexp_extract_all(col("text"), lit("[.!?,;]"), lit(0)))
       val stop = TextOps.stopwordHits(toks, TextOps.EnStop)
       val awl = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nTok
+      val rep = size(array_distinct(toks)).cast("double") / nTok
       t(s, dir, "documents").select(
           col("doc_id"), nTok.as("n_tokens"), punct.as("n_punct"), stop.as("stop_hits"),
+          Agg.roundAt(rep, 4).as("distinct_ratio"),
           Agg.roundAt(stop.cast("double") / nTok * 50 +
             least(awl / 10, lit(1.0)) * 30 +
             least(nTok.cast("double") / 100, lit(1.0)) * 20, 2).as("quality"))
@@ -322,6 +330,17 @@ object ExtensionQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Sliding windows (6h window, 3h slide): each event lands in two
+    // windows; the oracle expresses the same assignment as two offset
+    // tumbling bucketings unioned.
+    "e05_sliding_windows" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours", "3 hours").getField("start")
+            .as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Agg.roundAt(Agg.decSum(col("value")), 2).as("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))),
+
     "e03_sessionize" -> ((s, dir) =>
       EventOps.sessionize(t(s, dir, "events"), gapSeconds = 1800)
         .orderBy(col("user_id"), col("session_idx"))),
@@ -341,11 +360,12 @@ object ExtensionQueries {
   val oracles: Map[String, String] = Map(
     "t01_token_stats" -> s"""
       WITH tok AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+        SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks,
                length(regexp_replace(text, '\\s', '', 'g')) AS nc
         FROM documents
       )
       SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
              CAST(nc AS INTEGER) AS n_chars_nows,
              floor((CAST(nc AS DOUBLE) / len(toks)) * 100 + 0.5) / 100 AS avg_word_len
       FROM tok ORDER BY doc_id""",
@@ -360,6 +380,7 @@ object ExtensionQueries {
       SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
              CAST(np AS INTEGER) AS n_punct,
              ${hitsSql(TextOps.EnStop)} AS stop_hits,
+             floor((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000 AS distinct_ratio,
              floor((CAST(len(list_filter(toks, w -> list_contains(${stopList(TextOps.EnStop)}, w))) AS DOUBLE)
                       / len(toks) * 50
                     + least((CAST(nc AS DOUBLE) / len(toks)) / 10, 1.0) * 30
@@ -710,6 +731,21 @@ object ExtensionQueries {
       FROM v LEFT JOIN c ON v.user_id = c.user_id
              LEFT JOIN p ON v.user_id = p.user_id
       ORDER BY v.user_id""",
+
+    "e05_sliding_windows" -> """
+      WITH assigned AS (
+        SELECT time_bucket(INTERVAL '3 hours', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '3 hours', CAST(ts AS TIMESTAMP)) - INTERVAL '3 hours',
+               event_type, value
+        FROM events
+      )
+      SELECT window_start, event_type, count(*) AS n_events,
+             floor((CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
+      FROM assigned
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "e03_sessionize" -> """
       WITH e AS (
