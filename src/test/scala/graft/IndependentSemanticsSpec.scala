@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextHash
+import graft.operators.{Dedup, JoinOps}
+
+/** Independent semantic checks: the DuckDB oracles for d07/q27 mirror the
+  * operator definitions, so a shared misunderstanding could pass both. These
+  * tests recompute expected results with implementations that share nothing
+  * with the Spark/SQL forms (driver-side union-find, naive per-row scans).
+  */
+class IndependentSemanticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("labelClusters(8 rounds) equals union-find components on the fixture") {
+    val feats = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"), TextHash.shingleHashes(col("text"), 2).as("features"))
+    val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+    val got = Dedup.labelClusters(feats.select("id"), pairs, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+
+    // independent union-find over the same pairs
+    val edges = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val ids = feats.select("id").as[Long].collect()
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> {
+      // component label = min id in component
+      val root = find(i)
+      ids.filter(j => find(j) == root).min
+    }).toMap
+
+    assert(got == expected) // also proves 8 rounds fully converged here
+  }
+
+  test("asofJoin equals a naive per-row scan on generated data") {
+    val gen = for {
+      left <- Gen.listOfN(60, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 1000L)))
+      right <- Gen.listOfN(40, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 1000L),
+        Gen.choose(0.0, 100.0)))
+    } yield (left, right)
+    val samples = (0 until 5).flatMap(i => gen.apply(Gen.Parameters.default, Seed(7L + i)))
+
+    for ((leftRaw, rightRaw) <- samples) {
+      val left = leftRaw.distinct.zipWithIndex.map { case ((k, t), i) =>
+        (k, i.toLong, new Timestamp(t * 1000))
+      }
+      // right must be unique per (key, ts): keep max value as the dedupe
+      val right = rightRaw.groupBy(r => (r._1, r._2)).map { case ((k, t), rs) =>
+        (k, new Timestamp(t * 1000), rs.map(_._3).max)
+      }.toSeq
+      val lDf = left.toDF("k", "lid", "ts")
+      val rDf = right.toDF("k", "ts", "v")
+      val got = JoinOps.asofJoin(lDf, rDf, Seq("k"), "ts", Seq("v"))
+        .select("lid", "v").as[(Long, Option[Double])].collect().toMap
+
+      val expected = left.map { case (k, lid, ts) =>
+        val candidates = right.filter(r => r._1 == k && !r._2.after(ts))
+        lid -> (if (candidates.isEmpty) None
+                else Some(candidates.maxBy(_._2.getTime)._3))
+      }.toMap
+      assert(got == expected)
+    }
+  }
+}
