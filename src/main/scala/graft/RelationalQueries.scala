@@ -354,13 +354,18 @@ object RelationalQueries {
       val o = t(s, dir, "orders")
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
-      cols.map { c =>
-          o.agg(count(lit(1)).as("n_rows"),
-              sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-              countDistinct(col(c)).as("n_distinct"))
-            .select(lit(c).as("column"), col("n_rows"), col("n_nulls"), col("n_distinct"))
-        }
-        .reduce(_ unionByName _)
+      // ONE scan: a single aggregate computes nulls+distinct for every
+      // column (multi-distinct plans via Expand), then a 1-row explode
+      // unpivots — profiling a 100 TB fact must not read it once per column
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"dist_$c"))) :+ count(lit(1)).as("n_rows")
+      val one = o.agg(aggs.head, aggs.tail: _*)
+      val entries = array(cols.map(c => struct(
+        lit(c).as("column"), col("n_rows"),
+        col(s"nulls_$c").as("n_nulls"), col(s"dist_$c").as("n_distinct"))): _*)
+      one.select(explode(entries).as("r"))
+        .select(col("r.column"), col("r.n_rows"), col("r.n_nulls"), col("r.n_distinct"))
         .orderBy(col("column"))
     })
   )

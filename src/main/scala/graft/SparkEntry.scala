@@ -66,8 +66,10 @@ crime_avg AS (
 ),
 crime_norm AS (
   SELECT location_id,
-         (avg_crime_rate - min(avg_crime_rate) OVER ())
-           / (max(avg_crime_rate) OVER () - min(avg_crime_rate) OVER ()) * 100
+         CASE WHEN max(avg_crime_rate) OVER () = min(avg_crime_rate) OVER ()
+              THEN CAST('NaN' AS DOUBLE)
+              ELSE (avg_crime_rate - min(avg_crime_rate) OVER ())
+                / (max(avg_crime_rate) OVER () - min(avg_crime_rate) OVER ()) * 100 END
            AS normalized_crime_rate
   FROM crime_avg
 ),
@@ -87,8 +89,10 @@ expense_avg AS (
 ),
 expense_norm AS (
   SELECT location_id,
-         (avg_expense - min(avg_expense) OVER ())
-           / (max(avg_expense) OVER () - min(avg_expense) OVER ()) * 100
+         CASE WHEN max(avg_expense) OVER () = min(avg_expense) OVER ()
+              THEN CAST('NaN' AS DOUBLE)
+              ELSE (avg_expense - min(avg_expense) OVER ())
+                / (max(avg_expense) OVER () - min(avg_expense) OVER ()) * 100 END
            AS normalized_expense
   FROM expense_avg
 ),
@@ -195,8 +199,10 @@ crime_avg AS (
 ),
 crime_norm AS (
   SELECT location_id,
-         (avg_crime_rate - min(avg_crime_rate) OVER ())
-           / (max(avg_crime_rate) OVER () - min(avg_crime_rate) OVER ()) * 100
+         CASE WHEN max(avg_crime_rate) OVER () = min(avg_crime_rate) OVER ()
+              THEN CAST('NaN' AS DOUBLE)
+              ELSE (avg_crime_rate - min(avg_crime_rate) OVER ())
+                / (max(avg_crime_rate) OVER () - min(avg_crime_rate) OVER ()) * 100 END
            AS normalized_crime_rate
   FROM crime_avg
 ),
@@ -216,8 +222,10 @@ expense_avg AS (
 ),
 expense_norm AS (
   SELECT location_id,
-         (avg_expense - min(avg_expense) OVER ())
-           / (max(avg_expense) OVER () - min(avg_expense) OVER ()) * 100
+         CASE WHEN max(avg_expense) OVER () = min(avg_expense) OVER ()
+              THEN CAST('NaN' AS DOUBLE)
+              ELSE (avg_expense - min(avg_expense) OVER ())
+                / (max(avg_expense) OVER () - min(avg_expense) OVER ()) * 100 END
            AS normalized_expense
   FROM expense_avg
 ),

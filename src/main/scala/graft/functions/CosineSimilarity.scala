@@ -27,10 +27,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  override def nullable: Boolean = true // length mismatch -> null
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // the portable form zip_with-pads the shorter array with nulls, which
+    // nulls the whole fold -> cosine null; mirror that instead of silently
+    // truncating to the shorter vector
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -50,6 +56,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
+      val mismatch = ctx.freshName("mismatch")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
@@ -58,7 +65,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val y = ctx.freshName("y")
       val den = ctx.freshName("den")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |final int $n = $a.numElements();
          |double $dot = 0.0;
          |double $na = 0.0;
          |double $nb = 0.0;
@@ -71,6 +81,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |${ev.value} = ($den == 0.0) ? Double.NaN : $dot / $den;
+         |}
        """.stripMargin
     })
 

@@ -21,7 +21,10 @@ case class LshBucketExpr(child: Expression, planes: Int, dims: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(v.length, dims)
+    // portable form: any length mismatch null-pads zip_with -> null dot ->
+    // the when() falls to otherwise(0) for EVERY plane -> bucket 0
+    if (v.length != dims) return 0L
+    val n = dims
     var bucket = 0L
     var p = 0
     while (p < planes) {

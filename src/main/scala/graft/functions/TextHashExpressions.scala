@@ -41,11 +41,24 @@ object TextHash {
     acc
   }
 
+  /** Spark-semantics normalization: `trim` strips SPACE (0x20) only (Java
+    * String.trim would also strip tabs/newlines and diverge from the
+    * portable form and the oracle), and lowercasing is locale-independent
+    * (default-locale toLowerCase would hash differently on e.g. tr-TR).
+    */
+  private def normalize(text: String): String = {
+    var from = 0
+    var until = text.length
+    while (from < until && text.charAt(from) == ' ') from += 1
+    while (until > from && text.charAt(until - 1) == ' ') until -= 1
+    text.substring(from, until).toLowerCase(java.util.Locale.ROOT)
+  }
+
   /** tokens(lower(trim(text))) -> n-shingles -> charHash each -> distinct,
     * preserving first occurrence order (array_distinct semantics).
     */
   def shingleHashes(text: String, n: Int): Array[Long] = {
-    val norm = text.trim.toLowerCase
+    val norm = normalize(text)
     val toks = norm.split("\\s+", -1)
     if (toks.length < n) return Array.emptyLongArray
     val seen = mutable.LinkedHashSet.empty[Long]
@@ -67,9 +80,13 @@ object TextHash {
   }
 
   /** All LSH band hashes in one pass — same affine permutations and band
-    * combining as [[graft.operators.TextOps.bandHash]].
+    * combining as [[graft.operators.TextOps.bandHash]]. Empty feature set
+    * -> null (the portable form's array_min over empty is null, which the
+    * band combine propagates; returning anything else would make every
+    * short document a mutual LSH candidate).
     */
   def minhashBands(features: Array[Long], bands: Int, rows: Int): Array[Long] = {
+    if (features.isEmpty) return null
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -125,9 +142,12 @@ case class MinhashBands(child: Expression, bands: Int, rows: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_bands"
 
+  override def nullable: Boolean = true // empty feature set -> null bands
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData].toLongArray()
-    new GenericArrayData(TextHash.minhashBands(arr, bands, rows))
+    val bs = TextHash.minhashBands(arr, bands, rows)
+    if (bs == null) null else new GenericArrayData(bs)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

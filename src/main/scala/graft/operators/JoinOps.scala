@@ -48,24 +48,26 @@ object JoinOps {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = rightVals.foldLeft(left.withColumn("__side", lit(1))) { (d, v) =>
-      d.withColumn(v, lit(null).cast(right.schema(v).dataType))
-    }
-    val rBase = right
-      .select((keys :+ ts).map(col) ++ rightVals.map(col): _*)
+    // Pack the right values into ONE struct so the window carries whole
+    // right rows atomically: a matched row's genuinely-null value survives
+    // (carrying columns independently with ignoreNulls would skip it and
+    // resurrect a stale older value, or mix columns from different rows).
+    val rBase = right.select(
+      (keys :+ ts).map(col) :+ struct(rightVals.map(col): _*).as("__rv"): _*)
       .withColumn("__side", lit(0))
+    val rvType = rBase.schema("__rv").dataType
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
     val r = leftCols.filterNot(c => keys.contains(c) || c == ts).foldLeft(rBase) {
       (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val outCols = (leftCols ++ rightVals :+ "__side").map(col)
+    val outCols = (leftCols :+ "__rv" :+ "__side").map(col)
     val all = l.select(outCols: _*).unionByName(r.select(outCols: _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightVals.foldLeft(all) { (d, v) =>
-        d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-      }
+    all.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++ rightVals.map(v => col("__rv").getField(v).as(v)): _*)
   }
 }

@@ -43,7 +43,13 @@ object Score {
     */
   def minMaxScoreCollect(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
     val mm = df.agg(min(col(valueCol)), max(col(valueCol))).first()
-    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
-    df.withColumn(outCol, scoreExpr(col(valueCol), lit(mn), lit(mx)))
+    if (mm.isNullAt(0) || mm.isNullAt(1)) {
+      // empty or all-null input: the lazy variant yields null scores; match
+      // it instead of throwing on Row.getDouble(null)
+      df.withColumn(outCol, lit(null).cast("double"))
+    } else {
+      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+      df.withColumn(outCol, scoreExpr(col(valueCol), lit(mn), lit(mx)))
+    }
   }
 }

@@ -61,30 +61,37 @@ object EventStreams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](timeoutConf) {
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update(), timeoutConf) {
         case (userId, evts, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec, closed = true)
+            Iterator(SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec,
+              closed = true))
           } else {
             val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             val secs = sorted.map(_.ts.getTime / 1000.0)
             val init = state.getOption.getOrElse(
               SessionState(0L, secs.head, secs.head))
-            // fold events into the state, resetting when a gap exceeds the threshold
+            // fold events into the state; when a gap closes a session, EMIT
+            // it (mapGroupsWithState's one-output-per-group would lose every
+            // session except the last)
+            val closed = Seq.newBuilder[SessionUpdate]
             val folded = secs.foldLeft(init) { (s, sec) =>
-              if (s.nEvents > 0 && sec - s.lastSec > gapSeconds)
-                SessionState(1L, sec, sec) // new session (previous one closes)
-              else
+              if (s.nEvents > 0 && sec - s.lastSec > gapSeconds) {
+                closed += SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec,
+                  closed = true)
+                SessionState(1L, sec, sec)
+              } else
                 SessionState(s.nEvents + 1, if (s.nEvents == 0) sec else s.firstSec, sec)
             }
             state.update(folded)
             if (timeoutConf == GroupStateTimeout.ProcessingTimeTimeout) {
               state.setTimeoutDuration(((gapSeconds * 1000).toLong).max(1L))
             }
-            SessionUpdate(userId, folded.nEvents, folded.lastSec - folded.firstSec,
-              closed = false)
+            (closed.result() :+ SessionUpdate(userId, folded.nEvents,
+              folded.lastSec - folded.firstSec, closed = false)).iterator
           }
       }
   }
@@ -93,13 +100,16 @@ object EventStreams {
     * combination, with state bounded by the watermark (duplicates arriving
     * later than `watermark` after the original may pass — the standard
     * state/completeness tradeoff for continuous dedup of a document or
-    * event feed).
+    * event feed). Keys on `idCols` ALONE — a retried duplicate restamped
+    * with a different ts is still dropped — via
+    * dropDuplicatesWithinWatermark, which is the API that both bounds the
+    * state and ignores the event-time column for identity.
     */
   def dedupStream(events: DataFrame, idCols: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates(idCols :+ "ts")
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** File-source entry point for continuous ingestion of a directory of
     * event parquet files (the FileStreamSource contract — new files landing

@@ -38,6 +38,14 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(got(2).isNullAt(0))
   }
 
+  test("length mismatch yields null in both forms (no silent truncation)") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val got = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("slow"),
+      VectorOps.cosineFast(col("a"), col("b")).as("fast")).first
+    assert(got.isNullAt(0) && got.isNullAt(1))
+  }
+
   test("cosine_sim is SQL-callable once registered (GraftExtensions wiring)") {
     // getOrCreate reuses the shared session, so register through the same
     // builder function GraftExtensions injects.

@@ -44,6 +44,19 @@ class JoinOpsSpec extends AnyFunSuite {
       .orderBy("lid").select("lid", "val").as[(Long, Option[Double])].collect().toSeq
     assert(got == Seq((10L, Some(200.0)), (11L, None), (12L, Some(300.0)), (13L, None)))
   }
+
+  test("asofJoin carries whole right rows: a matched null value stays null") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("k", "lid", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), Some(5.0), 100L),
+      (1L, ts("2024-01-01 09:00:00"), Option.empty[Double], 200L)
+    ).toDF("k", "ts", "v", "rid")
+    val got = JoinOps.asofJoin(left, right, Seq("k"), "ts", Seq("v", "rid"))
+      .select("lid", "v", "rid").as[(Long, Option[Double], Option[Long])].collect()
+    // the as-of match is the 09:00 row: its null v must NOT be replaced by
+    // the stale 08:00 value, and rid must come from the same row
+    assert(got.toSeq == Seq((10L, None, Some(200L))))
+  }
 }
 
 class VectorAggSpec extends AnyFunSuite {

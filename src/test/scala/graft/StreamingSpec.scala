@@ -65,6 +65,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((7L, 3L, 1200.0, false)))
   }
 
+  test("a gap inside a batch emits the CLOSED session, not just the new one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val updates = EventStreams.sessionize(stream.toDS(), gapSeconds = 1800)
+    val q = updates.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("sessions_gap").start()
+    stream.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 9L, "view", 1.0),
+      Event(2L, ts("2024-01-01 00:10:00"), 9L, "view", 1.0),
+      Event(3L, ts("2024-01-01 02:00:00"), 9L, "view", 1.0)) // > 30 min gap
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions_gap")
+      .select("user_id", "n_events", "duration_secs", "closed")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(rows.contains((9L, 2L, 600.0, true)))  // the finished session
+    assert(rows.contains((9L, 1L, 0.0, false)))   // the open one
+  }
+
   test("streaming dedup drops in-watermark duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -78,7 +98,7 @@ class StreamingSpec extends AnyFunSuite {
       Event(2L, ts("2024-01-01 00:01:00"), 1L, "view", 1.0))
     q.processAllAvailable()
     stream.addData(
-      Event(1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0), // cross-batch dup
+      Event(1L, ts("2024-01-01 00:00:30"), 1L, "view", 1.0), // restamped dup
       Event(3L, ts("2024-01-01 00:02:00"), 1L, "view", 1.0))
     q.processAllAvailable()
     q.stop()

@@ -20,7 +20,7 @@ class TextHashSpec extends AnyFunSuite {
     val diff = docs.select(
         TextOps.shingleHashes(col("text"), 2).as("a"),
         TextHash.shingleHashes(col("text"), 2).as("b"))
-      .filter(col("a") =!= col("b"))
+      .filter(!(col("a") <=> col("b")))
       .count()
     assert(diff == 0)
   }
@@ -33,6 +33,28 @@ class TextHashSpec extends AnyFunSuite {
     val mismatches = feats.select(checks.reduce(_ + _).as("m"))
       .agg(sum(col("m"))).first.getLong(0)
     assert(mismatches == 0)
+  }
+
+  test("short docs: empty features -> null bands in BOTH forms (no garbage candidates)") {
+    val df = Seq((1L, "solo"), (2L, "tiny")).toDF("id", "text")
+      .select(col("id"), TextHash.shingleHashes(col("text"), 2).as("features"))
+    // native bands must be null (portable array_min over empty is null);
+    // compare with null-safe equality — =!= is blind to null mismatches
+    val bandsNull = df.select(TextHash.minhashBands(col("features"), 4, 3).as("b"))
+      .filter(col("b").isNotNull).count()
+    assert(bandsNull == 0)
+    // and therefore short docs never become mutual LSH candidates
+    val pairs = graft.operators.Dedup.lshCandidatePairs(df, 4, 3).count()
+    assert(pairs == 0)
+  }
+
+  test("tab/newline-wrapped text hashes identically in portable and native forms") {
+    val df = Seq("\tengine row scan\n", "  padded with spaces  ").toDF("text")
+    val diff = df.select(
+        TextOps.shingleHashes(col("text"), 2).as("a"),
+        TextHash.shingleHashes(col("text"), 2).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(diff == 0)
   }
 
   test("edge cases: under-n tokens give empty features; scalar fold matches") {
