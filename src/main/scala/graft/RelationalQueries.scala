@@ -367,7 +367,36 @@ object RelationalQueries {
       one.select(explode(entries).as("r"))
         .select(col("r.column"), col("r.n_rows"), col("r.n_nulls"), col("r.n_distinct"))
         .orderBy(col("column"))
-    })
+    }),
+
+    // Deterministic z-score standardization (exact-decimal mean/stddev;
+    // built-in stddev is summation-order dependent and not reproducible).
+    "q33_zscore" -> ((s, dir) => {
+      val avgBal = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(Agg.decAvg(col("s_acctbal")).as("avg_bal"))
+      graft.operators.Stats.zScore(avgBal, "avg_bal", "z")
+        .select(col("s_nationkey"), Agg.roundAt(col("avg_bal"), 2).as("avg_bal"),
+          Agg.roundAt(col("z"), 4).as("z"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // Fixed-width histogram (integer-exact buckets).
+    "q34_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(graft.operators.Stats.bucket(col("o_totalprice"), 25000.0).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("bucket"))),
+
+    // Deterministic Pearson correlation per group from exact decimal sums.
+    "q35_correlation" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(Agg.roundAt(
+          graft.operators.Stats.decCorr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -639,6 +668,54 @@ object RelationalQueries {
              regexp_replace(p_type, '\s+', '_', 'g') AS type_slug,
              CAST(length(p_name) AS INTEGER) AS name_len
       FROM part ORDER BY p_partkey""",
+
+    "q33_zscore" -> """
+      WITH avg_bal AS (
+        SELECT s_nationkey,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(s_acctbal) AS avg_bal
+        FROM supplier GROUP BY 1
+      ),
+      mm AS (
+        SELECT CAST(sum(CAST(avg_bal AS DECIMAL(30,6))) AS DOUBLE) / count(avg_bal) AS m,
+               CASE WHEN count(avg_bal) > 1
+                    THEN sqrt(greatest((CAST(sum(CAST(avg_bal * avg_bal AS DECIMAL(30,6))) AS DOUBLE)
+                           - CAST(sum(CAST(avg_bal AS DECIMAL(30,6))) AS DOUBLE) * CAST(sum(CAST(avg_bal AS DECIMAL(30,6))) AS DOUBLE) / CAST(count(avg_bal) AS DOUBLE))
+                           / (CAST(count(avg_bal) AS DOUBLE) - 1), 0.0))
+                    ELSE NULL END AS sd
+        FROM avg_bal
+      )
+      SELECT s_nationkey,
+             floor((avg_bal) * 100 + 0.5) / 100 AS avg_bal,
+             floor((CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                         ELSE (avg_bal - m) / sd END) * 10000 + 0.5) / 10000 AS z
+      FROM avg_bal CROSS JOIN mm
+      ORDER BY s_nationkey""",
+
+    "q34_histogram" -> """
+      SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q35_correlation" -> """
+      WITH li AS (
+        SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y FROM lineitem
+      ),
+      agg AS (
+        SELECT l_returnflag,
+               CAST(count(x) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx, CAST(sum(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx, CAST(sum(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+               count(*) AS n_rows
+        FROM li GROUP BY 1
+      )
+      SELECT l_returnflag,
+             floor((CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                         THEN (n * sxy - sx * sy)
+                              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                         ELSE NULL END) * 1000000 + 0.5) / 1000000 AS corr_qty_price,
+             n_rows
+      FROM agg ORDER BY 1""",
 
     "q32_data_profile" -> """
       SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
