@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract consistency: these invariants are what the harness
+  * assumes; breaking any of them would silently weaken the correctness
+  * gate rather than fail loudly.
+  */
+class ContractSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("every oracle key references a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("almost every query has an oracle; exceptions are the documented sketches") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == Set("q31_sketches"), s"unexpected rows-only queries: $unoracled")
+  }
+
+  test("query names are driver-safe identifiers") {
+    SparkEntry.queries.keys.foreach(k => assert(k.matches("[a-z0-9_]+"), k))
+  }
+
+  test("query functions are pure: two invocations give identical schemas") {
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("flagship_location_summary", "q01_dim_decode_join", "d03_lsh_candidates")) {
+      val fn = SparkEntry.queries(name)
+      assert(fn(spark, dir).schema == fn(spark, dir).schema)
+    }
+  }
+}
