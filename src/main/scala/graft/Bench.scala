@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. `value` is the total seconds across ALL registered
+  * queries; the `queries` map reports a fixed headline subset only, so the
+  * line stays well under the harness's 2000-char output tail no matter how
+  * many queries are registered (round 1's full 59-query map at full double
+  * precision was ~2.9 KB and fell out of the tail -> `parsed: null`).
+  */
 object Bench {
+  /** One representative per operator family; keep this list stable across
+    * rounds so per-query numbers are comparable round-over-round.
+    */
+  private val headline = Vector(
+    "flagship_location_summary", "flagship_sql",
+    "q01_dim_decode_join", "q03_latest_per_key_window", "q05_self_alias_join",
+    "q11_multi_avg", "q16_topk_per_group", "q21_rollup", "q23_running_window",
+    "q26_salted_join", "q27_asof_join", "q28_percentiles",
+    "d01_dedup_exact", "d03_lsh_candidates", "d07_dedup_clusters",
+    "s01_knn_brute", "s04_knn_ivf",
+    "t01_token_stats", "t05_distinctive_terms",
+    "e01_tumbling_daily", "e03_sessionize", "m01_media_plumbing")
+
+  private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,10 +43,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = headline.flatMap(h => results.get(h).map(v => s"\"$h\":${r3(v)}"))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

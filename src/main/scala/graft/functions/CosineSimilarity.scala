@@ -27,7 +27,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
 
-  override def nullable: Boolean = true // length mismatch -> null
+  override def nullable: Boolean = true // length mismatch / null element -> null
+
+  // Whether either input's element type admits null slots. Parquet arrays
+  // usually do; literal arrays usually don't. Drives both eval and codegen
+  // so the per-element null check is only emitted when it can ever fire.
+  private lazy val mayContainNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, n) => n
+      case _ => true
+    }
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -37,6 +47,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     // truncating to the shorter vector
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    if (mayContainNull) {
+      // a null ELEMENT nulls the portable fold (null den -> null result);
+      // mirror it instead of reading the slot as 0.0 / NPE-ing
+      var j = 0
+      while (j < n) {
+        if (x.isNullAt(j) || y.isNullAt(j)) return null
+        j += 1
+      }
+    }
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -64,11 +83,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val den = ctx.freshName("den")
+      val j = ctx.freshName("j")
+      // null-element scan only compiled in when the schema admits null slots
+      // (mirrors the portable fold's null propagation; see nullSafeEval)
+      val nullScan =
+        if (mayContainNull)
+          s"""for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+             |  if ($a.isNullAt($j) || $b.isNullAt($j)) ${ev.isNull} = true;
+             |}""".stripMargin
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |final int $n = $a.numElements();
+         |$nullScan
+         |if (!${ev.isNull}) {
          |double $dot = 0.0;
          |double $na = 0.0;
          |double $nb = 0.0;
@@ -81,6 +111,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |${ev.value} = ($den == 0.0) ? Double.NaN : $dot / $den;
+         |}
          |}
        """.stripMargin
     })

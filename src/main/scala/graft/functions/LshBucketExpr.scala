@@ -20,10 +20,18 @@ case class LshBucketExpr(child: Expression, planes: Int, dims: Int)
   override def prettyName: String = "lsh_bucket"
 
   override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    val arr = input.asInstanceOf[ArrayData]
     // portable form: any length mismatch null-pads zip_with -> null dot ->
-    // the when() falls to otherwise(0) for EVERY plane -> bucket 0
-    if (v.length != dims) return 0L
+    // the when() falls to otherwise(0) for EVERY plane -> bucket 0. A null
+    // ELEMENT nulls the dot the same way -> bucket 0 too (and scanning first
+    // avoids GenericArrayData.toDoubleArray NPE-ing on the null slot).
+    if (arr.numElements() != dims) return 0L
+    var j = 0
+    while (j < dims) {
+      if (arr.isNullAt(j)) return 0L
+      j += 1
+    }
+    val v = arr.toDoubleArray()
     val n = dims
     var bucket = 0L
     var p = 0

@@ -21,6 +21,16 @@ object Stats {
     * sqrt(max((m2 - s^2/n) / (n-1), 0)); null for n < 2.
     * The squares are IEEE double multiplies of identical inputs, then
     * quantized — same on every engine.
+    *
+    * Numerical limitation (deliberate portability tradeoff): this is the
+    * naive sum-of-squares form, which cancels catastrophically when
+    * |mean| >> stddev (the greatest(...,0) clamp then maps tiny negative
+    * residue to stddev 0 rather than surfacing the precision loss). The
+    * stable alternative (shift by a per-group pivot, sum((x-k)^2)) needs a
+    * second data-dependent pass/join per group; we accept the naive form
+    * because cross-engine hash-equality requires the oracle SQL to evaluate
+    * the exact same expression tree, and the fixtures' value ranges
+    * (|mean|/stddev < 1e6) keep the error below the 1e-6 quantization.
     */
   def decStddev(c: Column): Column = {
     val n = count(c).cast(DoubleType)

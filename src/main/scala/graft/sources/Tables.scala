@@ -27,14 +27,27 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Enables TIMESTAMP(NANOS) parquet reads for the WHOLE session (nanos
+    * surface as raw longs). Deliberately session-wide and not save/restored:
+    * the conf is consulted again at action-time planning (it is copied into
+    * the reader's hadoopConf per action), so restoring it right after
+    * `spark.read.parquet` would make the first `count()`/`collect()` on the
+    * loaded frame fail. Callers that read other TIMESTAMP(NANOS) parquet in
+    * the same session must convert the raw longs themselves, as
+    * [[loadEvents]] does.
+    */
+  def enableNanosReads(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as raw nanos (legacy conf) and convert to a
-    * microsecond TimestampType with exact integer division (`DIV` — a
-    * double division would lose precision above 2^53 ns). Oracle side
-    * mirrors with CAST(ts AS TIMESTAMP), which also truncates to micros.
+    * default. Read it as raw nanos ([[enableNanosReads]] — session-wide, see
+    * its scaladoc) and convert to a microsecond TimestampType with exact
+    * integer division (`DIV` — a double division would lose precision above
+    * 2^53 ns). Oracle side mirrors with CAST(ts AS TIMESTAMP), which also
+    * truncates to micros.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enableNanosReads(spark)
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }

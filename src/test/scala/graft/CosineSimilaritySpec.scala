@@ -46,6 +46,32 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(got.isNullAt(0) && got.isNullAt(1))
   }
 
+  test("null ELEMENT yields null, matching the portable fold (both eval paths)") {
+    val df = Seq(
+      (Some(Seq(Some(1.0), None, Some(3.0))), Some(Seq(Some(1.0), Some(2.0), Some(3.0)))),
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(1.0), None))),
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0), Some(4.0))))
+    ).toDF("a", "b")
+    // codegen path and portable fold agree (null-safe equality over all rows)
+    val disagree = df.filter(
+      !(VectorOps.cosineFast(col("a"), col("b")) <=> VectorOps.cosine(col("a"), col("b")))
+    ).count()
+    assert(disagree == 0)
+    val got = df.select(VectorOps.cosineFast(col("a"), col("b"))).collect()
+    assert(got(0).isNullAt(0) && got(1).isNullAt(0) && !got(2).isNullAt(0))
+    // interpreted path (eval) must agree too: force it through a filter on
+    // a non-codegen context by collecting via expression eval on rows
+    val interp = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[java.lang.Double](1.0, null, 3.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, true)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[java.lang.Double](1.0, 2.0, 3.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, true)))
+      .eval(null)
+    assert(interp == null)
+  }
+
   test("cosine_sim is SQL-callable once registered (GraftExtensions wiring)") {
     // getOrCreate reuses the shared session, so register through the same
     // builder function GraftExtensions injects.

@@ -19,4 +19,18 @@ class LshBucketSpec extends AnyFunSuite {
       assert(diff == 0)
     }
   }
+
+  test("null element -> bucket 0, matching the portable fold (no NPE)") {
+    import spark.implicits._
+    val df = Seq(
+      Seq[Option[Double]](Some(1.0), None, Some(3.0), Some(4.0)),
+      Seq[Option[Double]](Some(1.0), Some(2.0), Some(3.0), Some(4.0))
+    ).toDF("v")
+    val got = df.select(
+      VectorOps.lshBucket(col("v"), 4, 4).as("slow"),
+      VectorOps.lshBucketFast(col("v"), 4, 4).as("fast")).collect()
+    assert(got(0).getLong(0) == got(0).getLong(1) && got(0).getLong(1) == 0L)
+    // all-planes-negative can legitimately give 0; only parity is asserted
+    assert(got(1).getLong(0) == got(1).getLong(1))
+  }
 }

@@ -22,8 +22,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # tolerate last-ulp noise: driver-style value hashing is exact, so we
-        # flag anything that differs beyond 1e-9 relative
+        # comparison is EXACT (bit equality), matching the driver's value
+        # hashing — a FAIL here can be last-ulp noise, which the engine-side
+        # fix is deterministic decimal sums (graft.operators.Agg), not a
+        # tolerance here
         return v
     return v
 
