@@ -73,6 +73,28 @@ object ExtensionQueries {
       s"(CASE WHEN ${planeDotSql(v, p.toString)} >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
 
+  /** Rounds of min-label propagation in d07 — shared by the Spark query and
+    * the generated oracle so they cannot drift. 5 covers cluster diameters
+    * the LSH band graph actually produces (near-dup clusters are
+    * near-cliques); convergence is proven against union-find in
+    * IndependentSemanticsSpec.
+    */
+  val ClusterRounds = 5
+
+  /** Generates the unrolled label-propagation CTE chain l1..ln (DuckDB
+    * mirror of [[Dedup.labelClusters]], one CTE per round).
+    */
+  private def labelPropCtes(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""l$r AS (
+        SELECT id, min(label) AS label
+        FROM (SELECT id, label FROM l${r - 1}
+              UNION ALL
+              SELECT e.dst AS id, l.label FROM edges e JOIN l${r - 1} l ON e.src = l.id) u
+        GROUP BY id
+      )"""
+    }.mkString(",\n      ")
+
   private def stopList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -201,13 +223,15 @@ object ExtensionQueries {
         .select(col("id").as("doc_id"), TextOps.simhash32(col("features")).as("simhash"))
         .orderBy(col("doc_id"))),
 
-    // Duplicate-cluster resolution over the LSH candidate graph: 8 rounds
-    // of min-label propagation (fixed round count -> deterministic, oracle
-    // runs the identical 8 unrolled rounds).
+    // Duplicate-cluster resolution over the LSH candidate graph: min-label
+    // propagation for a FIXED [[ClusterRounds]] rounds (deterministic; the
+    // oracle runs the identical unrolled rounds). IndependentSemanticsSpec
+    // proves this round count fully converges on the fixtures (== union-find
+    // components).
     "d07_dedup_clusters" -> ((s, dir) => {
       val feats = docFeatures(s, dir)
       val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
-      Dedup.labelClusters(feats.select("id"), pairs, rounds = 8)
+      Dedup.labelClusters(feats.select("id"), pairs, rounds = ClusterRounds)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),
@@ -344,6 +368,88 @@ object ExtensionQueries {
     "e03_sessionize" -> ((s, dir) =>
       EventOps.sessionize(t(s, dir, "events"), gapSeconds = 1800)
         .orderBy(col("user_id"), col("session_idx"))),
+
+    // Dedup retention policy: resolve clusters (d07), score each doc
+    // (distinct-token ratio), keep the best-scoring doc per cluster
+    // (argmax via one window) — the full "dedup a training corpus and
+    // decide which copy survives" pipeline in one query.
+    "d08_cluster_keep_best" -> ((s, dir) => {
+      val feats = docFeatures(s, dir)
+      val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+      val labels = Dedup.labelClusters(feats.select("id"), pairs, rounds = ClusterRounds)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val toks = TextOps.tokens(col("text"))
+      val q = t(s, dir, "documents").select(col("doc_id"),
+        Agg.roundAt(size(array_distinct(toks)).cast("double") / size(toks), 4)
+          .as("distinct_ratio"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("distinct_ratio").desc, col("doc_id").asc)
+      labels.join(q, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"), col("distinct_ratio"),
+          (col("rk") === 1).as("is_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus statistics grouped by predicted language (t03's classifier
+    // feeding exact-percentile/avg stats) — the "what does my training mix
+    // look like" rollup.
+    "t06_corpus_stats" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val en = TextOps.stopwordHits(toks, TextOps.EnStop)
+      val es = TextOps.stopwordHits(toks, TextOps.EsStop)
+      val fr = TextOps.stopwordHits(toks, TextOps.FrStop)
+      val de = TextOps.stopwordHits(toks, TextOps.DeStop)
+      val pred = when(TextOps.cjkCount(col("text")) > 0, "zh")
+        .when(en >= es && en >= fr && en >= de, "en")
+        .when(es >= fr && es >= de, "es")
+        .when(fr >= de, "fr")
+        .otherwise("de")
+      t(s, dir, "documents")
+        .select(pred.as("pred_lang"), size(toks).as("n_tokens"),
+          length(col("text")).as("n_chars"))
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_tokens, 0.5)").as("median_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          Agg.roundAt(Agg.decAvg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy(col("pred_lang"))
+    }),
+
+    // Weekly retention cohorts: cohort = ISO week of a user's first event;
+    // one row per (cohort, week offset) with distinct active users. Two
+    // aggregations + one equi-join — fully shuffle-partitionable by user.
+    "e06_retention_cohorts" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+      e.join(first, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Frame sampling over a media-like payload: fixed-width frames via
+    // sequence+explode (row-local generator, no shuffle), keep every 3rd
+    // frame, checksum each. The decode step is a deterministic fake (the
+    // container has no image/audio libs); the Spark-side plumbing — frame
+    // schema, generator shape, per-frame hashing — is the real thing.
+    "m02_frame_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          ceil(length(col("text")).cast("double") / 64).cast("int").as("n_frames"))
+        .select(col("doc_id"), col("n_frames"), col("text"),
+          explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+        .filter(col("frame_idx") % 3 === 0)
+        .withColumn("frame", expr("substring(text, frame_idx * 64 + 1, 64)"))
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          length(col("frame")).as("frame_chars"),
+          length(encode(col("frame"), "UTF-8")).as("frame_bytes"),
+          md5(encode(col("frame"), "UTF-8")).as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
 
     // -- multimodal plumbing: opaque binary payload + typed metadata --
     "m01_media_plumbing" -> ((s, dir) => {
@@ -524,63 +630,8 @@ object ExtensionQueries {
         UNION ALL SELECT doc_b, doc_a FROM pairs
       ),
       l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
-      l1 AS (
-        SELECT id, min(label) AS label
-        FROM (SELECT id, label FROM l0
-              UNION ALL
-              SELECT e.dst AS id, l.label FROM edges e JOIN l0 l ON e.src = l.id) u
-        GROUP BY id
-      ),
-      l2 AS (
-        SELECT id, min(label) AS label
-        FROM (SELECT id, label FROM l1
-              UNION ALL
-              SELECT e.dst AS id, l.label FROM edges e JOIN l1 l ON e.src = l.id) u
-        GROUP BY id
-      ),
-      l3 AS (
-        SELECT id, min(label) AS label
-        FROM (SELECT id, label FROM l2
-              UNION ALL
-              SELECT e.dst AS id, l.label FROM edges e JOIN l2 l ON e.src = l.id) u
-        GROUP BY id
-      ),
-      l4 AS (
-        SELECT id, min(label) AS label
-        FROM (SELECT id, label FROM l3
-              UNION ALL
-              SELECT e.dst AS id, l.label FROM edges e JOIN l3 l ON e.src = l.id) u
-        GROUP BY id
-      ),
-      l5 AS (
-        SELECT id, min(label) AS label
-        FROM (SELECT id, label FROM l4
-              UNION ALL
-              SELECT e.dst AS id, l.label FROM edges e JOIN l4 l ON e.src = l.id) u
-        GROUP BY id
-      ),
-      l6 AS (
-        SELECT id, min(label) AS label
-        FROM (SELECT id, label FROM l5
-              UNION ALL
-              SELECT e.dst AS id, l.label FROM edges e JOIN l5 l ON e.src = l.id) u
-        GROUP BY id
-      ),
-      l7 AS (
-        SELECT id, min(label) AS label
-        FROM (SELECT id, label FROM l6
-              UNION ALL
-              SELECT e.dst AS id, l.label FROM edges e JOIN l6 l ON e.src = l.id) u
-        GROUP BY id
-      ),
-      l8 AS (
-        SELECT id, min(label) AS label
-        FROM (SELECT id, label FROM l7
-              UNION ALL
-              SELECT e.dst AS id, l.label FROM edges e JOIN l7 l ON e.src = l.id) u
-        GROUP BY id
-      )
-      SELECT id AS doc_id, label AS cluster_id FROM l8
+      ${labelPropCtes(ClusterRounds)}
+      SELECT id AS doc_id, label AS cluster_id FROM l$ClusterRounds
       ORDER BY doc_id""",
 
     "d06_embedding_neardup" -> s"""
@@ -769,6 +820,99 @@ object ExtensionQueries {
       SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
              md5(text) AS checksum,
              ${chSql("text")} % 1000 AS feature_bucket
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+
+    "d08_cluster_keep_best" -> s"""
+      WITH $featuresCte,
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${bandSql(0)} AS bh FROM doc_feat
+        UNION ALL SELECT doc_id, 1, ${bandSql(1)} FROM doc_feat
+        UNION ALL SELECT doc_id, 2, ${bandSql(2)} FROM doc_feat
+        UNION ALL SELECT doc_id, 3, ${bandSql(3)} FROM doc_feat
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+      ),
+      l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+      ${labelPropCtes(ClusterRounds)},
+      q AS (
+        SELECT doc_id,
+               floor((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000
+                 AS distinct_ratio
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents) tok
+      )
+      SELECT l.id AS doc_id, l.label AS cluster_id, q.distinct_ratio,
+             (row_number() OVER (PARTITION BY l.label
+                ORDER BY q.distinct_ratio DESC, l.id ASC)) = 1 AS is_kept
+      FROM l$ClusterRounds l JOIN q ON l.id = q.doc_id
+      ORDER BY doc_id""",
+
+    "t06_corpus_stats" -> s"""
+      WITH tok AS (
+        SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+               length(text) AS n_chars
+        FROM documents
+      ),
+      hits AS (
+        SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, n_chars,
+               ${hitsSql(TextOps.EnStop)} AS en_hits,
+               ${hitsSql(TextOps.EsStop)} AS es_hits,
+               ${hitsSql(TextOps.FrStop)} AS fr_hits,
+               ${hitsSql(TextOps.DeStop)} AS de_hits,
+               len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+        FROM tok
+      ),
+      p AS (
+        SELECT *, CASE WHEN cjk > 0 THEN 'zh'
+                       WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+                       WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+                       WHEN fr_hits >= de_hits THEN 'fr'
+                       ELSE 'de' END AS pred_lang
+        FROM hits
+      )
+      SELECT pred_lang, count(*) AS n_docs,
+             quantile_cont(n_tokens, 0.5) AS median_tokens,
+             min(n_tokens) AS min_tokens,
+             max(n_tokens) AS max_tokens,
+             floor((CAST(sum(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) / count(n_chars)) * 100 + 0.5) / 100 AS avg_chars
+      FROM p GROUP BY 1 ORDER BY 1""",
+
+    "e06_retention_cohorts" -> """
+      WITH e AS (
+        SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        FROM events
+      ),
+      f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1)
+      SELECT f.cohort_week,
+             CAST(date_diff('week', f.cohort_week, e.wk) AS INTEGER) AS week_offset,
+             count(DISTINCT e.user_id) AS n_users
+      FROM e JOIN f ON e.user_id = f.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "m02_frame_sample" -> """
+      WITH d AS (
+        SELECT doc_id, text,
+               CAST(ceil(CAST(length(text) AS DOUBLE) / 64) AS INTEGER) AS n_frames
+        FROM documents
+      ),
+      f AS (SELECT doc_id, n_frames, text, unnest(range(0, n_frames)) AS frame_idx FROM d),
+      fr AS (
+        SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_frames,
+               substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64) AS frame
+        FROM f WHERE frame_idx % 3 = 0
+      )
+      SELECT doc_id, frame_idx, n_frames,
+             CAST(length(frame) AS INTEGER) AS frame_chars,
+             CAST(strlen(frame) AS INTEGER) AS frame_bytes,
+             md5(frame) AS frame_md5
+      FROM fr ORDER BY doc_id, frame_idx"""
   )
 }

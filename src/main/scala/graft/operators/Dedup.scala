@@ -60,13 +60,16 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = docs.select(col("id"), col("id").as("label")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val prop = edges
         .join(labels.withColumnRenamed("id", "__src"), col("src") === col("__src"))
         .select(col("dst").as("id"), col("label"))
       labels = labels.select("id", "label").union(prop)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+      // Checkpointing is eager (one job per call); every other round keeps
+      // the plan bounded at 2 unrolled rounds while halving the
+      // materialization jobs.
+      if (r % 2 == 0 || r == rounds) labels = labels.localCheckpoint()
     }
     edges.unpersist()
     labels

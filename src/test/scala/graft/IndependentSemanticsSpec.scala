@@ -19,11 +19,12 @@ class IndependentSemanticsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("labelClusters(8 rounds) equals union-find components on the fixture") {
+  test("labelClusters(ClusterRounds) equals union-find components on the fixture") {
     val feats = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id").as("id"), TextHash.shingleHashes(col("text"), 2).as("features"))
     val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
-    val got = Dedup.labelClusters(feats.select("id"), pairs, rounds = 8)
+    val got = Dedup.labelClusters(feats.select("id"), pairs,
+        rounds = ExtensionQueries.ClusterRounds)
       .as[(Long, Long)].collect().toMap
 
     // independent union-find over the same pairs
@@ -45,7 +46,19 @@ class IndependentSemanticsSpec extends AnyFunSuite {
       ids.filter(j => find(j) == root).min
     }).toMap
 
-    assert(got == expected) // also proves 8 rounds fully converged here
+    assert(got == expected) // also proves ClusterRounds fully converged here
+  }
+
+  test("labelClusters converges by ClusterRounds at the driver-verified scale") {
+    val feats = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id").as("id"), TextHash.shingleHashes(col("text"), 2).as("features"))
+    val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3).persist()
+    val atN = Dedup.labelClusters(feats.select("id"), pairs,
+      rounds = ExtensionQueries.ClusterRounds).as[(Long, Long)].collect().toMap
+    val atN3 = Dedup.labelClusters(feats.select("id"), pairs,
+      rounds = ExtensionQueries.ClusterRounds + 3).as[(Long, Long)].collect().toMap
+    pairs.unpersist()
+    assert(atN == atN3)
   }
 
   test("asofJoin equals a naive per-row scan on generated data") {
