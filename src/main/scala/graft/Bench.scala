@@ -33,6 +33,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.FuseDotProduct)
     // Untimed warmup: JIT, codegen cache, parquet footer/file-index reads.
     // Otherwise whichever query happens to run first absorbs ~4s of
     // session warmup and the per-query numbers are noise.

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Engine optimizer rules run under the correctness gate: if FuseDotProduct
+    // ever diverged from the portable fold, every vector oracle would fail.
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.FuseDotProduct)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -23,5 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProduct(exprs(0), exprs(1))))
+    // Fuses the portable aggregate(zip_with(..)) dot-product fold into the
+    // codegen'd DotProduct — SQL/portable-form users get the compiled loop.
+    extensions.injectOptimizerRule(_ => FuseDotProduct)
   }
 }
