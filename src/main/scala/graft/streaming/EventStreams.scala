@@ -111,6 +111,28 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join: each click matches views by the same user
+    * within [view_ts, view_ts + maxDelay]. Watermarks on BOTH sides plus the
+    * time-range condition are what let Spark bound the join state (each
+    * side's buffer is purged once the other side's watermark passes the
+    * interval); an unconstrained stream-stream join would buffer forever.
+    * Inner matches emit as soon as both rows arrive — the watermark governs
+    * state eviction, not emission.
+    */
+  def clicksAfterViews(views: DataFrame, clicks: DataFrame,
+      maxDelay: String = "30 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", maxDelay)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", maxDelay)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    c.join(v, col("c_user") === col("v_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"interval $maxDelay"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** File-source entry point for continuous ingestion of a directory of
     * event parquet files (the FileStreamSource contract — new files landing
     * in the directory become new micro-batches).

@@ -33,4 +33,22 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q07_scalar_subquery_filter")
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("a filter on the partition column prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/out"
+    // partition by a real column with several values (STATE of the flagship
+    // output is a single region — use lineitem's returnflag instead)
+    graft.sources.Tables.load(spark, dir, "lineitem")
+      .write.partitionBy("l_returnflag").parquet(tmp)
+    val q = spark.read.parquet(tmp).filter(col("l_returnflag") === "R")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"), p)
+    // pruning is real: the scan reads strictly fewer files than the table has
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    val all = spark.read.parquet(tmp).queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(scan.selectedPartitions.partitionCount < all.selectedPartitions.partitionCount)
+  }
 }

@@ -106,6 +106,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join matches the batch join on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    def ev(id: Long, t: String, u: Long, tpe: String) = Event(id, ts(t), u, tpe, 1.0)
+    // view/click pairs across two batches: in-window match, out-of-window
+    // click, click before any view, cross-user non-match
+    views.addData(ev(1, "2024-01-01 10:00:00", 1, "view"),
+      ev(2, "2024-01-01 10:00:00", 2, "view"))
+    clicks.addData(ev(10, "2024-01-01 10:10:00", 1, "click"), // match u1
+      ev(11, "2024-01-01 09:50:00", 1, "click"),              // before view
+      ev(12, "2024-01-01 11:00:00", 2, "click"))              // > 30 min
+    val joined = EventStreams.clicksAfterViews(views.toDF(), clicks.toDF())
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj").start()
+    q.processAllAvailable()
+    views.addData(ev(3, "2024-01-01 12:00:00", 3, "view"))
+    clicks.addData(ev(13, "2024-01-01 12:05:00", 3, "click")) // match u3, batch 2
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj")
+      .select(col("user_id"), col("click_id")).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (3L, 13L)))
+
+    // batch form of the same join on the same rows gives the same matches
+    val allViews = Seq(ev(1, "2024-01-01 10:00:00", 1, "view"),
+      ev(2, "2024-01-01 10:00:00", 2, "view"),
+      ev(3, "2024-01-01 12:00:00", 3, "view")).toDF()
+    val allClicks = Seq(ev(10, "2024-01-01 10:10:00", 1, "click"),
+      ev(11, "2024-01-01 09:50:00", 1, "click"),
+      ev(12, "2024-01-01 11:00:00", 2, "click"),
+      ev(13, "2024-01-01 12:05:00", 3, "click")).toDF()
+    val batch = EventStreams.clicksAfterViews(allViews, allClicks)
+      .select(col("user_id"), col("click_id")).as[(Long, Long)].collect().toSet
+    assert(batch == got)
+  }
+
   test("file-source streaming read ingests the events fixture") {
     // stage the fixture as a directory of event files (the source contract)
     val dir = java.nio.file.Files.createTempDirectory("graft_events")
