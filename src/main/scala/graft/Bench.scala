@@ -44,6 +44,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Full per-query map on stderr for local tuning (never on stdout — the
+    // driver tails stdout and the full map would blow the 2000-char budget).
+    if (sys.env.contains("SPARK_GRAFT_BENCH_FULL")) {
+      val full = results.toVector.sortBy(-_._2)
+        .map { case (n, v) => s"\"$n\":${r3(v)}" }.mkString("{", ",", "}")
+      System.err.println(s"BENCH_FULL $full")
+    }
     val qs = headline.flatMap(h => results.get(h).map(v => s"\"$h\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = r3(if (results.nonEmpty) results.values.sum else 0.0)

@@ -164,18 +164,19 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // TF-IDF-style distinctive terms: one explode + two hash aggregates +
-    // a broadcast join on term. Ranking uses only integers/strings (tf desc,
-    // df asc, term asc) so it is engine-exact; the tfidf double is
-    // informational output (rounded).
+    // TF-IDF-style distinctive terms: ONE explode + two hash aggregates.
+    // df is derived from the tf aggregate (tf has exactly one row per
+    // (doc, term), so count-per-term == document frequency) — this saves a
+    // second full explode+shuffle of the corpus, and the join on term reuses
+    // the same exchange the df aggregate shuffled through. Ranking uses only
+    // integers/strings (tf desc, df asc, term asc) so it is engine-exact;
+    // the tfidf double is informational output (rounded).
     "t05_distinctive_terms" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val nDocs = docs.count() // bounded metadata lookup, not a per-row collect
-      val terms = docs.select(col("doc_id"),
-          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
       val tf = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term").asc)
       tf.join(df, "term")
@@ -395,7 +396,10 @@ object ExtensionQueries {
     // feeding exact-percentile/avg stats) — the "what does my training mix
     // look like" rollup.
     "t06_corpus_stats" -> ((s, dir) => {
-      val toks = TextOps.tokens(col("text"))
+      // tokenize ONCE through a projection; the four stopword counters and
+      // size() then read the materialized array instead of re-splitting the
+      // text per language (5 regex splits -> 1)
+      val toks = col("toks")
       val en = TextOps.stopwordHits(toks, TextOps.EnStop)
       val es = TextOps.stopwordHits(toks, TextOps.EsStop)
       val fr = TextOps.stopwordHits(toks, TextOps.FrStop)
@@ -406,6 +410,7 @@ object ExtensionQueries {
         .when(fr >= de, "fr")
         .otherwise("de")
       t(s, dir, "documents")
+        .select(col("text"), TextOps.tokens(col("text")).as("toks"))
         .select(pred.as("pred_lang"), size(toks).as("n_tokens"),
           length(col("text")).as("n_chars"))
         .groupBy(col("pred_lang"))

@@ -50,28 +50,31 @@ object Dedup {
     * join + one aggregate — shuffle-parallel, r = O(log n) in practice.
     */
   def labelClusters(docs: DataFrame, pairs: DataFrame, rounds: Int): DataFrame = {
-    // Iterative-algorithm hygiene (the GraphX pattern): `labels` appears
-    // twice per round, so without lineage truncation the logical plan
-    // doubles every iteration (2^rounds leaf copies — measured 24s at
-    // sf0.1). Eager localCheckpoint keeps each round's plan constant-size,
-    // and the edge set is computed once and cached instead of re-deriving
-    // the LSH pipeline per round.
+    // Iterative-algorithm hygiene: the naive round
+    // `labels.union(propagated(labels))` references `labels` TWICE, so the
+    // logical plan doubles every iteration (2^rounds leaf copies — measured
+    // 24s at sf0.1; round 1 worked around it with eager localCheckpoints,
+    // still ~8s of materialization jobs). Adding SELF-LOOPS to the edge set
+    // makes "keep my own label" just another neighbor propagation, so each
+    // round is one join + one aggregate over a SINGLE labels reference —
+    // plan growth is linear and the whole iteration stays lazy (zero jobs
+    // until the caller's action). The edge set is localCheckpoint'ed once:
+    // eager, but it truncates the LSH lineage that would otherwise be
+    // re-derived `rounds` times per action.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var labels = docs.select(col("id"), col("id").as("label")).localCheckpoint()
-    for (r <- 1 to rounds) {
-      val prop = edges
+      .union(docs.select(col(docs.columns.head).as("src"),
+        col(docs.columns.head).as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col(docs.columns.head).as("id"),
+      col(docs.columns.head).as("label"))
+    for (_ <- 1 to rounds) {
+      labels = edges
         .join(labels.withColumnRenamed("id", "__src"), col("src") === col("__src"))
+        .groupBy(col("dst"))
+        .agg(min("label").as("label"))
         .select(col("dst").as("id"), col("label"))
-      labels = labels.select("id", "label").union(prop)
-        .groupBy("id").agg(min("label").as("label"))
-      // Checkpointing is eager (one job per call); every other round keeps
-      // the plan bounded at 2 unrolled rounds while halving the
-      // materialization jobs.
-      if (r % 2 == 0 || r == rounds) labels = labels.localCheckpoint()
     }
-    edges.unpersist()
     labels
   }
 
