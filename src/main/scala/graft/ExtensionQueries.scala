@@ -396,22 +396,25 @@ object ExtensionQueries {
     // feeding exact-percentile/avg stats) — the "what does my training mix
     // look like" rollup.
     "t06_corpus_stats" -> ((s, dir) => {
-      // tokenize ONCE through a projection; the four stopword counters and
-      // size() then read the materialized array instead of re-splitting the
-      // text per language (5 regex splits -> 1)
-      val toks = col("toks")
-      val en = TextOps.stopwordHits(toks, TextOps.EnStop)
-      val es = TextOps.stopwordHits(toks, TextOps.EsStop)
-      val fr = TextOps.stopwordHits(toks, TextOps.FrStop)
-      val de = TextOps.stopwordHits(toks, TextOps.DeStop)
-      val pred = when(TextOps.cjkCount(col("text")) > 0, "zh")
-        .when(en >= es && en >= fr && en >= de, "en")
-        .when(es >= fr && es >= de, "es")
-        .when(fr >= de, "fr")
-        .otherwise("de")
-      t(s, dir, "documents")
+      // tokenize ONCE, then count stopword hits ONCE per language through a
+      // named projection: the when-chain below compares those scalar
+      // columns, so each interpreted filter() lambda runs once per row
+      // (inlining them into the CASE re-evaluated the en counter 3x etc.)
+      val hits = t(s, dir, "documents")
         .select(col("text"), TextOps.tokens(col("text")).as("toks"))
-        .select(pred.as("pred_lang"), size(toks).as("n_tokens"),
+        .select(col("text"), size(col("toks")).as("n_tokens"),
+          TextOps.stopwordHits(col("toks"), TextOps.EnStop).as("en"),
+          TextOps.stopwordHits(col("toks"), TextOps.EsStop).as("es"),
+          TextOps.stopwordHits(col("toks"), TextOps.FrStop).as("fr"),
+          TextOps.stopwordHits(col("toks"), TextOps.DeStop).as("de"))
+      val pred = when(TextOps.cjkCount(col("text")) > 0, "zh")
+        .when(col("en") >= col("es") && col("en") >= col("fr") &&
+          col("en") >= col("de"), "en")
+        .when(col("es") >= col("fr") && col("es") >= col("de"), "es")
+        .when(col("fr") >= col("de"), "fr")
+        .otherwise("de")
+      hits
+        .select(pred.as("pred_lang"), col("n_tokens"),
           length(col("text")).as("n_chars"))
         .groupBy(col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"),

@@ -25,7 +25,8 @@ object SparkEntry {
         graft.sources.Tables.createTempViews(s, dir)
         s.sql(FlagshipSql.sql)
       })
-    ) ++ RelationalQueries.all ++ RelationalQueries2.all ++ ExtensionQueries.all
+    ) ++ RelationalQueries.all ++ RelationalQueries2.all ++
+      RelationalQueries3.all ++ ExtensionQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,7 +34,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Map("flagship_location_summary" -> FlagshipOracle.sql,
       "flagship_sql" -> FlagshipOracle.sql) ++
-      RelationalQueries.oracles ++ RelationalQueries2.oracles ++ ExtensionQueries.oracles
+      RelationalQueries.oracles ++ RelationalQueries2.oracles ++
+      RelationalQueries3.oracles ++ ExtensionQueries.oracles
 }
 
 /** DuckDB mirror of [[LocationSummary.build]] — same CTE structure, fixed

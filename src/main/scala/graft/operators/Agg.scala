@@ -33,6 +33,15 @@ object Agg {
   def decSum(c: Column): Column =
     sum(c.cast(Dec)).cast(DoubleType)
 
+  /** Partial-aggregate building block: the exact decimal sum WITHOUT the
+    * final double cast, so partials can be re-aggregated (sum of partial
+    * sums == one-shot sum, exactly — decimals are associative). Pair with a
+    * `count` partial and divide only at the outermost level (see
+    * q51_incremental_agg).
+    */
+  def decPartialSum(c: Column): Column =
+    sum(c.cast(Dec))
+
   /** Engine-portable decimal rounding. Spark's `round` converts the exact
     * binary double to BigDecimal and rounds HALF_UP; DuckDB multiplies by
     * 10^d first, which can snap a near-boundary value onto .5 — so the two

@@ -59,8 +59,10 @@ object Dedup {
     // round is one join + one aggregate over a SINGLE labels reference —
     // plan growth is linear and the whole iteration stays lazy (zero jobs
     // until the caller's action). The edge set is localCheckpoint'ed once:
-    // eager, but it truncates the LSH lineage that would otherwise be
-    // re-derived `rounds` times per action.
+    // eager, but it truncates the LSH lineage that the five round-joins
+    // would otherwise re-derive per round (measured 6.7s/action fully lazy,
+    // and a lazy persist() was 3-8x run-to-run unstable under AQE — the
+    // checkpoint is the stable, predictable form).
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .union(docs.select(col(docs.columns.head).as("src"),
