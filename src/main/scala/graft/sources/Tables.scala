@@ -23,9 +23,20 @@ object Tables {
   val extension: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = relational ++ extension
 
+  /** Memoized per (session, dir, table): `spark.read.parquet` eagerly lists
+    * the directory and reads a footer for schema inference, which costs
+    * driver time on EVERY call — across a suite of 80+ queries that is tens
+    * of seconds of pure re-listing. Re-using the analyzed DataFrame is safe:
+    * plans are immutable, and self-joins of a shared relation are resolved
+    * by Catalyst's DeduplicateRelations (verified by the q05/q27 oracles).
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    memo.computeIfAbsent((spark, sfDir, name), _ =>
+      if (name == "events") loadEvents(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** Enables TIMESTAMP(NANOS) parquet reads for the WHOLE session (nanos
     * surface as raw longs). Deliberately session-wide and not save/restored:
