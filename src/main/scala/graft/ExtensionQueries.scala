@@ -44,9 +44,27 @@ object ExtensionQueries {
             FROM documents) tok
     )"""
 
+  /** DuckDB mirror of [[TextOps.charNgramHashes]] with n=3 as a CTE body. */
+  private val charFeaturesCte: String =
+    s"""char_feat AS (
+      SELECT doc_id, CASE WHEN length(t) >= 3 THEN
+        list_distinct(list_transform(range(1, length(t) - 1),
+          i -> ${chSql("substr(t, CAST(i AS INTEGER), 3)")}))
+        ELSE []::BIGINT[] END AS features
+      FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents) norm
+    )"""
+
   /** DuckDB mirror of [[TextOps.minhashAt]]. */
   private def mhSql(j: Int): String =
     s"list_min(list_transform(features, h -> (h*${2 * j + 1} + ${7919 * j + 13}) % $P))"
+
+  /** [[bandSql]] generalized to `rows` minhashes per band (mirror of
+    * [[TextOps.bandHash]] / the compiled MinhashBands combine).
+    */
+  private def bandSqlRows(b: Int, rows: Int): String = {
+    val m = (0 until rows).map(r => mhSql(b * rows + r))
+    m.tail.foldLeft(s"(${m.head})")((acc, x) => s"(($acc) * 31 + ($x)) % $P")
+  }
 
   /** DuckDB mirror of [[TextOps.bandHash]] (rows=3). */
   private def bandSql(b: Int): String = {
@@ -223,6 +241,23 @@ object ExtensionQueries {
       docFeatures(s, dir)
         .select(col("id").as("doc_id"), TextOps.simhash32(col("features")).as("simhash"))
         .orderBy(col("doc_id"))),
+
+    // Char-3-gram Jaccard near-dup: same LSH pipeline as d04 but with
+    // CHARACTER n-gram features (robust to tokenization edits that word
+    // shingles miss). Char features are dense, so the band scheme trades
+    // bands for rows (2 bands x 6 minhash rows) to keep unrelated-pair
+    // collision probability — and thus candidate count — low; threshold
+    // 0.6 reflects the higher base similarity of char-gram sets.
+    "d09_char_ngram_jaccard" -> ((s, dir) => {
+      val feats = t(s, dir, "documents").select(col("doc_id").as("id"),
+        graft.functions.TextHash.charNgramHashes(col("text"), 3).as("features"))
+      val pairs = Dedup.lshCandidatePairs(feats, bands = 2, rows = 6)
+      Dedup.jaccardOnPairs(pairs, feats)
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          Agg.roundAt(col("jaccard"), 4).as("jaccard"),
+          (col("jaccard") >= 0.6).as("is_dup"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     // Duplicate-cluster resolution over the LSH candidate graph: min-label
     // propagation for a FIXED [[ClusterRounds]] rounds (deterministic; the
@@ -605,6 +640,30 @@ object ExtensionQueries {
       FROM pairs
       JOIN doc_feat fa ON pairs.doc_a = fa.doc_id
       JOIN doc_feat fb ON pairs.doc_b = fb.doc_id
+      ORDER BY doc_a, doc_b""",
+
+    "d09_char_ngram_jaccard" -> s"""
+      WITH $charFeaturesCte,
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${bandSqlRows(0, 6)} AS bh FROM char_feat
+        UNION ALL SELECT doc_id, 1, ${bandSqlRows(1, 6)} FROM char_feat
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, n_shared_bands,
+             floor((CAST(len(list_intersect(fa.features, fb.features)) AS DOUBLE)
+                    / len(list_distinct(list_concat(fa.features, fb.features)))) * 10000 + 0.5) / 10000
+               AS jaccard,
+             (CAST(len(list_intersect(fa.features, fb.features)) AS DOUBLE)
+                    / len(list_distinct(list_concat(fa.features, fb.features)))) >= 0.6
+               AS is_dup
+      FROM pairs
+      JOIN char_feat fa ON pairs.doc_a = fa.doc_id
+      JOIN char_feat fb ON pairs.doc_b = fb.doc_id
       ORDER BY doc_a, doc_b""",
 
     "d05_simhash" -> s"""

@@ -159,6 +159,57 @@ ORDER BY o_orderkey
         .orderBy(col("key"))
     }),
 
+    // Data-quality constraint audit: each constraint is one scan-side
+    // aggregate (or an anti-join for referential integrity), unioned into a
+    // violations report. This is the batch "expectations" pattern — every
+    // check is shuffle-light (counts only; the FK anti-join shuffles on the
+    // key) and the report stays |constraints|-sized at any data scale.
+    "q54_constraint_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      def check(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("constraint_name"),
+          col("n_violations"), col("n_checked"))
+      val fk = check("lineitem_orderkey_fk",
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .crossJoin(li.agg(count(lit(1)).as("n_checked"))))
+      val bal = check("customer_acctbal_range",
+        c.agg(count(when(col("c_acctbal") < -1000 || col("c_acctbal") > 10000,
+            lit(1))).as("n_violations"),
+          count(lit(1)).as("n_checked")))
+      val status = check("orders_status_domain",
+        o.agg(count(when(!col("o_orderstatus").isin("F", "P", "O"), lit(1)))
+            .as("n_violations"),
+          count(lit(1)).as("n_checked")))
+      val qty = check("lineitem_qty_positive",
+        li.agg(count(when(col("l_quantity") <= 0, lit(1))).as("n_violations"),
+          count(lit(1)).as("n_checked")))
+      val nn = check("customer_name_nonnull",
+        c.agg(count(when(col("c_name").isNull, lit(1))).as("n_violations"),
+          count(lit(1)).as("n_checked")))
+      fk.union(bal).union(status).union(qty).union(nn)
+        .withColumn("passed", col("n_violations") === 0)
+        .orderBy(col("constraint_name"))
+    }),
+
+    // Deterministic stratified sampling: per-stratum (region) rates via an
+    // explicit affine hash threshold — reproducible across engines, runs
+    // and partitionings (rand()-based sampling is none of those). Purely
+    // row-local apart from the bounded dim join; at 100 TB the sample
+    // decision runs inside the scan stage.
+    "q55_stratified_sample" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      val h = (col("c_custkey") * 2654435761L) % 1000003L
+      val rate = when(col("n_regionkey") <= 1, 100000L).otherwise(50000L)
+      c.filter(h < rate)
+        .select(col("c_custkey"), col("c_nationkey"), col("n_regionkey"),
+          col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // PII redaction for training corpora: plant a deterministic synthetic
     // email + phone per document, then strip both with regex and count the
     // matches. Patterns use only explicit character classes so the Java
@@ -244,6 +295,42 @@ ORDER BY o_orderkey
                   ELSE 'update' END AS op
       FROM base FULL OUTER JOIN changeset ON base.key = changeset.key
       ORDER BY key""",
+
+    "q54_constraint_audit" -> """
+      WITH t AS (
+        SELECT 'lineitem_orderkey_fk' AS constraint_name,
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_violations,
+               (SELECT count(*) FROM lineitem) AS n_checked
+        UNION ALL
+        SELECT 'customer_acctbal_range',
+               count(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 THEN 1 END),
+               count(*)
+        FROM customer
+        UNION ALL
+        SELECT 'orders_status_domain',
+               count(CASE WHEN o_orderstatus NOT IN ('F','P','O') THEN 1 END),
+               count(*)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_qty_positive',
+               count(CASE WHEN l_quantity <= 0 THEN 1 END), count(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'customer_name_nonnull',
+               count(CASE WHEN c_name IS NULL THEN 1 END), count(*)
+        FROM customer
+      )
+      SELECT constraint_name, n_violations, n_checked,
+             n_violations = 0 AS passed
+      FROM t ORDER BY constraint_name""",
+
+    "q55_stratified_sample" -> """
+      SELECT c_custkey, c_nationkey, n_regionkey, c_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE (c_custkey * 2654435761) % 1000003 <
+            CASE WHEN n_regionkey <= 1 THEN 100000 ELSE 50000 END
+      ORDER BY c_custkey""",
 
     "t07_pii_redaction" -> """
       WITH withpii AS (

@@ -112,8 +112,36 @@ object TextHash {
     out
   }
 
+  /** Distinct character-n-gram hashes of the normalized text (first
+    * occurrence order) — the char-level feature set for n-gram Jaccard
+    * dedup, robust to tokenization differences (word shingles miss e.g.
+    * concatenation edits). Codepoint-aware so the Java loop, the portable
+    * split("")-based form, and DuckDB's substr all see the same windows.
+    */
+  def charNgramHashes(text: String, n: Int): Array[Long] = {
+    val norm = normalize(text)
+    val cps = norm.codePoints().toArray
+    if (cps.length < n) return Array.emptyLongArray
+    val seen = mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i <= cps.length - n) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        acc = (acc * 31 + cps(i + j)) % P
+        j += 1
+      }
+      seen += acc
+      i += 1
+    }
+    seen.toArray
+  }
+
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  def charNgramHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgramHashes(ColumnBridge.expression(text), n))
 
   def minhashBands(features: Column, bands: Int, rows: Int): Column =
     ColumnBridge.column(
@@ -130,6 +158,21 @@ case class ShingleHashes(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       TextHash.shingleHashes(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** text -> array<long> of distinct char-n-gram hashes (compiled). */
+case class CharNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHash.charNgramHashes(input.asInstanceOf[UTF8String].toString, n))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

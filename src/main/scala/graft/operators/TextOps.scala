@@ -73,6 +73,20 @@ object TextOps {
       acc + when(vote > 0, floor(pow(lit(2.0), b)).cast("long")).otherwise(0L)
     })
 
+  /** Distinct char-n-gram hashes (portable form; semantic twin of the
+    * compiled [[graft.functions.TextHash.charNgramHashes]], asserted equal
+    * in TextHashSpec). Windows are codepoint-based: Spark's length/substr
+    * count characters, matching DuckDB substr and Java codePointAt.
+    */
+  def charNgramHashes(text: Column, n: Int): Column = {
+    val t = lower(trim(text))
+    when(length(t) >= n,
+      array_distinct(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => aggregate(split(t.substr(i, lit(n)), ""), lit(0L),
+          (acc, ch) => (acc * 31 + ascii(ch)) % P))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Stopword hit count against a fixed small lexicon. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, w => array_contains(array(words.map(lit): _*), w)))

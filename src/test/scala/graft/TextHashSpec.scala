@@ -35,6 +35,32 @@ class TextHashSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("CharNgramHashes equals the portable charNgramHashes on the fixture") {
+    val diff = docs.select(
+        TextOps.charNgramHashes(col("text"), 3).as("a"),
+        TextHash.charNgramHashes(col("text"), 3).as("b"))
+      .filter(!(col("a") <=> col("b")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("CharNgramHashes edge cases: short text, spaces, CJK codepoints") {
+    val df = Seq((1L, "ab"), (2L, "   "), (3L, "abc"), (4L, " a b "),
+        (5L, "一二三四"), (6L, "MiXeD CaSe"))
+      .toDF("id", "text")
+    val diff = df.select(
+        TextOps.charNgramHashes(col("text"), 3).as("a"),
+        TextHash.charNgramHashes(col("text"), 3).as("b"))
+      .filter(!(col("a") <=> col("b")))
+      .count()
+    assert(diff == 0)
+    // under-n text yields the empty set in the native form too
+    val empt = df.filter(col("id") <= 2)
+      .select(TextHash.charNgramHashes(col("text"), 3).as("f"))
+      .collect()
+    empt.foreach(r => assert(r.getSeq[Long](0).isEmpty))
+  }
+
   test("short docs: empty features -> null bands in BOTH forms (no garbage candidates)") {
     val df = Seq((1L, "solo"), (2L, "tiny")).toDF("id", "text")
       .select(col("id"), TextHash.shingleHashes(col("text"), 2).as("features"))
