@@ -188,10 +188,12 @@ object ExtensionQueries {
     // second full explode+shuffle of the corpus, and the join on term reuses
     // the same exchange the df aggregate shuffled through. Ranking uses only
     // integers/strings (tf desc, df asc, term asc) so it is engine-exact;
-    // the tfidf double is informational output (rounded).
+    // the tfidf double is informational output (rounded). The corpus size
+    // for IDF enters as a lazy broadcast 1-row aggregate (the same scalar-
+    // subquery shape as Score.minMaxScore) — zero driver actions, one job.
     "t05_distinctive_terms" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val nDocs = docs.count() // bounded metadata lookup, not a per-row collect
+      val nDocs = broadcast(docs.agg(count(lit(1)).as("__n_docs")))
       val tf = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -200,8 +202,9 @@ object ExtensionQueries {
       tf.join(df, "term")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
+        .crossJoin(nDocs)
         .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
-          Agg.roundAt(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+          Agg.roundAt(col("tf") * log(col("__n_docs").cast("double") / col("df")), 6).as("tfidf"))
         .orderBy(col("doc_id"), col("rk"))
     }),
 

@@ -335,16 +335,19 @@ object RelationalQueries {
           length(col("p_name")).as("name_len"))
         .orderBy(col("p_partkey"))),
 
-    // Sketch aggregates (HLL++ distinct, approximate quantiles). No DuckDB
-    // oracle — sketch implementations differ across engines by design — so
-    // the driver records the weaker rows-only check; error bounds vs exact
-    // values are pinned in SketchSpec instead.
-    "q31_sketches" -> ((s, dir) =>
+    // Exact profile twin of the sketch query: every column is DuckDB-
+    // expressible, so the driver hash-gates it. The sketch variant (HLL++
+    // distinct, approximate quantiles) lives in [[sketchProfile]] — sketch
+    // implementations differ across engines by design, so its error bounds
+    // vs these exact values are pinned in SketchSpec instead of the oracle.
+    "q31_profile_exact" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          expr("percentile(l_partkey, 0.5)").as("p50_partkey"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))),
 
