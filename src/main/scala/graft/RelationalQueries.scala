@@ -402,6 +402,25 @@ object RelationalQueries {
         .orderBy(col("l_returnflag")))
   )
 
+  /** Sketch sibling of q31_profile_exact: HLL++ distinct and approximate
+    * quantiles over the same grouping. Deliberately NOT in [[all]] — sketch
+    * internals are engine-specific, so a DuckDB hash oracle is impossible by
+    * design; instead SketchSpec pins its error bounds against the exact twin
+    * (|approx_parts - n_parts|/n_parts < 5%, |approx_p50 - exact p50|/p50 < 2%).
+    * At 100 TB these are the only affordable forms of the profile: HLL++ is a
+    * fixed-size mergeable sketch (one map-side partial per partition, no
+    * distinct shuffle of the full key set) and approx_percentile is a bounded
+    * GK summary, vs the exact twin's Expand + full sort per group.
+    */
+  def sketchProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   val oracles: Map[String, String] = Map(
     "q01_dim_decode_join" -> """
       SELECT l_orderkey, l_linenumber, CAST(o_orderdate AS DATE) AS order_date,
@@ -671,6 +690,17 @@ object RelationalQueries {
              regexp_replace(p_type, '\s+', '_', 'g') AS type_slug,
              CAST(length(p_name) AS INTEGER) AS name_len
       FROM part ORDER BY p_partkey""",
+
+    "q31_profile_exact" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             quantile_cont(l_partkey, 0.5) AS p50_partkey,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q33_zscore" -> """
       WITH avg_bal AS (

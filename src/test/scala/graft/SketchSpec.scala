@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q31's sketches have no oracle (sketch internals are engine-specific);
-  * instead pin their error against exact computation.
+/** The sketch profile has no oracle (sketch internals are engine-specific);
+  * instead pin its error against the exact twin, q31_profile_exact.
   */
 class SketchSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -12,7 +12,7 @@ class SketchSpec extends AnyFunSuite {
 
   test("HLL distinct within 5% and approx p50 within 2% of exact, per group") {
     val dir = "/root/testdata/sf0.01"
-    val approx = RelationalQueries.all("q31_sketches")(spark, dir)
+    val approx = RelationalQueries.sketchProfile(spark, dir)
       .select("l_returnflag", "approx_parts", "approx_p50")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val exact = graft.sources.Tables.load(spark, dir, "lineitem")
