@@ -42,6 +42,17 @@ object Agg {
   def decPartialSum(c: Column): Column =
     sum(c.cast(Dec))
 
+  /** Re-aggregate decimal partials into the same value [[decAvg]] would have
+    * produced over the raw rows: sum the exact partial sums and counts, and
+    * only then perform the single double division. Bit-identical to the
+    * one-shot form because decimal addition is associative — this is what
+    * makes pre-aggregated (rolled-up) fact summaries safe for a hash-gated
+    * engine.
+    */
+  def decReAvg(partialSum: Column, partialCount: Column): Column =
+    when(sum(partialCount) > 0, sum(partialSum).cast(DoubleType) / sum(partialCount))
+      .otherwise(lit(null).cast(DoubleType))
+
   /** Engine-portable decimal rounding. Spark's `round` converts the exact
     * binary double to BigDecimal and rounds HALF_UP; DuckDB multiplies by
     * 10^d first, which can snap a near-boundary value onto .5 — so the two

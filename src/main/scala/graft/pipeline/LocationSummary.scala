@@ -46,35 +46,63 @@ object LocationSummary {
     // dim_location with the reference's single-state filter (App.scala:106).
     val dimLocation = broadcast(Tables.dimLocation(spark, sfDir).filter(col("state") === state))
 
-    // fact_crime_rate: latest snapshot-year per (location, crime_type)
-    // via the reference's groupBy-MAX + join-back (App.scala:27-48).
-    val crime = lineitem
+    // fact_crime_rate (App.scala:22-50) and fact_annual_expense
+    // (App.scala:110-133) both consume lineitem⋈supplier. Building each
+    // branch from the raw join would scan and shuffle the dominant fact
+    // TWICE — at 100 TB that doubles the whole pipeline's cost. Instead the
+    // join is pre-aggregated ONCE at (location_id, l_returnflag, snap_year)
+    // grain: a summary whose cardinality is fixed by the dimensions
+    // (locations × 3 flags × ~7 years ≈ hundreds of rows at ANY input
+    // scale), with map-side partial aggregation so the single shuffle moves
+    // only partials. Both branches then re-aggregate exact decimal partials
+    // ([[Agg.decReAvg]]) — bit-identical to the one-shot averages because
+    // decimal sums are associative.
+    //
+    // The summary is persisted (lazy, lineage-backed — an executor loss
+    // recomputes it, unlike localCheckpoint) so the two branch forks read
+    // the ~500-row cache instead of re-running the scan; Spark's
+    // CacheManager dedupes by canonicalized plan, so repeated build() calls
+    // share one entry rather than accumulating copies.
+    val factYearly = lineitem
       .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"), "inner")
-      .select(
+      .groupBy(
         col("s_nationkey").as("location_id"),
-        col("l_returnflag").as("crime_type"),
-        (col("l_extendedprice") / 1000).as("rate"),
+        col("l_returnflag"),
         year(col("l_shipdate")).as("snap_year"))
-    val crimeLatest = Snapshot.latestPerKeyJoin(crime, Seq("location_id", "crime_type"), "snap_year")
+      .agg(
+        Agg.decPartialSum(col("l_extendedprice") / 1000).as("sum_rate"),
+        count(col("l_extendedprice")).as("cnt_rate"),
+        Agg.decPartialSum(col("l_extendedprice") * (col("l_tax") + 0.05)).as("sum_amount"),
+        count(col("l_extendedprice") * (col("l_tax") + 0.05)).as("cnt_amount"),
+        count(when(col("l_returnflag") === "N", lit(1))).as("n_rows_n"))
+      .persist()
+
+    // Latest snapshot-year per (location, crime_type) via the reference's
+    // groupBy-MAX + join-back (App.scala:27-48), now over the tiny summary.
+    val crimeYearly = factYearly.select(
+      col("location_id"), col("l_returnflag").as("crime_type"),
+      col("snap_year"), col("sum_rate"), col("cnt_rate"))
+    val crimeLatest = Snapshot.latestPerKeyJoin(crimeYearly, Seq("location_id", "crime_type"), "snap_year")
     val crimeAvg = crimeLatest
       .join(dimLocation, Seq("location_id"), "inner")
       .groupBy("location_id", "zip_code")
-      .agg(Agg.decAvg(col("rate")).alias("avg_crime_rate"))
+      .agg(Agg.decReAvg(col("sum_rate"), col("cnt_rate")).alias("avg_crime_rate"))
     val crimeNormalized = Score.minMaxScore(crimeAvg, "avg_crime_rate", "normalized_crime_rate")
 
-    // fact_annual_expense: filtered fact, global latest year (App.scala:110-133).
-    val expense = lineitem
-      .filter(col("l_returnflag") === "N")
-      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"), "inner")
-      .select(
-        col("s_nationkey").as("location_id"),
-        (col("l_extendedprice") * (col("l_tax") + 0.05)).as("amount"),
-        year(col("l_shipdate")).as("snap_year"))
-    val expenseLatest = Snapshot.filterLatestGlobal(expense, "snap_year")
+    // Expense keeps only l_returnflag = 'N' rows. The filter is expressed on
+    // the aggregate output n_rows_n (equivalent to flag = 'N': the flag is a
+    // grouping key, so a group counts either all or none of its rows) rather
+    // than the grouping column itself — a grouping-column predicate would be
+    // pushed below the aggregate into the scan, splitting the shared summary
+    // back into two distinct scans.
+    val expenseYearly = factYearly
+      .filter(col("n_rows_n") > 0)
+      .select(col("location_id"), col("snap_year"), col("sum_amount"), col("cnt_amount"))
+    val expenseLatest = Snapshot.filterLatestGlobal(expenseYearly, "snap_year")
     val expenseAvg = expenseLatest
       .join(dimLocation, Seq("location_id"), "inner")
       .groupBy("location_id", "zip_code")
-      .agg(Agg.decAvg(col("amount")).alias("avg_expense"))
+      .agg(Agg.decReAvg(col("sum_amount"), col("cnt_amount")).alias("avg_expense"))
     val expenseNormalized = Score.minMaxScore(expenseAvg, "avg_expense", "normalized_expense")
 
     // fact_living_wage: global latest year, one row per location

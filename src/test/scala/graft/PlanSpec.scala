@@ -29,6 +29,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("flagship_location_summary").contains("CartesianProduct"))
   }
 
+  test("flagship scans lineitem once for the crime+expense pair (shared summary)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // AQE wraps the tree in an opaque AdaptiveSparkPlanExec; disable it here
+    // so the static plan structure is directly traversable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("flagship_location_summary")(spark, dir)
+        .queryExecution.executedPlan
+      def isLineitem(f: FileSourceScanExec): Boolean =
+        f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      // Cached plans may themselves be AQE-wrapped (opaque to collect).
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def deepScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+        val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+          case o => o.children
+        }
+        self ++ kids.flatMap(deepScans)
+      }
+      val mem = exec.collect { case im: InMemoryTableScanExec => im }
+      // crime (summary + its groupBy-MAX side) and expense (filter + its
+      // global-latest scalar) all read the shared pre-agg from cache.
+      assert(mem.size >= 2, s"expected >=2 InMemoryTableScans, got ${mem.size}:\n$exec")
+      // One physical materialization: every cache read shares ONE builder,
+      // and that builder's plan scans lineitem exactly once.
+      val builders = mem.map(_.relation.cacheBuilder).distinct
+      assert(builders.size == 1, s"expected one shared cache build, got ${builders.size}")
+      val cachedLineitemScans =
+        deepScans(builders.head.cachedPlan).count(isLineitem)
+      assert(cachedLineitemScans == 1, s"summary cache should scan lineitem once, got $cachedLineitemScans")
+      // Outside the cache, the only lineitem scan left is removals.
+      val topLevel = exec.collect { case f: FileSourceScanExec if isLineitem(f) => f }.size
+      assert(topLevel == 1, s"expected exactly the removals scan at top level, got $topLevel:\n$exec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("scalar-subquery filter becomes a broadcast join, not a driver collect") {
     val p = plan("q07_scalar_subquery_filter")
     assert(p.contains("BroadcastExchange"), p)
