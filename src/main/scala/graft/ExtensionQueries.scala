@@ -129,6 +129,23 @@ object ExtensionQueries {
     t(s, dir, "embeddings").select(col("vec_id"), col("label"),
       VectorOps.toDouble(col("embedding")).as("v"))
 
+  /** Target expected bucket occupancies for the SRP-LSH family. The plane
+    * count then SCALES with the corpus ([[VectorOps.planesFor]]), keeping
+    * within-bucket work bounded as n grows instead of going quadratic on a
+    * fixed 2^planes bucket space.
+    *   - near-dup pair join: cost ~ n x target, so target stays tiny;
+    *   - k-NN candidate generation: target ~ k so each probe yields about
+    *     one window of candidates.
+    * At the driver's correctness SF (0.01: 500 embeddings) these give 8 and
+    * 6 planes — the values the generated oracles below bake in.
+    */
+  val NearDupTargetBucket = 2L
+  val KnnTargetBucket = 8L
+  private val OracleCorpusSize = 500L // embeddings rows at sf0.001/sf0.01
+
+  private def embPlanes(s: SparkSession, dir: String, target: Long): Int =
+    VectorOps.planesFor(Tables.rowCount(s, dir, "embeddings"), target)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis --
     "t01_token_stats" -> ((s, dir) => {
@@ -277,7 +294,8 @@ object ExtensionQueries {
 
     "d06_embedding_neardup" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
-        .withColumn("bucket", VectorOps.lshBucketFast(col("v"), 8, 64))
+        .withColumn("bucket",
+          VectorOps.lshBucketFast(col("v"), embPlanes(s, dir, NearDupTargetBucket), 64))
       val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
         col("bucket").as("bucket_b"))
@@ -301,7 +319,8 @@ object ExtensionQueries {
 
     "s02_knn_lsh" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
-        .withColumn("bucket", VectorOps.lshBucketFast(col("v"), 6, 64))
+        .withColumn("bucket",
+          VectorOps.lshBucketFast(col("v"), embPlanes(s, dir, KnnTargetBucket), 64))
       val q = e.filter(col("vec_id") <= 2)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
       val c = e.select(col("vec_id"), col("v").as("cv"), col("bucket").as("bucket_c"))
@@ -310,6 +329,31 @@ object ExtensionQueries {
       c.join(broadcast(q), col("bucket") === col("bucket_c") &&
           col("vec_id") =!= col("query_id"))
         .withColumn("cos", VectorOps.cosineFast(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          Agg.roundAt(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Multi-probe LSH k-NN: each query additionally probes the buckets
+    // reached by flipping its lowest-|margin| plane bits — the flips most
+    // likely to recover true neighbors hashed to the other side — recovering
+    // recall without growing corpus storage or shrinking the plane count.
+    // The corpus still holds ONE bucket per vector; only the (tiny,
+    // broadcast) query side explodes into nprobe rows.
+    "s06_knn_lsh_multiprobe" -> ((s, dir) => {
+      val planes = embPlanes(s, dir, KnnTargetBucket)
+      val e = embeddingsD(s, dir)
+        .withColumn("bucket", VectorOps.lshBucketFast(col("v"), planes, 64))
+      val q = embeddingsD(s, dir).filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          explode(VectorOps.lshProbeBuckets(col("v"), planes, 64, nprobe = 2)).as("qbucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      e.join(broadcast(q),
+          col("qbucket") === col("bucket") && col("vec_id") =!= col("query_id"))
+        .withColumn("cos", VectorOps.cosineFast(col("qv"), col("v")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("vec_id"),
@@ -710,7 +754,9 @@ object ExtensionQueries {
         FROM embeddings
       ),
       eb AS (
-        SELECT vec_id, v, ${bucketSql("v", 8)} AS bucket, sqrt(${dotSql("v", "v")}) AS nrm
+        SELECT vec_id, v,
+               ${bucketSql("v", VectorOps.planesFor(OracleCorpusSize, NearDupTargetBucket))} AS bucket,
+               sqrt(${dotSql("v", "v")}) AS nrm
         FROM e
       )
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -747,7 +793,9 @@ object ExtensionQueries {
         FROM embeddings
       ),
       eb AS (
-        SELECT vec_id, v, ${bucketSql("v", 6)} AS bucket, sqrt(${dotSql("v", "v")}) AS nrm
+        SELECT vec_id, v,
+               ${bucketSql("v", VectorOps.planesFor(OracleCorpusSize, KnnTargetBucket))} AS bucket,
+               sqrt(${dotSql("v", "v")}) AS nrm
         FROM e
       ),
       scored AS (
@@ -755,6 +803,52 @@ object ExtensionQueries {
                ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
         FROM eb q JOIN eb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
         WHERE q.vec_id <= 2
+      ),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored
+      )
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+             floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
+    // Mirror of VectorOps.lshProbeBuckets with nprobe=2: the extra probe
+    // flips the plane with the smallest |margin| (ties by plane index).
+    "s06_knn_lsh_multiprobe" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      eb AS (
+        SELECT vec_id, v,
+               ${bucketSql("v", VectorOps.planesFor(OracleCorpusSize, KnnTargetBucket))} AS bucket,
+               sqrt(${dotSql("v", "v")}) AS nrm
+        FROM e
+      ),
+      qm AS (
+        SELECT vec_id, p, abs(${planeDotSql("v", "p")}) AS m
+        FROM e CROSS JOIN range(0, ${VectorOps.planesFor(OracleCorpusSize, KnnTargetBucket)}) t(p)
+        WHERE vec_id <= 2
+      ),
+      qflip AS (
+        SELECT vec_id, p FROM (
+          SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id ORDER BY m, p) AS rn
+          FROM qm
+        ) WHERE rn = 1
+      ),
+      qprobe AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket AS qbucket
+        FROM eb WHERE vec_id <= 2
+        UNION ALL
+        SELECT q.vec_id, q.v, q.nrm, xor(q.bucket, CAST(1 << f.p AS BIGINT))
+        FROM eb q JOIN qflip f ON q.vec_id = f.vec_id
+      ),
+      scored AS (
+        SELECT p.query_id, c.vec_id,
+               ${dotSql("p.qv", "c.v")} / (p.qnrm * c.nrm) AS cos
+        FROM qprobe p JOIN eb c ON p.qbucket = c.bucket AND c.vec_id <> p.query_id
       ),
       ranked AS (
         SELECT query_id, vec_id, cos,

@@ -71,6 +71,45 @@ object VectorOps {
   def lshBucketFast(v: Column, planes: Int, dims: Int): Column =
     graft.functions.LshBucketExpr.lshBucket(v, planes, dims)
 
+  /** Plane count scaled to the corpus: `ceil(log2(n / targetBucketSize))`,
+    * clamped to [1, 62]. Each hyperplane halves expected bucket occupancy,
+    * so this keeps E[bucket size] ≈ targetBucketSize at ANY corpus size —
+    * the fix for fixed plane counts whose within-bucket pair joins go
+    * quadratic as n grows. Corpus size is plan-time metadata (parquet
+    * footers, [[graft.sources.Tables.rowCount]]): index build parameters
+    * shape the expression tree, so they cannot be lazy in-plan scalars.
+    * Occupancy bounds at 10x the fixture size are pinned in LshScaleSpec.
+    */
+  def planesFor(corpusSize: Long, targetBucketSize: Long): Int = {
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    val ratio = math.max(1.0, corpusSize.toDouble / targetBucketSize)
+    math.min(62, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
+  /** Multi-probe bucket list: the base SRP bucket plus `nprobe - 1` buckets
+    * obtained by flipping the lowest-|margin| plane bits (the planes the
+    * vector sits closest to, i.e. the flips most likely to recover a true
+    * neighbor hashed to the other side). Deterministic: margins tie-break by
+    * plane index. Query-side only — the corpus keeps ONE bucket per vector,
+    * so multi-probe multiplies candidate generation by nprobe without
+    * touching corpus storage, and each (query, corpus) pair can match at
+    * most once (probe buckets are distinct single-bit flips of the base).
+    */
+  def lshProbeBuckets(v: Column, planes: Int, dims: Int, nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= planes + 1, s"nprobe must be in [1, planes+1]")
+    val base = lshBucket(v, planes, dims)
+    val margins = array((0 until planes).map { p =>
+      val plane = array((0 until dims).map(d => lit(planeWeight(p, d, dims))): _*)
+      struct(abs(dot(v, plane)).as("m"), lit(p).as("p"))
+    }: _*)
+    // array_sort on structs orders by (m asc, p asc) — total and portable.
+    val flips = slice(array_sort(margins), 1, nprobe - 1)
+    concat(
+      array(base),
+      transform(flips, f =>
+        base.bitwiseXOR(pow(lit(2.0), f.getField("p").cast("double")).cast("long"))))
+  }
+
   /** Brute-force top-k cosine neighbors of each query vector (exact).
     * `queries`/`corpus`: (id, vec) with double arrays. Excludes self-match.
     */

@@ -38,6 +38,34 @@ object Tables {
       if (name == "events") loadEvents(spark, sfDir)
       else spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  /** Exact table row count from parquet FOOTER metadata — no Spark job, no
+    * data pages read. This is plan-time information (the same footers
+    * Spark's own planning lists), used to parameterize index construction
+    * (e.g. [[graft.operators.VectorOps.planesFor]]): index build parameters
+    * must be known before the plan is built, so a lazy in-plan scalar cannot
+    * supply them. Memoized per (dir, table) — immutable fixture directories.
+    */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    countMemo.computeIfAbsent((sfDir, name), { _ =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(s"$sfDir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet"))
+        else Array(fs.getFileStatus(root))
+      Long.box(files.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try r.getRecordCount finally r.close()
+      }.sum)
+    })
+
   /** Enables TIMESTAMP(NANOS) parquet reads for the WHOLE session (nanos
     * surface as raw longs). Deliberately session-wide and not save/restored:
     * the conf is consulted again at action-time planning (it is copied into

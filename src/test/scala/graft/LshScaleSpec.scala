@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps
+
+/** Scale behavior of the SRP-LSH parameterization: plane count grows with
+  * the corpus so candidate-generation work stays near-linear, instead of a
+  * fixed bucket space going quadratic (round-2 verdict item #2).
+  */
+class LshScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("planesFor tracks corpus growth and reproduces the fixture constants") {
+    // the generated oracles bake in these two values at the 500-vector SF
+    assert(VectorOps.planesFor(500, 2) == 8)
+    assert(VectorOps.planesFor(500, 8) == 6)
+    // each 2x of corpus adds one plane: expected occupancy stays ~target
+    assert(VectorOps.planesFor(1000, 8) == 7)
+    assert(VectorOps.planesFor(5000, 8) == 10)
+    assert(VectorOps.planesFor(5000000L, 8) == 20)
+    // clamps: tiny corpora never go below 1 plane, bucket ids stay in a Long
+    assert(VectorOps.planesFor(1, 8) == 1)
+    assert(VectorOps.planesFor(Long.MaxValue, 1) == 62)
+  }
+
+  test("bucket occupancy stays bounded on a 10x corpus under planesFor") {
+    val n = 5000 // 10x the sf0.01 embeddings fixture
+    val dims = 16
+    val target = 8L
+    val planes = VectorOps.planesFor(n, target)
+    // deterministic pseudo-uniform corpus: v[d] = xxhash64(id, d) mapped to
+    // [-0.5, 0.5] — well-mixed across both id and dim (an affine-in-id
+    // formula would put all vectors on a lattice line and skew buckets)
+    val corpus = spark.range(n).select(
+      col("id"),
+      transform(sequence(lit(0), lit(dims - 1)), d =>
+        pmod(xxhash64(col("id"), d), lit(1000003L))
+          .cast("double") / lit(1000003.0) - lit(0.5)).as("v"))
+    def occupancy(p: Int) = corpus
+      .withColumn("bucket", VectorOps.lshBucketFast(col("v"), p, dims))
+      .groupBy("bucket").count()
+      .agg(max("count").as("mx"),
+        // within-bucket pair-join work: sum over buckets of C(size, 2)
+        sum(col("count") * (col("count") - 1) / 2).as("pairs"))
+      .head()
+    val scaled = occupancy(planes)
+    // the quadratic-blowup guard: candidate pairs stay near-linear in n
+    // (the deterministic plane family is not orthogonal, so buckets
+    // concentrate somewhat — the bound is a small multiple of n*target)
+    assert(scaled.getDouble(1) <= 4.0 * n * target,
+      s"pair work ${scaled.getDouble(1)} vs bound ${4.0 * n * target}")
+    assert(scaled.getLong(0) <= n / 8, s"one bucket holds ${scaled.getLong(0)} of $n vectors")
+    // and scaling the plane count genuinely beats the old fixed count:
+    // at 10x the corpus, planesFor has strictly less within-bucket work
+    val fixed8 = occupancy(8)
+    assert(scaled.getDouble(1) < fixed8.getDouble(1),
+      s"scaled planes=${planes} pair work ${scaled.getDouble(1)} not below fixed-8 ${fixed8.getDouble(1)}")
+  }
+
+  test("multi-probe recall against brute-force truth never drops") {
+    val dir = "/root/testdata/sf0.01"
+    def pairs(q: String) = ExtensionQueries.all(q)(spark, dir)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs("s01_knn_brute")
+    val single = pairs("s02_knn_lsh")
+    val multi = pairs("s06_knn_lsh_multiprobe")
+    // Multi-probe candidates are a superset, so a TRUE top-5 member can
+    // never be displaced (only ≤4 corpus items out-rank it by definition) —
+    // recall@5 is monotone in the probe count. Individual low-cosine pairs
+    // MAY drop out of the top-5; that is the approximation improving.
+    val recallSingle = (truth & single).size
+    val recallMulti = (truth & multi).size
+    assert(recallMulti >= recallSingle, s"recall dropped: $recallMulti < $recallSingle")
+    // and on this fixture the extra probe actually finds new candidates
+    assert(multi.size > single.size || recallMulti > recallSingle,
+      "multi-probe found nothing beyond single-probe on the fixture")
+  }
+}
