@@ -146,6 +146,51 @@ object ExtensionQueries {
   private def embPlanes(s: SparkSession, dir: String, target: Long): Int =
     VectorOps.planesFor(Tables.rowCount(s, dir, "embeddings"), target)
 
+  /** Learned-IVF training budget (s05): cells, Lloyd iterations, probes.
+    * Shared by the Spark query and its generated oracle.
+    */
+  val IvfCells = 8
+  val IvfIters = 2
+  val IvfProbe = 2
+
+  /** DuckDB mirror of [[graft.operators.Kmeans.assign]] as a CTE. */
+  private def kmAssignCte(name: String, centCte: String): String = s"""
+      $name AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   (${dotSql("e.v", "c.cv")} / (sqrt(${dotSql("e.v", "e.v")}) * sqrt(${dotSql("c.cv", "c.cv")}))) DESC,
+                   c.cell ASC) AS rn
+          FROM e CROSS JOIN $centCte c
+        ) t WHERE rn = 1
+      )"""
+
+  /** DuckDB mirror of [[graft.operators.Kmeans.recompute]] as a CTE. */
+  private def kmRecomputeCte(name: String, assignCte: String): String = s"""
+      $name AS (
+        SELECT cell, list(c ORDER BY dim) AS cv FROM (
+          SELECT cell, CAST(i AS INTEGER) AS dim,
+                 CAST(sum(CAST(v[i+1] AS DECIMAL(30,6))) AS DOUBLE) / count(v[i+1]) AS c
+          FROM $assignCte CROSS JOIN range(0, 64) t(i)
+          GROUP BY 1, 2
+        ) d GROUP BY cell
+      )"""
+
+  /** The full deterministic training run c0 -> a1 -> c1 -> ... -> c_iters. */
+  private def kmTrainingCtes(k: Int, iters: Int): String = {
+    val seeds = s"""
+      seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS INTEGER) AS cell, v
+        FROM e
+        QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) <= $k
+      ),
+      c0 AS (SELECT cell, v AS cv FROM seeds)"""
+    val rounds = (1 to iters).map { r =>
+      kmAssignCte(s"a$r", s"c${r - 1}") + "," + kmRecomputeCte(s"c$r", s"a$r")
+    }
+    (seeds +: rounds).mkString(",")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis --
     "t01_token_stats" -> ((s, dir) => {
@@ -398,6 +443,37 @@ object ExtensionQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("label"), col("vec_id"),
+          Agg.roundAt(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LEARNED IVF ANN: deterministic k-means centroids (operators.Kmeans —
+    // hash-ranked seeds, fixed 2 Lloyd iterations, exact-decimal centroid
+    // recomputation) instead of routing on the fixture's label column;
+    // nprobe=2 search over the training run's final posting lists. The
+    // oracle replays the ENTIRE training run in DuckDB CTEs and hash-matches
+    // it — possible only because every step is engine-exact.
+    "s05_knn_ivf_learned" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val (cent, assigned) =
+        graft.operators.Kmeans.fit(e.select(col("vec_id"), col("v")), k = IvfCells, iters = IvfIters)
+      val q = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cell").asc)
+      val cells = q.crossJoin(broadcast(cent))
+        .withColumn("ccos", VectorOps.cosineFast(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= IvfProbe)
+        .select(col("query_id"), col("qv"), col("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      assigned.join(broadcast(cells), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", VectorOps.cosineFast(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("cell"), col("vec_id"),
           Agg.roundAt(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -856,6 +932,38 @@ object ExtensionQueries {
         FROM scored
       )
       SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+             floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
+    // Replays the whole deterministic k-means training run (seeds -> 2 Lloyd
+    // iterations) before searching — mirror of operators.Kmeans + the s05 query.
+    "s05_knn_ivf_learned" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),${kmTrainingCtes(IvfCells, IvfIters)},
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),
+      probe AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.query_id, q.qv, c.cell,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   (${dotSql("q.qv", "c.cv")} / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("c.cv", "c.cv")}))) DESC,
+                   c.cell ASC) AS prn
+          FROM q CROSS JOIN c$IvfIters c
+        ) p WHERE prn <= $IvfProbe
+      ),
+      scored AS (
+        SELECT p.query_id, a.cell, a.vec_id,
+               ${dotSql("p.qv", "a.v")} / (sqrt(${dotSql("p.qv", "p.qv")}) * sqrt(${dotSql("a.v", "a.v")})) AS cos
+        FROM probe p JOIN a$IvfIters a ON p.cell = a.cell AND a.vec_id <> p.query_id
+      ),
+      ranked AS (
+        SELECT query_id, cell, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored
+      )
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, cell, vec_id,
              floor(cos * 1000000 + 0.5) / 1000000 AS cos
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank""",

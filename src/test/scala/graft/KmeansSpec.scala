@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Kmeans
+
+/** Learned-IVF training invariants (round-2 verdict item #3). The s05 query
+  * itself is hash-gated by a DuckDB oracle that replays the whole training
+  * run; these pin the properties the oracle cannot express.
+  */
+class KmeansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("training is deterministic: two fits give identical centroids") {
+    def run() = {
+      val (cent, _) = Kmeans.fit(emb, k = 8, iters = 2)
+      cent.orderBy("cell").collect().map(r =>
+        (r.getInt(0), r.getSeq[Double](1).toList)).toList
+    }
+    assert(run() == run())
+  }
+
+  test("centroids actually partition the corpus (not one mega-cell)") {
+    val (_, assigned) = Kmeans.fit(emb, k = 8, iters = 2)
+    val sizes = assigned.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.size >= 4, s"only ${sizes.size} non-empty cells: $sizes")
+    val n = sizes.values.sum
+    assert(sizes.values.max < n, s"degenerate single cell: $sizes")
+    assert(n == 500, s"assignment lost rows: $n")
+  }
+
+  test("learned IVF beats label-routed IVF structure: recall floor vs brute force") {
+    def pairs(q: String) = ExtensionQueries.all(q)(spark, dir)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs("s01_knn_brute")
+    val learned = pairs("s05_knn_ivf_learned")
+    // nprobe=2 of k=8 learned cells recovers >= half the true neighbors on
+    // the fixture (observed 9/15); a broken index (random routing) would
+    // hover near 2*500/8/500*15 ≈ 3-4
+    assert((truth & learned).size >= 7, s"recall ${(truth & learned).size}/15")
+  }
+}
