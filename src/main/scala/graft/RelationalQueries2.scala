@@ -221,6 +221,34 @@ object RelationalQueries2 {
           Agg.roundAt(Agg.decSum(col("o_totalprice")), 2).as("revenue"),
           min(col("od")).as("first_order"), max(col("od")).as("last_order"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // The reference's ACTUAL sink semantics end-to-end: append-mode writes to
+    // a warehouse table (App.scala:265-270 `mode("append")` into
+    // summary_zip_code). The flagship is appended TWICE into a fresh
+    // directory, read back, and aggregated — the oracle doubles the flagship
+    // oracle, so a sink that overwrote, dropped, or duplicated-beyond-append
+    // rows fails the hash. (q46/q47 prove CSV/JSON; this is the parquet
+    // append path used by writeSummary.)
+    "q56_append_sink_roundtrip" -> ((s, dir) => {
+      val tmp = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_append_${new java.io.File(dir).getName}")
+      // append semantics need a clean slate across verify re-runs
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (tmp.exists()) rm(tmp)
+      val summary = graft.pipeline.LocationSummary.build(s, dir)
+      graft.pipeline.LocationSummary.writeSummary(summary, tmp.getPath)
+      graft.pipeline.LocationSummary.writeSummary(summary, tmp.getPath)
+      s.read.parquet(tmp.getPath)
+        .groupBy(col("STATE"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("ZIP_CODE")).as("n_zips"),
+          Agg.roundAt(Agg.decSum(col("RECOMMENDED_ANNUAL_SALARY")), 2).as("total_rec_salary"),
+          Agg.roundAt(Agg.decSum(col("AVERAGE_ANNUAL_SALARY")), 2).as("total_avg_salary"))
+        .orderBy(col("STATE"))
     })
   )
 
@@ -359,6 +387,18 @@ object RelationalQueries2 {
              floor(($decSumPrice) * 100 + 0.5) / 100 AS revenue,
              min(CAST(o_orderdate AS DATE)) AS first_order,
              max(CAST(o_orderdate AS DATE)) AS last_order
-      FROM orders GROUP BY 1 ORDER BY 1"""
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // Two appends == the flagship result twice: replay the flagship oracle
+    // and duplicate each row before aggregating.
+    "q56_append_sink_roundtrip" -> s"""
+      WITH doubled AS (
+        SELECT f.* FROM (${FlagshipOracle.sql}) f CROSS JOIN range(0, 2) t(i)
+      )
+      SELECT "STATE", count(*) AS n_rows,
+             count(DISTINCT "ZIP_CODE") AS n_zips,
+             floor((CAST(sum(CAST("RECOMMENDED_ANNUAL_SALARY" AS DECIMAL(30,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_rec_salary,
+             floor((CAST(sum(CAST("AVERAGE_ANNUAL_SALARY" AS DECIMAL(30,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_avg_salary
+      FROM doubled GROUP BY 1 ORDER BY 1"""
   )
 }

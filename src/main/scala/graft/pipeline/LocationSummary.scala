@@ -207,6 +207,16 @@ object LocationSummary {
   def writeSummaryPartitioned(df: DataFrame, outPath: String): Unit =
     df.write.mode("append").partitionBy("STATE").parquet(outPath)
 
+  /** Catalog-managed append sink — the Spark-native equivalent of the
+    * reference's named-warehouse-table append (`App.scala:265-270`,
+    * `option("dbtable", "summary_zip_code")`): after this, any SQL user of
+    * the session catalog can `SELECT * FROM summary_zip_code` without
+    * knowing a path. Backed by parquet under `spark.sql.warehouse.dir`;
+    * append-mode like the reference, so history accumulates across runs.
+    */
+  def writeSummaryTable(df: DataFrame, table: String = "summary_zip_code"): Unit =
+    df.write.mode("append").format("parquet").saveAsTable(table)
+
   /** The reporting row as a typed record (field names resolve
     * case-insensitively against the UPPER_SNAKE reporting schema).
     */
