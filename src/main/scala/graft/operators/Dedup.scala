@@ -49,7 +49,8 @@ object Dedup {
     * diameter is small; singletons keep their own id). Each round is one
     * join + one aggregate — shuffle-parallel, r = O(log n) in practice.
     */
-  def labelClusters(docs: DataFrame, pairs: DataFrame, rounds: Int): DataFrame = {
+  def labelClusters(docs: DataFrame, pairs: DataFrame, rounds: Int,
+      reliableCheckpointDir: Option[String] = None): DataFrame = {
     // Iterative-algorithm hygiene: the naive round
     // `labels.union(propagated(labels))` references `labels` TWICE, so the
     // logical plan doubles every iteration (2^rounds leaf copies — measured
@@ -58,16 +59,29 @@ object Dedup {
     // makes "keep my own label" just another neighbor propagation, so each
     // round is one join + one aggregate over a SINGLE labels reference —
     // plan growth is linear and the whole iteration stays lazy (zero jobs
-    // until the caller's action). The edge set is localCheckpoint'ed once:
-    // eager, but it truncates the LSH lineage that the five round-joins
-    // would otherwise re-derive per round (measured 6.7s/action fully lazy,
-    // and a lazy persist() was 3-8x run-to-run unstable under AQE — the
+    // until the caller's action). The edge set is checkpointed once: eager,
+    // but it truncates the LSH lineage that the five round-joins would
+    // otherwise re-derive per round (measured 6.7s/action fully lazy, and a
+    // lazy persist() was 3-8x run-to-run unstable under AQE — the
     // checkpoint is the stable, predictable form).
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    //
+    // Default localCheckpoint stores blocks on executor local storage only:
+    // fastest, but on a real cluster an executor loss kills the
+    // lineage-truncated plan. Long multi-stage 100 TB jobs should pass
+    // `reliableCheckpointDir` (shared storage): the edge set is then written
+    // to parquet and re-read — same truncation, storage-backed recovery,
+    // engine-portable (no SparkContext-global checkpoint dir needed).
+    val edgesRaw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .union(docs.select(col(docs.columns.head).as("src"),
         col(docs.columns.head).as("dst")))
-      .localCheckpoint()
+    val edges = reliableCheckpointDir match {
+      case Some(dir) =>
+        val path = s"$dir/graft_edges_${java.util.UUID.randomUUID()}"
+        edgesRaw.write.mode("error").parquet(path)
+        edgesRaw.sparkSession.read.parquet(path)
+      case None => edgesRaw.localCheckpoint()
+    }
     var labels = docs.select(col(docs.columns.head).as("id"),
       col(docs.columns.head).as("label"))
     for (_ <- 1 to rounds) {

@@ -33,10 +33,38 @@ object Tables {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Drop every memoized plan belonging to `spark`; returns entries removed.
+    * Wired automatically to the session's context end ([[load]]), so
+    * long-lived multi-session drivers do not accumulate analyzed plans for
+    * dead sessions; callers retiring a live session early can also invoke it
+    * directly.
+    */
+  def evict(spark: SparkSession): Int = {
+    val keys = memo.keySet().stream().filter(_._1 eq spark)
+      .collect(java.util.stream.Collectors.toList[(SparkSession, String, String)])
+    keys.forEach(k => memo.remove(k))
+    evictionHooked.remove(spark)
+    keys.size()
+  }
+
+  private def hookEviction(spark: SparkSession): Unit =
+    if (evictionHooked.add(spark))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          evict(spark); ()
+        }
+      })
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    hookEviction(spark)
     memo.computeIfAbsent((spark, sfDir, name), _ =>
       if (name == "events") loadEvents(spark, sfDir)
       else spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   private val countMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()

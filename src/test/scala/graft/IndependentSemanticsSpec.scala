@@ -61,6 +61,33 @@ class IndependentSemanticsSpec extends AnyFunSuite {
     assert(atN == atN3)
   }
 
+  test("reliable-checkpoint labelClusters equals the localCheckpoint default") {
+    val feats = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"), TextHash.shingleHashes(col("text"), 2).as("features"))
+    val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val default = Dedup.labelClusters(feats.select("id"), pairs,
+      rounds = ExtensionQueries.ClusterRounds).as[(Long, Long)].collect().toMap
+    val reliable = Dedup.labelClusters(feats.select("id"), pairs,
+        rounds = ExtensionQueries.ClusterRounds, reliableCheckpointDir = Some(ckpt))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == default)
+    // the edge set really landed on storage (what survives executor loss)
+    val wrote = new java.io.File(ckpt).listFiles()
+    assert(wrote != null && wrote.exists(_.getName.startsWith("graft_edges_")))
+  }
+
+  test("Tables.evict drops a session's memoized plans; reload re-analyzes") {
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val first = Tables.load(spark, dir, "nation")
+    assert(Tables.load(spark, dir, "nation") eq first) // memo hit
+    assert(Tables.evict(spark) >= 1)
+    val fresh = Tables.load(spark, dir, "nation")
+    assert(!(fresh eq first)) // re-analyzed after eviction
+    assert(fresh.count() == first.count())
+  }
+
   test("asofJoin equals a naive per-row scan on generated data") {
     val gen = for {
       left <- Gen.listOfN(60, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 1000L)))
