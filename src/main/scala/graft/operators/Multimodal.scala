@@ -24,9 +24,12 @@ object Multimodal {
   case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte],
       width: Int, height: Int)
 
-  /** Decoded, feature-extracted output: narrow row per media item. */
+  /** Decoded, feature-extracted output: narrow row per media item. The
+    * checksum is the payload md5 — real ingest pipelines stamp one per blob
+    * so downstream stages can detect corruption without re-reading bytes.
+    */
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
-      frames_sampled: Int, features: Array[Float])
+      frames_sampled: Int, checksum: String, features: Array[Float])
 
   /** The decode seam. REAL deployments swap this object out. */
   object StubDecoder {
@@ -78,12 +81,49 @@ object Multimodal {
   def decodeFeatures(media: Dataset[MediaRecord], frameStride: Int = 4): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
-      // per-partition init of the (stub) decoder happens here
+      // per-partition init of the (stub) decoder + digest happens here
+      val md = java.security.MessageDigest.getInstance("MD5")
       records.map { r =>
+        md.reset()
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
         MediaFeatures(r.doc_id, r.media_type, r.payload.length,
-          StubDecoder.sampleFrames(r.payload, frameStride),
+          StubDecoder.sampleFrames(r.payload, frameStride), hex,
           StubDecoder.decode(r.payload))
       }
     }
+  }
+
+  /** Distributed opaque-file writer: each task writes its partition's
+    * payloads as individual `<doc_id>.bin` files — the one-blob-per-object
+    * layout `binaryFile` sources (and real media lakes) expect. Locally
+    * `dir` is a temp directory; on a cluster it must be shared storage
+    * (the write is partition-parallel, nothing funnels through the driver).
+    */
+  def writeBinaryFiles(media: Dataset[MediaRecord], dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    media.foreachPartition { (records: Iterator[MediaRecord]) =>
+      records.foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"${r.doc_id}%012d.bin"), r.payload)
+      }
+    }
+  }
+
+  /** Media records from a directory of genuinely opaque files via Spark's
+    * `binaryFile` source: one row per file, payload = raw bytes, identity
+    * parsed from the file name (media_type keyed off doc_id exactly like
+    * [[mediaFromDocuments]] so the two sources are interchangeable).
+    */
+  def fromBinaryFiles(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val docId = regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long")
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+      .select(
+        docId.as("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (docId % 3 + 1).cast("int")).as("media_type"),
+        col("content").as("payload"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRecord]
   }
 }
