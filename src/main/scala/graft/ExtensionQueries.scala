@@ -635,18 +635,13 @@ object ExtensionQueries {
     // (any write/read corruption fails the hash); upper/lower byte counts
     // pin the decoder's histogram math. Oracle replays all of it from the
     // original documents table, so a sink that dropped, truncated, or
-    // re-encoded a file cannot pass.
+    // re-encoded a file cannot pass. The sink dir comes from [[Scratch]]
+    // (shared storage on a cluster, tmp only under local[*]).
     "m03_binary_source" -> ((s, dir) => {
-      val tmp = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_media_${new java.io.File(dir).getName}")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (tmp.exists()) rm(tmp)
+      val sink = graft.sources.Scratch.fresh(s, s"media_${new java.io.File(dir).getName}")
       Multimodal.writeBinaryFiles(
-        Multimodal.mediaFromDocuments(t(s, dir, "documents")), tmp.getPath)
-      val decoded = Multimodal.decodeFeatures(Multimodal.fromBinaryFiles(s, tmp.getPath))
+        Multimodal.mediaFromDocuments(t(s, dir, "documents")), sink)
+      val decoded = Multimodal.decodeFeatures(Multimodal.fromBinaryFiles(s, sink))
       // byte-histogram bins are count/len floats; count*len round-trips the
       // exact integer count (rel. error ~1e-7 << 0.5/len for len < 1e6)
       def binCount(b: Int) =

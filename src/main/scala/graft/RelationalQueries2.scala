@@ -192,7 +192,7 @@ object RelationalQueries2 {
     // surface end-to-end; the oracle reads the ORIGINAL parquet, so any
     // round-trip loss fails the hash.
     "q46_csv_roundtrip" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${new java.io.File(dir).getName}"
+      val tmp = graft.sources.Scratch.fresh(s, s"csv_${new java.io.File(dir).getName}")
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("qty"), col("l_returnflag"),
@@ -209,7 +209,7 @@ object RelationalQueries2 {
     // JSON-lines sink + source round trip (doubles survive: Spark writes
     // shortest-round-trip representations). Same oracle-reads-parquet trick.
     "q47_json_roundtrip" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_${new java.io.File(dir).getName}"
+      val tmp = graft.sources.Scratch.fresh(s, s"json_${new java.io.File(dir).getName}")
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           col("o_orderdate").cast("date").as("od"))
@@ -231,18 +231,17 @@ object RelationalQueries2 {
     // rows fails the hash. (q46/q47 prove CSV/JSON; this is the parquet
     // append path used by writeSummary.)
     "q56_append_sink_roundtrip" -> ((s, dir) => {
-      val tmp = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_append_${new java.io.File(dir).getName}")
-      // append semantics need a clean slate across verify re-runs
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (tmp.exists()) rm(tmp)
-      val summary = graft.pipeline.LocationSummary.build(s, dir)
-      graft.pipeline.LocationSummary.writeSummary(summary, tmp.getPath)
-      graft.pipeline.LocationSummary.writeSummary(summary, tmp.getPath)
-      s.read.parquet(tmp.getPath)
+      // sink dir via Scratch (clean slate each run; shared storage on a
+      // cluster). persist() so the 6-table flagship pipeline runs ONCE:
+      // the first append materializes the ~500-row summary, the second
+      // reads it from cache instead of re-running the joins.
+      val sink = graft.sources.Scratch.fresh(s, s"append_${new java.io.File(dir).getName}")
+      val summary = graft.pipeline.LocationSummary.build(s, dir).persist()
+      try {
+        graft.pipeline.LocationSummary.writeSummary(summary, sink)
+        graft.pipeline.LocationSummary.writeSummary(summary, sink)
+      } finally summary.unpersist()
+      s.read.parquet(sink)
         .groupBy(col("STATE"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("ZIP_CODE")).as("n_zips"),

@@ -95,16 +95,24 @@ object Multimodal {
 
   /** Distributed opaque-file writer: each task writes its partition's
     * payloads as individual `<doc_id>.bin` files — the one-blob-per-object
-    * layout `binaryFile` sources (and real media lakes) expect. Locally
-    * `dir` is a temp directory; on a cluster it must be shared storage
-    * (the write is partition-parallel, nothing funnels through the driver).
+    * layout `binaryFile` sources (and real media lakes) expect.
+    *
+    * Cluster-portable by construction: all I/O goes through the Hadoop
+    * `FileSystem` resolved from `dir`'s scheme, so `dir` may be local
+    * (tests), `hdfs://…`, or `s3a://…` — each executor opens the filesystem
+    * from the broadcast Hadoop conf and streams only its own partition;
+    * nothing funnels through the driver.
     */
   def writeBinaryFiles(media: Dataset[MediaRecord], dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    import org.apache.hadoop.fs.Path
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      media.sparkSession.sparkContext.hadoopConfiguration)
+    new Path(dir).getFileSystem(hconf.value).mkdirs(new Path(dir))
     media.foreachPartition { (records: Iterator[MediaRecord]) =>
+      val fs = new Path(dir).getFileSystem(hconf.value)
       records.foreach { r =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, f"${r.doc_id}%012d.bin"), r.payload)
+        val out = fs.create(new Path(dir, f"${r.doc_id}%012d.bin"), true)
+        try out.write(r.payload) finally out.close()
       }
     }
   }

@@ -36,4 +36,40 @@ class SinkSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $table")
     assert(!spark.catalog.tableExists(table))
   }
+
+  test("q56 appends twice but computes the flagship pipeline only once") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import scala.collection.mutable.ArrayBuffer
+
+    // capture the executed plan of every write command q56 issues
+    val plans = ArrayBuffer[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = RelationalQueries2.all("q56_append_sink_roundtrip")(spark, dir)
+      assert(out.count() > 0)
+      // listener delivery is async — wait for both write commands to surface
+      def writes = plans.synchronized {
+        plans.filter(p => p.contains("graft_append") &&
+          p.contains("InsertIntoHadoopFsRelationCommand")).toList
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (writes.size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val w = writes
+      assert(w.size == 2, s"expected exactly 2 append writes, saw ${w.size}")
+      // Both writes must go through the persisted summary. Spark materializes
+      // a cache at most once, so InMemoryTableScan in BOTH write plans means
+      // the 6-table join pipeline ran once (during the first write) and the
+      // second append was a ~500-row cache read. Without the persist, neither
+      // plan would contain an InMemoryTableScan and the pipeline would run
+      // twice.
+      w.foreach(p => assert(p.contains("InMemoryTableScan"),
+        "append write bypassed the persisted summary — pipeline would run per append"))
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
