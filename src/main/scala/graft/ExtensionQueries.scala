@@ -258,10 +258,15 @@ object ExtensionQueries {
       val nDocs = broadcast(docs.agg(count(lit(1)).as("__n_docs")))
       val tf = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df (document frequency) as a term-partitioned window over tf — tf has
+      // exactly one row per (doc, term), so count-over-term IS df. The former
+      // tf⋈df self-join evaluated the explode+aggregate subtree twice and
+      // broadcast the whole vocabulary (fine at sf0.1, OOM at 100 TB); this
+      // form scans/explodes once and every shuffle is keyed, never broadcast.
+      val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-      tf.join(df, "term")
+      withDf
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .crossJoin(nDocs)
