@@ -18,9 +18,11 @@ object Bench {
     "q11_multi_avg", "q16_topk_per_group", "q21_rollup", "q23_running_window",
     "q26_salted_join", "q27_asof_join", "q28_percentiles",
     "d01_dedup_exact", "d03_lsh_candidates", "d07_dedup_clusters",
-    "s01_knn_brute", "s04_knn_ivf",
+    "s01_knn_brute", "s04_knn_ivf", "s05_knn_ivf_learned", "s06_knn_lsh_multiprobe",
     "t01_token_stats", "t05_distinctive_terms",
-    "e01_tumbling_daily", "e03_sessionize", "m01_media_plumbing")
+    "e01_tumbling_daily", "e03_sessionize", "m01_media_plumbing",
+    "m03_binary_source", "q46_csv_roundtrip", "q47_json_roundtrip",
+    "q56_append_sink_roundtrip")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

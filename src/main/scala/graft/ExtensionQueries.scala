@@ -44,12 +44,12 @@ object ExtensionQueries {
             FROM documents) tok
     )"""
 
-  /** DuckDB mirror of [[TextOps.charNgramHashes]] with n=3 as a CTE body. */
-  private val charFeaturesCte: String =
+  /** DuckDB mirror of [[TextOps.charNgramHashes]] as a CTE body. */
+  private def charFeaturesCteN(n: Int): String =
     s"""char_feat AS (
-      SELECT doc_id, CASE WHEN length(t) >= 3 THEN
-        list_distinct(list_transform(range(1, length(t) - 1),
-          i -> ${chSql("substr(t, CAST(i AS INTEGER), 3)")}))
+      SELECT doc_id, CASE WHEN length(t) >= $n THEN
+        list_distinct(list_transform(range(1, length(t) - ${n - 2}),
+          i -> ${chSql(s"substr(t, CAST(i AS INTEGER), $n)")}))
         ELSE []::BIGINT[] END AS features
       FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents) norm
     )"""
@@ -320,7 +320,11 @@ object ExtensionQueries {
     // 0.6 reflects the higher base similarity of char-gram sets.
     "d09_char_ngram_jaccard" -> ((s, dir) => {
       val feats = t(s, dir, "documents").select(col("doc_id").as("id"),
-        graft.functions.TextHash.charNgramHashes(col("text"), 3).as("features"))
+        // 5-grams, not 3: same-language text shares almost all trigrams, so
+        // trigram-minhash bands collide for ~60% of ALL doc pairs (7.4M
+        // candidates at sf0.1 — LSH pruned nothing). 5-gram space is sparse
+        // enough that candidates ≈ near-dups, which is the point of LSH.
+        graft.functions.TextHash.charNgramHashes(col("text"), 5).as("features"))
       val pairs = Dedup.lshCandidatePairs(feats, bands = 2, rows = 6)
       Dedup.jaccardOnPairs(pairs, feats)
         .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
@@ -795,7 +799,7 @@ object ExtensionQueries {
       ORDER BY doc_a, doc_b""",
 
     "d09_char_ngram_jaccard" -> s"""
-      WITH $charFeaturesCte,
+      WITH ${charFeaturesCteN(5)},
       banded AS (
         SELECT doc_id, 0 AS band_idx, ${bandSqlRows(0, 6)} AS bh FROM char_feat
         UNION ALL SELECT doc_id, 1, ${bandSqlRows(1, 6)} FROM char_feat

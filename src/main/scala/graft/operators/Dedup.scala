@@ -100,10 +100,14 @@ object Dedup {
   def jaccardOnPairs(pairs: DataFrame, withFeatures: DataFrame): DataFrame = {
     val fa = withFeatures.select(col("id").as("doc_a"), col("features").as("fa"))
     val fb = withFeatures.select(col("id").as("doc_b"), col("features").as("fb"))
+    // feature arrays are distinct-element by construction (shingle/char-gram
+    // extractors dedup), so |a ∪ b| = |a| + |b| - |a ∩ b| — one
+    // array_intersect per pair instead of intersect + union halves the
+    // dominant per-pair cost (the arrays are ~n_chars long for char grams)
     pairs.join(fa, "doc_a").join(fb, "doc_b")
+      .withColumn("__overlap", size(array_intersect(col("fa"), col("fb"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("fa"), col("fb"))).cast("double") /
-          size(array_union(col("fa"), col("fb"))))
-      .drop("fa", "fb")
+        col("__overlap") / (size(col("fa")) + size(col("fb")) - col("__overlap")))
+      .drop("fa", "fb", "__overlap")
   }
 }

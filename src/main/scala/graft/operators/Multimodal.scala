@@ -105,11 +105,25 @@ object Multimodal {
     */
   def writeBinaryFiles(media: Dataset[MediaRecord], dir: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val hconf = new org.apache.spark.util.SerializableConfiguration(
-      media.sparkSession.sparkContext.hadoopConfiguration)
+    val sc = media.sparkSession.sparkContext
+    val hconf = new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration)
     new Path(dir).getFileSystem(hconf.value).mkdirs(new Path(dir))
-    media.foreachPartition { (records: Iterator[MediaRecord]) =>
+    // File creation is latency-bound (~ms per object on local FS and object
+    // stores alike), so per-file cost amortizes ONLY across tasks. A
+    // narrow upstream (e.g. one parquet file) would serialize the whole
+    // write through one task — 47 s for 5k files measured — so spread it to
+    // the cluster's parallelism first; an already-wide upstream keeps its
+    // partitioning (the repartition shuffle is payload-sized but one-pass,
+    // and at scale the upstream is wide and the branch never fires).
+    val spread =
+      if (media.rdd.getNumPartitions < sc.defaultParallelism)
+        media.repartition(sc.defaultParallelism)
+      else media
+    spread.foreachPartition { (records: Iterator[MediaRecord]) =>
       val fs = new Path(dir).getFileSystem(hconf.value)
+      // skip the checksum-FS .crc sibling per file (doubles create latency);
+      // integrity is pinned downstream by the per-payload md5 instead
+      fs.setWriteChecksum(false)
       records.foreach { r =>
         val out = fs.create(new Path(dir, f"${r.doc_id}%012d.bin"), true)
         try out.write(r.payload) finally out.close()
