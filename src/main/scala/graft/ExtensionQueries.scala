@@ -651,13 +651,23 @@ object ExtensionQueries {
       Multimodal.writeBinaryFiles(
         Multimodal.mediaFromDocuments(t(s, dir, "documents")), sink)
       val decoded = Multimodal.decodeFeatures(Multimodal.fromBinaryFiles(s, sink))
+      val isImg = col("media_type") === "image"
+      def f(i: Int) = element_at(col("features"), i)
       // byte-histogram bins are count/len floats; count*len round-trips the
       // exact integer count (rel. error ~1e-7 << 0.5/len for len < 1e6)
       def binCount(b: Int) =
         round(element_at(col("features"), b + 1).cast("double") * col("n_bytes")).cast("long")
+      // image rows pin the REAL PPM parse (dims + exact channel sums read
+      // from the raster); audio/video rows pin the stub histogram as before
       decoded.select(col("doc_id"), col("media_type"), col("n_bytes"),
           col("frames_sampled"), col("checksum"),
-          binCount(2).as("upper_bytes"), binCount(3).as("lower_bytes"))
+          when(isImg, f(1).cast("int")).as("img_w"),
+          when(isImg, f(2).cast("int")).as("img_h"),
+          when(isImg, f(5).cast("long")).as("sum_r"),
+          when(isImg, f(6).cast("long")).as("sum_g"),
+          when(isImg, f(7).cast("long")).as("sum_b"),
+          when(!isImg, binCount(2)).as("upper_bytes"),
+          when(!isImg, binCount(3)).as("lower_bytes"))
         .orderBy(col("doc_id"))
     })
   )
@@ -1129,19 +1139,50 @@ object ExtensionQueries {
 
     // Replays the binaryFile round trip from the original table: the text is
     // printable ASCII (verified on the fixtures), so codepoints == UTF-8
-    // bytes and ascii(ch) // 32 mirrors StubDecoder's (byte & 0xff) >> 5.
-    "m03_binary_source" -> """
-      SELECT doc_id,
-             CASE CAST(doc_id % 3 AS INTEGER)
-               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-             CAST(strlen(text) AS INTEGER) AS n_bytes,
-             CAST(greatest(strlen(text) // 64, 1) AS INTEGER) AS frames_sampled,
-             md5(text) AS checksum,
-             CAST(len(list_filter(list_transform(string_split(text, ''), ch -> ascii(ch)),
-                                  c -> c // 32 = 2)) AS BIGINT) AS upper_bytes,
-             CAST(len(list_filter(list_transform(string_split(text, ''), ch -> ascii(ch)),
-                                  c -> c // 32 = 3)) AS BIGINT) AS lower_bytes
-      FROM documents ORDER BY doc_id""",
+    // bytes. Image rows rebuild the exact P6 payload (header || space-padded
+    // 16x9 raster from the text bytes) and pin the REAL parser's output —
+    // dims and per-channel byte sums read back from the raster; audio/video
+    // rows pin the stub histogram (ascii(ch) // 32 mirrors StubDecoder's
+    // (byte & 0xff) >> 5).
+    "m03_binary_source" -> s"""
+      WITH m AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               CASE WHEN CAST(doc_id % 3 AS INTEGER) = 0
+                    THEN 'P6' || chr(10) || '${Multimodal.ImgW} ${Multimodal.ImgH}'
+                         || chr(10) || '255' || chr(10)
+                         || rpad(text, ${Multimodal.ImgW * Multimodal.ImgH * 3}, ' ')
+                    ELSE text END AS pay
+        FROM documents
+      ),
+      chan AS (
+        SELECT doc_id,
+               CAST(strlen('P6' || chr(10) || '${Multimodal.ImgW} ${Multimodal.ImgH}'
+                           || chr(10) || '255' || chr(10)) AS INTEGER) AS hdr,
+               ${Multimodal.ImgW * Multimodal.ImgH} AS npix
+        FROM m WHERE media_type = 'image'
+      )
+      SELECT m.doc_id, media_type,
+             CAST(strlen(pay) AS INTEGER) AS n_bytes,
+             CAST(greatest(strlen(pay) // 64, 1) AS INTEGER) AS frames_sampled,
+             md5(pay) AS checksum,
+             CAST(CASE WHEN media_type = 'image' THEN ${Multimodal.ImgW} END AS INTEGER) AS img_w,
+             CAST(CASE WHEN media_type = 'image' THEN ${Multimodal.ImgH} END AS INTEGER) AS img_h,
+             CASE WHEN media_type = 'image' THEN CAST(list_sum(list_transform(range(0, npix),
+               i -> ascii(substr(pay, CAST(hdr + i*3 + 1 AS INTEGER), 1)))) AS BIGINT) END AS sum_r,
+             CASE WHEN media_type = 'image' THEN CAST(list_sum(list_transform(range(0, npix),
+               i -> ascii(substr(pay, CAST(hdr + i*3 + 2 AS INTEGER), 1)))) AS BIGINT) END AS sum_g,
+             CASE WHEN media_type = 'image' THEN CAST(list_sum(list_transform(range(0, npix),
+               i -> ascii(substr(pay, CAST(hdr + i*3 + 3 AS INTEGER), 1)))) AS BIGINT) END AS sum_b,
+             CASE WHEN media_type <> 'image' THEN
+               CAST(len(list_filter(list_transform(string_split(pay, ''), ch -> ascii(ch)),
+                                    c -> c // 32 = 2)) AS BIGINT) END AS upper_bytes,
+             CASE WHEN media_type <> 'image' THEN
+               CAST(len(list_filter(list_transform(string_split(pay, ''), ch -> ascii(ch)),
+                                    c -> c // 32 = 3)) AS BIGINT) END AS lower_bytes
+      FROM m LEFT JOIN chan ON m.doc_id = chan.doc_id
+      ORDER BY m.doc_id""",
 
     "d08_cluster_keep_best" -> s"""
       WITH $featuresCte,

@@ -58,37 +58,55 @@ object Multimodal {
       if (payload.isEmpty) 0 else (payload.length / (16 * stride)).max(1)
   }
 
-  /** Build a media table from the documents fixture: payload = UTF-8 bytes
-    * (the opaque stand-in), media_type cycling deterministically, metadata
-    * derived from content. In production this would be `spark.read.format
-    * ("binaryFile")` or parquet with a binary column.
+  /** Fixed raster geometry for the synthesized image payloads. */
+  val ImgW = 16
+  val ImgH = 9
+
+  /** Build a media table from the documents fixture: media_type cycling
+    * deterministically, metadata derived from content. `image` rows carry a
+    * REAL binary-PPM payload (P6 header + RGB raster synthesized from the
+    * text bytes — [[Ppm]] genuinely parses it downstream); audio/video rows
+    * keep opaque UTF-8 bytes behind the documented decode stub. In
+    * production this would be `spark.read.format("binaryFile")` or parquet
+    * with a binary column.
     */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
+    val mediaType = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val isImage = mediaType === "image"
+    // raster = first W*H*3 text bytes, space-padded (text is ASCII, so
+    // chars == bytes; rpad truncates when longer, pads when shorter)
+    val ppm = concat(
+      encode(lit(s"P6\n$ImgW $ImgH\n255\n"), "UTF-8"),
+      encode(rpad(col("text"), ImgW * ImgH * 3, " "), "UTF-8"))
     docs.select(
         col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"),
-        (col("n_chars") % 640).cast("int").as("width"),
-        (col("n_chars") % 480).cast("int").as("height"))
+        mediaType.as("media_type"),
+        when(isImage, ppm).otherwise(encode(col("text"), "UTF-8")).as("payload"),
+        when(isImage, lit(ImgW)).otherwise((col("n_chars") % 640).cast("int")).as("width"),
+        when(isImage, lit(ImgH)).otherwise((col("n_chars") % 480).cast("int")).as("height"))
       .as[MediaRecord]
   }
 
   /** The partition-batched decode stage. One decoder per partition, reused
-    * across the whole batch — the mapInPandas shape, in Scala.
+    * across the whole batch — the mapInPandas shape, in Scala. Dispatch by
+    * media_type: `image` payloads go through the REAL [[Ppm]] parser,
+    * audio/video through the documented [[StubDecoder]] seam.
     */
   def decodeFeatures(media: Dataset[MediaRecord], frameStride: Int = 4): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
-      // per-partition init of the (stub) decoder + digest happens here
+      // per-partition init of the decoder + digest happens here
       val md = java.security.MessageDigest.getInstance("MD5")
       records.map { r =>
         md.reset()
         val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        val feats =
+          if (r.media_type == "image") Ppm.decode(r.payload)
+          else StubDecoder.decode(r.payload)
         MediaFeatures(r.doc_id, r.media_type, r.payload.length,
-          StubDecoder.sampleFrames(r.payload, frameStride), hex,
-          StubDecoder.decode(r.payload))
+          StubDecoder.sampleFrames(r.payload, frameStride), hex, feats)
       }
     }
   }

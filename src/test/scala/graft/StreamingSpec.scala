@@ -178,22 +178,62 @@ class MultimodalSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.mediaFromDocuments(docs)
     val a = Multimodal.decodeFeatures(media.repartition(1))
-      .select("doc_id", "n_bytes", "frames_sampled", "features")
-      .as[(Long, Int, Int, Seq[Float])].collect().sortBy(_._1).toSeq
+      .select("doc_id", "media_type", "n_bytes", "frames_sampled", "features")
+      .as[(Long, String, Int, Int, Seq[Float])].collect().sortBy(_._1).toSeq
     val b = Multimodal.decodeFeatures(media.repartition(7))
-      .select("doc_id", "n_bytes", "frames_sampled", "features")
-      .as[(Long, Int, Int, Seq[Float])].collect().sortBy(_._1).toSeq
+      .select("doc_id", "media_type", "n_bytes", "frames_sampled", "features")
+      .as[(Long, String, Int, Int, Seq[Float])].collect().sortBy(_._1).toSeq
     assert(a == b)
-    // features are normalized histograms: 8 bins summing to ~1
-    a.take(5).foreach { case (_, nBytes, frames, feats) =>
+    a.take(10).foreach { case (_, mediaType, nBytes, frames, feats) =>
       assert(feats.length == 8 && nBytes > 0 && frames > 0)
-      assert(math.abs(feats.sum - 1.0f) < 1e-3)
+      if (mediaType == "image") {
+        // PPM features: [w, h, maxval, n_pixels, sum_r, sum_g, sum_b, max]
+        assert(feats(0) == Multimodal.ImgW.toFloat && feats(1) == Multimodal.ImgH.toFloat)
+        assert(feats(3) == (Multimodal.ImgW * Multimodal.ImgH).toFloat)
+      } else {
+        // stub features are normalized histograms: 8 bins summing to ~1
+        assert(math.abs(feats.sum - 1.0f) < 1e-3)
+      }
     }
+    assert(a.exists(_._2 == "image") && a.exists(_._2 != "image"))
   }
 
   test("decode stub is the documented byte histogram") {
     val payload = Array.tabulate[Byte](256)(i => i.toByte)
     val f = Multimodal.StubDecoder.decode(payload)
     assert(f.toSeq == Seq.fill(8)(32f / 256))
+  }
+}
+
+class PpmSpec extends AnyFunSuite {
+  import graft.operators.Ppm
+
+  test("encode -> parse round-trips dims, maxval, and raster") {
+    val pixels = Array.tabulate[Byte](5 * 4 * 3)(i => (i * 7 % 256).toByte)
+    val img = Ppm.parse(Ppm.encode(5, 4, pixels))
+    assert(img.width == 5 && img.height == 4 && img.maxVal == 255)
+    assert(img.pixels.toSeq == pixels.toSeq)
+  }
+
+  test("parse handles netpbm comment lines in the header") {
+    val pixels = Array.fill[Byte](1 * 1 * 3)(42)
+    val withComment = "P6\n# a comment\n1 1\n255\n".getBytes("US-ASCII") ++ pixels
+    val img = Ppm.parse(withComment)
+    assert(img.width == 1 && img.height == 1 && img.pixels.toSeq == pixels.toSeq)
+  }
+
+  test("decode returns integer-exact channel sums") {
+    // 2x1: pixel0 = (10, 20, 30), pixel1 = (40, 50, 255)
+    val raster = Array[Byte](10, 20, 30, 40, 50, -1)
+    val f = Ppm.decode(Ppm.encode(2, 1, raster))
+    assert(f.toSeq == Seq[Float](2, 1, 255, 2, 50, 70, 285, 255))
+  }
+
+  test("parse rejects malformed payloads") {
+    val pixels = Array.fill[Byte](3)(0)
+    intercept[IllegalArgumentException](Ppm.parse("P5\n1 1\n255\n".getBytes ++ pixels))
+    intercept[IllegalArgumentException](Ppm.parse("P6\n2 2\n255\n".getBytes ++ pixels))
+    intercept[IllegalArgumentException](Ppm.parse("P6\nx y\n255\n".getBytes ++ pixels))
+    intercept[IllegalArgumentException](Ppm.parse(Array[Byte]()))
   }
 }
