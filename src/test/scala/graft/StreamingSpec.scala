@@ -157,6 +157,54 @@ class StreamingSpec extends AnyFunSuite {
       "daily_from_files", OutputMode.Complete())
     assert(got.agg(sum("n_events")).first.getLong(0) == 1000L)
   }
+
+  test("windowed agg survives a stop/restart from checkpoint with exactly-once output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+
+    val stream = MemoryStream[Event]
+    // identical query body for both incarnations — only the checkpoint links them
+    def start() = EventStreams.windowedCounts(stream.toDF()).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // phase 1: hours 0-1 arrive, then a 02:30 event pushes the watermark
+    // (10 min lateness) to 02:20 so windows [0,1) and [1,2) finalize
+    stream.addData(
+      Event(1L, ts("2024-01-01 00:05:00"), 1L, "view", 1.0),
+      Event(2L, ts("2024-01-01 00:45:00"), 1L, "view", 2.0),
+      Event(3L, ts("2024-01-01 01:10:00"), 2L, "click", 4.0))
+    val q1 = start()
+    q1.processAllAvailable()
+    stream.addData(Event(4L, ts("2024-01-01 02:30:00"), 2L, "view", 8.0))
+    q1.processAllAvailable()
+    q1.stop() // kill the query; window [2,3) is still OPEN in state
+
+    // phase 2: restart from the checkpoint; a 05:00 event pushes the
+    // watermark past [2,3), whose contents were ingested BEFORE the restart
+    // — emitting it correctly requires the recovered state store
+    val q2 = start()
+    stream.addData(Event(5L, ts("2024-01-01 05:00:00"), 3L, "view", 16.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val result = spark.read.parquet(out)
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect()
+      .sortBy(r => (r._1.getTime, r._2)).toSeq
+    // exactly-once: every finalized window appears EXACTLY once across both
+    // incarnations — nothing lost at the stop, nothing re-emitted after the
+    // restart (file-sink metadata log + recovered state store)
+    assert(result == Seq(
+      (ts("2024-01-01 00:00:00"), "view", 2L, 3.0),
+      (ts("2024-01-01 01:00:00"), "click", 1L, 4.0),
+      (ts("2024-01-01 02:00:00"), "view", 1L, 8.0)))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
