@@ -59,6 +59,46 @@ class LshScaleSpec extends AnyFunSuite {
       s"scaled planes=${planes} pair work ${scaled.getDouble(1)} not below fixed-8 ${fixed8.getDouble(1)}")
   }
 
+  test("salted join bounds the worst reducer on a pathologically hot band") {
+    import graft.operators.JoinOps
+    // Adversarial d03 shape: one (band_idx, bh) bucket holds a quarter of
+    // the corpus (boilerplate-heavy near-identical docs all minhash into
+    // the same band), the rest spread uniformly. The band self-join's
+    // reduce key IS (band_idx, bh), so without intervention every hot-band
+    // row lands on ONE reducer: C(512, 2) pair work in a single task while
+    // the other reducers idle — the classic straggler at 100 TB.
+    val n = 2048L
+    val hot = 512L
+    val banded = spark.range(n).select(
+      col("id"),
+      lit(0).as("band_idx"),
+      when(col("id") < hot, lit(7777L))
+        .otherwise(pmod(xxhash64(col("id")), lit(1000000L)) + lit(10000L)).as("bh"))
+    val a = banded.select(col("id").as("doc_a"), col("band_idx"), col("bh"))
+    val b = banded.select(col("id").as("doc_b"), col("band_idx"), col("bh"))
+    val factor = 8
+
+    // semantics: the salted plan is a pure rewrite — identical pair set
+    val plain = a.join(b, Seq("band_idx", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val salted = JoinOps.saltedJoin(a, b, Seq("band_idx", "bh"), col("doc_a"), factor)
+      .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
+    assert(plain.count() == salted.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    // scale evidence: max rows behind ONE reduce key (= the worst task's
+    // build side) drops from `hot` to ~hot/factor after salting
+    val worstPlain = a.groupBy("band_idx", "bh").count()
+      .agg(max("count")).head().getLong(0)
+    val worstSalted = a
+      .withColumn("__salt", pmod(xxhash64(col("doc_a")), lit(factor)))
+      .groupBy("band_idx", "bh", "__salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(worstPlain == hot)
+    assert(worstSalted <= 2 * hot / factor,
+      s"hot key still concentrated: $worstSalted rows on one reducer key")
+  }
+
   test("multi-probe recall against brute-force truth never drops") {
     val dir = "/root/testdata/sf0.01"
     def pairs(q: String) = ExtensionQueries.all(q)(spark, dir)
