@@ -36,16 +36,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations ++= Seq(graft.plans.FuseDotProduct)
-    // Untimed warmup: JIT, codegen cache, parquet footer/file-index reads.
-    // Otherwise whichever query happens to run first absorbs ~4s of
-    // session warmup and the per-query numbers are noise.
-    try SparkEntry.queries("q01_dim_decode_join")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Untimed warmup: JIT, codegen cache, parquet footer/file-index reads,
+    // OS page cache for EVERY fixture table — otherwise whichever query
+    // first touches a table absorbs its listing+footer+disk cost and the
+    // per-query numbers are noise (flagship measured 2.5 s warmed vs 5.8 s
+    // when it happened to run first).
+    try {
+      graft.sources.Tables.all.foreach(t =>
+        graft.sources.Tables.load(spark, sfDir, t).count())
+      SparkEntry.queries("q01_dim_decode_join")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
+    // sorted order: deterministic run sequence, comparable round-over-round
+    val results = SparkEntry.queries.toVector.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     // Full per-query map on stderr for local tuning (never on stdout — the
     // driver tails stdout and the full map would blow the 2000-char budget).
     if (sys.env.contains("SPARK_GRAFT_BENCH_FULL")) {

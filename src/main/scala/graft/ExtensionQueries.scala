@@ -280,6 +280,53 @@ object ExtensionQueries {
         .select(col("doc_id"), TextOps.charHash(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition quality signals: duplicate-bigram fraction
+    // (1 - distinct/total) and top-term dominance. Scale shape: the bigram
+    // stats are pure per-row expressions (no shuffle); the top-term count is
+    // one explode + two keyed aggregations, both map-side-combinable. Flags
+    // are computed from the ROUNDED fractions so both engines threshold the
+    // same value.
+    "t08_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"),
+          size(TextOps.shingleHashes(col("text"), 2)).as("n_distinct_bigrams"))
+        .withColumn("n_bigrams", greatest(col("n_tokens") - 1, lit(0)))
+      val topTerm = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_term_cnt"))
+      val dupFrac = when(col("n_bigrams") > 0,
+        Agg.roundAt(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6))
+        .otherwise(lit(0.0))
+      val topFrac = when(col("n_tokens") > 0,
+        Agg.roundAt(col("top_term_cnt").cast("double") / col("n_tokens"), 6))
+        .otherwise(lit(0.0))
+      base.join(topTerm, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+          dupFrac.as("dup_bigram_frac"), topFrac.as("top_term_frac"))
+        .withColumn("is_repetitive",
+          col("dup_bigram_frac") > 0.3 || col("top_term_frac") > 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Eval-set decontamination: flag training docs sharing any 3-token
+    // shingle with the (deterministic doc_id % 97) eval slice. Scale shape:
+    // the eval side of the join is a benchmark suite — thousands of docs
+    // against a 100 TB corpus — so its distinct shingle set broadcasts and
+    // the corpus side never shuffles; output is the contaminated docs only.
+    "d10_decontamination" -> ((s, dir) => {
+      val shingled = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.shingleHashes(col("text"), 3)).as("sh"))
+      val evalSh = shingled.filter(col("doc_id") % 97 === 0)
+        .select(col("sh")).distinct()
+      shingled.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalSh), "sh")
+        // shingleHashes is distinct per doc, so plain count == shared count
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- deduplication --
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
@@ -755,6 +802,61 @@ object ExtensionQueries {
     "t04_fingerprint" -> s"""
       SELECT doc_id, ${chSql("text")} AS fingerprint
       FROM documents ORDER BY doc_id""",
+
+    "t08_repetition" -> s"""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ),
+      base AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(greatest(len(toks) - 1, 0) AS INTEGER) AS n_bigrams,
+               len(list_distinct(list_transform(
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(0, len(toks)-1),
+                             i -> array_to_string(list_slice(toks, i+1, i+2), ' '))
+                      ELSE []::VARCHAR[] END,
+                 sh -> ${chSql("sh")}))) AS n_distinct_bigrams
+        FROM tok
+      ),
+      tc AS (
+        SELECT doc_id, max(cnt) AS top_term_cnt FROM (
+          SELECT doc_id, term, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+          GROUP BY 1, 2)
+        GROUP BY 1
+      ),
+      fr AS (
+        SELECT base.doc_id, n_tokens, n_bigrams,
+               CASE WHEN n_bigrams > 0 THEN
+                 floor((1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams) * 1000000 + 0.5) / 1000000
+               ELSE 0.0 END AS dup_bigram_frac,
+               CASE WHEN n_tokens > 0 THEN
+                 floor((CAST(top_term_cnt AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000
+               ELSE 0.0 END AS top_term_frac
+        FROM base JOIN tc ON base.doc_id = tc.doc_id
+      )
+      SELECT doc_id, n_tokens, n_bigrams, dup_bigram_frac, top_term_frac,
+             (dup_bigram_frac > 0.3 OR top_term_frac > 0.2) AS is_repetitive
+      FROM fr ORDER BY doc_id""",
+
+    "d10_decontamination" -> s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          CASE WHEN len(toks) >= 3
+               THEN list_transform(range(0, len(toks)-2),
+                      i -> array_to_string(list_slice(toks, i+1, i+3), ' '))
+               ELSE []::VARCHAR[] END,
+          s -> ${chSql("s")}))) AS sh
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents) tok
+      ),
+      ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+      SELECT sh.doc_id, count(*) AS n_shared_shingles
+      FROM sh JOIN ev USING (sh)
+      WHERE sh.doc_id % 97 <> 0
+      GROUP BY 1 ORDER BY 1""",
 
     "d01_dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

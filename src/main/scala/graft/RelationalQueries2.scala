@@ -197,6 +197,10 @@ object RelationalQueries2 {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("qty"), col("l_returnflag"),
           col("l_shipdate").cast("date").as("ship"))
+        // the fixture is one parquet file -> one scan partition; spread the
+        // text encode+write across the cluster (downstream re-aggregates,
+        // so file layout never affects the result)
+        .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.schema("l_orderkey BIGINT, l_linenumber INT, qty BIGINT, l_returnflag STRING, ship DATE")
         .option("header", "true").csv(tmp)
@@ -213,6 +217,8 @@ object RelationalQueries2 {
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           col("o_orderdate").cast("date").as("od"))
+        // same single-scan-partition spread as q46
+        .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").json(tmp)
       s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, od DATE")
         .json(tmp)
