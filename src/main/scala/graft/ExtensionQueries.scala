@@ -290,7 +290,7 @@ object ExtensionQueries {
       val docs = t(s, dir, "documents")
       val base = docs.select(col("doc_id"),
           size(TextOps.tokens(col("text"))).as("n_tokens"),
-          size(TextOps.shingleHashes(col("text"), 2)).as("n_distinct_bigrams"))
+          size(graft.functions.TextHash.shingleHashes(col("text"), 2)).as("n_distinct_bigrams"))
         .withColumn("n_bigrams", greatest(col("n_tokens") - 1, lit(0)))
       val topTerm = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
@@ -316,7 +316,8 @@ object ExtensionQueries {
     // the corpus side never shuffles; output is the contaminated docs only.
     "d10_decontamination" -> ((s, dir) => {
       val shingled = t(s, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.shingleHashes(col("text"), 3)).as("sh"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextHash.shingleHashes(col("text"), 3)).as("sh"))
       val evalSh = shingled.filter(col("doc_id") % 97 === 0)
         .select(col("sh")).distinct()
       shingled.filter(col("doc_id") % 97 =!= 0)
