@@ -473,6 +473,27 @@ object ExtensionQueries {
         .agg(Agg.roundAt(Agg.decAvg(col("val")), 6).as("centroid"))
         .orderBy(col("label"), col("dim"))),
 
+    // Symmetric int8 scalar quantization — the compression step a 100 TB
+    // embedding store runs before ANN indexing (4x smaller vectors, integer
+    // SIMD distances). Per-vector scale = 127/max|v|; purely row-local
+    // expressions (no shuffle, no UDF), dequantization error pinned per
+    // vector. floor(x+0.5) rounding keeps both engines bit-identical.
+    "s07_embedding_quantize" -> ((s, dir) => {
+      val mxAbs = array_max(transform(col("v"), x => abs(x)))
+      val q = transform(col("v"), x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x * col("__scale") + 0.5).cast("long"))))
+      embeddingsD(s, dir)
+        .withColumn("__scale", when(mxAbs > 0, lit(127.0) / mxAbs).otherwise(lit(1.0)))
+        .withColumn("__q", q)
+        .select(col("vec_id"),
+          Agg.roundAt(col("__scale"), 6).as("scale"),
+          aggregate(col("__q"), lit(0L), (a, x) => a + x).as("sum_q"),
+          Agg.roundAt(array_max(zip_with(col("v"), col("__q"),
+            (v, qq) => abs(v - qq / col("__scale")))), 6).as("max_abs_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF ANN (nprobe=1): route each query to its nearest cell centroid,
     // search only that cell. Cells are the fixture's label partitions; the
     // centroid assembly sorts by dim so the array is deterministic.
@@ -1123,6 +1144,32 @@ object ExtensionQueries {
              floor((CAST(sum(CAST(v[i+1] AS DECIMAL(30,6))) AS DOUBLE) / count(v[i+1])) * 1000000 + 0.5) / 1000000 AS centroid
       FROM e CROSS JOIN range(0, 64) t(i)
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "s07_embedding_quantize" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      sc AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                    ELSE 1.0 END AS scale
+        FROM e
+      ),
+      q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x ->
+                 greatest(-127, least(127, CAST(floor(x * scale + 0.5) AS BIGINT)))) AS qv
+        FROM sc
+      )
+      SELECT vec_id,
+             floor(scale * 1000000 + 0.5) / 1000000 AS scale,
+             CAST(list_sum(qv) AS BIGINT) AS sum_q,
+             floor(list_max(list_transform(range(1, len(v) + 1),
+               i -> abs(v[CAST(i AS INTEGER)] - qv[CAST(i AS INTEGER)] / scale))) * 1000000 + 0.5) / 1000000
+               AS max_abs_err
+      FROM q ORDER BY vec_id""",
 
     "s04_knn_ivf" -> s"""
       WITH e AS (
