@@ -108,19 +108,36 @@ object LocationSummary {
     // fact_living_wage: global latest year, one row per location
     // (App.scala:52-75 — there the household filter selects the row; here a
     // deterministic argmax by (o_orderdate, o_orderkey) does).
-    val livingWage = orders
+    //
+    // fact_living_wage and fact_listing BOTH consume orders⋈customer
+    // restricted to the latest snapshot year. Build that join ONCE with the
+    // union of both consumers' columns, then route it through ONE explicit
+    // location_id exchange BEFORE the latest-year filter: the max-year
+    // scalar, the per-location window branch, and the listing branch all
+    // hang off that same canonical Exchange, so ReuseExchange executes the
+    // join a single time. (Merely sharing the DataFrame is not enough — the
+    // listing branch feeds a broadcast-join probe side with no exchange of
+    // its own, so without this the subtree re-executes per consumer: the
+    // old plan scanned orders 4x and ran the join twice. The window branch
+    // needs location_id partitioning anyway, so the shuffle is not extra.)
+    val ordersCustomer = orders
       .join(customer, orders("o_custkey") === customer("c_custkey"), "inner")
       .select(
-        col("c_nationkey").as("location_id"),
-        (col("o_totalprice") / 1000).as("hourly_wage"),
-        col("o_orderdate"),
         col("o_orderkey"),
+        col("o_custkey"),
+        col("c_nationkey").as("location_id"),
+        col("o_totalprice"),
+        col("o_orderdate"),
         year(col("o_orderdate")).as("snap_year"))
+      .repartition(col("location_id"))
+    val ocLatest = Snapshot.filterLatestGlobal(ordersCustomer, "snap_year")
+
     val recommendedAnnSalary = Snapshot
       .latestPerKeyWindow(
-        Snapshot.filterLatestGlobal(livingWage, "snap_year"),
+        ocLatest,
         Seq("location_id"),
         Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .withColumn("hourly_wage", col("o_totalprice") / 1000)
       .withColumn("RECOMMENDED_ANNUAL_SALARY", Enrich.annualize(col("hourly_wage")))
       .select("location_id", "RECOMMENDED_ANNUAL_SALARY")
 
@@ -136,19 +153,20 @@ object LocationSummary {
       .filter(col("l_linenumber") === 7)
       .groupBy(col("l_orderkey"))
       .agg(max(col("l_shipdate")).as("removed_ts"))
-    val listingBase = orders
-      .join(customer, orders("o_custkey") === customer("c_custkey"), "inner")
+    // derived from the SHARED latest-year orders⋈customer subtree (above);
+    // the original applied filterLatestGlobal after this projection, which
+    // commutes (snap_year is untouched by it)
+    val listingBase = ocLatest
       .select(
         col("o_orderkey"),
-        col("c_nationkey").as("location_id"),
+        col("location_id"),
         col("o_totalprice").as("price"),
         (col("o_orderkey") % 4 + 1).as("bathrooms"),
         (col("o_custkey") % 5 + 2).as("bedrooms"),
         (col("o_totalprice") / 75.0).as("square_footage"),
         (lit(1950) + col("o_orderkey") % 70).as("year_built"),
-        to_date(col("o_orderdate")).as("listed_date"),
-        year(col("o_orderdate")).as("snap_year"))
-    val listing = Snapshot.filterLatestGlobal(listingBase, "snap_year")
+        to_date(col("o_orderdate")).as("listed_date"))
+    val listing = listingBase
       .join(removals, listingBase("o_orderkey") === removals("l_orderkey"), "left")
       .withColumn("removed_date", to_date(col("removed_ts")))
       .withColumn("age_in_years", Enrich.ageInYears(col("year_built"), asOf))
