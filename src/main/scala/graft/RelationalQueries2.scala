@@ -236,6 +236,23 @@ object RelationalQueries2 {
     // oracle, so a sink that overwrote, dropped, or duplicated-beyond-append
     // rows fails the hash. (q46/q47 prove CSV/JSON; this is the parquet
     // append path used by writeSummary.)
+    // ORC sink + source round trip — the remaining mainstream Spark-native
+    // columnar format (q46/q47 prove CSV/JSON; parquet is every other
+    // query's scan path and q56's sink). Oracle reads the ORIGINAL parquet,
+    // so any round-trip loss fails the hash.
+    "q57_orc_roundtrip" -> ((s, dir) => {
+      val tmp = graft.sources.Scratch.fresh(s, s"orc_${new java.io.File(dir).getName}")
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("p_size")).as("sum_size"),
+          Agg.roundAt(Agg.decSum(col("p_retailprice")), 2).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
     "q56_append_sink_roundtrip" -> ((s, dir) => {
       // sink dir via Scratch (clean slate each run; shared storage on a
       // cluster). persist() so the 6-table flagship pipeline runs ONCE:
@@ -396,6 +413,12 @@ object RelationalQueries2 {
 
     // Two appends == the flagship result twice: replay the flagship oracle
     // and duplicate each row before aggregating.
+    "q57_orc_roundtrip" -> """
+      SELECT p_brand, count(*) AS n,
+             CAST(sum(p_size) AS BIGINT) AS sum_size,
+             floor((CAST(sum(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_price
+      FROM part GROUP BY 1 ORDER BY 1""",
+
     "q56_append_sink_roundtrip" -> s"""
       WITH doubled AS (
         SELECT f.* FROM (${FlagshipOracle.sql}) f CROSS JOIN range(0, 2) t(i)
