@@ -72,6 +72,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("decontamination broadcasts the eval shingle set, never shuffles the corpus side") {
+    val p = plan("d10_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "eval-set join fell back to a corpus-wide shuffle join:\n" + p)
+  }
+
+  test("embedding quantization is shuffle-free up to the canonical sort") {
+    val p = plan("s07_embedding_quantize")
+    // one Exchange is the output ORDER BY; anything more means the row-local
+    // quantization expressions started shuffling
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the final sort exchange, got $exchanges:\n$p")
+  }
+
   test("a filter on the partition column prunes partitions at the scan") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/out"
