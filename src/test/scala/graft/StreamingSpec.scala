@@ -158,6 +158,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.agg(sum("n_events")).first.getLong(0) == 1000L)
   }
 
+  test("text + media operators run unchanged on a streaming source (batch parity)") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.{Multimodal, TextOps}
+    // stage the documents fixture as a file-stream directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"))
+    val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    assert(stream.isStreaming)
+
+    // the text exprs and the partition-batched decode seam are mode-agnostic:
+    // the SAME functions compose over a streaming DataFrame
+    def features(df: DataFrame): DataFrame =
+      Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(df)).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"), col("checksum"))
+    def quality(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
+      TextOps.charHash(col("text")).as("fingerprint"),
+      size(TextOps.tokens(col("text"))).as("n_tokens"))
+
+    val gotQ = EventStreams.runToMemory(quality(stream), "stream_doc_quality",
+      OutputMode.Append()).collect().toSet
+    assert(gotQ == quality(batch).collect().toSet && gotQ.nonEmpty)
+
+    val gotM = EventStreams.runToMemory(features(stream), "stream_doc_media",
+      OutputMode.Append()).collect().toSet
+    assert(gotM == features(batch).collect().toSet && gotM.nonEmpty)
+  }
+
   test("windowed agg survives a stop/restart from checkpoint with exactly-once output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
