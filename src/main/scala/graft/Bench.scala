@@ -41,11 +41,12 @@ object Bench {
     // first touches a table absorbs its listing+footer+disk cost and the
     // per-query numbers are noise (flagship measured 2.5 s warmed vs 5.8 s
     // when it happened to run first).
-    try {
-      graft.sources.Tables.all.foreach(t =>
-        graft.sources.Tables.load(spark, sfDir, t).count())
-      SparkEntry.queries("q01_dim_decode_join")(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    // per-table try: one absent/broken table must not abort warming the rest
+    graft.sources.Tables.all.foreach(t =>
+      try graft.sources.Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () })
+    try SparkEntry.queries("q01_dim_decode_join")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // sorted order: deterministic run sequence, comparable round-over-round
     val results = SparkEntry.queries.toVector.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -229,13 +229,6 @@ object RelationalQueries2 {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // The reference's ACTUAL sink semantics end-to-end: append-mode writes to
-    // a warehouse table (App.scala:265-270 `mode("append")` into
-    // summary_zip_code). The flagship is appended TWICE into a fresh
-    // directory, read back, and aggregated — the oracle doubles the flagship
-    // oracle, so a sink that overwrote, dropped, or duplicated-beyond-append
-    // rows fails the hash. (q46/q47 prove CSV/JSON; this is the parquet
-    // append path used by writeSummary.)
     // ORC sink + source round trip — the remaining mainstream Spark-native
     // columnar format (q46/q47 prove CSV/JSON; parquet is every other
     // query's scan path and q56's sink). Oracle reads the ORIGINAL parquet,
@@ -253,6 +246,13 @@ object RelationalQueries2 {
         .orderBy(col("p_brand"))
     }),
 
+    // The reference's ACTUAL sink semantics end-to-end: append-mode writes to
+    // a warehouse table (App.scala:265-270 `mode("append")` into
+    // summary_zip_code). The flagship is appended TWICE into a fresh
+    // directory, read back, and aggregated — the oracle doubles the flagship
+    // oracle, so a sink that overwrote, dropped, or duplicated-beyond-append
+    // rows fails the hash. (q46/q47 prove CSV/JSON; this is the parquet
+    // append path used by writeSummary.)
     "q56_append_sink_roundtrip" -> ((s, dir) => {
       // sink dir via Scratch (clean slate each run; shared storage on a
       // cluster). persist() so the 6-table flagship pipeline runs ONCE:
@@ -411,14 +411,14 @@ object RelationalQueries2 {
              max(CAST(o_orderdate AS DATE)) AS last_order
       FROM orders GROUP BY 1 ORDER BY 1""",
 
-    // Two appends == the flagship result twice: replay the flagship oracle
-    // and duplicate each row before aggregating.
     "q57_orc_roundtrip" -> """
       SELECT p_brand, count(*) AS n,
              CAST(sum(p_size) AS BIGINT) AS sum_size,
              floor((CAST(sum(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_price
       FROM part GROUP BY 1 ORDER BY 1""",
 
+    // Two appends == the flagship result twice: replay the flagship oracle
+    // and duplicate each row before aggregating.
     "q56_append_sink_roundtrip" -> s"""
       WITH doubled AS (
         SELECT f.* FROM (${FlagshipOracle.sql}) f CROSS JOIN range(0, 2) t(i)

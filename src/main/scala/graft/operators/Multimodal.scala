@@ -138,14 +138,20 @@ object Multimodal {
         media.repartition(sc.defaultParallelism)
       else media
     spread.foreachPartition { (records: Iterator[MediaRecord]) =>
-      val fs = new Path(dir).getFileSystem(hconf.value)
-      // skip the checksum-FS .crc sibling per file (doubles create latency);
-      // integrity is pinned downstream by the per-payload md5 instead
-      fs.setWriteChecksum(false)
-      records.foreach { r =>
-        val out = fs.create(new Path(dir, f"${r.doc_id}%012d.bin"), true)
-        try out.write(r.payload) finally out.close()
-      }
+      // PRIVATE FileSystem instance (not the JVM-cached shared one): we
+      // disable per-file checksum siblings (.crc doubles create latency;
+      // integrity is pinned downstream by the per-payload md5), and that
+      // flag must not leak into Spark's own commit/sink writes that share
+      // the cached FS in this executor JVM.
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+        new Path(dir).toUri, hconf.value)
+      try {
+        fs.setWriteChecksum(false)
+        records.foreach { r =>
+          val out = fs.create(new Path(dir, f"${r.doc_id}%012d.bin"), true)
+          try out.write(r.payload) finally out.close()
+        }
+      } finally fs.close()
     }
   }
 

@@ -29,15 +29,36 @@ object Scratch {
       .orElse(sys.env.get("SPARK_GRAFT_SCRATCH_DIR"))
       .getOrElse(System.getProperty("java.io.tmpdir"))
 
-  /** An empty, freshly-created directory `<root>/graft_<name>` — cleared on
-    * every call so append-mode round-trips start from a clean slate across
-    * verify re-runs.
+  /** An empty, freshly-created directory `<root>/graft_<appId>/<name>` —
+    * cleared on every call so append-mode round-trips start from a clean
+    * slate across verify re-runs WITHIN a session, while the `appId`
+    * segment keeps concurrent harness processes (bench + verify against the
+    * same fixtures) from clobbering each other's in-flight sinks. The whole
+    * per-app root is removed on session shutdown.
     */
   def fresh(spark: SparkSession, name: String): String = {
-    val p = new Path(root(spark), s"graft_$name")
+    val appRoot = new Path(root(spark), s"graft_${spark.sparkContext.applicationId}")
+    val p = new Path(appRoot, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     fs.mkdirs(p)
+    cleanupOnExit(spark, appRoot)
     p.toString
   }
+
+  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Remove the per-app scratch root when its SparkContext shuts down, so
+    * app-id-namespaced dirs don't accumulate in shared scratch storage.
+    */
+  private def cleanupOnExit(spark: SparkSession, appRoot: Path): Unit =
+    if (registered.add(appRoot.toString)) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          try appRoot.getFileSystem(conf).delete(appRoot, true)
+          catch { case _: Throwable => () }
+      })
+    }
 }

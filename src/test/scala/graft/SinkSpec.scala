@@ -55,7 +55,8 @@ class SinkSpec extends AnyFunSuite {
       assert(out.count() > 0)
       // listener delivery is async — wait for both write commands to surface
       def writes = plans.synchronized {
-        plans.filter(p => p.contains("graft_append") &&
+        // scratch layout: <root>/graft_<appId>/append_<fixture>
+        plans.filter(p => p.contains("/append_") &&
           p.contains("InsertIntoHadoopFsRelationCommand")).toList
       }
       val deadline = System.currentTimeMillis() + 30000

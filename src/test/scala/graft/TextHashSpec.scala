@@ -44,6 +44,17 @@ class TextHashSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("CharNgramHashes n=5 parity on the fixture (d09's hot-path width)") {
+    // d09 runs the compiled form at n=5; pin that exact width against the
+    // portable form, not just the n=3 case above
+    val diff = docs.select(
+        TextOps.charNgramHashes(col("text"), 5).as("a"),
+        TextHash.charNgramHashes(col("text"), 5).as("b"))
+      .filter(!(col("a") <=> col("b")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("CharNgramHashes edge cases: short text, spaces, CJK codepoints") {
     val df = Seq((1L, "ab"), (2L, "   "), (3L, "abc"), (4L, " a b "),
         (5L, "一二三四"), (6L, "MiXeD CaSe"))
