@@ -83,10 +83,16 @@ object LocationSummary {
       col("location_id"), col("l_returnflag").as("crime_type"),
       col("snap_year"), col("sum_rate"), col("cnt_rate"))
     val crimeLatest = Snapshot.latestPerKeyJoin(crimeYearly, Seq("location_id", "crime_type"), "snap_year")
+    // Per-location branch outputs are dimension-bounded (≤ |locations| rows
+    // at ANY input scale), but minMaxScore consumes its input twice (the
+    // 1-row MIN/MAX aggregate + the probe side) and column pruning again
+    // blocks subtree reuse — so persist the tiny aggregate and each branch's
+    // upstream (cache scan → agg → join) runs exactly once.
     val crimeAvg = crimeLatest
       .join(dimLocation, Seq("location_id"), "inner")
       .groupBy("location_id", "zip_code")
       .agg(Agg.decReAvg(col("sum_rate"), col("cnt_rate")).alias("avg_crime_rate"))
+      .persist()
     val crimeNormalized = Score.minMaxScore(crimeAvg, "avg_crime_rate", "normalized_crime_rate")
 
     // Expense keeps only l_returnflag = 'N' rows. The filter is expressed on
@@ -103,6 +109,7 @@ object LocationSummary {
       .join(dimLocation, Seq("location_id"), "inner")
       .groupBy("location_id", "zip_code")
       .agg(Agg.decReAvg(col("sum_amount"), col("cnt_amount")).alias("avg_expense"))
+      .persist() // dimension-bounded; see crimeAvg
     val expenseNormalized = Score.minMaxScore(expenseAvg, "avg_expense", "normalized_expense")
 
     // fact_living_wage: global latest year, one row per location
@@ -110,16 +117,22 @@ object LocationSummary {
     // deterministic argmax by (o_orderdate, o_orderkey) does).
     //
     // fact_living_wage and fact_listing BOTH consume orders⋈customer
-    // restricted to the latest snapshot year. Build that join ONCE with the
-    // union of both consumers' columns, then route it through ONE explicit
-    // location_id exchange BEFORE the latest-year filter: the max-year
-    // scalar, the per-location window branch, and the listing branch all
-    // hang off that same canonical Exchange, so ReuseExchange executes the
-    // join a single time. (Merely sharing the DataFrame is not enough — the
-    // listing branch feeds a broadcast-join probe side with no exchange of
-    // its own, so without this the subtree re-executes per consumer: the
-    // old plan scanned orders 4x and ran the join twice. The window branch
-    // needs location_id partitioning anyway, so the shuffle is not extra.)
+    // restricted to the latest snapshot year, and the latest-year scalar is
+    // a THIRD consumer of the same join. Sharing the DataFrame (even routed
+    // through one explicit exchange) is NOT enough: column pruning rewrites
+    // each consumer's copy of the subtree with a different projection, the
+    // canonical plans diverge, ReuseExchange never fires, and the join
+    // executed three times (measured: three concurrent ~4 s jobs at sf0.1,
+    // 52 parquet scans in the executed plan). persist() is the
+    // pruning-proof share: CacheManager dedupes by canonicalized plan, so
+    // the max-year scalar, the wage window, and the listing branch all read
+    // ONE materialized copy. The explicit location_id repartition before
+    // the cache means the window branch needs no further exchange
+    // (InMemoryTableScan preserves the cached plan's partitioning), and the
+    // per-location aggregates downstream shuffle only dimension-sized data.
+    // At 100 TB this is a spill-capable (MEMORY_AND_DISK) cache of the
+    // join output — ~1 GB/executor on a 1000-executor cluster — vs running
+    // the dominant join three times.
     val ordersCustomer = orders
       .join(customer, orders("o_custkey") === customer("c_custkey"), "inner")
       .select(
@@ -130,6 +143,7 @@ object LocationSummary {
         col("o_orderdate"),
         year(col("o_orderdate")).as("snap_year"))
       .repartition(col("location_id"))
+      .persist()
     val ocLatest = Snapshot.filterLatestGlobal(ordersCustomer, "snap_year")
 
     val recommendedAnnSalary = Snapshot

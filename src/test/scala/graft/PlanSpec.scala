@@ -40,27 +40,42 @@ class PlanSpec extends AnyFunSuite {
         .queryExecution.executedPlan
       def isLineitem(f: FileSourceScanExec): Boolean =
         f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
-      // Cached plans may themselves be AQE-wrapped (opaque to collect).
+      // Cached plans may themselves be AQE-wrapped (opaque to collect), and
+      // caches NEST (branch-aggregate caches read the factYearly cache), so
+      // the walk recurses through cache builders too, deduping shared ones.
       import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      def deepScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val seenBuilders = scala.collection.mutable.LinkedHashMap[AnyRef, SparkPlan]()
+      def walk(p: SparkPlan): Seq[FileSourceScanExec] = {
         val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
         val kids = p match {
           case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+          case im: InMemoryTableScanExec =>
+            val b = im.relation.cacheBuilder
+            if (seenBuilders.put(b, b.cachedPlan).isEmpty) Seq(b.cachedPlan) else Nil
           case o => o.children
         }
-        self ++ kids.flatMap(deepScans)
+        self ++ kids.flatMap(walk)
       }
-      val mem = exec.collect { case im: InMemoryTableScanExec => im }
+      val allScans = walk(exec)
       // crime (summary + its groupBy-MAX side) and expense (filter + its
       // global-latest scalar) all read the shared pre-agg from cache.
-      assert(mem.size >= 2, s"expected >=2 InMemoryTableScans, got ${mem.size}:\n$exec")
-      // One physical materialization: every cache read shares ONE builder,
-      // and that builder's plan scans lineitem exactly once.
-      val builders = mem.map(_.relation.cacheBuilder).distinct
-      assert(builders.size == 1, s"expected one shared cache build, got ${builders.size}")
-      val cachedLineitemScans =
-        deepScans(builders.head.cachedPlan).count(isLineitem)
-      assert(cachedLineitemScans == 1, s"summary cache should scan lineitem once, got $cachedLineitemScans")
+      assert(seenBuilders.size >= 2, s"expected >=2 cache builders, got ${seenBuilders.size}:\n$exec")
+      // One physical materialization of the lineitem summary: among all the
+      // pipeline's caches (factYearly, ordersCustomer, branch aggregates),
+      // exactly ONE builder touches lineitem, and its plan scans it once.
+      def walkCached(p: SparkPlan): Seq[FileSourceScanExec] = {
+        val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+          case _: InMemoryTableScanExec => Nil // nested cache counted separately
+          case o => o.children
+        }
+        self ++ kids.flatMap(walkCached)
+      }
+      val lineitemBuilders = seenBuilders.values.toSeq
+        .map(bp => walkCached(bp).count(isLineitem)).filter(_ > 0)
+      assert(lineitemBuilders == Seq(1),
+        s"expected one cache builder scanning lineitem exactly once, got $lineitemBuilders")
       // Outside the cache, the only lineitem scan left is removals.
       val topLevel = exec.collect { case f: FileSourceScanExec if isLineitem(f) => f }.size
       assert(topLevel == 1, s"expected exactly the removals scan at top level, got $topLevel:\n$exec")
