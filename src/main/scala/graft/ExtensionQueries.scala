@@ -121,13 +121,27 @@ object ExtensionQueries {
 
   // ---- Spark-side shared builders ----
 
+  // persist(): the LSH pipelines reference features on BOTH sides of the
+  // candidate self-join and again on both sides of the jaccard verify —
+  // four copies of the extraction subtree, and column pruning blocks
+  // ReuseExchange (same failure mode as the flagship's orders⋈customer).
+  // One spill-capable cache of (id, hash-array) — far smaller than the
+  // text itself — is the 100 TB shape too: extract once, consume many
+  // times. CacheManager dedupes by canonical plan, so every d-query in a
+  // session shares one materialization.
   private def docFeatures(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id").as("id"),
       graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
+      .persist()
 
+  // persist() for the same multi-consumer reason as docFeatures: every ANN
+  // query reads the corpus side at least twice (index build + probe or
+  // verify), and the float->double conversion would otherwise re-run per
+  // reference.
   private def embeddingsD(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"), col("label"),
       VectorOps.toDouble(col("embedding")).as("v"))
+      .persist()
 
   /** Target expected bucket occupancies for the SRP-LSH family. The plane
     * count then SCALES with the corpus ([[VectorOps.planesFor]]), keeping
@@ -373,6 +387,7 @@ object ExtensionQueries {
         // candidates at sf0.1 — LSH pruned nothing). 5-gram space is sparse
         // enough that candidates ≈ near-dups, which is the point of LSH.
         graft.functions.TextHash.charNgramHashes(col("text"), 5).as("features"))
+        .persist() // 4 consumers (pair join + jaccard verify); see docFeatures
       val pairs = Dedup.lshCandidatePairs(feats, bands = 2, rows = 6)
       Dedup.jaccardOnPairs(pairs, feats)
         .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
