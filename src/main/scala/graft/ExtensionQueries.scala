@@ -143,6 +143,35 @@ object ExtensionQueries {
       VectorOps.toDouble(col("embedding")).as("v"))
       .persist()
 
+  /** Exact top-k per query, unrounded — s01's body, shared with the recall
+    * evaluation (s08).
+    */
+  private def knnBruteRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = embeddingsD(s, dir)
+    val q = e.filter(col("vec_id") <= 2).select(col("vec_id").as("id"), col("v").as("vec"))
+    val c = e.select(col("vec_id").as("id"), col("v").as("vec"))
+    VectorOps.knnBruteForce(q, c, k)
+  }
+
+  /** SRP-LSH top-k per query (single probe), unrounded — s02's body, shared
+    * with the recall evaluation (s08).
+    */
+  private def knnLshRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = embeddingsD(s, dir)
+      .withColumn("bucket",
+        VectorOps.lshBucketFast(col("v"), embPlanes(s, dir, KnnTargetBucket), 64))
+    val q = e.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val c = e.select(col("vec_id"), col("v").as("cv"), col("bucket").as("bucket_c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(broadcast(q), col("bucket") === col("bucket_c") &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorOps.cosineFast(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Target expected bucket occupancies for the SRP-LSH family. The plane
     * count then SCALES with the corpus ([[VectorOps.planesFor]]), keeping
     * within-bucket work bounded as n grows instead of going quadratic on a
@@ -323,6 +352,90 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode + whitespace normalization — the first pass of every text
+    // pipeline: NFC-compose (native codegen'd expression; é as one
+    // codepoint vs e+combining-accent must hash identically downstream),
+    // lowercase, collapse whitespace runs, trim. Pure per-row expressions:
+    // no shuffle except the output sort, scan-parallel at any corpus size.
+    // The fixture text is ASCII (NFC there is an allocation-free identity);
+    // the non-ASCII semantics are pinned against java.text.Normalizer in
+    // UnicodeNormalizeSpec.
+    "t09_normalize" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        graft.functions.UnicodeNormalizeNFC.nfcNormalize(lower(col("text"))),
+        "\\s+", " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), norm.as("clean_text"),
+          length(norm).as("n_chars_clean"),
+          (norm =!= col("text")).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus bigram language-model statistics: conditional continuation
+    // probabilities P(w2 | w1), the building block of n-gram LM scoring and
+    // perplexity-proxy quality filters. One explode + one (w1,w2) keyed
+    // aggregate; the per-w1 totals come from a window over the aggregate
+    // (exactly one row per bigram, so the sum IS the w1 count — same trick
+    // as t05's document frequency: no second explode, no broadcast of the
+    // vocabulary). Ranking uses only integers/strings so it is
+    // engine-exact; output keeps the top 3 continuations of frequent heads.
+    "t10_bigram_lm" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val pairs = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val counts = t(s, dir, "documents")
+        .select(explode(pairs).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      val byHead = Window.partitionBy(col("w1"))
+      val rk = Window.partitionBy(col("w1")).orderBy(col("cnt").desc, col("w2").asc)
+      counts
+        .withColumn("w1_total", sum(col("cnt")).over(byHead))
+        .withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 3 && col("w1_total") >= 20)
+        .select(col("w1"), col("rank"), col("w2"), col("cnt"), col("w1_total"),
+          Agg.roundAt(col("cnt").cast("double") / col("w1_total"), 6).as("cond_p"))
+        .orderBy(col("w1"), col("rank"))
+    }),
+
+    // Per-source document caps — the anti-domination pass training sets run
+    // so one crawl domain can't swamp the mixture: rank docs within each
+    // source by quality (here: length desc, id tiebreak), keep the top K.
+    // One window shuffle keyed by source; a skewed mega-source is the known
+    // edge — the same salting fallback as q26 applies when a single source
+    // exceeds a task's memory.
+    "d11_source_cap" -> ((s, dir) => {
+      val cap = 50
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rank_in_source", row_number().over(w))
+        .withColumn("kept", col("rank_in_source") <= cap)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic content-hash train/validation/test split: bucket by the
+    // first hex digit of md5(text) -> 13/2/1 of 16 (~81/12/6%). Hashing the
+    // CONTENT (not the id) keeps exact duplicates in the same split — the
+    // leak-proof assignment a training pipeline wants — and the split is
+    // reproducible across engines, runs, and partitionings. Row-local
+    // expressions only; no shuffle except the output sort.
+    "d12_hash_split" -> ((s, dir) => {
+      val hexDigit = substring(md5(col("text")), 1, 1)
+      val bucket = (array_position(split(lit("0,1,2,3,4,5,6,7,8,9,a,b,c,d,e,f"), ","),
+        hexDigit) - 1).cast("int")
+      t(s, dir, "documents")
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") <= 12, "train")
+            .when(col("bucket") <= 14, "validation")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Eval-set decontamination: flag training docs sharing any 3-token
     // shingle with the (deterministic doc_id % 97) eval slice. Scale shape:
     // the eval side of the join is a benchmark suite — thousands of docs
@@ -424,33 +537,40 @@ object ExtensionQueries {
     }),
 
     // -- similarity search --
-    "s01_knn_brute" -> ((s, dir) => {
-      val e = embeddingsD(s, dir)
-      val q = e.filter(col("vec_id") <= 2).select(col("vec_id").as("id"), col("v").as("vec"))
-      val c = e.select(col("vec_id").as("id"), col("v").as("vec"))
-      VectorOps.knnBruteForce(q, c, 5)
+    "s01_knn_brute" -> ((s, dir) =>
+      knnBruteRanked(s, dir, 5)
         .select(col("query_id"), col("rank"), col("vec_id"),
           Agg.roundAt(col("cos"), 6).as("cos"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
+        .orderBy(col("query_id"), col("rank"))),
 
-    "s02_knn_lsh" -> ((s, dir) => {
-      val e = embeddingsD(s, dir)
-        .withColumn("bucket",
-          VectorOps.lshBucketFast(col("v"), embPlanes(s, dir, KnnTargetBucket), 64))
-      val q = e.filter(col("vec_id") <= 2)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
-      val c = e.select(col("vec_id"), col("v").as("cv"), col("bucket").as("bucket_c"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      c.join(broadcast(q), col("bucket") === col("bucket_c") &&
-          col("vec_id") =!= col("query_id"))
-        .withColumn("cos", VectorOps.cosineFast(col("qv"), col("cv")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+    "s02_knn_lsh" -> ((s, dir) =>
+      knnLshRanked(s, dir, 5)
         .select(col("query_id"), col("rank"), col("vec_id"),
           Agg.roundAt(col("cos"), 6).as("cos"))
-        .orderBy(col("query_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // Recall@k evaluation — the acceptance gate every production ANN index
+    // ships with: how much of the EXACT top-k does the approximate index
+    // recover per query? Composes the two pipelines above and joins their
+    // (query, neighbor) sets; queries the LSH misses entirely still appear
+    // (left join from the exact side's query set, 0 hits). Scale shape:
+    // both sides are the already-scale-shaped kNN plans; the comparison
+    // join is on (query_id, vec_id) — k rows per query, trivially keyed.
+    "s08_recall_eval" -> ((s, dir) => {
+      val k = 5
+      val exact = knnBruteRanked(s, dir, k).select(col("query_id"), col("vec_id"))
+      val approx = knnLshRanked(s, dir, k)
+        .select(col("query_id").as("qa"), col("vec_id").as("va"))
+      val hits = exact
+        .join(approx, col("query_id") === col("qa") && col("vec_id") === col("va"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("__hits"), lit(0L)).as("n_hits"),
+          Agg.roundAt(coalesce(col("__hits"), lit(0L)).cast("double") / k, 6)
+            .as("recall_at_k"))
+        .orderBy(col("query_id"))
     }),
 
     // Multi-probe LSH k-NN: each query additionally probes the buckets
@@ -878,6 +998,64 @@ object ExtensionQueries {
              (dup_bigram_frac > 0.3 OR top_term_frac > 0.2) AS is_repetitive
       FROM fr ORDER BY doc_id""",
 
+    "t09_normalize" -> """
+      WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g')) AS clean_text
+        FROM documents
+      )
+      SELECT doc_id, clean_text,
+             CAST(length(clean_text) AS INTEGER) AS n_chars_clean,
+             clean_text <> text AS changed
+      FROM n ORDER BY doc_id""",
+
+    "t10_bigram_lm" -> """
+      WITH tok AS (
+        SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+      ),
+      bg AS (
+        SELECT unnest(CASE WHEN len(toks) >= 2
+             THEN list_transform(range(0, len(toks) - 1),
+                    i -> struct_pack(w1 := toks[CAST(i + 1 AS INTEGER)],
+                                     w2 := toks[CAST(i + 2 AS INTEGER)]))
+             ELSE [] END) AS bg
+        FROM tok
+      ),
+      counts AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      ranked AS (
+        SELECT w1, w2, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS w1_total,
+               row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2 ASC) AS rank
+        FROM counts
+      )
+      SELECT w1, CAST(rank AS INTEGER) AS rank, w2, cnt, w1_total,
+             floor(cnt / CAST(w1_total AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cond_p
+      FROM ranked WHERE rank <= 3 AND w1_total >= 20
+      ORDER BY w1, rank""",
+
+    "d11_source_cap" -> """
+      WITH r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM documents
+      )
+      SELECT doc_id, source, n_chars,
+             CAST(rk AS INTEGER) AS rank_in_source, rk <= 50 AS kept
+      FROM r ORDER BY doc_id""",
+
+    "d12_hash_split" -> """
+      WITH b AS (
+        SELECT doc_id,
+               CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INTEGER) AS bucket
+        FROM documents
+      )
+      SELECT doc_id, bucket,
+             CASE WHEN bucket <= 12 THEN 'train'
+                  WHEN bucket <= 14 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM b ORDER BY doc_id""",
+
     "d10_decontamination" -> s"""
       WITH sh AS (
         SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1071,6 +1249,57 @@ object ExtensionQueries {
              floor(cos * 1000000 + 0.5) / 1000000 AS cos
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank""",
+
+    // Recall@5 of the single-probe LSH index vs the exact scan: replays the
+    // s01 and s02 oracle pipelines side by side and joins their neighbor
+    // sets per query.
+    "s08_recall_eval" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+      bscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+        FROM en q JOIN en c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 2
+      ),
+      branked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM bscored
+      ),
+      eb AS (
+        SELECT vec_id, v,
+               ${bucketSql("v", VectorOps.planesFor(OracleCorpusSize, KnnTargetBucket))} AS bucket,
+               sqrt(${dotSql("v", "v")}) AS nrm
+        FROM e
+      ),
+      lscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+        FROM eb q JOIN eb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 2
+      ),
+      lranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM lscored
+      ),
+      hits AS (
+        SELECT b.query_id, count(*) AS n_hits
+        FROM branked b JOIN lranked l
+          ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+        WHERE b.rank <= 5 AND l.rank <= 5
+        GROUP BY 1
+      ),
+      qs AS (SELECT DISTINCT query_id FROM branked)
+      SELECT qs.query_id,
+             CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             floor(coalesce(h.n_hits, 0) / 5.0 * 1000000 + 0.5) / 1000000 AS recall_at_k
+      FROM qs LEFT JOIN hits h ON qs.query_id = h.query_id
+      ORDER BY qs.query_id""",
 
     // Mirror of VectorOps.lshProbeBuckets with nprobe=2: the extra probe
     // flips the plane with the smallest |margin| (ties by plane index).
