@@ -858,6 +858,18 @@ object ExtensionQueries {
     // original documents table, so a sink that dropped, truncated, or
     // re-encoded a file cannot pass. The sink dir comes from [[Scratch]]
     // (shared storage on a cluster, tmp only under local[*]).
+    // Image resize over the REAL decoder: PPM parse -> nearest-neighbor
+    // 16x9 -> 4x3 downsample -> re-encode; the oracle replays the exact
+    // byte selection from the raster text and pins the thumbnail md5, so a
+    // single wrong sampled pixel fails the hash. Decode+resize stays
+    // partition-local (mapPartitions, one digest per task); only the
+    // narrow feature row leaves the stage.
+    "m04_thumbnail" -> ((s, dir) =>
+      Multimodal.thumbnails(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")), 4, 3)
+        .toDF()
+        .orderBy(col("doc_id"))),
+
     "m03_binary_source" -> ((s, dir) => {
       val sink = graft.sources.Scratch.fresh(s, s"media_${new java.io.File(dir).getName}")
       Multimodal.writeBinaryFiles(
@@ -1546,6 +1558,35 @@ object ExtensionQueries {
     // dims and per-channel byte sums read back from the raster; audio/video
     // rows pin the stub histogram (ascii(ch) // 32 mirrors StubDecoder's
     // (byte & 0xff) >> 5).
+    // Thumbnail replay: dst pixel (x,y) samples src (x*W/tw, y*H/th) —
+    // same integer arithmetic as Ppm.resizeNearest. chars[i] is the i-th
+    // byte of the 4x3 thumbnail raster; the md5 covers the full re-encoded
+    // PPM (header + raster).
+    "m04_thumbnail" -> s"""
+      WITH img AS (
+        SELECT doc_id, rpad(text, ${Multimodal.ImgW * Multimodal.ImgH * 3}, ' ') AS raster
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+      ),
+      th AS (
+        SELECT doc_id,
+               list_transform(range(0, ${4 * 3 * 3}), i ->
+                 substr(raster,
+                   ((CAST(i AS INTEGER) // 3 // 4 * ${Multimodal.ImgH} // 3 * ${Multimodal.ImgW}) +
+                    (CAST(i AS INTEGER) // 3 % 4 * ${Multimodal.ImgW} // 4)) * 3 +
+                   (CAST(i AS INTEGER) % 3) + 1, 1)) AS chars
+        FROM img
+      )
+      SELECT doc_id, 4 AS thumb_w, 3 AS thumb_h,
+             CAST(list_sum(list_transform(range(0, 12),
+               p -> ascii(chars[CAST(p AS INTEGER) * 3 + 1]))) AS BIGINT) AS tsum_r,
+             CAST(list_sum(list_transform(range(0, 12),
+               p -> ascii(chars[CAST(p AS INTEGER) * 3 + 2]))) AS BIGINT) AS tsum_g,
+             CAST(list_sum(list_transform(range(0, 12),
+               p -> ascii(chars[CAST(p AS INTEGER) * 3 + 3]))) AS BIGINT) AS tsum_b,
+             md5('P6' || chr(10) || '4 3' || chr(10) || '255' || chr(10)
+                 || array_to_string(chars, '')) AS thumb_md5
+      FROM th ORDER BY doc_id""",
+
     "m03_binary_source" -> s"""
       WITH m AS (
         SELECT doc_id,

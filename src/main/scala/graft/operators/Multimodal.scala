@@ -111,6 +111,40 @@ object Multimodal {
     }
   }
 
+  /** Thumbnail output row: geometry + exact channel sums + the md5 of the
+    * re-encoded thumbnail PPM, so the oracle pins the exact bytes of the
+    * resized image, not just aggregates.
+    */
+  case class ThumbFeatures(doc_id: Long, thumb_w: Int, thumb_h: Int,
+      tsum_r: Long, tsum_g: Long, tsum_b: Long, thumb_md5: String)
+
+  /** Image resize stage: decode (REAL [[Ppm]] parse) -> nearest-neighbor
+    * downsample -> re-encode, in partition-local batches like
+    * [[decodeFeatures]]. Audio/video rows are filtered out up front (the
+    * filter is a Column predicate, so it prunes before deserialization).
+    */
+  def thumbnails(media: Dataset[MediaRecord], tw: Int, th: Int): Dataset[ThumbFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "image").mapPartitions { records =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      records.map { r =>
+        val thumb = Ppm.resizeNearest(Ppm.parse(r.payload), tw, th)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < thumb.pixels.length) {
+          sr += thumb.pixels(i) & 0xff
+          sg += thumb.pixels(i + 1) & 0xff
+          sb += thumb.pixels(i + 2) & 0xff
+          i += 3
+        }
+        md.reset()
+        val hex = md.digest(Ppm.encode(tw, th, thumb.pixels))
+          .map("%02x".format(_)).mkString
+        ThumbFeatures(r.doc_id, tw, th, sr, sg, sb, hex)
+      }
+    }
+  }
+
   /** Distributed opaque-file writer: each task writes its partition's
     * payloads as individual `<doc_id>.bin` files — the one-blob-per-object
     * layout `binaryFile` sources (and real media lakes) expect.

@@ -58,6 +58,33 @@ object Ppm {
     Image(w, h, mv, java.util.Arrays.copyOfRange(payload, pos, pos + n))
   }
 
+  /** Nearest-neighbor downsample: destination pixel (x, y) samples source
+    * pixel (x*srcW/dstW, y*srcH/dstH) (integer division) — the simplest
+    * deterministic resize, chosen so an external engine can replay the
+    * exact byte selection (the m04 oracle reconstructs the thumbnail from
+    * the raster text and md5-matches it).
+    */
+  def resizeNearest(img: Image, tw: Int, th: Int): Image = {
+    require(tw > 0 && th > 0, s"bad thumbnail geometry ${tw}x$th")
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = y * img.height / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * img.width / tw
+        val si = (sy * img.width + sx) * 3
+        val di = (y * tw + x) * 3
+        out(di) = img.pixels(si)
+        out(di + 1) = img.pixels(si + 1)
+        out(di + 2) = img.pixels(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(tw, th, img.maxVal, out)
+  }
+
   /** Decode + feature-extract: integer-exact summary stats, padded to the
     * same 8-wide feature shape as [[Multimodal.StubDecoder.decode]] —
     * `[width, height, maxval, n_pixels, sum_r, sum_g, sum_b, max_channel]`.

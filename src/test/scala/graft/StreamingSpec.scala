@@ -315,4 +315,23 @@ class PpmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Ppm.parse("P6\nx y\n255\n".getBytes ++ pixels))
     intercept[IllegalArgumentException](Ppm.parse(Array[Byte]()))
   }
+
+  test("resizeNearest samples dst (x,y) from src (x*W/tw, y*H/th)") {
+    val w = 16; val h = 9
+    val px = Array.tabulate[Byte](w * h * 3)(i => (i % 251).toByte)
+    val t = Ppm.resizeNearest(Ppm.parse(Ppm.encode(w, h, px)), 4, 3)
+    assert(t.width == 4 && t.height == 3)
+    for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3) {
+      val sx = x * w / 4
+      val sy = y * h / 3
+      assert(t.pixels((y * 4 + x) * 3 + c) == px((sy * w + sx) * 3 + c),
+        s"mismatch at dst ($x,$y) channel $c")
+    }
+  }
+
+  test("resizeNearest is the identity when dst geometry == src geometry") {
+    val px = Array.tabulate[Byte](4 * 3 * 3)(i => (i * 11 % 256).toByte)
+    val t = Ppm.resizeNearest(Ppm.parse(Ppm.encode(4, 3, px)), 4, 3)
+    assert(t.pixels.toSeq == px.toSeq)
+  }
 }
