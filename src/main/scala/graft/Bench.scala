@@ -22,7 +22,10 @@ object Bench {
     "t01_token_stats", "t05_distinctive_terms",
     "e01_tumbling_daily", "e03_sessionize", "m01_media_plumbing",
     "m03_binary_source", "q46_csv_roundtrip", "q47_json_roundtrip",
-    "q56_append_sink_roundtrip")
+    "q56_append_sink_roundtrip",
+    // round-6 additions (appended; earlier entries stay comparable)
+    "t09_normalize", "t10_bigram_lm", "d11_source_cap", "d12_hash_split",
+    "s08_recall_eval", "m04_thumbnail")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 
