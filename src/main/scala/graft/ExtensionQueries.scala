@@ -67,6 +67,18 @@ object ExtensionQueries {
   }
 
   /** DuckDB mirror of [[TextOps.bandHash]] (rows=3). */
+  /** DuckDB mirror of [[TextOps.simhash32]] over the `features` column of
+    * `doc_feat` (shared by d05 and d13).
+    */
+  private val simhashSql: String = """
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0,32),
+      b -> CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(features, h -> CASE WHEN CAST(floor(h / pow(2,b)) AS BIGINT) % 2 = 1
+                                           THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+        (v,x) -> v + x)) > 0
+        THEN CAST(floor(pow(2,b)) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      (acc,y) -> acc + y)"""
+
   private def bandSql(b: Int): String = {
     val m = (0 until 3).map(r => mhSql(b * 3 + r))
     s"(((${m(0)}) * 31 + (${m(1)})) % $P * 31 + (${m(2)})) % $P"
@@ -442,6 +454,39 @@ object ExtensionQueries {
             .when(col("bucket") <= 14, "validation")
             .otherwise("test"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SimHash near-dup detection: d05 computes the fingerprints; this
+    // consumes them. Candidate pairs share >=1 of the 2 16-bit halves of
+    // the 32-bit simhash — the exact pigeonhole guarantee for hamming<=1
+    // (one flipped bit leaves one half untouched), and the 65536-value
+    // band space keeps collisions near the true-dup set (byte-wide bands
+    // measured 963k candidates at sf0.1 on this clustered fixture; 16-bit
+    // bands cut that ~30x). Exact hamming distance verifies. Scale shape:
+    // one bucketed equi-join on (band_idx, band_value) — never all-pairs —
+    // and the verify is a single codegen'd bit_count(xor) per candidate.
+    "d13_simhash_neardup" -> ((s, dir) => {
+      val sims = docFeatures(s, dir)
+        .select(col("id"), TextOps.simhash32(col("features")).as("sim"))
+        .persist() // consumed by both sides of the band join + the verify
+      val bands = array((0 to 1).map(b =>
+        shiftrightunsigned(col("sim"), 16 * b).bitwiseAND(lit(65535L))): _*)
+      val banded = sims.select(col("id"),
+        posexplode(bands).as(Seq("band_idx", "bv")))
+      val a = banded.select(col("id").as("doc_a"), col("band_idx"), col("bv"))
+      val b = banded.select(col("id").as("doc_b"),
+        col("band_idx").as("bi_b"), col("bv").as("bv_b"))
+      val pairs = a.join(b, col("band_idx") === col("bi_b") &&
+          col("bv") === col("bv_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+      val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+      pairs
+        .join(sims.select(col("id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+        .join(sims.select(col("id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          hamming.as("hamming"), (hamming <= 1).as("is_dup"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Eval-set decontamination: flag training docs sharing any 3-token
@@ -1171,15 +1216,31 @@ object ExtensionQueries {
 
     "d05_simhash" -> s"""
       WITH $featuresCte
-      SELECT doc_id,
-             list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0,32),
-               b -> CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 list_transform(features, h -> CASE WHEN CAST(floor(h / pow(2,b)) AS BIGINT) % 2 = 1
-                                                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
-                 (v,x) -> v + x)) > 0
-                 THEN CAST(floor(pow(2,b)) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-               (acc,y) -> acc + y) AS simhash
+      SELECT doc_id, $simhashSql AS simhash
       FROM doc_feat ORDER BY doc_id""",
+
+    // SimHash near-dup: candidates share >=1 of the 2 16-bit halves of
+    // the fingerprint; verify with exact hamming distance. Mirrors the
+    // Spark band arithmetic (sim >> 16b) & 65535 bit for bit.
+    "d13_simhash_neardup" -> s"""
+      WITH $featuresCte,
+      sims AS (SELECT doc_id, $simhashSql AS sim FROM doc_feat),
+      banded AS (
+        SELECT doc_id, sim, CAST(b AS INTEGER) AS band_idx,
+               (sim >> (16 * CAST(b AS INTEGER))) & 65535 AS bv
+        FROM sims CROSS JOIN range(0, 2) t(b)
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sim AS sim_a, b.sim AS sim_b, count(*) AS n_shared_bands
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      )
+      SELECT doc_a, doc_b, n_shared_bands,
+             CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming,
+             bit_count(xor(sim_a, sim_b)) <= 1 AS is_dup
+      FROM pairs ORDER BY doc_a, doc_b""",
 
     "d07_dedup_clusters" -> s"""
       WITH $featuresCte,
