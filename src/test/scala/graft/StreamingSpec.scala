@@ -178,7 +178,10 @@ class StreamingSpec extends AnyFunSuite {
     def quality(df: DataFrame): DataFrame = df.select(
       col("doc_id"),
       TextOps.charHash(col("text")).as("fingerprint"),
-      size(TextOps.tokens(col("text"))).as("n_tokens"))
+      size(TextOps.tokens(col("text"))).as("n_tokens"),
+      // the native NFC expression is a plain row-local Catalyst expr, so
+      // it must compose over a streaming plan unchanged too
+      graft.functions.UnicodeNormalizeNFC.nfcNormalize(lower(col("text"))).as("norm"))
 
     val gotQ = EventStreams.runToMemory(quality(stream), "stream_doc_quality",
       OutputMode.Append()).collect().toSet
