@@ -246,6 +246,32 @@ object RelationalQueries2 {
         .orderBy(col("p_brand"))
     }),
 
+    // Schema evolution — the lakehouse reality every long-lived table hits:
+    // an early batch written WITHOUT a column, a later batch WITH it, one
+    // mergeSchema read over both. Old rows surface the added column as
+    // null; per-group counts and null-skipping sums prove the merge didn't
+    // drop or fabricate values. (At scale mergeSchema footer-merging costs
+    // a driver-side listing pass; production tables pin the schema in a
+    // catalog — this exercises the raw-path semantics.)
+    "q58_schema_evolution" -> ((s, dir) => {
+      val tmp = graft.sources.Scratch.fresh(s, s"evo_${new java.io.File(dir).getName}")
+      val part = t(s, dir, "part")
+      part.filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey"), col("p_brand"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("append").parquet(tmp)
+      part.filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("append").parquet(tmp)
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("p_retailprice")).as("n_priced"),
+          Agg.roundAt(Agg.decSum(col("p_retailprice")), 2).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
     // The reference's ACTUAL sink semantics end-to-end: append-mode writes to
     // a warehouse table (App.scala:265-270 `mode("append")` into
     // summary_zip_code). The flagship is appended TWICE into a fresh
@@ -410,6 +436,19 @@ object RelationalQueries2 {
              min(CAST(o_orderdate AS DATE)) AS first_order,
              max(CAST(o_orderdate AS DATE)) AS last_order
       FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // Old-batch rows (even keys) have no price column; the merged view
+    // surfaces them as NULL -> count skips them, sum is null-safe.
+    "q58_schema_evolution" -> """
+      WITH merged AS (
+        SELECT p_brand, NULL AS p_retailprice FROM part WHERE p_partkey % 2 = 0
+        UNION ALL
+        SELECT p_brand, p_retailprice FROM part WHERE p_partkey % 2 = 1
+      )
+      SELECT p_brand, count(*) AS n_rows,
+             count(p_retailprice) AS n_priced,
+             floor((CAST(sum(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_price
+      FROM merged GROUP BY 1 ORDER BY 1""",
 
     "q57_orc_roundtrip" -> """
       SELECT p_brand, count(*) AS n,
