@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.DotProduct(exprs(0), exprs(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.UnicodeNormalizeNFC].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.UnicodeNormalizeNFC(exprs(0))))
     // Fuses the portable aggregate(zip_with(..)) dot-product fold into the
     // codegen'd DotProduct — SQL/portable-form users get the compiled loop.
     extensions.injectOptimizerRule(_ => FuseDotProduct)

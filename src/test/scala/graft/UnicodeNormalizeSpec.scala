@@ -41,6 +41,28 @@ class UnicodeNormalizeSpec extends AnyFunSuite {
       Seq(None, Some("ascii")))
   }
 
+  test("nfc_normalize is SQL-callable once registered (GraftExtensions wiring)") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    // getOrCreate reuses the shared session, so register through the same
+    // builder function GraftExtensions injects.
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalizeNFC].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UnicodeNormalizeNFC(exprs(0)))
+    val got = spark.sql("SELECT nfc_normalize('cafe\u0301') AS n").first.getString(0)
+    assert(got == "caf\u00e9")
+  }
+
+  test("normalization is idempotent on every case class") {
+    val once = cases.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    val twice = once.toDF("s")
+      .select(UnicodeNormalizeNFC.nfcNormalize(col("s")).as("n"))
+      .as[String].collect().toSeq
+    assert(twice == once)
+  }
+
   test("composed and decomposed forms hash identically after normalization") {
     val df = Seq(("caf\u00e9", "cafe\u0301")).toDF("a", "b")
       .select(
