@@ -25,7 +25,8 @@ object Bench {
     "q56_append_sink_roundtrip",
     // round-6 additions (appended; earlier entries stay comparable)
     "t09_normalize", "t10_bigram_lm", "d11_source_cap", "d12_hash_split",
-    "s08_recall_eval", "m04_thumbnail")
+    "s08_recall_eval", "m04_thumbnail", "d13_simhash_neardup",
+    "q58_schema_evolution")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 
