@@ -467,7 +467,7 @@ object ExtensionQueries {
     // and the verify is a single codegen'd bit_count(xor) per candidate.
     "d13_simhash_neardup" -> ((s, dir) => {
       val sims = docFeatures(s, dir)
-        .select(col("id"), TextOps.simhash32(col("features")).as("sim"))
+        .select(col("id"), graft.functions.TextHash.simhash32(col("features")).as("sim"))
         .persist() // consumed by both sides of the band join + the verify
       val bands = array((0 to 1).map(b =>
         shiftrightunsigned(col("sim"), 16 * b).bitwiseAND(lit(65535L))): _*)
@@ -537,7 +537,7 @@ object ExtensionQueries {
 
     "d05_simhash" -> ((s, dir) =>
       docFeatures(s, dir)
-        .select(col("id").as("doc_id"), TextOps.simhash32(col("features")).as("simhash"))
+        .select(col("id").as("doc_id"), graft.functions.TextHash.simhash32(col("features")).as("simhash"))
         .orderBy(col("doc_id"))),
 
     // Char-3-gram Jaccard near-dup: same LSH pipeline as d04 but with

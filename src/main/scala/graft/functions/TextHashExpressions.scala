@@ -137,8 +137,36 @@ object TextHash {
     seen.toArray
   }
 
+  /** 32-bit SimHash of a feature-hash set — same per-bit majority vote as
+    * [[graft.operators.TextOps.simhash32]]: bit b of the result is set when
+    * more features have bit b set than clear. The portable form walks 32
+    * interpreted lambda folds over the feature array (~64 boxed evals per
+    * feature); this is one compiled two-level loop. Feature hashes are
+    * nonnegative (mod P), so `(h >> b) & 1` equals the portable
+    * `floor(h / 2^b) % 2` exactly. Empty feature set -> 0, like the
+    * portable empty-fold.
+    */
+  def simhash32(features: Array[Long]): Long = {
+    var acc = 0L
+    var b = 0
+    while (b < 32) {
+      var vote = 0L
+      var i = 0
+      while (i < features.length) {
+        if (((features(i) >> b) & 1L) == 1L) vote += 1 else vote -= 1
+        i += 1
+      }
+      if (vote > 0) acc += (1L << b)
+      b += 1
+    }
+    acc
+  }
+
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  def simhash32(features: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(features)))
 
   def charNgramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgramHashes(ColumnBridge.expression(text), n))
@@ -173,6 +201,20 @@ case class CharNgramHashes(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       TextHash.charNgramHashes(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> feature hashes -> 32-bit simhash fingerprint (compiled). */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simhash32(input.asInstanceOf[ArrayData].toLongArray())
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -35,6 +35,22 @@ class TextHashSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("SimHash32 equals the portable simhash32 on the fixture (incl. empty features)") {
+    val feats = docs.select(TextHash.shingleHashes(col("text"), 2).as("features"))
+    val diff = feats.select(
+        TextOps.simhash32(col("features")).as("a"),
+        TextHash.simhash32(col("features")).as("b"))
+      .filter(!(col("a") <=> col("b")))
+      .count()
+    assert(diff == 0)
+    // empty feature set -> 0 in both forms
+    val empty = Seq(Seq.empty[Long]).toDF("features")
+      .select(TextOps.simhash32(col("features")).as("a"),
+        TextHash.simhash32(col("features")).as("b"))
+      .head()
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
+  }
+
   test("CharNgramHashes equals the portable charNgramHashes on the fixture") {
     val diff = docs.select(
         TextOps.charNgramHashes(col("text"), 3).as("a"),
