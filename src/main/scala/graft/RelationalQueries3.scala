@@ -53,7 +53,47 @@ WHERE o_totalprice > 1.5 * (
 ORDER BY o_orderkey
 """
 
+  /** Recursive-CTE hierarchy rollup (Spark 4's WITH RECURSIVE — before it,
+    * hierarchy walks needed driver-side DataFrame loops). A synthetic but
+    * deterministic management chain over customers (parent = custkey/10,
+    * roots are custkeys 1-9) is walked to the root, then descendants are
+    * aggregated per root with the root's own attributes — the org-chart /
+    * category-tree / BOM shape. One SQL template, two engines: the ONLY
+    * divergence is the integer-division token (Spark `DIV`, DuckDB `//`).
+    * The recursion is acyclic by construction (anc strictly shrinks), so
+    * UNION ALL terminates; Spark's recursion-level limit (100) is far
+    * above the log10 depth. Each step is one keyed join over the frontier
+    * — shuffle-parallel at any scale.
+    */
+  def recursiveHierarchySql(idiv: String): String = s"""
+WITH RECURSIVE chain(id, anc, depth) AS (
+  SELECT c_custkey AS id, c_custkey AS anc, 0 AS depth FROM customer
+  UNION ALL
+  SELECT id, anc $idiv 10 AS anc, depth + 1 AS depth FROM chain WHERE anc >= 10
+),
+final AS (
+  -- exactly one row per id: the first ancestor below 10 (self for roots)
+  SELECT id, anc AS root_key, depth FROM chain WHERE anc < 10
+),
+agg AS (
+  SELECT f.root_key, count(*) AS n_members, max(f.depth) AS max_depth,
+         CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+  FROM final f JOIN customer c ON c.c_custkey = f.id
+  GROUP BY f.root_key
+)
+SELECT a.root_key, r.c_mktsegment AS root_segment, a.n_members,
+       CAST(a.max_depth AS INTEGER) AS max_depth,
+       floor(a.sum_bal * 100 + 0.5) / 100 AS sum_bal
+FROM agg a JOIN customer r ON r.c_custkey = a.root_key
+ORDER BY a.root_key
+"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q59_recursive_hierarchy" -> ((s, dir) => {
+      Tables.createTempViews(s, dir)
+      s.sql(recursiveHierarchySql("DIV"))
+    }),
 
     // Correlated EXISTS / NOT EXISTS (SQL surface; text shared with the
     // oracle verbatim). Plan: two joins (semi + anti), both shuffle-free at
@@ -236,6 +276,7 @@ ORDER BY o_orderkey
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_recursive_hierarchy" -> recursiveHierarchySql("//"),
     "q48_correlated_exists" -> CorrelatedExistsSql,
     "q49_correlated_scalar" -> CorrelatedScalarSql,
 
