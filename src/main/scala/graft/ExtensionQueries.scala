@@ -757,6 +757,25 @@ object ExtensionQueries {
           Agg.roundAt(Agg.decAvg(col("k")), 2).as("avg_k"))
         .orderBy(col("event_type"))),
 
+    // Semi-structured props through Spark 4's VARIANT type (vs e02's
+    // string-path get_json_object): parse ONCE into the binary variant
+    // encoding, then typed `variant_get` projections — the shape that lets
+    // a 100 TB event lake parse JSON a single time at ingest and run all
+    // later extractions against the variant column without re-parsing.
+    // try_variant_get on an absent path must yield null (n_missing pinned
+    // to 0 by the oracle), not a default or an error.
+    "e07_variant_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+        .withColumn("miss", expr("try_variant_get(v, '$.missing', 'int')"))
+        .withColumn("k_bucket", expr("CAST(k DIV 10 AS INTEGER)"))
+        .groupBy(col("event_type"), col("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          count(col("miss")).as("n_missing"))
+        .orderBy(col("event_type"), col("k_bucket"))),
+
     // Conversion funnel: first view -> first click-after-view ->
     // first purchase-after-click, per user. Pure timestamp/integer logic.
     "e04_funnel" -> ((s, dir) => {
@@ -1547,6 +1566,18 @@ object ExtensionQueries {
       SELECT event_type, count(*) AS n_events,
              floor((CAST(sum(CAST(k AS DECIMAL(30,6))) AS DOUBLE) / count(k)) * 100 + 0.5) / 100 AS avg_k
       FROM e GROUP BY 1 ORDER BY 1""",
+
+    // Variant replay: DuckDB extracts the same typed values from the JSON
+    // text; n_missing is pinned to 0 — a missing path must surface as null
+    // on the Spark side, never a fabricated value.
+    "e07_variant_extract" -> """
+      WITH e AS (
+        SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+      )
+      SELECT event_type, CAST(k // 10 AS INTEGER) AS k_bucket, count(*) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k, CAST(0 AS BIGINT) AS n_missing
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "e04_funnel" -> """
       WITH ev AS (
