@@ -95,6 +95,29 @@ ORDER BY a.root_key
       s.sql(recursiveHierarchySql("DIV"))
     }),
 
+    // SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN expr): the engine's
+    // domain transforms (the reference's wage->salary annualization,
+    // App.scala:204-206, plus a tier classifier) declared ONCE as catalog
+    // functions and reused by plain SQL — how a library ships domain logic
+    // to SQL-only users. SQL UDFs are inlined into the plan at resolution
+    // (no black-box row boundary, unlike Scala UDFs), so codegen and
+    // pushdown still apply. The oracle inlines the same bodies textually —
+    // a wrong inlining or type coercion fails the hash.
+    "q60_sql_udf" -> ((s, dir) => {
+      Tables.createTempViews(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_annualize(hourly DOUBLE)
+               RETURNS DOUBLE RETURN hourly * 40 * 52""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(bal DOUBLE)
+               RETURNS STRING RETURN
+                 CASE WHEN bal < 0 THEN 'neg'
+                      WHEN bal < 5000 THEN 'mid'
+                      ELSE 'high' END""")
+      s.sql("""
+        SELECT graft_tier(c_acctbal) AS tier, count(*) AS n,
+               floor(CAST(sum(CAST(graft_annualize(c_acctbal / 100) AS DECIMAL(30,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_annual
+        FROM customer GROUP BY 1 ORDER BY 1""")
+    }),
+
     // Correlated EXISTS / NOT EXISTS (SQL surface; text shared with the
     // oracle verbatim). Plan: two joins (semi + anti), both shuffle-free at
     // this scale via AQE broadcast; at 100 TB both degrade to hash joins
@@ -277,6 +300,15 @@ ORDER BY a.root_key
 
   val oracles: Map[String, String] = Map(
     "q59_recursive_hierarchy" -> recursiveHierarchySql("//"),
+
+    // the UDF bodies inlined textually
+    "q60_sql_udf" -> """
+      SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS tier,
+             count(*) AS n,
+             floor(CAST(sum(CAST((c_acctbal / 100) * 40 * 52 AS DECIMAL(30,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_annual
+      FROM customer GROUP BY 1 ORDER BY 1""",
     "q48_correlated_exists" -> CorrelatedExistsSql,
     "q49_correlated_scalar" -> CorrelatedScalarSql,
 
