@@ -102,6 +102,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected only the final sort exchange, got $exchanges:\n$p")
   }
 
+  test("row-local operators (normalize, hash split) shuffle only for the output sort") {
+    for (q <- Seq("t09_normalize", "d12_hash_split")) {
+      val p = plan(q)
+      val exchanges = "(?<!Reused)Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q: expected only the final sort exchange, got $exchanges:\n$p")
+    }
+  }
+
+  test("simhash banding never plans a cartesian product") {
+    val p = plan("d13_simhash_neardup")
+    assert(!p.contains("CartesianProduct"),
+      "band join degenerated to all-pairs:\n" + p)
+  }
+
   test("a filter on the partition column prunes partitions at the scan") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/out"
