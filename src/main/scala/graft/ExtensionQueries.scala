@@ -247,6 +247,34 @@ object ExtensionQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // End-to-end training-set curation: the three policies above composed
+    // into one decision per document — quality floor, repetition gate,
+    // per-source cap — with a deterministic first-failing reject reason.
+    // Built FROM the registered t02/t08/d11 pipelines (resolved lazily at
+    // call time), so the policy plan is exactly the audited pieces joined
+    // on doc_id; thresholds compare the ROUNDED scores, like t08, so both
+    // engines gate on identical values. This is the query a data-curation
+    // run actually executes: one pass, every doc labeled keep/reject+why.
+    "t11_curation_pipeline" -> ((s, dir) => {
+      val qual = ExtensionQueries.all("t02_quality_score")(s, dir)
+        .select(col("doc_id"), col("quality"))
+      val rep = ExtensionQueries.all("t08_repetition")(s, dir)
+        .select(col("doc_id"), col("dup_bigram_frac"), col("top_term_frac"),
+          col("is_repetitive"))
+      val rk = ExtensionQueries.all("d11_source_cap")(s, dir)
+        .select(col("doc_id"), col("rank_in_source"), col("kept").as("within_cap"))
+      qual.join(rep, "doc_id").join(rk, "doc_id")
+        .withColumn("reject_reason",
+          when(col("quality") < 22, "low_quality")
+            .when(col("is_repetitive"), "repetitive")
+            .when(!col("within_cap"), "source_capped"))
+        .withColumn("kept", col("reject_reason").isNull)
+        .select(col("doc_id"), col("quality"), col("dup_bigram_frac"),
+          col("top_term_frac"), col("rank_in_source"), col("kept"),
+          col("reject_reason"))
+        .orderBy(col("doc_id"))
+    }),
     // -- text analysis --
     "t01_token_stats" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
@@ -960,7 +988,7 @@ object ExtensionQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "t01_token_stats" -> s"""
       WITH tok AS (
         SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks,
@@ -1812,4 +1840,24 @@ object ExtensionQueries {
              md5(frame) AS frame_md5
       FROM fr ORDER BY doc_id, frame_idx"""
   )
+
+  /** The curation oracle composes the t02/t08/d11 oracle queries verbatim as
+    * derived tables, mirroring how the Spark side composes the registered
+    * pipelines — one policy decision per doc, same thresholds on the same
+    * rounded values.
+    */
+  val oracles: Map[String, String] = baseOracles + (
+    "t11_curation_pipeline" -> s"""
+      WITH qual AS (${baseOracles("t02_quality_score")}),
+      rep AS (${baseOracles("t08_repetition")}),
+      rk AS (${baseOracles("d11_source_cap")})
+      SELECT q.doc_id, q.quality, rep.dup_bigram_frac, rep.top_term_frac,
+             rk.rank_in_source,
+             (q.quality >= 22 AND NOT rep.is_repetitive AND rk.kept) AS kept,
+             CASE WHEN q.quality < 22 THEN 'low_quality'
+                  WHEN rep.is_repetitive THEN 'repetitive'
+                  WHEN NOT rk.kept THEN 'source_capped' END AS reject_reason
+      FROM qual q JOIN rep ON q.doc_id = rep.doc_id
+                  JOIN rk ON q.doc_id = rk.doc_id
+      ORDER BY q.doc_id""")
 }
