@@ -27,7 +27,7 @@ object Bench {
     "t09_normalize", "t10_bigram_lm", "d11_source_cap", "d12_hash_split",
     "s08_recall_eval", "m04_thumbnail", "d13_simhash_neardup",
     "q58_schema_evolution", "q59_recursive_hierarchy", "q60_sql_udf",
-    "e07_variant_extract")
+    "e07_variant_extract", "t11_curation_pipeline")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 
