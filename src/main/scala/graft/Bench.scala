@@ -69,6 +69,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

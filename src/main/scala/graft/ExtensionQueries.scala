@@ -140,7 +140,11 @@ object ExtensionQueries {
   // One spill-capable cache of (id, hash-array) — far smaller than the
   // text itself — is the 100 TB shape too: extract once, consume many
   // times. CacheManager dedupes by canonical plan, so every d-query in a
-  // session shares one materialization.
+  // session shares one materialization. Cache lifetime is intentionally
+  // session-scoped (MEMORY_AND_DISK, the Dataset.persist default): distinct
+  // fixture dirs make distinct cached relations, the Verify/Bench mains
+  // clearCache() before stopping, and the shared test JVM's caches die with
+  // it — under memory pressure the disk tier evicts, never OOMs.
   private def docFeatures(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id").as("id"),
       graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
@@ -790,12 +794,13 @@ object ExtensionQueries {
     // encoding, then typed `variant_get` projections — the shape that lets
     // a 100 TB event lake parse JSON a single time at ingest and run all
     // later extractions against the variant column without re-parsing.
-    // try_variant_get on an absent path must yield null (n_missing pinned
-    // to 0 by the oracle), not a default or an error.
+    // try_variant_get on an absent path (or a type-mismatched value) must
+    // yield null, not a default or an error — both extractions use the try
+    // form so a malformed event degrades to a null, never a failed job.
     "e07_variant_extract" -> ((s, dir) =>
       t(s, dir, "events")
         .withColumn("v", parse_json(col("props")))
-        .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+        .withColumn("k", expr("try_variant_get(v, '$.k', 'int')"))
         .withColumn("miss", expr("try_variant_get(v, '$.missing', 'int')"))
         .withColumn("k_bucket", expr("CAST(k DIV 10 AS INTEGER)"))
         .groupBy(col("event_type"), col("k_bucket"))
@@ -1596,15 +1601,23 @@ object ExtensionQueries {
       FROM e GROUP BY 1 ORDER BY 1""",
 
     // Variant replay: DuckDB extracts the same typed values from the JSON
-    // text; n_missing is pinned to 0 — a missing path must surface as null
-    // on the Spark side, never a fabricated value.
+    // text. n_missing is COMPUTED (count of rows whose '$.missing' path is
+    // present), not pinned — a fixture that ever gains that key would fail
+    // loudly instead of silently diverging. k_bucket uses trunc-toward-zero
+    // (not DuckDB's `//` floor division) to match Spark's `DIV` on negative
+    // k as well as the current nonnegative fixture.
     "e07_variant_extract" -> """
       WITH e AS (
-        SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               json_extract(props, '$.missing') AS missing_raw
         FROM events
       )
-      SELECT event_type, CAST(k // 10 AS INTEGER) AS k_bucket, count(*) AS n,
-             CAST(sum(k) AS BIGINT) AS sum_k, CAST(0 AS BIGINT) AS n_missing
+      SELECT event_type,
+             CAST(trunc(CAST(k AS DOUBLE) / 10) AS INTEGER) AS k_bucket,
+             count(*) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             count(missing_raw) AS n_missing
       FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "e04_funnel" -> """

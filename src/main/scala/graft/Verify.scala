@@ -47,6 +47,10 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Drop the session-scoped operator caches (docFeatures/embeddingsD etc.)
+    // explicitly — stop() would too, but this keeps the contract visible and
+    // correct if a caller ever loops this main over several fixture dirs.
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

@@ -138,7 +138,7 @@ object Multimodal {
           i += 3
         }
         md.reset()
-        val hex = md.digest(Ppm.encode(tw, th, thumb.pixels))
+        val hex = md.digest(Ppm.encode(tw, th, thumb.pixels, thumb.maxVal))
           .map("%02x".format(_)).mkString
         ThumbFeatures(r.doc_id, tw, th, sr, sg, sb, hex)
       }
@@ -180,6 +180,11 @@ object Multimodal {
       // directly; the layout on disk is identical.
       val localRoot = new Path(dir).toUri.getPath
       spread.foreachPartition { (records: Iterator[MediaRecord]) =>
+        // The driver-side mkdirs above ran on the DRIVER's filesystem; with
+        // a `file:` target on a real cluster each executor writes to its own
+        // local disk, so the directory must also exist task-side (and
+        // java.io.FileOutputStream, unlike fs.create, never creates parents).
+        new java.io.File(localRoot).mkdirs()
         records.foreach { r =>
           val f = new java.io.FileOutputStream(
             new java.io.File(localRoot, f"${r.doc_id}%012d.bin"))

@@ -15,11 +15,17 @@ object Ppm {
 
   final case class Image(width: Int, height: Int, maxVal: Int, pixels: Array[Byte])
 
-  /** Serialize an RGB raster as P6 with maxval 255. */
-  def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+  /** Serialize an RGB raster as P6. The header's maxval must describe the
+    * samples it precedes — [[parse]] accepts any maxval < 256 and
+    * [[resizeNearest]] preserves it, so a round trip through encode must
+    * carry it too (a header claiming 255 over unrescaled maxval-31 samples
+    * would silently brighten the image for any conforming reader).
+    */
+  def encode(width: Int, height: Int, pixels: Array[Byte], maxVal: Int = 255): Array[Byte] = {
     require(pixels.length == width * height * 3,
       s"raster must be width*height*3 bytes, got ${pixels.length}")
-    s"P6\n$width $height\n255\n".getBytes("US-ASCII") ++ pixels
+    require(maxVal > 0 && maxVal < 256, s"1-byte P6 needs 0 < maxval < 256, got $maxVal")
+    s"P6\n$width $height\n$maxVal\n".getBytes("US-ASCII") ++ pixels
   }
 
   private def isWs(b: Byte): Boolean =

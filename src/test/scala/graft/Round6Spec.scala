@@ -43,7 +43,25 @@ class Round6Spec extends AnyFunSuite {
     val bad = out.filter(col("recall_at_k") < 0 || col("recall_at_k") > 1 ||
       col("n_hits") > 5 || col("n_hits") < 0).count()
     assert(bad == 0)
+    // recall_at_k must be exactly n_hits/k, not an independent computation
+    val inconsistent = out.filter(
+      abs(col("recall_at_k") - col("n_hits").cast("double") / 5) > 1e-6).count()
+    assert(inconsistent == 0)
     out.unpersist()
+    // The exact scan measured against itself recovers every neighbor: two
+    // independent evaluations of the brute-force top-k joined on
+    // (query_id, vec_id) must agree on all k rows for every query — the
+    // self-recall-is-1 property the oracle can't see (it only checks the
+    // LSH-vs-exact numbers), and a determinism pin on tie-breaking.
+    val exact = q("s01_knn_brute").select(col("query_id"), col("vec_id"))
+    val again = q("s01_knn_brute")
+      .select(col("query_id").as("qb"), col("vec_id").as("vb"))
+    val selfHits = exact.join(again,
+        col("query_id") === col("qb") && col("vec_id") === col("vb"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+    val nQueries = exact.select(col("query_id")).distinct().count()
+    assert(nQueries > 0)
+    assert(selfHits.filter(col("n") === 5).count() == nQueries)
   }
 
   test("t10: per-head continuation probabilities never exceed 1 and ranks are dense from 1") {
