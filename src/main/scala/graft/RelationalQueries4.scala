@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Agg, Layout}
+import graft.sources.Tables
+
+/** Round-7 lake-layout operators: partition-pruned reads over a
+  * directory-partitioned table, z-order (Morton) clustering for
+  * multi-column file skipping, and small-file compaction. These are the
+  * WRITE-side levers of 100 TB scan performance — each query executes the
+  * real layout operation against scratch storage and reads its own output
+  * back, while the DuckDB oracle reads the ORIGINAL parquet, so any loss or
+  * corruption in the layout round trip fails the hash.
+  */
+object RelationalQueries4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB mirror of [[Layout.zorderKey]] over non-negative ints, built
+    * from the same bit placement (a's bit i at 2i+1, b's at 2i) with
+    * portable arithmetic (`//` floor division == truncation for the
+    * non-negative inputs here).
+    */
+  private def zorderSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      val p = 1L << i
+      s"(($a // $p) % 2) * ${1L << (2 * i + 1)} + (($b // $p) % 2) * ${1L << (2 * i)}"
+    }.mkString("(", " + ", ")")
+
+  /** The q62 clustering geometry: 10 bits covers pa (0..1023) and sb
+    * (0..99); the box predicate selects a pa stripe × sb stripe.
+    */
+  private val ZBits = 10
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Directory-partitioned lake write + pruned read: orders land under
+    // o_year=YYYY/ directories, and the year-filtered read-back touches
+    // exactly one of the seven partition subtrees — the scan's
+    // PartitionFilters (asserted in Round7Spec) prune the rest at PLANNING
+    // time, before any file is opened. At 100 TB this is the difference
+    // between scanning a day and scanning the lake: partition on the
+    // dominant access predicate (almost always event time).
+    "q61_partition_pruned_lake" -> ((s, dir) => {
+      val tmp = graft.sources.Scratch.fresh(s, s"lake_${new java.io.File(dir).getName}")
+      t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        // spread the single-file fixture scan before the write, like q46
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_year") === 1997)
+        .groupBy(month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          Agg.roundAt(Agg.decSum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_month"))
+    }),
+
+    // Z-order clustered layout + box query: lineitem is rewritten sorted by
+    // the Morton key of (pa, sb), then read back through a two-column box
+    // predicate on the STORED cluster columns — so the filter reaches the
+    // parquet scan (PushedFilters) and the curve's locality makes per-file
+    // min/max stats tight on BOTH columns at once (a single-column sort
+    // gets tight stats on one). sum_z pins the interleave arithmetic
+    // bit-for-bit against the oracle's replay; Round7Spec measures the
+    // actual file-skip ratio the layout buys.
+    "q62_zorder_layout" -> ((s, dir) => {
+      val tmp = graft.sources.Scratch.fresh(s, s"zorder_${new java.io.File(dir).getName}")
+      val src = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"), col("l_returnflag"),
+          pmod(col("l_partkey"), lit(1024)).as("pa"),
+          pmod(col("l_suppkey"), lit(1024)).as("sb"))
+      Layout.writeZOrdered(src, col("pa"), col("sb"), ZBits, nFiles = 8, dir = tmp)
+      s.read.parquet(tmp)
+        // sb's live range is suppkey-bounded (10 at sf0.001), so the sb
+        // stripe sits low; pa's is partkey-bounded and wide at every SF
+        .filter(col("pa").between(128, 255) && col("sb").between(2, 6))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("zkey")).as("sum_z"),
+          min(col("zkey")).as("min_z"),
+          max(col("zkey")).as("max_z"),
+          sum(col("qty")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Small-file compaction: the ingest-shaped layout (64 tiny files — what
+    // a streaming or per-batch writer leaves behind) rewritten to
+    // size-targeted files via a narrow coalesce (no shuffle: compaction is
+    // an I/O rewrite and must not pay a network pass). The read-back
+    // aggregate hash-matching the original-table oracle proves the rewrite
+    // lost nothing; Round7Spec asserts the file count actually dropped.
+    "q64_compact_small_files" -> ((s, dir) => {
+      val small = graft.sources.Scratch.fresh(s, s"small_${new java.io.File(dir).getName}")
+      val packed = graft.sources.Scratch.fresh(s, s"packed_${new java.io.File(dir).getName}")
+      t(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(small)
+      val totalBytes = {
+        val p = new org.apache.hadoop.fs.Path(small)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_")).map(_.getLen).sum
+      }
+      // target a quarter of the data per file -> 4 output files at any SF
+      Layout.compact(s, small, packed, targetBytes = math.max(1L, totalBytes / 4))
+      s.read.parquet(packed)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q61_partition_pruned_lake" -> """
+      SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month, count(*) AS n,
+             count(DISTINCT o_custkey) AS n_cust,
+             floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+      FROM orders
+      WHERE year(o_orderdate) = 1997
+      GROUP BY 1 ORDER BY 1""",
+
+    "q62_zorder_layout" -> s"""
+      WITH z AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+               l_partkey % 1024 AS pa, l_suppkey % 1024 AS sb,
+               ${zorderSql("(l_partkey % 1024)", "(l_suppkey % 1024)", ZBits)} AS zkey
+        FROM lineitem
+      )
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(zkey) AS BIGINT) AS sum_z,
+             CAST(min(zkey) AS BIGINT) AS min_z,
+             CAST(max(zkey) AS BIGINT) AS max_z,
+             CAST(sum(qty) AS BIGINT) AS sum_qty
+      FROM z
+      WHERE pa BETWEEN 128 AND 255 AND sb BETWEEN 2 AND 6
+      GROUP BY 1 ORDER BY 1""",
+
+    "q64_compact_small_files" -> """
+      SELECT source, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             count(DISTINCT lang) AS n_langs
+      FROM documents
+      GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -26,7 +26,7 @@ object SparkEntry {
         s.sql(FlagshipSql.sql)
       })
     ) ++ RelationalQueries.all ++ RelationalQueries2.all ++
-      RelationalQueries3.all ++ ExtensionQueries.all
+      RelationalQueries3.all ++ RelationalQueries4.all ++ ExtensionQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,7 +35,8 @@ object SparkEntry {
     Map("flagship_location_summary" -> FlagshipOracle.sql,
       "flagship_sql" -> FlagshipOracle.sql) ++
       RelationalQueries.oracles ++ RelationalQueries2.oracles ++
-      RelationalQueries3.oracles ++ ExtensionQueries.oracles
+      RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
+      ExtensionQueries.oracles
 }
 
 /** DuckDB mirror of [[LocationSummary.build]] — same CTE structure, fixed

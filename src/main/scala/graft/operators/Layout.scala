@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — the write-side half of scan performance. At
+  * 100 TB the fastest query is the one that never reads most of the lake:
+  * partition directories prune whole subtrees, z-order clustering makes
+  * parquet row-group min/max stats tight on MULTIPLE columns at once, and
+  * file compaction keeps the file count (and thus driver listing + task
+  * scheduling overhead) proportional to data size instead of to ingest
+  * batch count.
+  *
+  * Everything here is arithmetic or a plain Spark write — no RDDs, no
+  * driver-side data movement.
+  */
+object Layout {
+
+  /** Morton (z-order) interleave of the low `bits` bits of two NON-NEGATIVE
+    * integer columns: bit i of `a` lands at output bit 2i+1, bit i of `b`
+    * at 2i. Sorting by this key gives a space-filling curve over (a, b), so
+    * a file/row-group span of the sort order covers a bounded RECTANGLE in
+    * (a, b) space — min/max stats on both columns stay tight, and a box
+    * predicate on either column skips most files (see Round7Spec for the
+    * measured skip ratio). Pure codegen'd integer arithmetic: `bits` is
+    * bounded at 31 so the 2×31 interleaved bits fit a long.
+    */
+  def zorderKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"zorder bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+  }
+
+  /** Inverse of [[zorderKey]] — (a, b) recovered from the key. Driver-side
+    * helper for tests and debugging; not a Column.
+    */
+  def zorderDecode(z: Long, bits: Int): (Long, Long) = {
+    var a = 0L; var b = 0L; var i = 0
+    while (i < bits) {
+      a |= ((z >> (2 * i + 1)) & 1L) << i
+      b |= ((z >> (2 * i)) & 1L) << i
+      i += 1
+    }
+    (a, b)
+  }
+
+  /** Rewrite `df` sorted by the z-order key of (`a`, `b`) into `dir`:
+    * range-partition on the key (so files cover disjoint key ranges —
+    * range, not hash, or the curve's locality is destroyed), sort within
+    * each partition, and persist the key alongside the data. `nFiles`
+    * stays a parameter because the right value is data-size/128 MB, which
+    * only the caller knows at scale.
+    */
+  def writeZOrdered(df: DataFrame, a: Column, b: Column, bits: Int,
+                    nFiles: Int, dir: String): Unit =
+    df.withColumn("zkey", zorderKey(a, b, bits))
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Compact a parquet directory of many small files into
+    * ceil(totalBytes / targetBytes) files at `dstDir`. Uses `coalesce`
+    * (narrow — each output task concatenates input splits, no shuffle):
+    * compaction is an I/O rewrite and must not pay a network pass; callers
+    * with pathological skew can repartition upstream. Returns the output
+    * file count so callers can audit the rewrite.
+    */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+              targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val p = new Path(srcDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(p).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_")).map(_.getLen).sum
+    val sized = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(srcDir)
+    // the scan already packs small files into splits (maxPartitionBytes /
+    // openCostInBytes), so it may surface FEWER partitions than the size
+    // target asks for — coalesce can only merge, never split, so the real
+    // output count is the smaller of the two
+    val nFiles = math.min(sized, df.rdd.getNumPartitions).max(1)
+    df.coalesce(nFiles).write.mode("overwrite").parquet(dstDir)
+    nFiles
+  }
+}

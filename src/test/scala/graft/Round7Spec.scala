@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+/** Plan-shape and layout-effect properties of the round-7 lake operators —
+  * the parts the hash oracles can't see: that partition pruning actually
+  * prunes, that z-order clustering actually buys file skipping, that
+  * compaction actually reduces file counts, and that Spark's runtime
+  * bloom-filter join can be enabled without changing results.
+  */
+class Round7Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def t(name: String) = graft.sources.Tables.load(spark, dir, name)
+
+  private def fileScans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+
+  test("zorder key is a bijection: decode(encode(a, b)) == (a, b)") {
+    for (a <- 0L until 64L; b <- 0L until 64L) {
+      val z = ((0 until 6).map { i =>
+        (((a >> i) & 1L) << (2 * i + 1)) + (((b >> i) & 1L) << (2 * i))
+      }).sum
+      assert(Layout.zorderDecode(z, 6) == ((a, b)), s"at ($a, $b)")
+    }
+    // and the Column form computes the same key as the reference arithmetic
+    val rows = spark.range(0, 256)
+      .select((col("id") / 16).cast("long").as("a"), (col("id") % 16).as("b"))
+      .withColumn("z", Layout.zorderKey(col("a"), col("b"), 4))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (a, b, z) =>
+      assert(Layout.zorderDecode(z, 4) == ((a, b)), s"column form at ($a, $b)")
+    }
+  }
+
+  test("q61 layout: the year filter becomes a partition filter and reads exactly one partition") {
+    val tmp = graft.sources.Scratch.fresh(spark, "spec_lake")
+    t("orders").withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).filter(col("o_year") === 1997)
+    val scans = fileScans(pruned)
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "year predicate must prune at planning time, not row-filter at scan time")
+    // execute THIS physical plan instance (a fresh .count() would build a
+    // new QueryExecution whose metrics we can't see)
+    pruned.queryExecution.executedPlan.execute().count()
+    val partsRead = scans.head.metrics("numPartitions").value
+    assert(partsRead == 1, s"expected 1 partition read, got $partsRead")
+  }
+
+  test("q62 layout: z-order clustering skips files a row-order layout cannot") {
+    val src = t("lineitem").select(
+      pmod(col("l_partkey"), lit(1024)).as("pa"),
+      pmod(col("l_suppkey"), lit(1024)).as("sb"),
+      col("l_quantity"))
+    val zdir = graft.sources.Scratch.fresh(spark, "spec_zorder")
+    val rdir = graft.sources.Scratch.fresh(spark, "spec_roworder")
+    Layout.writeZOrdered(src, col("pa"), col("sb"), 10, nFiles = 8, dir = zdir)
+    src.repartition(8).write.mode("overwrite").parquet(rdir)
+
+    // per-file column stats, exactly what parquet row-group/file skipping
+    // consults: how many files could contain rows of the q62 box?
+    def filesIntersectingBox(d: String): (Long, Long) = {
+      val stats = spark.read.parquet(d)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("pa").as("pa_lo"), max("pa").as("pa_hi"),
+          min("sb").as("sb_lo"), max("sb").as("sb_hi"))
+      val total = stats.count()
+      val hit = stats.filter(col("pa_hi") >= 128 && col("pa_lo") <= 255 &&
+        col("sb_hi") >= 2 && col("sb_lo") <= 6).count()
+      (hit, total)
+    }
+    val (zHit, zTotal) = filesIntersectingBox(zdir)
+    val (rHit, rTotal) = filesIntersectingBox(rdir)
+    assert(zTotal == 8 && rTotal == 8)
+    assert(rHit == rTotal,
+      s"row-order layout should leave every file intersecting the box (got $rHit/$rTotal)")
+    assert(zHit < rHit, s"z-order must beat row order, got $zHit vs $rHit")
+
+    // and the box predicate reaches the parquet scan as pushed filters on
+    // the STORED cluster columns (the stats above only pay off if so)
+    val boxed = spark.read.parquet(zdir)
+      .filter(col("pa").between(128, 255) && col("sb").between(2, 6))
+    val meta = fileScans(boxed).head.metadata.getOrElse("PushedFilters", "")
+    assert(meta.contains("GreaterThanOrEqual(pa,128") && meta.contains("LessThanOrEqual(sb,6"),
+      s"box predicate must push to the scan, got: $meta")
+  }
+
+  test("q64 layout: compaction collapses 64 ingest files to the size-targeted count") {
+    val small = graft.sources.Scratch.fresh(spark, "spec_small")
+    val packed = graft.sources.Scratch.fresh(spark, "spec_packed")
+    t("documents").repartition(64).write.mode("overwrite").parquet(small)
+    def dataFiles(d: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    }
+    assert(dataFiles(small) == 64)
+    val totalBytes = {
+      val p = new org.apache.hadoop.fs.Path(small)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+    }
+    val n = Layout.compact(spark, small, packed, math.max(1L, totalBytes / 4))
+    assert(n <= 8, s"quarter-size target must give a handful of files, got $n")
+    assert(dataFiles(packed) == n)
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(packed).count() == t("documents").count())
+  }
+
+  test("runtime bloom-filter join: plan gains might_contain, result unchanged") {
+    val plain = t("lineitem")
+      .join(t("supplier").filter(col("s_nationkey") === 3), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity").cast("long")).as("q"))
+      .orderBy(col("l_returnflag")).as[(String, Long)].collect().toSeq
+
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force a shuffle join on tiny local fixtures so the optimizer's
+      // size gates open — at real scale the defaults (10 MB creation side,
+      // 10 GB probe side) fire on their own
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "1GB")
+      spark.conf.set(keys(2), "0")
+      spark.conf.set(keys(3), "-1")
+      val bloomed = t("lineitem")
+        .join(t("supplier").filter(col("s_nationkey") === 3), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity").cast("long")).as("q"))
+      assert(bloomed.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "optimizer should inject a bloom filter on the probe side")
+      val got = bloomed.orderBy(col("l_returnflag")).as[(String, Long)].collect().toSeq
+      assert(got == plain, "runtime filtering must never change results")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
