@@ -26,7 +26,8 @@ object SparkEntry {
         s.sql(FlagshipSql.sql)
       })
     ) ++ RelationalQueries.all ++ RelationalQueries2.all ++
-      RelationalQueries3.all ++ RelationalQueries4.all ++ ExtensionQueries.all
+      RelationalQueries3.all ++ RelationalQueries4.all ++ ExtensionQueries.all ++
+      ExtensionQueries2.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,7 +37,7 @@ object SparkEntry {
       "flagship_sql" -> FlagshipOracle.sql) ++
       RelationalQueries.oracles ++ RelationalQueries2.oracles ++
       RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
-      ExtensionQueries.oracles
+      ExtensionQueries.oracles ++ ExtensionQueries2.oracles
 }
 
 /** DuckDB mirror of [[LocationSummary.build]] — same CTE structure, fixed
