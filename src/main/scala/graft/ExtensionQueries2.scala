@@ -3,17 +3,82 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.HeavyHitters
+import graft.operators.{HeavyHitters, Kmeans, VectorOps}
 import graft.sources.Tables
 
 /** Round-7 LLM-pipeline extensions (continues [[ExtensionQueries]], split
-  * for file hygiene): mergeable-sketch aggregation. Same contract — every
-  * query deterministic with a DuckDB oracle.
+  * for file hygiene): mergeable-sketch aggregation and product-quantized
+  * ANN. Same contract — every query deterministic with a DuckDB oracle.
   */
 object ExtensionQueries2 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Same projection as ExtensionQueries' cached corpus — canonically equal
+    * plans, so CacheManager shares one materialization across both files.
+    */
+  private def embeddingsD(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+      .persist()
+
+  /** Product-quantization geometry: 64 dims split into [[PqM]] subspaces of
+    * [[PqSub]] dims, each quantized by a [[PqK]]-centroid deterministic
+    * k-means ([[Kmeans]] — the same training loop the s05 oracle replays),
+    * so a vector compresses to PqM small codes.
+    */
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqK = 8
+  private val PqIters = 2
+
+  // ---- DuckDB mirrors of the PQ training/scoring pieces ----
+
+  /** dotSql generalized to `dims` and shared lambda shape with
+    * [[VectorOps.dot]] (sequential fold, so doubles agree bit-for-bit).
+    */
+  private def dotSqlN(a: String, b: String, dims: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1,${dims + 1}), i -> $a[i] * $b[i])), (acc,x) -> acc + x)"
+
+  /** The [[Kmeans]] training run over source CTE `src` (vec_id, v) with
+    * `dims`-dim vectors, every CTE name prefixed: `<p>seeds`, `<p>c0`,
+    * `<p>a1`, `<p>c1`, ... — the s05 replay generalized so four subspace
+    * runs can coexist in one statement.
+    */
+  private def kmCtesN(p: String, src: String, k: Int, iters: Int, dims: Int): String = {
+    val seeds = s"""
+      ${p}seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS INTEGER) AS cell, v
+        FROM $src
+        QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) <= $k
+      ),
+      ${p}c0 AS (SELECT cell, v AS cv FROM ${p}seeds)"""
+    val rounds = (1 to iters).map { r =>
+      val assign = s"""
+      ${p}a$r AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   (${dotSqlN("e.v", "c.cv", dims)} / (sqrt(${dotSqlN("e.v", "e.v", dims)}) * sqrt(${dotSqlN("c.cv", "c.cv", dims)}))) DESC,
+                   c.cell ASC) AS rn
+          FROM $src e CROSS JOIN ${p}c${r - 1} c
+        ) t WHERE rn = 1
+      )"""
+      val recompute = s"""
+      ${p}c$r AS (
+        SELECT cell, list(c ORDER BY dim) AS cv FROM (
+          SELECT cell, CAST(i AS INTEGER) AS dim,
+                 CAST(sum(CAST(v[i+1] AS DECIMAL(30,6))) AS DOUBLE) / count(v[i+1]) AS c
+          FROM ${p}a$r CROSS JOIN range(0, $dims) t(i)
+          GROUP BY 1, 2
+        ) d GROUP BY cell
+      )"""
+      assign + "," + recompute
+    }
+    (seeds +: rounds).mkString(",")
+  }
 
   /** Sketch capacity for t12 — the corpus vocabulary is 31 terms, so at
     * most 961 distinct bigrams exist at ANY scale factor: 1024 puts the
@@ -55,6 +120,49 @@ object ExtensionQueries2 {
         .filter(col("rank") <= 20)
         .select(col("rank"), col("term"), col("est"))
         .orderBy(col("rank"))
+    }),
+
+    // Product-quantized ANN (asymmetric distance computation): the corpus
+    // compresses to PqM=4 one-byte codes per vector — at 100 TB that is
+    // the difference between an index that fits executor memory and one
+    // that doesn't (64 floats -> 4 bytes, 64x). Each subspace trains the
+    // SAME deterministic k-means the learned-IVF path uses (s05), codes
+    // are each vector's per-subspace cell, and query scoring decodes
+    // candidates through the (tiny, broadcast) codebooks only — the raw
+    // corpus vectors are never touched at query time. Production form
+    // precomputes a 32-entry per-query lookup table; this declarative form
+    // keeps the same join shape (codes ⋈ broadcast codebooks ⋈ broadcast
+    // queries, zero shuffle on the corpus side) and lets the oracle replay
+    // all four training runs plus the scoring in one statement.
+    "s09_knn_pq" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val subs = (0 until PqM).map { j =>
+        val sub = e.select(col("vec_id"), slice(col("v"), j * PqSub + 1, PqSub).as("v"))
+        val (cent, assigned) = Kmeans.fit(sub, PqK, PqIters)
+        (cent.select(col("cell").as(s"cell_$j"), col("cv").as(s"cv_$j")),
+          assigned.select(col("vec_id"), col("cell").as(s"c_$j")))
+      }
+      val codes = subs.map(_._2).reduce(_.join(_, "vec_id"))
+      val decoded = subs.zipWithIndex.foldLeft(codes) { case (df, ((cent, _), j)) =>
+        df.join(broadcast(cent), col(s"c_$j") === col(s"cell_$j")).drop(s"cell_$j")
+      }
+      val q = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val dotSum = (0 until PqM).map(j =>
+        VectorOps.dot(slice(col("qv"), j * PqSub + 1, PqSub), col(s"cv_$j"))).reduce(_ + _)
+      val cNorm2 = (0 until PqM).map(j =>
+        VectorOps.dot(col(s"cv_$j"), col(s"cv_$j"))).reduce(_ + _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("pq_score").desc, col("vec_id").asc)
+      decoded.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("pq_score",
+          dotSum / (sqrt(VectorOps.dot(col("qv"), col("qv"))) * sqrt(cNorm2)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          graft.operators.Agg.roundAt(col("pq_score"), 6).as("pq_score"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -80,6 +188,58 @@ object ExtensionQueries2 {
         FROM counts
       )
       SELECT CAST(rank AS INTEGER) AS rank, term, est
-      FROM ranked WHERE rank <= 20 ORDER BY rank"""
+      FROM ranked WHERE rank <= 20 ORDER BY rank""",
+
+    // Full PQ replay: four subspace k-means training runs (the s05 replay
+    // generalized), code assignment, codebook decode, and ADC scoring —
+    // hash-matchable because every training step is engine-exact.
+    "s09_knn_pq" -> {
+      val subCtes = (0 until PqM).map { j =>
+        val lo = j * PqSub + 1
+        val hi = (j + 1) * PqSub
+        s"e$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e)," +
+          kmCtesN(s"s$j", s"e$j", PqK, PqIters, PqSub)
+      }.mkString(",")
+      val codesJoin = (1 until PqM)
+        .map(j => s"JOIN s${j}a$PqIters a$j USING (vec_id)").mkString(" ")
+      val codeCols = (0 until PqM).map(j => s"a$j.cell AS c_$j").mkString(", ")
+      val decodeJoin = (0 until PqM)
+        .map(j => s"JOIN s${j}c$PqIters cb$j ON codes.c_$j = cb$j.cell").mkString(" ")
+      val cvCols = (0 until PqM).map(j => s"cb$j.cv AS cv_$j").mkString(", ")
+      val dotSum = (0 until PqM).map { j =>
+        dotSqlN(s"(qv[${j * PqSub + 1}:${(j + 1) * PqSub}])", s"cv_$j", PqSub)
+      }.mkString("(", " + ", ")")
+      val cNorm2 = (0 until PqM)
+        .map(j => dotSqlN(s"cv_$j", s"cv_$j", PqSub)).mkString("(", " + ", ")")
+      s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),$subCtes,
+      codes AS (
+        SELECT a0.vec_id, $codeCols
+        FROM s0a$PqIters a0 $codesJoin
+      ),
+      decoded AS (
+        SELECT codes.vec_id, $cvCols
+        FROM codes $decodeJoin
+      ),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),
+      scored AS (
+        SELECT q.query_id, d.vec_id,
+               $dotSum / (sqrt(${dotSqlN("qv", "qv", PqM * PqSub)}) * sqrt($cNorm2)) AS pq_score
+        FROM decoded d CROSS JOIN q
+        WHERE d.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT query_id, vec_id, pq_score,
+               row_number() OVER (PARTITION BY query_id ORDER BY pq_score DESC, vec_id ASC) AS rank
+        FROM scored
+      )
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+             floor(pq_score * 1000000 + 0.5) / 1000000 AS pq_score
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""
+    }
   )
 }

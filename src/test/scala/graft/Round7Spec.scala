@@ -117,6 +117,33 @@ class Round7Spec extends AnyFunSuite {
     assert(spark.read.parquet(packed).count() == t("documents").count())
   }
 
+  test("s09 product quantization: every vector coded in-range per subspace, and codes compress") {
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    val codes = (0 until 4).map { j =>
+      val sub = e.select(col("vec_id"), slice(col("v"), j * 16 + 1, 16).as("v"))
+      val (_, assigned) = graft.operators.Kmeans.fit(sub, k = 8, iters = 2)
+      assigned.select(col("vec_id"), col("cell").as(s"c_$j"))
+    }.reduce(_.join(_, "vec_id"))
+    assert(codes.count() == n, "every corpus vector must get a full code")
+    assert(codes.filter((0 until 4).map(j =>
+      col(s"c_$j") < 0 || col(s"c_$j") >= 8).reduce(_ || _)).count() == 0)
+    // the index actually compresses: distinct code words << corpus size
+    val words = codes.select((0 until 4).map(j => col(s"c_$j")): _*).distinct().count()
+    assert(words <= 8L * 8 * 8 * 8)
+    assert(words < n, s"code words ($words) should collide across $n vectors")
+  }
+
+  test("s09 scores are valid cosines and the query is deterministic across runs") {
+    def run() = SparkEntry.queries("s09_knn_pq")(spark, dir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a.forall { case (_, _, _, s) => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 })
+    assert(a == run(), "PQ training and scoring must be run-to-run deterministic")
+  }
+
   test("runtime bloom-filter join: plan gains might_contain, result unchanged") {
     val plain = t("lineitem")
       .join(t("supplier").filter(col("s_nationkey") === 3), col("l_suppkey") === col("s_suppkey"))
