@@ -27,7 +27,10 @@ object Bench {
     "t09_normalize", "t10_bigram_lm", "d11_source_cap", "d12_hash_split",
     "s08_recall_eval", "m04_thumbnail", "d13_simhash_neardup",
     "q58_schema_evolution", "q59_recursive_hierarchy", "q60_sql_udf",
-    "e07_variant_extract", "t11_curation_pipeline")
+    "e07_variant_extract", "t11_curation_pipeline",
+    // round-7 additions
+    "q61_partition_pruned_lake", "q62_zorder_layout", "q64_compact_small_files",
+    "t12_heavy_hitters", "s09_knn_pq")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

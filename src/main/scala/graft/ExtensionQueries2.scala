@@ -136,15 +136,22 @@ object ExtensionQueries2 {
     // all four training runs plus the scoring in one statement.
     "s09_knn_pq" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
-      val subs = (0 until PqM).map { j =>
-        val sub = e.select(col("vec_id"), slice(col("v"), j * PqSub + 1, PqSub).as("v"))
-        val (cent, assigned) = Kmeans.fit(sub, PqK, PqIters)
-        (cent.select(col("cell").as(s"cell_$j"), col("cv").as(s"cv_$j")),
-          assigned.select(col("vec_id"), col("cell").as(s"c_$j")))
-      }
-      val codes = subs.map(_._2).reduce(_.join(_, "vec_id"))
-      val decoded = subs.zipWithIndex.foldLeft(codes) { case (df, ((cent, _), j)) =>
-        df.join(broadcast(cent), col(s"c_$j") === col(s"cell_$j")).drop(s"cell_$j")
+      // all four subspace quantizers train in ONE corpus pass: explode each
+      // vector into (subspace, subvector) rows and run the grouped trainer
+      // (per-group results identical to four separate fits — KmeansSpec)
+      val gsub = e.select(col("vec_id"), explode(array((0 until PqM).map(j =>
+          struct(lit(j).as("grp"), slice(col("v"), j * PqSub + 1, PqSub).as("v"))): _*)).as("g"))
+        .select(col("g.grp").as("grp"), col("vec_id"), col("g.v").as("v"))
+      val (cent, assigned) = Kmeans.fitGrouped(gsub, PqK, PqIters)
+      val codes = assigned.groupBy(col("vec_id"))
+        .agg((0 until PqM).map(j =>
+          max(when(col("grp") === j, col("cell"))).as(s"c_$j")).head,
+          (1 until PqM).map(j =>
+            max(when(col("grp") === j, col("cell"))).as(s"c_$j")): _*)
+      val decoded = (0 until PqM).foldLeft(codes) { case (df, j) =>
+        df.join(broadcast(cent.filter(col("grp") === j)
+            .select(col("cell").as(s"cell_$j"), col("cv").as(s"cv_$j"))),
+          col(s"c_$j") === col(s"cell_$j")).drop(s"cell_$j")
       }
       val q = e.filter(col("vec_id") <= 2)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))

@@ -59,6 +59,63 @@ object Kmeans {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x.getField("c")).as("cv"))
 
+  // ---- grouped training: many independent k-means in one corpus pass ----
+  //
+  // Product quantization trains one quantizer PER SUBSPACE; running fit()
+  // m times costs m passes over the corpus (m× the jobs, m× the shuffles).
+  // Since the subspace problems are independent, they compose into ONE
+  // pass by carrying a group column through every step: seeds rank per
+  // group, assignment windows over (grp, vec_id), recomputation aggregates
+  // per (grp, cell, dim). Per-group results are IDENTICAL to m separate
+  // fit() runs (KmeansSpec pins this), so the per-subspace oracle replay
+  // still hash-matches — but the engine shuffles m× fewer, wider stages.
+
+  /** Per-group hash-ranked seeds over (grp, vec_id, v). */
+  def seedCentroidsGrouped(e: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("hrank"), col("vec_id"))
+    e.select(col("grp"), col("vec_id"), col("v"))
+      .withColumn("hrank", pmod(col("vec_id") * lit(2654435761L), lit(1000003L)))
+      .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+      .filter(col("cell") < k)
+      .select(col("grp"), col("cell"), col("v").as("cv"))
+  }
+
+  /** Per-group argmax-cosine assignment: centroids join on `grp` (still a
+    * broadcast — k×groups rows), rank windows over (grp, vec_id).
+    */
+  def assignGrouped(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = e.select(col("grp"), col("vec_id"), col("v"))
+      .join(broadcast(centroids), Seq("grp"))
+      .withColumn("ccos", VectorOps.cosineFast(col("v"), col("cv")))
+    Snapshot.latestPerKeyWindow(scored, Seq("grp", "vec_id"),
+        Seq(col("ccos").desc, col("cell").asc))
+      .select(col("grp"), col("vec_id"), col("v"), col("cell"))
+  }
+
+  /** Exact-decimal per-(grp, cell, dim) centroid recomputation. */
+  def recomputeGrouped(assigned: DataFrame): DataFrame =
+    assigned.select(col("grp"), col("cell"), posexplode(col("v")).as(Seq("dim", "val")))
+      .groupBy(col("grp"), col("cell"), col("dim"))
+      .agg(Agg.decAvg(col("val")).as("c"))
+      .groupBy(col("grp"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cv"))
+
+  /** [[fit]] for a (grp, vec_id, v) input: every group trains its own
+    * k-means, all groups advance together in one pass per step.
+    */
+  def fitGrouped(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, "need at least one Lloyd iteration")
+    var cent = seedCentroidsGrouped(e, k)
+    var assigned = assignGrouped(e, cent)
+    cent = recomputeGrouped(assigned)
+    for (_ <- 2 to iters) {
+      assigned = assignGrouped(e, cent)
+      cent = recomputeGrouped(assigned)
+    }
+    (cent, assigned)
+  }
+
   /** Fixed-iteration training: returns (final centroids, final assignment)
     * where the assignment is the one that PRODUCED the final centroids —
     * the IVF posting lists, with no extra assignment pass.

@@ -35,6 +35,28 @@ class KmeansSpec extends AnyFunSuite {
     assert(n == 500, s"assignment lost rows: $n")
   }
 
+  test("fitGrouped == m independent fits, per group (the one-pass PQ trainer changes nothing)") {
+    val subs = (0 until 4).map(j =>
+      emb.select(col("vec_id"), slice(col("v"), j * 16 + 1, 16).as("v")))
+    val gsub = emb.select(col("vec_id"), explode(array((0 until 4).map(j =>
+        struct(lit(j).as("grp"), slice(col("v"), j * 16 + 1, 16).as("v"))): _*)).as("g"))
+      .select(col("g.grp").as("grp"), col("vec_id"), col("g.v").as("v"))
+    val (gc, ga) = Kmeans.fitGrouped(gsub, k = 8, iters = 2)
+    for (j <- 0 until 4) {
+      val (c, a) = Kmeans.fit(subs(j), k = 8, iters = 2)
+      val solo = c.orderBy("cell").collect()
+        .map(r => (r.getInt(r.fieldIndex("cell")), r.getSeq[Double](r.fieldIndex("cv")).toList)).toList
+      val grouped = gc.filter(col("grp") === j).orderBy("cell").collect()
+        .map(r => (r.getInt(r.fieldIndex("cell")), r.getSeq[Double](r.fieldIndex("cv")).toList)).toList
+      assert(grouped == solo, s"centroids diverge in subspace $j")
+      val soloA = a.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val groupedA = ga.filter(col("grp") === j).select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(groupedA == soloA, s"assignments diverge in subspace $j")
+    }
+  }
+
   test("learned IVF beats label-routed IVF structure: recall floor vs brute force") {
     def pairs(q: String) = ExtensionQueries.all(q)(spark, dir)
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
