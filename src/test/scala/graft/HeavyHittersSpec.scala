@@ -60,4 +60,24 @@ class HeavyHittersSpec extends AnyFunSuite {
     val got = summarize(rows, capacity = 32, parts = 8)
     assert(got.size <= 32)
   }
+
+  test("the sketch aggregates a stream: complete-mode summary matches the batch summary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 300).map(i => Seq(s"k${i % 5}", s"k${i % 11}"))
+    val stream = MemoryStream[Seq[String]]
+    stream.addData(rows: _*)
+    // global typed aggregation over an unbounded source — the sketch buffer
+    // IS the streaming state, bounded at capacity entries forever
+    val summary = stream.toDS().groupByKey(_ => 0)
+      .agg(HeavyHitters.spaceSaving(64).toColumn.name("ss"))
+    val got = graft.streaming.EventStreams.runToMemory(
+        summary.toDF("gid", "ss"), "hh_stream", OutputMode.Complete())
+      .select(explode(col("ss")).as("e"))
+      .select(col("e.term"), col("e.est")).as[(String, Long)].collect().toMap
+    val batch = summarize(rows, capacity = 64, parts = 4)
+      .map(e => e._1 -> e._2).toMap
+    assert(got == batch)
+  }
 }
