@@ -29,7 +29,8 @@ object Bench {
     "q58_schema_evolution", "q59_recursive_hierarchy", "q60_sql_udf",
     "e07_variant_extract", "t11_curation_pipeline",
     // round-7 additions
-    "q61_partition_pruned_lake", "q62_zorder_layout", "q64_compact_small_files",
+    "q61_partition_pruned_lake", "q62_zorder_layout", "q63_stats_index_scan",
+    "q64_compact_small_files", "q65_snapshot_read",
     "t12_heavy_hitters", "s09_knn_pq")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000

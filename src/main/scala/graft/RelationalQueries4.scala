@@ -89,6 +89,33 @@ object RelationalQueries4 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Stats-index (manifest-style) scan: the skipping index external table
+    // formats maintain, built and USED natively — per-file min/max stats
+    // over the z-ordered layout select the candidate file subset for the
+    // box (file METADATA on the driver, exactly what an Iceberg/Delta
+    // planner holds), and only those files are opened. The aggregate over
+    // the pruned read must still match the whole-table oracle: skipping
+    // may only skip files the predicate proves empty. Round7Spec asserts
+    // the candidate set is a strict subset.
+    "q63_stats_index_scan" -> ((s, dir) => {
+      val tmp = graft.sources.Scratch.fresh(s, s"statsidx_${new java.io.File(dir).getName}")
+      val src = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"),
+          col("l_returnflag"),
+          pmod(col("l_partkey"), lit(1024)).as("pa"),
+          pmod(col("l_suppkey"), lit(1024)).as("sb"))
+      Layout.writeZOrdered(src, col("pa"), col("sb"), ZBits, nFiles = 8, dir = tmp)
+      val idx = Layout.statsIndex(s, tmp, Seq("pa", "sb"))
+      val files = Layout.filesForBox(idx, Map("pa" -> (128L, 255L), "sb" -> (2L, 6L)))
+      require(files.nonEmpty, "fixture box must be populated")
+      s.read.parquet(files: _*)
+        .filter(col("pa").between(128, 255) && col("sb").between(2, 6))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Small-file compaction: the ingest-shaped layout (64 tiny files — what
     // a streaming or per-batch writer leaves behind) rewritten to
     // size-targeted files via a narrow coalesce (no shuffle: compaction is
@@ -114,6 +141,26 @@ object RelationalQueries4 {
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(col("lang")).as("n_langs"))
         .orderBy(col("source"))
+    }),
+
+    // Versioned-snapshot (time-travel) table: two commits build the corpus
+    // (even doc_ids, then odd), each publishing an atomic manifest; the
+    // as-of-latest read reassembles EXACTLY the committed whole, which the
+    // full-table oracle hash-checks. This is the reproducibility contract
+    // a training run needs — "the corpus exactly as version N published
+    // it" — and Round7Spec pins the historical view (v1 = even half only)
+    // and crash isolation (an orphaned batch dir stays invisible).
+    "q65_snapshot_read" -> ((s, dir) => {
+      val tbl = graft.sources.Scratch.fresh(s, s"snap_${new java.io.File(dir).getName}")
+      val docs = t(s, dir, "documents")
+      graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 === 0))
+      graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 =!= 0))
+      graft.sources.Snapshots.readLatest(s, tbl)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -147,6 +194,24 @@ object RelationalQueries4 {
       SELECT source, count(*) AS n,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              count(DISTINCT lang) AS n_langs
+      FROM documents
+      GROUP BY 1 ORDER BY 1""",
+
+    // Skipping may only skip provably-empty files, so the pruned read must
+    // reproduce the whole-table box aggregate.
+    "q63_stats_index_scan" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem
+      WHERE (l_partkey % 1024) BETWEEN 128 AND 255
+        AND (l_suppkey % 1024) BETWEEN 2 AND 6
+      GROUP BY 1 ORDER BY 1""",
+
+    "q65_snapshot_read" -> """
+      SELECT lang, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             count(DISTINCT source) AS n_sources
       FROM documents
       GROUP BY 1 ORDER BY 1"""
   )

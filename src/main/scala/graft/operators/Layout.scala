@@ -61,6 +61,34 @@ object Layout {
       .sortWithinPartitions(col("zkey"))
       .write.mode("overwrite").parquet(dir)
 
+  /** Per-file min/max statistics over the given columns — the skipping
+    * index external table formats (Iceberg/Delta manifests) maintain,
+    * built here by one aggregation over the data keyed on
+    * `input_file_name()`. At 100 TB the index is files-sized (not
+    * rows-sized), lives beside the table, and lets a planner select the
+    * file subset a predicate can touch WITHOUT opening any footer. Pair
+    * with [[writeZOrdered]]: clustering is what makes these ranges tight.
+    */
+  def statsIndex(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+
+  /** The files of `index` (a [[statsIndex]] result) whose [min, max] boxes
+    * intersect every given closed interval — the candidate set a range
+    * predicate must read. Collecting is sound here: this is file METADATA
+    * (one row per file), the thing every table-format planner holds on the
+    * driver.
+    */
+  def filesForBox(index: DataFrame, box: Map[String, (Long, Long)]): Seq[String] = {
+    val pred = box.map { case (c, (lo, hi)) =>
+      col(s"${c}_max") >= lo && col(s"${c}_min") <= hi
+    }.reduce(_ && _)
+    index.filter(pred).select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
   /** Compact a parquet directory of many small files into
     * ceil(totalBytes / targetBytes) files at `dstDir`. Uses `coalesce`
     * (narrow — each output task concatenates input splits, no shuffle):

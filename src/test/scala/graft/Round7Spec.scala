@@ -117,6 +117,44 @@ class Round7Spec extends AnyFunSuite {
     assert(spark.read.parquet(packed).count() == t("documents").count())
   }
 
+  test("q63 stats index: the candidate set is a strict subset and loses no matching rows") {
+    val src = t("lineitem").select(
+      pmod(col("l_partkey"), lit(1024)).as("pa"),
+      pmod(col("l_suppkey"), lit(1024)).as("sb"),
+      col("l_quantity"))
+    val zdir = graft.sources.Scratch.fresh(spark, "spec_statsidx")
+    Layout.writeZOrdered(src, col("pa"), col("sb"), 10, nFiles = 8, dir = zdir)
+    val idx = Layout.statsIndex(spark, zdir, Seq("pa", "sb"))
+    assert(idx.count() == 8)
+    val files = Layout.filesForBox(idx, Map("pa" -> (128L, 255L), "sb" -> (2L, 6L)))
+    assert(files.nonEmpty && files.size < 8,
+      s"z-ordered stats should prune some of 8 files, kept ${files.size}")
+    val box = col("pa").between(128, 255) && col("sb").between(2, 6)
+    val pruned = spark.read.parquet(files: _*).filter(box).count()
+    val full = spark.read.parquet(zdir).filter(box).count()
+    assert(pruned == full, "skipping must only skip provably-empty files")
+  }
+
+  test("q65 snapshots: historical versions stay exact and orphaned batches stay invisible") {
+    import graft.sources.Snapshots
+    val tbl = graft.sources.Scratch.fresh(spark, "spec_snap")
+    val docs = t("documents")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    assert(Snapshots.commit(spark, tbl, even) == 1)
+    assert(Snapshots.commit(spark, tbl, docs.filter(col("doc_id") % 2 =!= 0)) == 2)
+    assert(Snapshots.versions(spark, tbl) == Seq(1, 2))
+    // v1 is exactly the first commit, still readable after v2 published
+    assert(Snapshots.readAsOf(spark, tbl, 1).count() == even.count())
+    assert(Snapshots.readAsOf(spark, tbl, 1)
+      .filter(col("doc_id") % 2 =!= 0).count() == 0)
+    assert(Snapshots.readLatest(spark, tbl).count() == docs.count())
+    // a writer crash before manifest publish = orphaned batch dir: invisible
+    docs.limit(7).write.mode("overwrite").parquet(s"$tbl/batch-00099")
+    assert(Snapshots.versions(spark, tbl) == Seq(1, 2))
+    assert(Snapshots.readLatest(spark, tbl).count() == docs.count())
+    intercept[IllegalArgumentException](Snapshots.readAsOf(spark, tbl, 99))
+  }
+
   test("s09 product quantization: every vector coded in-range per subspace, and codes compress") {
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
