@@ -122,6 +122,54 @@ object ExtensionQueries2 {
         .orderBy(col("rank"))
     }),
 
+    // BPE tokenizer training (3 merge rounds): the actual algorithm behind
+    // subword vocabularies, run corpus-parallel — per-round cost is one
+    // pair-count aggregation over the (distinct-word, count) table plus a
+    // broadcast of the single winning pair; the corpus text is touched
+    // once to build word counts. Symbols are sentinel-wrapped ("<l> <o>")
+    // so the merge rewrite can use plain sequential replace() — the
+    // wrapping makes matches whole-symbol-only (a merged symbol ending in
+    // "l" can never false-match a pattern starting "l "), and replace()'s
+    // left-to-right greedy scan IS BPE's application order, identically in
+    // both engines. The winning pair is never collected to the driver: it
+    // stays a broadcast 1-row plan that the next round's replace() reads
+    // as columns.
+    "t13_bpe_merges" -> ((s, dir) => {
+      val strip = (c: org.apache.spark.sql.Column) => translate(c, "<>", "")
+      val words = t(s, dir, "documents")
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .withColumn("sym", concat_ws(" ",
+          transform(filter(split(col("word"), ""), ch => ch =!= ""),
+            ch => concat(lit("<"), ch, lit(">")))))
+        .persist()
+      var syms = words.select(col("word"), col("c"), col("sym"))
+      val rounds = (1 to 3).map { r =>
+        val withL = syms.withColumn("L", split(col("sym"), " "))
+        val pairs = withL
+          .select(col("c"), explode(when(size(col("L")) >= 2,
+            arrays_zip(slice(col("L"), lit(1), size(col("L")) - 1).as("lw"),
+              slice(col("L"), lit(2), size(col("L")) - 1).as("rw")))
+            .otherwise(array().cast("array<struct<lw:string,rw:string>>"))).as("p"))
+          .select(col("p.lw").as("lw"), col("p.rw").as("rw"), col("c"))
+          .groupBy(col("lw"), col("rw")).agg(sum(col("c")).as("freq"))
+        val best = pairs
+          .orderBy(col("freq").desc, strip(col("lw")).asc, strip(col("rw")).asc)
+          .limit(1)
+          .withColumn("merged_sym",
+            concat(lit("<"), strip(col("lw")), strip(col("rw")), lit(">")))
+        syms = syms.crossJoin(broadcast(best))
+          .withColumn("sym", expr(
+            "replace(sym, lw || ' ' || rw, merged_sym)"))
+          .select(col("word"), col("c"), col("sym"))
+        best.select(lit(r).as("round"), strip(col("lw")).as("left"),
+          strip(col("rw")).as("right"),
+          concat(strip(col("lw")), strip(col("rw"))).as("merged"), col("freq"))
+      }
+      rounds.reduce(_.unionAll(_)).orderBy(col("round"))
+    }),
+
     // PageRank over the near-dup candidate graph (d03's LSH pairs as
     // undirected edges): centrality tells a curation pipeline which
     // documents anchor duplication clusters — the canonical "which copy do
@@ -238,6 +286,55 @@ object ExtensionQueries2 {
       )
       SELECT CAST(rank AS INTEGER) AS rank, term, est
       FROM ranked WHERE rank <= 20 ORDER BY rank""",
+
+    // BPE replay: three unrolled merge rounds — pair counts, winning pair
+    // (same stripped-symbol tie order), sequential replace() application.
+    "t13_bpe_merges" -> {
+      def round(r: Int): String = {
+        val prev = s"s${r - 1}"
+        s"""
+      pr$r AS (
+        SELECT p.lw AS lw, p.rw AS rw, CAST(sum(c) AS BIGINT) AS freq FROM (
+          SELECT c, unnest(list_transform(range(1, len(L)),
+            i -> struct_pack(lw := L[i], rw := L[i + 1]))) AS p
+          FROM (SELECT c, string_split(sym, ' ') AS L FROM $prev) t
+        ) q GROUP BY 1, 2
+      ),
+      b$r AS (
+        SELECT lw, rw, freq,
+               '<' || translate(lw, '<>', '') || translate(rw, '<>', '') || '>' AS merged_sym
+        FROM pr$r
+        ORDER BY freq DESC, translate(lw, '<>', '') ASC, translate(rw, '<>', '') ASC
+        LIMIT 1
+      ),
+      s$r AS (
+        SELECT word, c, replace(sym, b$r.lw || ' ' || b$r.rw, b$r.merged_sym) AS sym
+        FROM $prev CROSS JOIN b$r
+      )"""
+      }
+      val selects = (1 to 3).map { r =>
+        s"""SELECT $r AS round, translate(lw, '<>', '') AS "left",
+               translate(rw, '<>', '') AS "right",
+               translate(lw, '<>', '') || translate(rw, '<>', '') AS merged, freq
+            FROM b$r"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH words AS (
+        SELECT word, count(*) AS c FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents
+        ) w WHERE word <> '' GROUP BY 1
+      ),
+      s0 AS (
+        SELECT word, c,
+               array_to_string(list_transform(
+                 list_filter(string_split(word, ''), ch -> ch <> ''),
+                 ch -> '<' || ch || '>'), ' ') AS sym
+        FROM words
+      ),${round(1)},${round(2)},${round(3)}
+      $selects
+      ORDER BY round"""
+    },
 
     // PageRank replay: d03's full candidate SQL as the edge source, then
     // three unrolled power-iteration CTEs with the same DECIMAL(38,18)

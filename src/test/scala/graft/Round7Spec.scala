@@ -182,6 +182,34 @@ class Round7Spec extends AnyFunSuite {
     assert(a == run(), "PQ training and scoring must be run-to-run deterministic")
   }
 
+  test("t13 BPE merges match a sequential reference implementation") {
+    // reference BPE over the (word, count) table, driver-side: count
+    // adjacent symbol pairs weighted by word frequency, merge the
+    // (freq desc, left asc, right asc) winner greedily left-to-right
+    val wordCounts = t("documents")
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    var syms: Map[List[String], Long] =
+      wordCounts.map { case (w, c) => w.map(_.toString).toList -> c }
+    val expected = (1 to 3).map { r =>
+      val freqs = syms.toSeq.flatMap { case (l, c) =>
+        l.zip(l.tail).map(p => p -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((lw, rw), f) = freqs.minBy { case ((a, b), n) => (-n, a, b) }
+      def apply(l: List[String]): List[String] = l match {
+        case a :: b :: rest if a == lw && b == rw => (a + b) :: apply(rest)
+        case a :: rest => a :: apply(rest)
+        case Nil => Nil
+      }
+      syms = syms.groupBy { case (l, _) => apply(l) }.map { case (l, m) => l -> m.values.sum }
+      (r, lw, rw, lw + rw, f)
+    }.toList
+    val got = SparkEntry.queries("t13_bpe_merges")(spark, dir)
+      .as[(Int, String, String, String, Long)].collect().toList
+    assert(got == expected)
+  }
+
   test("g01 pagerank: mass conserved, scores positive, deterministic across runs") {
     // run the full (untruncated) iteration to check conservation: rebuild
     // the same graph and one power step by hand
