@@ -183,9 +183,14 @@ object ExtensionQueries2 {
     "g01_pagerank" -> ((s, dir) => {
       // persist the PAIRS, not just the edge union: the union reads its
       // input twice (forward + reversed), which would execute the whole
-      // LSH candidate join twice before an edges-only cache could fill
-      // (measured 8.7 s -> 3 s cold at sf0.1)
-      val pairs = ExtensionQueries.all("d03_lsh_candidates")(s, dir)
+      // LSH candidate join twice before an edges-only cache could fill.
+      // Built from the candidate operator directly (same plan d03 sorts
+      // for its oracle — the feature cache is shared, the sort skipped);
+      // PageRank needs no pair order.
+      val feats = t(s, dir, "documents").select(col("doc_id").as("id"),
+        graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
+        .persist()
+      val pairs = graft.operators.Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
         .select(col("doc_a"), col("doc_b")).persist()
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -197,12 +202,17 @@ object ExtensionQueries2 {
       var pr = degN.select(col("node"), col("deg"), col("__n"),
         (lit(1.0) / col("__n")).as("pr"))
       for (i <- 1 to 3) {
+        // deterministic summation WITHOUT Decimal128: contributions are
+        // fixed-point longs (floor at 1e-12 — both engines truncate
+        // identically, so the hash still matches), and long addition is
+        // associative, so the per-dst sum is partition-order-independent.
+        // Headroom: sums stay < nodes * 1e12 << 2^63.
         val contrib = edges
           .join(pr.select(col("node"), col("deg").as("__sdeg"), col("pr")),
             col("src") === col("node"))
           .select(col("dst"),
-            (col("pr") / col("__sdeg")).cast("decimal(38,18)").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).cast("double").as("s"))
+            floor(col("pr") / col("__sdeg") * lit(1e12)).as("c"))
+          .groupBy(col("dst")).agg((sum(col("c")).cast("double") / lit(1e12)).as("s"))
         pr = degN.join(contrib, col("node") === col("dst"))
           .select(col("node"), col("deg"), col("__n"),
             (lit(0.15) / col("__n") + lit(0.85) * col("s")).as("pr"))
@@ -348,7 +358,7 @@ object ExtensionQueries2 {
       $next AS (
         SELECT d.node, d.deg, nn.n,
                0.15 / CAST(nn.n AS DOUBLE) +
-               0.85 * CAST(sum(CAST(p.pr / p.deg AS DECIMAL(38,18))) AS DOUBLE) AS pr
+               0.85 * (CAST(sum(CAST(floor(p.pr / p.deg * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS pr
         FROM edges e JOIN $prev p ON e.src = p.node
         JOIN deg d ON e.dst = d.node CROSS JOIN nn
         GROUP BY d.node, d.deg, nn.n
