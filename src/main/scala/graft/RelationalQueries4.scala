@@ -143,6 +143,49 @@ object RelationalQueries4 {
         .orderBy(col("source"))
     }),
 
+    // Full outer join — the one outer-join shape the inventory lacked:
+    // activity in two disjoint years per customer, keys surviving from
+    // EITHER side (coalesce), presence flags from null-ness. AQE picks the
+    // join strategy; a full outer can't broadcast, so both agg sides
+    // shuffle on the key — correct and unavoidable (the aggregates are
+    // |customers|-sized, not fact-sized).
+    "q66_full_outer_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def yearAgg(y: Int, n: String) = o
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(n))
+      val a = yearAgg(1997, "n_97")
+      val b = yearAgg(1999, "n_99")
+        .withColumnRenamed("o_custkey", "ck_b")
+      a.join(b, col("o_custkey") === col("ck_b"), "full_outer")
+        .select(coalesce(col("o_custkey"), col("ck_b")).as("custkey"),
+          col("o_custkey").isNotNull.as("has_97"),
+          col("ck_b").isNotNull.as("has_99"),
+          coalesce(col("n_97"), lit(0L)).as("n_97"),
+          coalesce(col("n_99"), lit(0L)).as("n_99"))
+        .orderBy(col("custkey"))
+    }),
+
+    // Null semantics, explicitly: NULL grouping (one group), count(*) vs
+    // count(col), null-safe equality joins (<=> / IS NOT DISTINCT FROM —
+    // the ONLY equality under which NULL matches NULL), and explicit
+    // NULLS FIRST ordering (Spark and DuckDB DEFAULT differently — ASC is
+    // nulls-first in Spark, nulls-last in DuckDB — so portable SQL must
+    // say it).
+    "q67_null_semantics" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), nullif(col("s_nationkey"), lit(3)).as("nk"))
+      val grouped = sup.groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_rows"), count(col("nk")).as("n_nonnull"))
+      val pairs = sup.alias("a")
+        .join(sup.alias("b"), col("a.nk") <=> col("b.nk"))
+        .groupBy(col("a.nk").as("nk2")).agg(count(lit(1)).as("n_pairs"))
+      grouped.join(pairs, col("nk") <=> col("nk2"))
+        .select(col("nk"), col("n_rows"), col("n_nonnull"), col("n_pairs"))
+        .orderBy(col("nk").asc_nulls_first)
+    }),
+
     // Versioned-snapshot (time-travel) table: two commits build the corpus
     // (even doc_ids, then odd), each publishing an atomic manifest; the
     // as-of-latest read reassembles EXACTLY the committed whole, which the
@@ -213,6 +256,40 @@ object RelationalQueries4 {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              count(DISTINCT source) AS n_sources
       FROM documents
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    "q66_full_outer_join" -> """
+      WITH a AS (
+        SELECT o_custkey, count(*) AS n_97
+        FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+      ),
+      b AS (
+        SELECT o_custkey AS ck_b, count(*) AS n_99
+        FROM orders WHERE year(o_orderdate) = 1999 GROUP BY 1
+      )
+      SELECT coalesce(o_custkey, ck_b) AS custkey,
+             o_custkey IS NOT NULL AS has_97,
+             ck_b IS NOT NULL AS has_99,
+             coalesce(n_97, 0) AS n_97,
+             coalesce(n_99, 0) AS n_99
+      FROM a FULL OUTER JOIN b ON o_custkey = ck_b
+      ORDER BY custkey""",
+
+    "q67_null_semantics" -> """
+      WITH sup AS (
+        SELECT s_suppkey, nullif(s_nationkey, 3) AS nk FROM supplier
+      ),
+      grouped AS (
+        SELECT nk, count(*) AS n_rows, count(nk) AS n_nonnull
+        FROM sup GROUP BY nk
+      ),
+      pairs AS (
+        SELECT a.nk AS nk2, count(*) AS n_pairs
+        FROM sup a JOIN sup b ON a.nk IS NOT DISTINCT FROM b.nk
+        GROUP BY 1
+      )
+      SELECT nk, n_rows, n_nonnull, n_pairs
+      FROM grouped JOIN pairs ON nk IS NOT DISTINCT FROM nk2
+      ORDER BY nk ASC NULLS FIRST"""
   )
 }
