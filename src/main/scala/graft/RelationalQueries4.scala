@@ -186,6 +186,27 @@ object RelationalQueries4 {
         .orderBy(col("nk").asc_nulls_first)
     }),
 
+    // MapType surface: per-order maps built from grouped entries
+    // (map_from_entries), consumed with element_at / map_keys /
+    // map_contains_key. Maps never reach the output (engines disagree on
+    // map serialization order by design — keys are unordered); the query
+    // extracts scalars, which is also the only hash-stable way to consume
+    // a map.
+    "q68_map_funcs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_orderkey"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("l_returnflag"), col("cnt"))))).as("m"))
+        .select(col("l_orderkey"),
+          size(map_keys(col("m"))).as("n_flags"),
+          coalesce(element_at(col("m"), "R"), lit(0L)).as("n_returned"),
+          col("m").getField("A").isNotNull.as("has_a"),
+          map_contains_key(col("m"), "N").as("has_n"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // Versioned-snapshot (time-travel) table: two commits build the corpus
     // (even doc_ids, then odd), each publishing an atomic manifest; the
     // as-of-latest read reassembles EXACTLY the committed whole, which the
@@ -274,6 +295,22 @@ object RelationalQueries4 {
              coalesce(n_99, 0) AS n_99
       FROM a FULL OUTER JOIN b ON o_custkey = ck_b
       ORDER BY custkey""",
+
+    // The oracle computes the same EXTRACTED values relationally — maps
+    // are a projection-side container, so their consumption must reduce
+    // to these scalars.
+    "q68_map_funcs" -> """
+      WITH per_flag AS (
+        SELECT l_orderkey, l_returnflag, count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+      )
+      SELECT l_orderkey,
+             CAST(count(*) AS INTEGER) AS n_flags,
+             coalesce(max(CASE WHEN l_returnflag = 'R' THEN cnt END), 0) AS n_returned,
+             bool_or(l_returnflag = 'A') AS has_a,
+             bool_or(l_returnflag = 'N') AS has_n
+      FROM per_flag
+      GROUP BY 1 ORDER BY 1""",
 
     "q67_null_semantics" -> """
       WITH sup AS (
