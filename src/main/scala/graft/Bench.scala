@@ -31,7 +31,8 @@ object Bench {
     // round-7 additions
     "q61_partition_pruned_lake", "q62_zorder_layout", "q63_stats_index_scan",
     "q64_compact_small_files", "q65_snapshot_read",
-    "t12_heavy_hitters", "t13_bpe_merges", "s09_knn_pq", "g01_pagerank")
+    "t12_heavy_hitters", "t13_bpe_merges", "t14_lm_perplexity",
+    "s09_knn_pq", "g01_pagerank")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

@@ -122,6 +122,42 @@ object ExtensionQueries2 {
         .orderBy(col("rank"))
     }),
 
+    // Perplexity-style fluency scoring: every document scored by the mean
+    // log-probability of its bigrams under the corpus's own bigram LM —
+    // the classic "does this read like the corpus" quality filter (a
+    // held-out LM would plug into the same shape). Probabilities are exact
+    // ratios of corpus counts; log values are fixed-pointed (floor at
+    // 1e-6) before summation so the per-doc mean is
+    // partition-order-independent and oracle-replayable. Two corpus
+    // passes: one to count bigrams (vocab-sized result), one to score —
+    // the LM side of the join is vocab²-bounded, so it broadcasts.
+    "t14_lm_perplexity" -> ((s, dir) => {
+      val toks = col("__toks")
+      val pairs = when(size(toks) >= 2,
+        arrays_zip(slice(toks, lit(1), size(toks) - 1).as("w1"),
+          slice(toks, lit(2), size(toks) - 1).as("w2")))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), explode(pairs).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .persist()
+      val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        .withColumn("w1_total", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+        .withColumn("logp_fp",
+          floor(log(col("cnt").cast("double") / col("w1_total")) * lit(1e6)))
+      bg.join(broadcast(lm.select(col("w1").as("lw1"), col("w2").as("lw2"), col("logp_fp"))),
+          col("w1") === col("lw1") && col("w2") === col("lw2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("logp_fp")).cast("double") / lit(1e6)).as("__s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          graft.operators.Agg.roundAt(col("__s") / col("n_bigrams"), 6).as("avg_logp"),
+          (col("__s") / col("n_bigrams") > -3.0).as("fluent"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE tokenizer training (3 merge rounds): the actual algorithm behind
     // subword vocabularies, run corpus-parallel — per-round cost is one
     // pair-count aggregation over the (distinct-word, count) table plus a
@@ -300,6 +336,43 @@ object ExtensionQueries2 {
       )
       SELECT CAST(rank AS INTEGER) AS rank, term, est
       FROM ranked WHERE rank <= 20 ORDER BY rank""",
+
+    // LM-scoring replay: same bigram construction as t10, same fixed-point
+    // log floor, same exact count ratios.
+    "t14_lm_perplexity" -> """
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+      ),
+      bg AS (
+        SELECT doc_id, bgp.w1 AS w1, bgp.w2 AS w2 FROM (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+               THEN list_transform(range(0, len(toks) - 1),
+                      i -> struct_pack(w1 := toks[CAST(i + 1 AS INTEGER)],
+                                       w2 := toks[CAST(i + 2 AS INTEGER)]))
+               ELSE [] END) AS bgp
+          FROM tok
+        ) u
+      ),
+      lm AS (
+        SELECT w1, w2,
+               CAST(floor(ln(CAST(cnt AS DOUBLE) / w1_total) * 1000000) AS BIGINT) AS logp_fp
+        FROM (
+          SELECT w1, w2, count(*) AS cnt,
+                 CAST(sum(count(*)) OVER (PARTITION BY w1) AS BIGINT) AS w1_total
+          FROM bg GROUP BY 1, 2
+        ) c
+      ),
+      scored AS (
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               CAST(sum(lm.logp_fp) AS DOUBLE) / 1000000 AS s
+        FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+        GROUP BY 1
+      )
+      SELECT doc_id, n_bigrams,
+             floor((s / n_bigrams) * 1000000 + 0.5) / 1000000 AS avg_logp,
+             (s / n_bigrams) > -3.0 AS fluent
+      FROM scored ORDER BY doc_id""",
 
     // BPE replay: three unrolled merge rounds — pair counts, winning pair
     // (same stripped-symbol tie order), sequential replace() application.
