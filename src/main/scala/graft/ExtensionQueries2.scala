@@ -262,6 +262,29 @@ object ExtensionQueries2 {
         .orderBy(col("rank"))
     }),
 
+    // Embedding outlier detection: every vector's cosine to the global
+    // corpus centroid, z-scored with the exact-decimal mean/stddev the
+    // relational z-score uses — the standard "drop degenerate or
+    // off-distribution embeddings before indexing/training" filter. One
+    // corpus pass for the centroid (64 doubles, broadcast), one to score;
+    // nothing driver-side.
+    "s10_embedding_outliers" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val cent = e.select(posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("dim")).agg(graft.operators.Agg.decAvg(col("val")).as("c"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cv"))
+      val scored = e.crossJoin(broadcast(cent))
+        .withColumn("cos_c", VectorOps.cosineFast(col("v"), col("cv")))
+        .select(col("vec_id"), col("label"), col("cos_c"))
+      graft.operators.Stats.zScore(scored, "cos_c", "z")
+        .select(col("vec_id"), col("label"),
+          graft.operators.Agg.roundAt(col("cos_c"), 6).as("cos_centroid"),
+          graft.operators.Agg.roundAt(col("z"), 4).as("z"),
+          (col("z") < -2.0).as("is_outlier"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Product-quantized ANN (asymmetric distance computation): the corpus
     // compresses to PqM=4 one-byte codes per vector — at 100 TB that is
     // the difference between an index that fits executor memory and one
@@ -459,6 +482,42 @@ object ExtensionQueries2 {
       SELECT CAST(rank AS INTEGER) AS rank, node AS doc_id, deg,
              floor(pr * 1000000 + 0.5) / 1000000 AS pr
       FROM ranked WHERE rank <= 20 ORDER BY rank"""
+    },
+
+    // Outlier replay: global centroid via exact-decimal per-dim means,
+    // cosine fold, and the q33 z-score formula over the scores.
+    "s10_embedding_outliers" -> {
+      val zExpr = "(CASE WHEN sd IS NULL OR sd = 0 THEN NULL ELSE (cos_c - m) / sd END)"
+      s"""
+      WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      cd AS (
+        SELECT CAST(i AS INTEGER) AS dim,
+               CAST(sum(CAST(v[i+1] AS DECIMAL(30,6))) AS DOUBLE) / count(v[i+1]) AS c
+        FROM e CROSS JOIN range(0, 64) t(i) GROUP BY 1
+      ),
+      cent AS (SELECT list(c ORDER BY dim) AS cv FROM cd),
+      scored AS (
+        SELECT vec_id, label,
+               ${dotSqlN("v", "cv", 64)} / (sqrt(${dotSqlN("v", "v", 64)}) * sqrt(${dotSqlN("cv", "cv", 64)})) AS cos_c
+        FROM e CROSS JOIN cent
+      ),
+      mm AS (
+        SELECT CAST(sum(CAST(cos_c AS DECIMAL(30,6))) AS DOUBLE) / count(cos_c) AS m,
+               CASE WHEN count(cos_c) > 1
+                    THEN sqrt(greatest((CAST(sum(CAST(cos_c * cos_c AS DECIMAL(30,6))) AS DOUBLE)
+                           - CAST(sum(CAST(cos_c AS DECIMAL(30,6))) AS DOUBLE) * CAST(sum(CAST(cos_c AS DECIMAL(30,6))) AS DOUBLE) / CAST(count(cos_c) AS DOUBLE))
+                           / (CAST(count(cos_c) AS DOUBLE) - 1), 0.0))
+                    ELSE NULL END AS sd
+        FROM scored
+      )
+      SELECT vec_id, label,
+             floor(cos_c * 1000000 + 0.5) / 1000000 AS cos_centroid,
+             floor($zExpr * 10000 + 0.5) / 10000 AS z,
+             $zExpr < -2.0 AS is_outlier
+      FROM scored CROSS JOIN mm ORDER BY vec_id"""
     },
 
     // Full PQ replay: four subspace k-means training runs (the s05 replay
