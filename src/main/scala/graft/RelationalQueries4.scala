@@ -186,6 +186,23 @@ object RelationalQueries4 {
         .orderBy(col("nk").asc_nulls_first)
     }),
 
+    // Time-interval RANGE window frame — the one window frame shape the
+    // inventory lacked: a VALUE-based sliding frame over event time
+    // (trailing 30 days per customer), vs q23/q38's row-based frames.
+    // RANGE frames are tie-stable by construction (all date peers share a
+    // frame), and the exact-decimal sum keeps the sliding accumulation
+    // order-independent, so the result is deterministic and replayable.
+    "q69_range_interval_window" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("n_30d", expr(
+          "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
+            "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"))
+        .withColumn("rev_30d", Agg.roundAt(expr(
+          "sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
+            "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)").cast("double"), 2))
+        .select(col("o_orderkey"), col("o_custkey"), col("n_30d"), col("rev_30d"))
+        .orderBy(col("o_orderkey"))),
+
     // MapType surface: per-order maps built from grouped entries
     // (map_from_entries), consumed with element_at / map_keys /
     // map_contains_key. Maps never reach the output (engines disagree on
@@ -295,6 +312,15 @@ object RelationalQueries4 {
              coalesce(n_99, 0) AS n_99
       FROM a FULL OUTER JOIN b ON o_custkey = ck_b
       ORDER BY custkey""",
+
+    "q69_range_interval_window" -> """
+      SELECT o_orderkey, o_custkey,
+             count(*) OVER w AS n_30d,
+             floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE) * 100 + 0.5) / 100 AS rev_30d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey""",
 
     // The oracle computes the same EXTRACTED values relationally — maps
     // are a projection-side container, so their consumption must reduce
