@@ -186,6 +186,26 @@ object RelationalQueries4 {
         .orderBy(col("nk").asc_nulls_first)
     }),
 
+    // Union by NAME across drifted schemas: batch B reorders columns and
+    // adds one — positional UNION would silently cross-assign columns;
+    // name-based union with missing-column fill is the only safe way to
+    // append evolving batches (the in-memory sibling of q58's mergeSchema
+    // read).
+    "q70_union_by_name" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val b = o.filter(year(col("o_orderdate")) === 1999)
+        .select(col("o_totalprice"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          Agg.roundAt(Agg.decSum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    }),
+
     // Time-interval RANGE window frame — the one window frame shape the
     // inventory lacked: a VALUE-based sliding frame over event time
     // (trailing 30 days per customer), vs q23/q38's row-based frames.
@@ -312,6 +332,19 @@ object RelationalQueries4 {
              coalesce(n_99, 0) AS n_99
       FROM a FULL OUTER JOIN b ON o_custkey = ck_b
       ORDER BY custkey""",
+
+    "q70_union_by_name" -> """
+      WITH u AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE year(o_orderdate) = 1997
+        UNION ALL BY NAME
+        SELECT o_totalprice, o_orderkey, o_custkey, o_orderstatus
+        FROM orders WHERE year(o_orderdate) = 1999
+      )
+      SELECT o_orderstatus, count(*) AS n,
+             count(DISTINCT o_custkey) AS n_cust,
+             floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+      FROM u GROUP BY 1 ORDER BY o_orderstatus ASC NULLS FIRST""",
 
     "q69_range_interval_window" -> """
       SELECT o_orderkey, o_custkey,
