@@ -572,6 +572,34 @@ object ExtensionQueries {
         .select(col("id").as("doc_id"), graft.functions.TextHash.simhash32(col("features")).as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // MinHash accuracy evaluation (the s08 recall-eval pattern for the
+    // text side): estimated Jaccard = fraction of the 12 MinHash slots
+    // that agree, laid against the exact shingle Jaccard on the same
+    // candidate pairs. This is how a pipeline validates its signature
+    // budget — at 100 TB you tune bands×rows from THIS table, not from
+    // the exact join you can no longer afford.
+    "d14_minhash_estimate" -> ((s, dir) => {
+      val feats = docFeatures(s, dir)
+      val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+        .select(col("doc_a"), col("doc_b"))
+      val exact = Dedup.jaccardOnPairs(pairs, feats)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val mh = feats.select(col("id"),
+        array((0 until 12).map(j => TextOps.minhashAt(col("features"), j)): _*).as("mh"))
+      pairs
+        .join(mh.select(col("id").as("doc_a"), col("mh").as("mha")), "doc_a")
+        .join(mh.select(col("id").as("doc_b"), col("mh").as("mhb")), "doc_b")
+        .withColumn("est", aggregate(
+          zip_with(col("mha"), col("mhb"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (a, x) => a + x).cast("double") / 12)
+        .join(exact, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          Agg.roundAt(col("est"), 4).as("est_jaccard"),
+          Agg.roundAt(col("jaccard"), 4).as("jaccard"),
+          Agg.roundAt(abs(col("est") - col("jaccard")), 4).as("abs_err"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Char-3-gram Jaccard near-dup: same LSH pipeline as d04 but with
     // CHARACTER n-gram features (robust to tokenization edits that word
     // shingles miss). Char features are dense, so the band scheme trades
@@ -1241,6 +1269,48 @@ object ExtensionQueries {
       JOIN doc_feat fa ON pairs.doc_a = fa.doc_id
       JOIN doc_feat fb ON pairs.doc_b = fb.doc_id
       ORDER BY doc_a, doc_b""",
+
+    // d14: same candidate pairs; est = agreeing MinHash slots / 12 vs the
+    // exact shingle Jaccard.
+    "d14_minhash_estimate" -> s"""
+      WITH $featuresCte,
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${bandSql(0)} AS bh FROM doc_feat
+        UNION ALL SELECT doc_id, 1, ${bandSql(1)} FROM doc_feat
+        UNION ALL SELECT doc_id, 2, ${bandSql(2)} FROM doc_feat
+        UNION ALL SELECT doc_id, 3, ${bandSql(3)} FROM doc_feat
+      ),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+      ),
+      mh AS (
+        SELECT doc_id, [${(0 until 12).map(mhSql).mkString(", ")}] AS mh
+        FROM doc_feat
+      ),
+      est AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(list_filter(range(1, 13),
+                 i -> ma.mh[CAST(i AS INTEGER)] = mb.mh[CAST(i AS INTEGER)])) AS DOUBLE) / 12 AS est
+        FROM pairs p
+        JOIN mh ma ON p.doc_a = ma.doc_id
+        JOIN mh mb ON p.doc_b = mb.doc_id
+      ),
+      ex AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(list_intersect(fa.features, fb.features)) AS DOUBLE)
+                 / len(list_distinct(list_concat(fa.features, fb.features))) AS jaccard
+        FROM pairs p
+        JOIN doc_feat fa ON p.doc_a = fa.doc_id
+        JOIN doc_feat fb ON p.doc_b = fb.doc_id
+      )
+      SELECT est.doc_a, est.doc_b,
+             floor(est * 10000 + 0.5) / 10000 AS est_jaccard,
+             floor(jaccard * 10000 + 0.5) / 10000 AS jaccard,
+             floor(abs(est - jaccard) * 10000 + 0.5) / 10000 AS abs_err
+      FROM est JOIN ex ON est.doc_a = ex.doc_a AND est.doc_b = ex.doc_b
+      ORDER BY est.doc_a, est.doc_b""",
 
     "d09_char_ngram_jaccard" -> s"""
       WITH ${charFeaturesCteN(5)},
