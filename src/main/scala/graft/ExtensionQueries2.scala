@@ -7,8 +7,11 @@ import graft.operators.{HeavyHitters, Kmeans, VectorOps}
 import graft.sources.Tables
 
 /** Round-7 LLM-pipeline extensions (continues [[ExtensionQueries]], split
-  * for file hygiene): mergeable-sketch aggregation and product-quantized
-  * ANN. Same contract — every query deterministic with a DuckDB oracle.
+  * for file hygiene): mergeable-sketch aggregation, product-quantized ANN,
+  * BPE training, LM scoring, graph centrality. Same contract — every query
+  * deterministic with a DuckDB oracle; every persist() here follows the
+  * session-scoped MEMORY_AND_DISK cache policy documented at
+  * [[ExtensionQueries]]'s docFeatures (cleared by the Verify/Bench mains).
   */
 object ExtensionQueries2 {
 

@@ -101,8 +101,15 @@ object Layout {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new Path(srcDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(p).filter(s => s.isFile &&
-      !s.getPath.getName.startsWith("_")).map(_.getLen).sum
+    val files = fs.listStatus(p).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_"))
+    // flat (unpartitioned) directories only: a partitioned table keeps its
+    // data under subdirectories, which this sizing pass would miss — and
+    // compacting one should preserve the partition layout, a different
+    // operation (rewrite per partition dir)
+    require(files.nonEmpty,
+      s"$srcDir has no top-level data files — partitioned tables need per-partition compaction")
+    val totalBytes = files.map(_.getLen).sum
     val sized = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(srcDir)
     // the scan already packs small files into splits (maxPartitionBytes /
