@@ -182,6 +182,33 @@ class Round7Spec extends AnyFunSuite {
     assert(a == run(), "PQ training and scoring must be run-to-run deterministic")
   }
 
+  test("streaming foreachBatch publishes micro-batches as snapshot versions (time-travel over a stream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.Snapshots
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = graft.sources.Scratch.fresh(spark, "spec_stream_snap")
+    val stream = MemoryStream[Long]
+    // each micro-batch lands as one atomically-published snapshot version —
+    // the streaming-ingest pattern for a corpus that training runs must be
+    // able to pin ("train on the table exactly as of version N")
+    val q = stream.toDS().toDF("doc_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Snapshots.commit(spark, tbl, batch): Unit
+      }.start()
+    stream.addData(1L to 10L: _*)
+    q.processAllAvailable()
+    stream.addData(11L to 15L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val vs = Snapshots.versions(spark, tbl)
+    assert(vs == Seq(1, 2), s"two micro-batches -> two versions, got $vs")
+    assert(Snapshots.readAsOf(spark, tbl, 1).count() == 10)
+    assert(Snapshots.readLatest(spark, tbl).count() == 15)
+    // the historical version is the exact stream prefix, not a re-read
+    val v1 = Snapshots.readAsOf(spark, tbl, 1).as[Long].collect().toSet
+    assert(v1 == (1L to 10L).toSet)
+  }
+
   test("t13 BPE merges match a sequential reference implementation") {
     // reference BPE over the (word, count) table, driver-side: count
     // adjacent symbol pairs weighted by word frequency, merge the
