@@ -29,7 +29,12 @@ object ExtensionQueries2 {
   /** Product-quantization geometry: 64 dims split into [[PqM]] subspaces of
     * [[PqSub]] dims, each quantized by a [[PqK]]-centroid deterministic
     * k-means ([[Kmeans]] — the same training loop the s05 oracle replays),
-    * so a vector compresses to PqM small codes.
+    * so a vector compresses to PqM small codes. PqK=8 is sized to the
+    * 5k-vector fixture (k-means wants ≥ ~100 points per centroid to be
+    * meaningful); a production deployment raises it to 256 — one byte per
+    * subspace, the standard PQ codebook — and NOTHING in the plan shape
+    * changes: the codebooks stay broadcast-sized (m·k·subdim doubles) and
+    * the training cost is still one corpus pass per iteration.
     */
   private val PqM = 4
   private val PqSub = 16
