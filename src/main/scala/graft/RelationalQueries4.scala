@@ -186,6 +186,31 @@ object RelationalQueries4 {
         .orderBy(col("nk").asc_nulls_first)
     }),
 
+    // Raw text source/sink round trip — the rawest corpus format an LLM
+    // pipeline ingests (one record per line, fields packed by the writer).
+    // The write requires exactly one string column; the read surfaces one
+    // `value` column the reader re-parses — both directions exercised,
+    // with the oracle on the ORIGINAL table so any packing/parsing loss
+    // fails the hash. (Fixture text is newline- and tab-free; a real lake
+    // escapes or length-prefixes.)
+    "q71_text_source_roundtrip" -> ((s, dir) => {
+      val tmp = graft.sources.Scratch.fresh(s, s"text_${new java.io.File(dir).getName}")
+      t(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(split(col("value"), "\t").as("f"))
+        .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+          element_at(col("f"), 2).as("lang"),
+          element_at(col("f"), 3).as("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text")).cast("long")).as("sum_len"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
     // Union by NAME across drifted schemas: batch B reorders columns and
     // adds one — positional UNION would silently cross-assign columns;
     // name-based union with missing-column fill is the only safe way to
@@ -332,6 +357,13 @@ object RelationalQueries4 {
              coalesce(n_99, 0) AS n_99
       FROM a FULL OUTER JOIN b ON o_custkey = ck_b
       ORDER BY custkey""",
+
+    "q71_text_source_roundtrip" -> """
+      SELECT lang, count(*) AS n,
+             CAST(sum(length(text)) AS BIGINT) AS sum_len,
+             count(DISTINCT doc_id) AS n_docs
+      FROM documents
+      GROUP BY 1 ORDER BY 1""",
 
     "q70_union_by_name" -> """
       WITH u AS (
