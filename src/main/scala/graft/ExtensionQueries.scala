@@ -1671,16 +1671,19 @@ object ExtensionQueries {
       FROM e GROUP BY 1 ORDER BY 1""",
 
     // Variant replay: DuckDB extracts the same typed values from the JSON
-    // text. n_missing is COMPUTED (count of rows whose '$.missing' path is
-    // present), not pinned — a fixture that ever gains that key would fail
-    // loudly instead of silently diverging. k_bucket uses trunc-toward-zero
+    // text. n_missing is COMPUTED with the SAME try-int semantics as the
+    // Spark side (TRY_CAST of the extracted string mirrors try_variant_get's
+    // "present AND int-castable, else null" — a present-but-non-int or
+    // JSON-null value counts as missing in BOTH engines), not pinned — a
+    // fixture that ever gains that key as an int would fail loudly instead
+    // of silently diverging. k_bucket uses trunc-toward-zero
     // (not DuckDB's `//` floor division) to match Spark's `DIV` on negative
     // k as well as the current nonnegative fixture.
     "e07_variant_extract" -> """
       WITH e AS (
         SELECT event_type,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-               json_extract(props, '$.missing') AS missing_raw
+               TRY_CAST(json_extract_string(props, '$.missing') AS INTEGER) AS missing_raw
         FROM events
       )
       SELECT event_type,

@@ -261,10 +261,15 @@ object ExtensionQueries2 {
           .select(col("node"), col("deg"), col("__n"),
             (lit(0.15) / col("__n") + lit(0.85) * col("s")).as("pr"))
       }
-      pr.withColumn("rank", row_number().over(
+      // top-20 via distributed TakeOrdered (orderBy+limit), NOT a global
+      // no-partition ranking window: the window form sorts EVERY node's
+      // rank through one task, while TakeOrdered keeps per-partition top-20
+      // heaps and merges 20-row partials on the driver. The ranking window
+      // that remains runs over exactly 20 rows (bounded, like t12's).
+      pr.orderBy(col("pr").desc, col("node").asc).limit(20)
+        .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("pr").desc, col("node").asc)))
-        .filter(col("rank") <= 20)
         .select(col("rank"), col("node").as("doc_id"), col("deg"),
           graft.operators.Agg.roundAt(col("pr"), 6).as("pr"))
         .orderBy(col("rank"))

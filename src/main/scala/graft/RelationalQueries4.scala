@@ -287,6 +287,31 @@ object RelationalQueries4 {
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy(col("lang"))
+    }),
+
+    // Partition-preserving compaction (round 8): the ingest-shaped layout a
+    // per-trigger writer leaves behind — MANY small files inside EVERY
+    // o_year=YYYY partition dir — rewritten per-partition (independent
+    // narrow coalesces, no shuffle, partition dirs never coupled), so the
+    // directory layout and its planning-time pruning survive the rewrite.
+    // The read-back aggregates across ALL partitions and hash-matches the
+    // original-table oracle, so a lost or duplicated partition dir fails
+    // loudly; Round8Spec asserts per-partition file counts actually
+    // dropped and that the compacted table still prunes.
+    "q72_compact_partitioned" -> ((s, dir) => {
+      val small = graft.sources.Scratch.fresh(s, s"psmall_${new java.io.File(dir).getName}")
+      val packed = graft.sources.Scratch.fresh(s, s"ppacked_${new java.io.File(dir).getName}")
+      t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .repartition(16) // 16 small files per partition dir — ingest-shaped
+        .write.mode("overwrite").partitionBy("o_year").parquet(small)
+      Layout.compactPartitioned(s, small, packed, targetBytes = 64L * 1024 * 1024)
+      s.read.parquet(packed)
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          Agg.roundAt(Agg.decSum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_year"))
     })
   )
 
@@ -298,6 +323,15 @@ object RelationalQueries4 {
              floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
       FROM orders
       WHERE year(o_orderdate) = 1997
+      GROUP BY 1 ORDER BY 1""",
+
+    // whole-table replay — a partition dir lost/duplicated by the rewrite
+    // shows up as a wrong group row
+    "q72_compact_partitioned" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n,
+             count(DISTINCT o_custkey) AS n_cust,
+             floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+      FROM orders
       GROUP BY 1 ORDER BY 1""",
 
     "q62_zorder_layout" -> s"""

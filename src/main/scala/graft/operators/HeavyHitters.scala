@@ -19,9 +19,13 @@ import org.apache.spark.sql.expressions.Aggregator
   *   - merge: shared keys sum counts and error bounds, then the union is
   *     trimmed to the `capacity` largest (count desc, term asc — total
   *     order, so merges are deterministic given the same partials);
-  *   - estimates carry `err`: the true in-partition count is within
-  *     [count - err, count]; keys a merge dropped contribute additional
-  *     uncertainty bounded by n/capacity overall.
+  *   - estimates carry `err`: for a single UNMERGED summary the true
+  *     in-partition count is within [count - err, count] (the invariant
+  *     HeavyHittersSpec asserts single-partition-only). After a trim merge
+  *     the bracket no longer holds — a key's count from a partial that
+  *     dropped it is lost, so `est` can UNDERcount by mass `err` does not
+  *     capture; the only post-merge guarantee is the overall n/capacity
+  *     bound on total missed mass.
   *
   * EXACT REGIME: with `capacity` at or above the distinct-key count no
   * eviction or trim ever fires, every err is 0, and the summary is the

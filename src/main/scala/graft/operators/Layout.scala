@@ -120,4 +120,59 @@ object Layout {
     df.coalesce(nFiles).write.mode("overwrite").parquet(dstDir)
     nFiles
   }
+
+  /** Leaf partition directories of a Hive-layout table under `dir` — every
+    * directory whose immediate children include a data file — as paths
+    * RELATIVE to `dir` ("o_year=1997", "k1=a/k2=b"). Metadata-only listing,
+    * same scale class as a manifest planner's file list.
+    */
+  def leafPartitionDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[Path] = {
+      val kids = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      val here = if (kids.exists(s => s.isFile &&
+        !s.getPath.getName.startsWith("."))) Seq(p) else Nil
+      here ++ kids.filter(_.isDirectory).flatMap(s => walk(s.getPath))
+    }
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    walk(root).filter(_ != root)
+      .map(_.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
+  }
+
+  /** [[compact]] for a directory-partitioned (Hive-layout) table: each leaf
+    * partition directory is rewritten INDEPENDENTLY into size-targeted
+    * files under the same relative path at `dstDir`, so the partition
+    * layout — and with it planning-time partition pruning — survives the
+    * rewrite untouched. This is the operation an ingest pipeline runs
+    * daily: streaming/batch writers leave one small file per trigger per
+    * partition, and compaction folds each partition back to
+    * ceil(bytes/targetBytes) files without ever shuffling (per-partition
+    * narrow coalesce, same rationale as [[compact]]) and without coupling
+    * partitions to each other — at 100 TB the rewrites are independent
+    * jobs a scheduler can run in parallel and retry per-partition.
+    * Returns (relative partition dir -> output file count).
+    */
+  def compactPartitioned(spark: SparkSession, srcDir: String, dstDir: String,
+                         targetBytes: Long): Map[String, Int] = {
+    val parts = leafPartitionDirs(spark, srcDir)
+    require(parts.nonEmpty,
+      s"$srcDir has no partition subdirectories — flat tables go through compact()")
+    // driver-side parallelism across partition rewrites: each is a small
+    // independent Spark job; submitting them concurrently keeps the
+    // cluster busy when individual partitions are thin
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, parts.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = parts.map { rel =>
+        scala.concurrent.Future(rel ->
+          compact(spark, s"$srcDir/$rel", s"$dstDir/$rel", targetBytes))
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
 }

@@ -11,20 +11,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout under `tableDir`:
   * {{{
-  *   batch-00001/  (parquet)      immutable data, one dir per commit
+  *   batch-ab12cd34/              immutable data, one uniquely-named dir
+  *                                per commit ATTEMPT (writer-scoped, so
+  *                                concurrent committers never touch each
+  *                                other's files)
   *   _manifests/00001.manifest    newline-separated data dirs visible at v1
   * }}}
   *
   * Each manifest lists the FULL set of data directories visible at that
   * version (a snapshot, not a delta), so `readAsOf(v)` is one manifest
-  * read + one multi-path parquet scan — no log replay. Publication is
-  * write-temp-then-rename: rename is atomic on HDFS/POSIX, so a reader
-  * never observes a half-written manifest, and a writer crash before the
-  * rename leaves only an orphaned (invisible) batch dir. Object stores
-  * without atomic rename want a conditional-put here — same protocol,
+  * read + one multi-path parquet scan — no log replay.
+  *
+  * Concurrency protocol: data is staged under a dir named by a fresh
+  * writer-scoped id (never by version — version is only assigned at
+  * publish), then the manifest is published EXCLUSIVELY: on HDFS-like
+  * stores `rename` fails when the destination exists, and on the local
+  * filesystem (where POSIX rename silently overwrites) publication goes
+  * through a hard link, which the kernel refuses atomically when the name
+  * is taken. The publish loser deletes nothing, recomputes the visible set
+  * against the NEW latest manifest, and retries at version v+1 — its
+  * staged data dir is untouched throughout, so a loser can never clobber a
+  * winner's already-published files. A writer crash before publish leaves
+  * only an orphaned (invisible, never-referenced) batch dir. Object stores
+  * without atomic rename/link want a conditional-put here — same protocol,
   * different primitive. Readers pick the max manifest; data files are
-  * never rewritten, so every historical version stays readable until a
-  * retention job prunes it.
+  * never rewritten, so every historical version stays readable until
+  * [[expire]] prunes it.
   */
 object Snapshots {
 
@@ -32,6 +44,9 @@ object Snapshots {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(tableDir: String) = new Path(tableDir, "_manifests")
+
+  private def manifestPath(tableDir: String, v: Int) =
+    new Path(manifestDir(tableDir), f"$v%05d.manifest")
 
   /** Committed versions, ascending (empty for a fresh/nonexistent table). */
   def versions(spark: SparkSession, tableDir: String): Seq[Int] = {
@@ -44,32 +59,75 @@ object Snapshots {
   }
 
   /** Append `df` as a new immutable batch and publish the next version.
-    * Returns the committed version number.
+    * Returns the committed version number. Safe under concurrent
+    * committers: see the protocol note in the object doc.
     */
-  def commit(spark: SparkSession, tableDir: String, df: DataFrame): Int = {
+  def commit(spark: SparkSession, tableDir: String, df: DataFrame): Int =
+    commitWithHook(spark, tableDir, df, replace = false, _ => ())
+
+  /** Publish `df` as the next version REPLACING the whole visible set
+    * (the compaction/rewrite commit: the new manifest lists only the new
+    * batch, old batch dirs stay on disk for time travel until [[expire]]).
+    */
+  def commitReplace(spark: SparkSession, tableDir: String, df: DataFrame): Int =
+    commitWithHook(spark, tableDir, df, replace = true, _ => ())
+
+  /** `beforePublish(v)` runs between version selection and the exclusive
+    * publish attempt at `v` — test seam for forcing the publish race
+    * deterministically (a competing commit inside the hook makes THIS
+    * writer the loser on its first attempt).
+    */
+  private[graft] def commitWithHook(spark: SparkSession, tableDir: String,
+                                    df: DataFrame, replace: Boolean,
+                                    beforePublish: Int => Unit): Int = {
     val f = fs(spark, tableDir)
-    val prev = versions(spark, tableDir)
-    val v = prev.lastOption.getOrElse(0) + 1
-    val batch = new Path(tableDir, f"batch-$v%05d")
-    df.write.mode("overwrite").parquet(batch.toString)
-    val visible = (prev.lastOption.map(readManifest(spark, tableDir, _))
-      .getOrElse(Seq.empty) :+ batch.toString)
+    // stage once, under a name no other writer can pick
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val batch = new Path(tableDir, s"batch-$uid")
+    df.write.mode("errorifexists").parquet(batch.toString)
     val md = manifestDir(tableDir)
     f.mkdirs(md)
-    val tmp = new Path(md, f".$v%05d.manifest.tmp")
-    val out = f.create(tmp, true)
-    try out.write((visible.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!f.rename(tmp, new Path(md, f"$v%05d.manifest")))
-      throw new IllegalStateException(
-        s"concurrent commit of version $v to $tableDir lost the publish race")
-    v
+    var attempt = 0
+    while (attempt < 50) {
+      attempt += 1
+      val prev = versions(spark, tableDir)
+      val v = prev.lastOption.getOrElse(0) + 1
+      beforePublish(v)
+      val visible =
+        if (replace) Seq(batch.toString)
+        else prev.lastOption.map(readManifest(spark, tableDir, _))
+          .getOrElse(Seq.empty) :+ batch.toString
+      val tmp = new Path(md, s".$uid-$v.manifest.tmp")
+      val out = f.create(tmp, true)
+      try out.write((visible.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      if (publishExclusive(f, tmp, manifestPath(tableDir, v))) return v
+      // lost the race: someone else owns v now — drop only OUR tmp file
+      // (the staged batch dir is untouched) and retry against the new tip
+      f.delete(tmp, false)
+    }
+    throw new IllegalStateException(
+      s"commit to $tableDir still losing the publish race after $attempt attempts")
   }
+
+  /** Atomically publish `tmp` at `dst` iff `dst` does not exist yet.
+    * HDFS-like filesystems get this from `rename` (fails on an existing
+    * destination); the local filesystem does NOT (POSIX rename silently
+    * replaces files), so there the claim is a hard link — `link(2)` is
+    * atomic and fails with EEXIST when the name is taken.
+    */
+  private def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
+                               tmp: Path, dst: Path): Boolean =
+    if (f.getScheme == "file") {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val d = java.nio.file.Paths.get(dst.toUri.getPath)
+      try { java.nio.file.Files.createLink(d, t); f.delete(tmp, false); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else !f.exists(dst) && f.rename(tmp, dst)
 
   private def readManifest(spark: SparkSession, tableDir: String, v: Int): Seq[String] = {
     val f = fs(spark, tableDir)
-    val p = new Path(manifestDir(tableDir), f"$v%05d.manifest")
-    val in = f.open(p)
+    val in = f.open(manifestPath(tableDir, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()
@@ -87,5 +145,56 @@ object Snapshots {
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no committed versions at $tableDir")
     readAsOf(spark, tableDir, vs.last)
+  }
+
+  /** Retention: drop every version but the newest `keepLast`, then delete
+    * the batch dirs no surviving manifest references. Returns the expired
+    * version numbers.
+    *
+    * Ordering is the crash-safe direction: manifests are deleted FIRST
+    * (after which `readAsOf` on an expired version raises at the
+    * `versions` check — no reader can plan a scan over dirs about to
+    * vanish), data dirs second. A crash in between leaves unreferenced
+    * dirs behind — garbage, invisible, reclaimed by the next `expire`
+    * sweep over still-expired manifests, never corruption. Note that for
+    * a purely append-only history every old batch is still referenced by
+    * the latest manifest, so expire only trims the time-travel horizon;
+    * data space comes back once a [[commitReplace]] (compaction) has
+    * rewritten the visible set.
+    */
+  def expire(spark: SparkSession, tableDir: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, tableDir)
+    val vs = versions(spark, tableDir)
+    val drop = vs.dropRight(keepLast)
+    if (drop.isEmpty) return Seq.empty
+    val keep = vs.takeRight(keepLast)
+    val keptDirs = keep.flatMap(readManifest(spark, tableDir, _)).toSet
+    val droppedDirs = drop.flatMap(readManifest(spark, tableDir, _)).toSet
+    drop.foreach(v => f.delete(manifestPath(tableDir, v), false))
+    (droppedDirs -- keptDirs).foreach(d => f.delete(new Path(d), true))
+    drop
+  }
+
+  /** Compact the latest version's visible set into size-targeted files and
+    * publish the rewrite as a new version ([[commitReplace]] — old versions
+    * stay time-travelable until [[expire]]). This is the lake-maintenance
+    * loop closed: streaming/batch ingest appends one small batch dir per
+    * commit, compaction folds them into ceil(bytes/targetBytes) files, and
+    * the swap is just another atomic manifest publish — readers never see
+    * a half-compacted table. Returns the new version.
+    */
+  def compactLatest(spark: SparkSession, tableDir: String,
+                    targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val f = fs(spark, tableDir)
+    val dirs = readManifest(spark, tableDir, versions(spark, tableDir).last)
+    val bytes = dirs.map(d => f.getContentSummary(new Path(d)).getLength).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // narrow coalesce, same rationale as Layout.compact: compaction is an
+    // I/O rewrite, it must not pay a shuffle
+    val df = spark.read.parquet(dirs: _*)
+    commitReplace(spark, tableDir,
+      df.coalesce(math.min(nFiles, df.rdd.getNumPartitions).max(1)))
   }
 }
