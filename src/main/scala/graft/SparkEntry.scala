@@ -68,14 +68,17 @@ crime_avg AS (
   FROM crime_latest JOIN dim_location USING (location_id)
   GROUP BY 1, 2
 ),
+crime_mm AS (
+  SELECT min(avg_crime_rate) AS mn, max(avg_crime_rate) AS mx FROM crime_avg
+),
 crime_norm AS (
+  -- 1-row aggregate cross join, not min/max OVER (): the window form
+  -- funnels its whole input through one task, the broadcast scalar doesn't
   SELECT location_id,
-         CASE WHEN max(avg_crime_rate) OVER () = min(avg_crime_rate) OVER ()
-              THEN CAST('NaN' AS DOUBLE)
-              ELSE (avg_crime_rate - min(avg_crime_rate) OVER ())
-                / (max(avg_crime_rate) OVER () - min(avg_crime_rate) OVER ()) * 100 END
+         CASE WHEN mx = mn THEN CAST('NaN' AS DOUBLE)
+              ELSE (avg_crime_rate - mn) / (mx - mn) * 100 END
            AS normalized_crime_rate
-  FROM crime_avg
+  FROM crime_avg CROSS JOIN crime_mm
 ),
 expense AS (
   SELECT s_nationkey AS location_id, l_extendedprice * (l_tax + 0.05) AS amount,
@@ -91,14 +94,15 @@ expense_avg AS (
   FROM expense_latest JOIN dim_location USING (location_id)
   GROUP BY 1, 2
 ),
+expense_mm AS (
+  SELECT min(avg_expense) AS mn, max(avg_expense) AS mx FROM expense_avg
+),
 expense_norm AS (
   SELECT location_id,
-         CASE WHEN max(avg_expense) OVER () = min(avg_expense) OVER ()
-              THEN CAST('NaN' AS DOUBLE)
-              ELSE (avg_expense - min(avg_expense) OVER ())
-                / (max(avg_expense) OVER () - min(avg_expense) OVER ()) * 100 END
+         CASE WHEN mx = mn THEN CAST('NaN' AS DOUBLE)
+              ELSE (avg_expense - mn) / (mx - mn) * 100 END
            AS normalized_expense
-  FROM expense_avg
+  FROM expense_avg CROSS JOIN expense_mm
 ),
 living_wage AS (
   SELECT c_nationkey AS location_id, o_totalprice / 1000 AS hourly_wage,
@@ -201,14 +205,17 @@ crime_avg AS (
   FROM crime_latest JOIN dim_location USING (location_id)
   GROUP BY 1, 2
 ),
+crime_mm AS (
+  SELECT min(avg_crime_rate) AS mn, max(avg_crime_rate) AS mx FROM crime_avg
+),
 crime_norm AS (
+  -- 1-row aggregate cross join, not min/max OVER (): the window form
+  -- funnels its whole input through one task, the broadcast scalar doesn't
   SELECT location_id,
-         CASE WHEN max(avg_crime_rate) OVER () = min(avg_crime_rate) OVER ()
-              THEN CAST('NaN' AS DOUBLE)
-              ELSE (avg_crime_rate - min(avg_crime_rate) OVER ())
-                / (max(avg_crime_rate) OVER () - min(avg_crime_rate) OVER ()) * 100 END
+         CASE WHEN mx = mn THEN CAST('NaN' AS DOUBLE)
+              ELSE (avg_crime_rate - mn) / (mx - mn) * 100 END
            AS normalized_crime_rate
-  FROM crime_avg
+  FROM crime_avg CROSS JOIN crime_mm
 ),
 expense AS (
   SELECT s_nationkey AS location_id, l_extendedprice * (l_tax + 0.05) AS amount,
@@ -224,14 +231,15 @@ expense_avg AS (
   FROM expense_latest JOIN dim_location USING (location_id)
   GROUP BY 1, 2
 ),
+expense_mm AS (
+  SELECT min(avg_expense) AS mn, max(avg_expense) AS mx FROM expense_avg
+),
 expense_norm AS (
   SELECT location_id,
-         CASE WHEN max(avg_expense) OVER () = min(avg_expense) OVER ()
-              THEN CAST('NaN' AS DOUBLE)
-              ELSE (avg_expense - min(avg_expense) OVER ())
-                / (max(avg_expense) OVER () - min(avg_expense) OVER ()) * 100 END
+         CASE WHEN mx = mn THEN CAST('NaN' AS DOUBLE)
+              ELSE (avg_expense - mn) / (mx - mn) * 100 END
            AS normalized_expense
-  FROM expense_avg
+  FROM expense_avg CROSS JOIN expense_mm
 ),
 living_wage AS (
   SELECT c_nationkey AS location_id, o_totalprice / 1000 AS hourly_wage,

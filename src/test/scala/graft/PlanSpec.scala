@@ -116,6 +116,58 @@ class PlanSpec extends AnyFunSuite {
       "band join degenerated to all-pairs:\n" + p)
   }
 
+  test("no registered query plans an unbounded global (no-partition) window") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // A WindowExec with an empty partitionSpec funnels its WHOLE input
+    // through one task — fatal at scale unless the input is provably tiny.
+    // "Bounded" here means a Limit/TakeOrdered sits below the window;
+    // queries whose global window is bounded by CONSTRUCTION (no Limit
+    // operator in the plan) are listed with the reason:
+    val boundedByConstruction = Map(
+      // ranks the entries of ONE capacity-bounded sketch summary (<=1024
+      // rows out of a single-row aggregate, ExtensionQueries2.T12Capacity)
+      "t12_heavy_hitters" -> "space-saving summary is capacity-bounded")
+    def boundedBelow(p: SparkPlan): Boolean = p match {
+      case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case a: AdaptiveSparkPlanExec => boundedBelow(a.inputPlan)
+      case im: InMemoryTableScanExec =>
+        boundedBelow(im.relation.cacheBuilder.cachedPlan)
+      case o => o.children.exists(boundedBelow)
+    }
+    val seen = scala.collection.mutable.HashSet[AnyRef]()
+    def offenders(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+          Seq(w.simpleStringWithNodeId())
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case im: InMemoryTableScanExec =>
+          val b = im.relation.cacheBuilder
+          if (seen.add(b)) Seq(b.cachedPlan) else Nil
+        case o => o.children
+      }
+      self ++ kids.flatMap(offenders)
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        if (boundedByConstruction.contains(name)) Nil
+        else {
+          seen.clear()
+          offenders(fn(spark, dir).queryExecution.executedPlan)
+            .map(w => s"$name: $w")
+        }
+      }
+      assert(bad.isEmpty, s"unbounded global windows:\n${bad.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("a filter on the partition column prunes partitions at the scan") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/out"
