@@ -34,7 +34,7 @@ object Bench {
     "t12_heavy_hitters", "t13_bpe_merges", "t14_lm_perplexity",
     "s09_knn_pq", "g01_pagerank",
     // round-8 additions
-    "d14_minhash_estimate")
+    "d14_minhash_estimate", "s11_knn_ivfpq", "q72_compact_partitioned")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

@@ -88,6 +88,54 @@ object ExtensionQueries2 {
     (seeds +: rounds).mkString(",")
   }
 
+  /** LM sides up to this many (w1, w2, logp) rows broadcast; beyond it the
+    * score join stays a keyed shuffle join. ~4M rows of two short strings
+    * plus a long is tens of MB — comfortably under executor broadcast
+    * budgets; a real web-corpus LM (billions of bigrams) takes the
+    * shuffle path.
+    */
+  private val BroadcastLmRows = 4L * 1000 * 1000
+
+  /** t14's body, parameterized by the caller's vocabulary knowledge.
+    * `vocabBound` is an upper bound on the distinct token count (`None` =
+    * open vocabulary). The LM table is vocab²-bounded, so a promised bound
+    * with bound² ≤ [[BroadcastLmRows]] lets the score join broadcast the
+    * LM; otherwise the join runs as a keyed shuffle on (w1, w2) — the SAME
+    * results either way (Round8Spec property-tests the equality), only the
+    * physical join strategy differs.
+    */
+  private[graft] def lmPerplexity(s: SparkSession, dir: String,
+                                  vocabBound: Option[Long]): DataFrame = {
+    val toks = col("__toks")
+    val pairs = when(size(toks) >= 2,
+      arrays_zip(slice(toks, lit(1), size(toks) - 1).as("w1"),
+        slice(toks, lit(2), size(toks) - 1).as("w2")))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = t(s, dir, "documents")
+      .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist()
+    val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w1_total", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+      .withColumn("logp_fp",
+        floor(log(col("cnt").cast("double") / col("w1_total")) * lit(1e6)))
+      .select(col("w1").as("lw1"), col("w2").as("lw2"), col("logp_fp"))
+    val lmSide = vocabBound match {
+      case Some(b) if b * b <= BroadcastLmRows => broadcast(lm)
+      case _ => lm
+    }
+    bg.join(lmSide, col("w1") === col("lw1") && col("w2") === col("lw2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("logp_fp")).cast("double") / lit(1e6)).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.operators.Agg.roundAt(col("__s") / col("n_bigrams"), 6).as("avg_logp"),
+        (col("__s") / col("n_bigrams") > -3.0).as("fluent"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sketch capacity for t12 — the corpus vocabulary is 31 terms, so at
     * most 961 distinct bigrams exist at ANY scale factor: 1024 puts the
     * sketch in its exact regime (no eviction, no trim, err all 0), which
@@ -137,34 +185,11 @@ object ExtensionQueries2 {
     // ratios of corpus counts; log values are fixed-pointed (floor at
     // 1e-6) before summation so the per-doc mean is
     // partition-order-independent and oracle-replayable. Two corpus
-    // passes: one to count bigrams (vocab-sized result), one to score —
-    // the LM side of the join is vocab²-bounded, so it broadcasts.
-    "t14_lm_perplexity" -> ((s, dir) => {
-      val toks = col("__toks")
-      val pairs = when(size(toks) >= 2,
-        arrays_zip(slice(toks, lit(1), size(toks) - 1).as("w1"),
-          slice(toks, lit(2), size(toks) - 1).as("w2")))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-      val bg = t(s, dir, "documents")
-        .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), explode(pairs).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .persist()
-      val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
-        .withColumn("w1_total", sum(col("cnt")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
-        .withColumn("logp_fp",
-          floor(log(col("cnt").cast("double") / col("w1_total")) * lit(1e6)))
-      bg.join(broadcast(lm.select(col("w1").as("lw1"), col("w2").as("lw2"), col("logp_fp"))),
-          col("w1") === col("lw1") && col("w2") === col("lw2"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          (sum(col("logp_fp")).cast("double") / lit(1e6)).as("__s"))
-        .select(col("doc_id"), col("n_bigrams"),
-          graft.operators.Agg.roundAt(col("__s") / col("n_bigrams"), 6).as("avg_logp"),
-          (col("__s") / col("n_bigrams") > -3.0).as("fluent"))
-        .orderBy(col("doc_id"))
-    }),
+    // passes: one to count bigrams (vocab-sized result), one to score.
+    // The fixture corpus has a bounded vocabulary (31 terms — T12Capacity
+    // note), so the LM side broadcasts; lmPerplexity carries the
+    // open-vocabulary shuffle-join form too.
+    "t14_lm_perplexity" -> ((s, dir) => lmPerplexity(s, dir, vocabBound = Some(31L))),
 
     // BPE tokenizer training (3 merge rounds): the actual algorithm behind
     // subword vocabularies, run corpus-parallel — per-round cost is one
@@ -344,6 +369,66 @@ object ExtensionQueries2 {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("vec_id"),
+          graft.operators.Agg.roundAt(col("pq_score"), 6).as("pq_score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-PQ composed index (round 8) — the standard 100 TB ANN stack,
+    // assembled from the two oracle-replayable training runs the engine
+    // already has: the s05 coarse k-means routes each query to its
+    // nprobe nearest cells, and ONLY those cells' posting lists are
+    // scored — through the broadcast PQ codebooks (asymmetric distance),
+    // never through raw corpus vectors. Index state per vector is one
+    // coarse cell id plus PqM small codes (the posting-list layout that
+    // fits executor memory when raw vectors don't); at query time the
+    // corpus side is completely shuffle-free: probes, codebooks, and
+    // queries all broadcast, candidates selected by a broadcast hash
+    // join on the cell key. The one vec_id shuffle (cell ⋈ codes) is
+    // INDEX BUILD cost, paid once per corpus rewrite.
+    "s11_knn_ivfpq" -> ((s, dir) => {
+      import ExtensionQueries.{IvfCells, IvfIters, IvfProbe}
+      val e = embeddingsD(s, dir)
+      val (coarseCent, coarseAssigned) = Kmeans.fit(
+        e.select(col("vec_id"), col("v")), k = IvfCells, iters = IvfIters)
+      // PQ codebooks: same one-pass grouped training as s09
+      val gsub = e.select(col("vec_id"), explode(array((0 until PqM).map(j =>
+          struct(lit(j).as("grp"), slice(col("v"), j * PqSub + 1, PqSub).as("v"))): _*)).as("g"))
+        .select(col("g.grp").as("grp"), col("vec_id"), col("g.v").as("v"))
+      val (cent, assigned) = Kmeans.fitGrouped(gsub, PqK, PqIters)
+      val codes = assigned.groupBy(col("vec_id"))
+        .agg((0 until PqM).map(j =>
+          max(when(col("grp") === j, col("cell"))).as(s"c_$j")).head,
+          (1 until PqM).map(j =>
+            max(when(col("grp") === j, col("cell"))).as(s"c_$j")): _*)
+      val index = coarseAssigned.select(col("vec_id"), col("cell"))
+        .join(codes, Seq("vec_id"))
+      val decoded = (0 until PqM).foldLeft(index) { case (df, j) =>
+        df.join(broadcast(cent.filter(col("grp") === j)
+            .select(col("cell").as(s"cell_$j"), col("cv").as(s"cv_$j"))),
+          col(s"c_$j") === col(s"cell_$j")).drop(s"cell_$j")
+      }
+      val q = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell").asc)
+      val probed = q.crossJoin(broadcast(coarseCent))
+        .withColumn("ccos", VectorOps.cosineFast(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= IvfProbe)
+        .select(col("query_id"), col("qv"), col("cell"))
+      val dotSum = (0 until PqM).map(j =>
+        VectorOps.dot(slice(col("qv"), j * PqSub + 1, PqSub), col(s"cv_$j"))).reduce(_ + _)
+      val cNorm2 = (0 until PqM).map(j =>
+        VectorOps.dot(col(s"cv_$j"), col(s"cv_$j"))).reduce(_ + _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("pq_score").desc, col("vec_id").asc)
+      decoded.join(broadcast(probed), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("pq_score",
+          dotSum / (sqrt(VectorOps.dot(col("qv"), col("qv"))) * sqrt(cNorm2)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("cell"), col("vec_id"),
           graft.operators.Agg.roundAt(col("pq_score"), 6).as("pq_score"))
         .orderBy(col("query_id"), col("rank"))
     })
@@ -580,6 +665,73 @@ object ExtensionQueries2 {
         FROM scored
       )
       SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+             floor(pq_score * 1000000 + 0.5) / 1000000 AS pq_score
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""
+    },
+
+    // IVF-PQ replay: the s05 coarse training run (prefix cq) AND the four
+    // s09 subspace runs in one statement, then probe selection against the
+    // final coarse centroids, candidate restriction to the final posting
+    // lists, and ADC scoring through the decoded codebooks.
+    "s11_knn_ivfpq" -> {
+      import ExtensionQueries.{IvfCells, IvfIters, IvfProbe}
+      val subCtes = (0 until PqM).map { j =>
+        val lo = j * PqSub + 1
+        val hi = (j + 1) * PqSub
+        s"e$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e)," +
+          kmCtesN(s"s$j", s"e$j", PqK, PqIters, PqSub)
+      }.mkString(",")
+      val codesJoin = (1 until PqM)
+        .map(j => s"JOIN s${j}a$PqIters a$j USING (vec_id)").mkString(" ")
+      val codeCols = (0 until PqM).map(j => s"a$j.cell AS c_$j").mkString(", ")
+      val decodeJoin = (0 until PqM)
+        .map(j => s"JOIN s${j}c$PqIters cb$j ON idx.c_$j = cb$j.cell").mkString(" ")
+      val cvCols = (0 until PqM).map(j => s"cb$j.cv AS cv_$j").mkString(", ")
+      val dotSum = (0 until PqM).map { j =>
+        dotSqlN(s"(qv[${j * PqSub + 1}:${(j + 1) * PqSub}])", s"cv_$j", PqSub)
+      }.mkString("(", " + ", ")")
+      val cNorm2 = (0 until PqM)
+        .map(j => dotSqlN(s"cv_$j", s"cv_$j", PqSub)).mkString("(", " + ", ")")
+      s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),${kmCtesN("cq", "e", IvfCells, IvfIters, 64)},$subCtes,
+      codes AS (
+        SELECT a0.vec_id, $codeCols
+        FROM s0a$PqIters a0 $codesJoin
+      ),
+      idx AS (
+        SELECT ca.vec_id, ca.cell,
+               ${(0 until PqM).map(j => s"codes.c_$j").mkString(", ")}
+        FROM cqa$IvfIters ca JOIN codes USING (vec_id)
+      ),
+      decoded AS (
+        SELECT idx.vec_id, idx.cell, $cvCols
+        FROM idx $decodeJoin
+      ),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),
+      probe AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.query_id, q.qv, c.cell,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   (${dotSqlN("q.qv", "c.cv", 64)} / (sqrt(${dotSqlN("q.qv", "q.qv", 64)}) * sqrt(${dotSqlN("c.cv", "c.cv", 64)}))) DESC,
+                   c.cell ASC) AS prn
+          FROM q CROSS JOIN cqc$IvfIters c
+        ) p WHERE prn <= $IvfProbe
+      ),
+      scored AS (
+        SELECT p.query_id, d.cell, d.vec_id,
+               $dotSum / (sqrt(${dotSqlN("qv", "qv", PqM * PqSub)}) * sqrt($cNorm2)) AS pq_score
+        FROM decoded d JOIN probe p ON d.cell = p.cell AND d.vec_id <> p.query_id
+      ),
+      ranked AS (
+        SELECT query_id, cell, vec_id, pq_score,
+               row_number() OVER (PARTITION BY query_id ORDER BY pq_score DESC, vec_id ASC) AS rank
+        FROM scored
+      )
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, cell, vec_id,
              floor(pq_score * 1000000 + 0.5) / 1000000 AS pq_score
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""
