@@ -146,6 +146,42 @@ class Round8Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("streaming ingest + snapshot compaction: fewer files, value-identical view, history intact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = Scratch.fresh(spark, "spec_stream_compact")
+    val stream = MemoryStream[Long]
+    val q = stream.toDS().toDF("doc_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Snapshots.commit(spark, tbl, batch): Unit
+      }.start()
+    // four micro-batches -> four versions -> four small batch dirs: the
+    // small-file problem a per-trigger writer creates
+    for (lo <- Seq(1L, 21L, 41L, 61L)) {
+      stream.addData(lo until lo + 20L: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(Snapshots.versions(spark, tbl) == Seq(1, 2, 3, 4))
+    def allFiles(): Seq[String] = subdirs(tbl).filter(_.startsWith("batch-"))
+      .flatMap(b => dataFiles(s"$tbl/$b").filter(_.endsWith(".parquet")))
+    val filesBefore = allFiles().size
+    val viewBefore = Snapshots.readLatest(spark, tbl).as[Long].collect().sorted.toSeq
+
+    // compaction is just another snapshot version: atomic swap, old
+    // versions still time-travelable until retention prunes them
+    assert(Snapshots.compactLatest(spark, tbl, targetBytes = Long.MaxValue / 4) == 5)
+    assert(Snapshots.readLatest(spark, tbl).as[Long].collect().sorted.toSeq == viewBefore,
+      "post-compaction view must be value-identical to the stream it rewrote")
+    assert(Snapshots.readAsOf(spark, tbl, 2).count() == 40)
+
+    Snapshots.expire(spark, tbl, keepLast = 1)
+    val filesAfter = allFiles().size
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    assert(Snapshots.readLatest(spark, tbl).as[Long].collect().sorted.toSeq == viewBefore)
+  }
+
   test("partitioned compaction: per-partition file counts drop, layout and pruning survive") {
     val small = Scratch.fresh(spark, "spec_pcompact_small")
     val packed = Scratch.fresh(spark, "spec_pcompact_packed")
