@@ -34,7 +34,8 @@ object Bench {
     "t12_heavy_hitters", "t13_bpe_merges", "t14_lm_perplexity",
     "s09_knn_pq", "g01_pagerank",
     // round-8 additions
-    "d14_minhash_estimate", "s11_knn_ivfpq", "q72_compact_partitioned")
+    "d14_minhash_estimate", "s11_knn_ivfpq", "q72_compact_partitioned",
+    "d15_mixture_sample", "t15_sequence_pack")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

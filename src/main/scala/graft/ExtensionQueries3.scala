@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Agg, TextOps}
+import graft.sources.Tables
+
+/** Round-8 LLM-pipeline extensions (continues [[ExtensionQueries2]], split
+  * for file hygiene): corpus mixture balancing and sequence packing — the
+  * two steps between a curated corpus and an actual training run. Same
+  * contract as the earlier extension files: every query deterministic with
+  * a DuckDB oracle.
+  */
+object ExtensionQueries3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Portable 16-bit uniform hash: the first four hex digits of md5(text)
+    * assembled positionally (the d12 split-bucket trick widened from 4 to
+    * 16 bits — finer-grained sampling rates). Identical text ↔ identical
+    * bucket in both engines; md5 of the CONTENT (not the id) keeps the
+    * decision stable across re-ingestion that renumbers doc_ids.
+    */
+  private def md5Bucket16(text: Column): Column = {
+    def hx(i: Int): Column =
+      (array_position(split(lit("0,1,2,3,4,5,6,7,8,9,a,b,c,d,e,f"), ","),
+        substring(md5(text), i, 1)) - 1).cast("long")
+    hx(1) * 4096 + hx(2) * 256 + hx(3) * 16 + hx(4)
+  }
+
+  /** DuckDB mirror of [[md5Bucket16]]. */
+  private def md5Bucket16Sql(text: String): String = {
+    def hx(i: Int) = s"(strpos('0123456789abcdef', substr(md5($text), $i, 1)) - 1)"
+    s"(${hx(1)} * 4096 + ${hx(2)} * 256 + ${hx(3)} * 16 + ${hx(4)})"
+  }
+
+  /** Packing budget for t15 — small relative to the fixture's ~50-token
+    * documents so each source shard packs into several sequences; a
+    * production run sets the model context length (2k/4k/8k).
+    */
+  private val PackBudget = 256
+
+  /** Per-source target weight for d15: (source index mod 4) + 1 — a
+    * deterministic non-uniform mixture (the fixture's sources are
+    * uniform-sized, so a balanced target would be a no-op and exercise
+    * nothing). A real pipeline reads these weights from a mixture config;
+    * everything downstream (rates, hash-gated sampling) is unchanged.
+    */
+  private def sourceWeight(source: Column): Column =
+    (substring(source, 4, 10).cast("int") % 4 + 1).cast("long")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Corpus mixture balancing ("data mixing"): resample each source to a
+    // target share of a fixed training budget (here half the corpus,
+    // Zipf-ish weights) — the step that turns per-source weights from a
+    // mixture config into an actual subsampled corpus. Shape at 100 TB:
+    // per-source counts are one map-side-combinable aggregation (sources
+    // number in the hundreds, so counts/rates broadcast); the keep
+    // decision is a pure per-row expression on a content hash — no
+    // shuffle of the corpus, no RNG (re-runs select the SAME documents,
+    // which is what makes a mixture reproducible), rows never move. The
+    // registered result is the per-source audit (rate, kept, achieved
+    // share); the kept rows themselves are the same frame pre-aggregation.
+    "d15_mixture_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", sourceWeight(col("source")))
+      val tot = counts.agg(sum(col("n_docs")).as("__n"), sum(col("w")).as("__sw"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("rate", least(lit(1.0),
+          (col("__n").cast("double") / 2.0 * col("w") / col("__sw")) / col("n_docs")))
+        .select(col("source"), col("n_docs"), col("w"), col("rate"))
+      val flagged = docs.select(col("source"), md5Bucket16(col("text")).as("h"))
+        .join(broadcast(rates), Seq("source"))
+        .withColumn("keep",
+          (col("h") < floor(col("rate") * 65536)).cast("int"))
+      val agg = flagged
+        .groupBy(col("source"), col("n_docs"), col("w"), col("rate"))
+        .agg(sum(col("keep")).as("n_kept"))
+      val totKept = agg.agg(sum(col("n_kept")).as("__tk"))
+      agg.crossJoin(broadcast(totKept))
+        .select(col("source"), col("n_docs"), col("w"),
+          Agg.roundAt(col("rate"), 6).as("rate"),
+          col("n_kept"),
+          Agg.roundAt(col("n_kept").cast("double") / col("__tk"), 6).as("kept_share"))
+        .orderBy(col("source"))
+    }),
+
+    // Sequence packing (concat-then-chunk): documents concatenate in
+    // doc_id order WITHIN their source shard and split at fixed token
+    // budgets — how corpora become fixed-length training sequences. Chunk
+    // assignment is by start offset (the standard approximation: a doc
+    // belongs to the sequence its first token lands in). The running
+    // offset is a keyed window (partitioned by source) — packing is
+    // embarrassingly parallel across shards, and that is also the scale
+    // story: a global pack order would funnel the corpus through one
+    // task, per-shard packing keeps every executor busy and is what real
+    // pipelines do. Integer token counts make the cumsum engine-exact.
+    "t15_sequence_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id",
+          ((col("cum") - col("n_tok")) / lit(PackBudget.toDouble)).cast("long"))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("doc_lo"), max(col("doc_id")).as("doc_hi"))
+        .orderBy(col("source"), col("seq_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // Mixture replay: same counts, same double arithmetic (left-assoc
+    // multiply/divide order mirrored exactly), same md5 bucket gate.
+    "d15_mixture_sample" -> s"""
+      WITH counts AS (
+        SELECT source, count(*) AS n_docs,
+               CAST((CAST(substr(source, 4) AS INTEGER) % 4) + 1 AS BIGINT) AS w
+        FROM documents GROUP BY 1
+      ),
+      tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS sw
+        FROM counts
+      ),
+      rates AS (
+        SELECT c.source, c.n_docs, c.w,
+               least(1.0, (CAST(t.n AS DOUBLE) / 2.0 * c.w / t.sw) / c.n_docs) AS rate
+        FROM counts c CROSS JOIN tot t
+      ),
+      agg AS (
+        SELECT r.source, r.n_docs, r.w, r.rate,
+               CAST(sum(CASE WHEN ${md5Bucket16Sql("d.text")} < floor(r.rate * 65536)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents d JOIN rates r ON d.source = r.source
+        GROUP BY 1, 2, 3, 4
+      ),
+      tk AS (SELECT CAST(sum(n_kept) AS BIGINT) AS tkept FROM agg)
+      SELECT source, n_docs, w,
+             floor(rate * 1000000 + 0.5) / 1000000 AS rate,
+             n_kept,
+             floor((CAST(n_kept AS DOUBLE) / tkept) * 1000000 + 0.5) / 1000000 AS kept_share
+      FROM agg CROSS JOIN tk
+      ORDER BY source""",
+
+    // Packing replay: same tokenization as t01, ROWS-framed cumsum, same
+    // start-offset chunk arithmetic (trunc == floor for the non-negative
+    // offsets).
+    "t15_sequence_pack" -> s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+        FROM documents
+      ),
+      c AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d
+      )
+      SELECT source,
+             CAST(trunc((cum - n_tok) / $PackBudget.0) AS BIGINT) AS seq_id,
+             count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
+      FROM c
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
+}
