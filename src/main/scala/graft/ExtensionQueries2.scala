@@ -136,6 +136,47 @@ object ExtensionQueries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** The t13 training loop, shared with t16's application pass: returns
+    * (per-round merge tables, the final per-word symbol table after all
+    * three merges). The words table persists (vocab-sized), so the two
+    * queries share one training run in a session.
+    */
+  private def bpeTrain(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+    val strip = (c: org.apache.spark.sql.Column) => translate(c, "<>", "")
+    val words = t(s, dir, "documents")
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("sym", concat_ws(" ",
+        transform(filter(split(col("word"), ""), ch => ch =!= ""),
+          ch => concat(lit("<"), ch, lit(">")))))
+      .persist()
+    var syms = words.select(col("word"), col("c"), col("sym"))
+    val rounds = (1 to 3).map { r =>
+      val withL = syms.withColumn("L", split(col("sym"), " "))
+      val pairs = withL
+        .select(col("c"), explode(when(size(col("L")) >= 2,
+          arrays_zip(slice(col("L"), lit(1), size(col("L")) - 1).as("lw"),
+            slice(col("L"), lit(2), size(col("L")) - 1).as("rw")))
+          .otherwise(array().cast("array<struct<lw:string,rw:string>>"))).as("p"))
+        .select(col("p.lw").as("lw"), col("p.rw").as("rw"), col("c"))
+        .groupBy(col("lw"), col("rw")).agg(sum(col("c")).as("freq"))
+      val best = pairs
+        .orderBy(col("freq").desc, strip(col("lw")).asc, strip(col("rw")).asc)
+        .limit(1)
+        .withColumn("merged_sym",
+          concat(lit("<"), strip(col("lw")), strip(col("rw")), lit(">")))
+      syms = syms.crossJoin(broadcast(best))
+        .withColumn("sym", expr(
+          "replace(sym, lw || ' ' || rw, merged_sym)"))
+        .select(col("word"), col("c"), col("sym"))
+      best.select(lit(r).as("round"), strip(col("lw")).as("left"),
+        strip(col("rw")).as("right"),
+        concat(strip(col("lw")), strip(col("rw"))).as("merged"), col("freq"))
+    }
+    (rounds, syms.persist())
+  }
+
   /** Sketch capacity for t12 — the corpus vocabulary is 31 terms, so at
     * most 961 distinct bigrams exist at ANY scale factor: 1024 puts the
     * sketch in its exact regime (no eviction, no trim, err all 0), which
@@ -203,40 +244,30 @@ object ExtensionQueries2 {
     // both engines. The winning pair is never collected to the driver: it
     // stays a broadcast 1-row plan that the next round's replace() reads
     // as columns.
-    "t13_bpe_merges" -> ((s, dir) => {
-      val strip = (c: org.apache.spark.sql.Column) => translate(c, "<>", "")
-      val words = t(s, dir, "documents")
-        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    "t13_bpe_merges" -> ((s, dir) =>
+      bpeTrain(s, dir)._1.reduce(_.unionAll(_)).orderBy(col("round"))),
+
+    // BPE tokenizer APPLICATION (round 8) — the other half of the t13
+    // loop: every document segmented with the trained merge table, the
+    // per-doc subword count and compression ratio out. The per-word
+    // segmentation already exists as the training run's final symbol
+    // table (vocab-sized, broadcast); application is explode → broadcast
+    // join → sum — no per-document merge scanning, which is exactly how
+    // a production tokenizer applies (word-level memoization). Shares the
+    // training cache with t13.
+    "t16_bpe_apply" -> ((s, dir) => {
+      val syms = bpeTrain(s, dir)._2
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
-        .groupBy(col("word")).agg(count(lit(1)).as("c"))
-        .withColumn("sym", concat_ws(" ",
-          transform(filter(split(col("word"), ""), ch => ch =!= ""),
-            ch => concat(lit("<"), ch, lit(">")))))
-        .persist()
-      var syms = words.select(col("word"), col("c"), col("sym"))
-      val rounds = (1 to 3).map { r =>
-        val withL = syms.withColumn("L", split(col("sym"), " "))
-        val pairs = withL
-          .select(col("c"), explode(when(size(col("L")) >= 2,
-            arrays_zip(slice(col("L"), lit(1), size(col("L")) - 1).as("lw"),
-              slice(col("L"), lit(2), size(col("L")) - 1).as("rw")))
-            .otherwise(array().cast("array<struct<lw:string,rw:string>>"))).as("p"))
-          .select(col("p.lw").as("lw"), col("p.rw").as("rw"), col("c"))
-          .groupBy(col("lw"), col("rw")).agg(sum(col("c")).as("freq"))
-        val best = pairs
-          .orderBy(col("freq").desc, strip(col("lw")).asc, strip(col("rw")).asc)
-          .limit(1)
-          .withColumn("merged_sym",
-            concat(lit("<"), strip(col("lw")), strip(col("rw")), lit(">")))
-        syms = syms.crossJoin(broadcast(best))
-          .withColumn("sym", expr(
-            "replace(sym, lw || ' ' || rw, merged_sym)"))
-          .select(col("word"), col("c"), col("sym"))
-        best.select(lit(r).as("round"), strip(col("lw")).as("left"),
-          strip(col("rw")).as("right"),
-          concat(strip(col("lw")), strip(col("rw"))).as("merged"), col("freq"))
-      }
-      rounds.reduce(_.unionAll(_)).orderBy(col("round"))
+        .join(broadcast(syms.select(col("word"), size(split(col("sym"), " ")).as("n_sub"))),
+          Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+        .select(col("doc_id"), col("n_words"), col("n_subwords"),
+          graft.operators.Agg.roundAt(
+            col("n_subwords").cast("double") / col("n_words"), 6).as("subwords_per_word"))
+        .orderBy(col("doc_id"))
     }),
 
     // PageRank over the near-dup candidate graph (d03's LSH pairs as
@@ -434,6 +465,47 @@ object ExtensionQueries2 {
     })
   )
 
+  /** Shared CTE prefix for the t13/t16 oracles: `words`, `s0`..`s3` (the
+    * merge-application states), `pr1..3`/`b1..3` (pair counts, winners).
+    */
+  private def bpeCtes: String = {
+    def round(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""
+      pr$r AS (
+        SELECT p.lw AS lw, p.rw AS rw, CAST(sum(c) AS BIGINT) AS freq FROM (
+          SELECT c, unnest(list_transform(range(1, len(L)),
+            i -> struct_pack(lw := L[i], rw := L[i + 1]))) AS p
+          FROM (SELECT c, string_split(sym, ' ') AS L FROM $prev) t
+        ) q GROUP BY 1, 2
+      ),
+      b$r AS (
+        SELECT lw, rw, freq,
+               '<' || translate(lw, '<>', '') || translate(rw, '<>', '') || '>' AS merged_sym
+        FROM pr$r
+        ORDER BY freq DESC, translate(lw, '<>', '') ASC, translate(rw, '<>', '') ASC
+        LIMIT 1
+      ),
+      s$r AS (
+        SELECT word, c, replace(sym, b$r.lw || ' ' || b$r.rw, b$r.merged_sym) AS sym
+        FROM $prev CROSS JOIN b$r
+      )"""
+    }
+    s"""words AS (
+        SELECT word, count(*) AS c FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents
+        ) w WHERE word <> '' GROUP BY 1
+      ),
+      s0 AS (
+        SELECT word, c,
+               array_to_string(list_transform(
+                 list_filter(string_split(word, ''), ch -> ch <> ''),
+                 ch -> '<' || ch || '>'), ' ') AS sym
+        FROM words
+      ),${round(1)},${round(2)},${round(3)}"""
+  }
+
   val oracles: Map[String, String] = Map(
 
     // Exact bigram top-20 — in the sketch's exact regime the summary IS
@@ -498,28 +570,6 @@ object ExtensionQueries2 {
     // BPE replay: three unrolled merge rounds — pair counts, winning pair
     // (same stripped-symbol tie order), sequential replace() application.
     "t13_bpe_merges" -> {
-      def round(r: Int): String = {
-        val prev = s"s${r - 1}"
-        s"""
-      pr$r AS (
-        SELECT p.lw AS lw, p.rw AS rw, CAST(sum(c) AS BIGINT) AS freq FROM (
-          SELECT c, unnest(list_transform(range(1, len(L)),
-            i -> struct_pack(lw := L[i], rw := L[i + 1]))) AS p
-          FROM (SELECT c, string_split(sym, ' ') AS L FROM $prev) t
-        ) q GROUP BY 1, 2
-      ),
-      b$r AS (
-        SELECT lw, rw, freq,
-               '<' || translate(lw, '<>', '') || translate(rw, '<>', '') || '>' AS merged_sym
-        FROM pr$r
-        ORDER BY freq DESC, translate(lw, '<>', '') ASC, translate(rw, '<>', '') ASC
-        LIMIT 1
-      ),
-      s$r AS (
-        SELECT word, c, replace(sym, b$r.lw || ' ' || b$r.rw, b$r.merged_sym) AS sym
-        FROM $prev CROSS JOIN b$r
-      )"""
-      }
       val selects = (1 to 3).map { r =>
         s"""SELECT $r AS round, translate(lw, '<>', '') AS "left",
                translate(rw, '<>', '') AS "right",
@@ -527,22 +577,32 @@ object ExtensionQueries2 {
             FROM b$r"""
       }.mkString(" UNION ALL ")
       s"""
-      WITH words AS (
-        SELECT word, count(*) AS c FROM (
-          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
-          FROM documents
-        ) w WHERE word <> '' GROUP BY 1
-      ),
-      s0 AS (
-        SELECT word, c,
-               array_to_string(list_transform(
-                 list_filter(string_split(word, ''), ch -> ch <> ''),
-                 ch -> '<' || ch || '>'), ' ') AS sym
-        FROM words
-      ),${round(1)},${round(2)},${round(3)}
+      WITH $bpeCtes
       $selects
       ORDER BY round"""
     },
+
+    // Application replay: the SAME training CTEs, then every document's
+    // words joined to the final (s3) symbol table and subword counts
+    // summed per doc.
+    "t16_bpe_apply" -> s"""
+      WITH $bpeCtes,
+      tokd AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents
+        ) w WHERE word <> ''
+      ),
+      scored AS (
+        SELECT tokd.doc_id,
+               CAST(len(string_split(s3.sym, ' ')) AS BIGINT) AS n_sub
+        FROM tokd JOIN s3 ON tokd.word = s3.word
+      )
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+             floor((CAST(sum(n_sub) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000
+               AS subwords_per_word
+      FROM scored GROUP BY 1 ORDER BY 1""",
 
     // PageRank replay: d03's full candidate SQL as the edge source, then
     // three unrolled power-iteration CTEs with the same DECIMAL(38,18)

@@ -37,6 +37,12 @@ object ExtensionQueries3 {
     s"(${hx(1)} * 4096 + ${hx(2)} * 256 + ${hx(3)} * 16 + ${hx(4)})"
   }
 
+  /** q73 histogram geometry: 1024 equi-width bins bound the estimate
+    * error at (max-min)/1024 with a summary that merges by addition.
+    */
+  private val QsBins = 1024
+  private val QsTargets = Seq(0.5, 0.9, 0.99)
+
   /** Packing budget for t15 — small relative to the fixture's ~50-token
     * documents so each source shard packs into several sequences; a
     * production run sets the model context length (2k/4k/8k).
@@ -88,6 +94,44 @@ object ExtensionQueries3 {
           col("n_kept"),
           Agg.roundAt(col("n_kept").cast("double") / col("__tk"), 6).as("kept_share"))
         .orderBy(col("source"))
+    }),
+
+    // Mergeable quantile sketch (fixed 1024-bin equi-width histogram):
+    // the one-aggregation-pass percentile estimator for data too big to
+    // sort — bin counts are map-side combinable and merge by addition
+    // (the mergeable-summary property q28's exact percentile_cont lacks:
+    // exact percentiles need a full sort/shuffle of the column, bins need
+    // one aggregation producing ≤1024 rows however big the input). The
+    // estimate is deterministic arithmetic (bin lower edge at the first
+    // bin where the cumulative count reaches ceil(q·n)), so the oracle
+    // replays it exactly; error is bounded by one bin width. min/max ride
+    // a broadcast 1-row aggregate (one extra pass, the standard cost of
+    // equi-width binning).
+    "q73_quantile_sketch" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+      // persisted: the min/max scalar and the ≤1024-row cumulated summary
+      // feed every quantile target — without the caches each target would
+      // re-run the full binning scan (lesson #1, multi-consumer subtrees)
+      val mm = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).as("n")).persist()
+      val binned = li.crossJoin(broadcast(mm))
+        .withColumn("w", (col("mx") - col("mn")) / lit(QsBins.toDouble))
+        .withColumn("bin", least(lit(QsBins - 1),
+          floor((col("x") - col("mn")) / col("w")).cast("int")))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = binned.withColumn("cum", sum(col("cnt")).over(wc)).persist()
+      val qs = QsTargets.map { q =>
+        cum.crossJoin(broadcast(mm))
+          .filter(col("cum") >= ceil(lit(q) * col("n")))
+          .orderBy(col("bin")).limit(1)
+          .select(lit(q).as("quantile"), col("bin"),
+            Agg.roundAt(col("mn") + col("bin") * ((col("mx") - col("mn")) / lit(QsBins.toDouble)), 6)
+              .as("est"),
+            Agg.roundAt((col("mx") - col("mn")) / lit(QsBins.toDouble), 6).as("max_err"))
+      }
+      qs.reduce(_.unionAll(_)).orderBy(col("quantile"))
     }),
 
     // Sequence packing (concat-then-chunk): documents concatenate in
@@ -149,6 +193,33 @@ object ExtensionQueries3 {
              floor((CAST(n_kept AS DOUBLE) / tkept) * 1000000 + 0.5) / 1000000 AS kept_share
       FROM agg CROSS JOIN tk
       ORDER BY source""",
+
+    // Quantile-sketch replay: identical equi-width binning arithmetic,
+    // ROWS-framed cumulative counts, first bin reaching ceil(q·n).
+    "q73_quantile_sketch" -> s"""
+      WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
+      mm AS (SELECT min(x) AS mn, max(x) AS mx, count(*) AS n FROM x),
+      b AS (
+        SELECT least(${QsBins - 1},
+                 CAST(floor((x.x - mm.mn) / ((mm.mx - mm.mn) / $QsBins.0)) AS INTEGER)) AS bin,
+               count(*) AS cnt
+        FROM x CROSS JOIN mm GROUP BY 1
+      ),
+      c AS (
+        SELECT bin, sum(cnt) OVER (ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM b
+      ),
+      sel AS (
+        SELECT CAST(q.q AS DOUBLE) AS quantile, min(c.bin) AS bin
+        FROM (VALUES (0.5), (0.9), (0.99)) q(q)
+        JOIN c ON c.cum >= ceil(CAST(q.q AS DOUBLE) * (SELECT n FROM mm))
+        GROUP BY 1
+      )
+      SELECT quantile, bin,
+             floor((mn + bin * ((mx - mn) / $QsBins.0)) * 1000000 + 0.5) / 1000000 AS est,
+             floor(((mx - mn) / $QsBins.0) * 1000000 + 0.5) / 1000000 AS max_err
+      FROM sel CROSS JOIN mm ORDER BY quantile""",
 
     // Packing replay: same tokenization as t01, ROWS-framed cumsum, same
     // start-offset chunk arithmetic (trunc == floor for the non-negative

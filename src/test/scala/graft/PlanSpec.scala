@@ -129,7 +129,9 @@ class PlanSpec extends AnyFunSuite {
     val boundedByConstruction = Map(
       // ranks the entries of ONE capacity-bounded sketch summary (<=1024
       // rows out of a single-row aggregate, ExtensionQueries2.T12Capacity)
-      "t12_heavy_hitters" -> "space-saving summary is capacity-bounded")
+      "t12_heavy_hitters" -> "space-saving summary is capacity-bounded",
+      // cumulates a <=1024-row histogram summary out of an aggregate
+      "q73_quantile_sketch" -> "equi-width histogram is bin-bounded (QsBins)")
     def boundedBelow(p: SparkPlan): Boolean = p match {
       case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
            _: TakeOrderedAndProjectExec => true
