@@ -58,6 +58,29 @@ object ExtensionQueries3 {
   private def sourceWeight(source: Column): Column =
     (substring(source, 4, 10).cast("int") % 4 + 1).cast("long")
 
+  /** The d15 per-source sampling rates (source, n_docs, w, rate) for a
+    * half-corpus budget under the [[sourceWeight]] mixture. Batch-computed
+    * and broadcastable; also the rate table a STREAMING ingest applies
+    * (the gate itself is stateless — see [[mixtureKeep]], Round8Spec).
+    */
+  private[graft] def mixtureRates(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", sourceWeight(col("source")))
+    val tot = counts.agg(sum(col("n_docs")).as("__n"), sum(col("w")).as("__sw"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        (col("__n").cast("double") / 2.0 * col("w") / col("__sw")) / col("n_docs")))
+      .select(col("source"), col("n_docs"), col("w"), col("rate"))
+  }
+
+  /** The stateless per-row mixture gate: keep a document iff its content
+    * hash falls under the source's rate. Pure expression — identical
+    * decisions in batch and streaming, reproducible across re-runs.
+    */
+  private[graft] def mixtureKeep(rate: Column, text: Column): Column =
+    md5Bucket16(text) < floor(rate * 65536)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Corpus mixture balancing ("data mixing"): resample each source to a
@@ -73,17 +96,12 @@ object ExtensionQueries3 {
     // share); the kept rows themselves are the same frame pre-aggregation.
     "d15_mixture_sample" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-        .withColumn("w", sourceWeight(col("source")))
-      val tot = counts.agg(sum(col("n_docs")).as("__n"), sum(col("w")).as("__sw"))
-      val rates = counts.crossJoin(broadcast(tot))
-        .withColumn("rate", least(lit(1.0),
-          (col("__n").cast("double") / 2.0 * col("w") / col("__sw")) / col("n_docs")))
-        .select(col("source"), col("n_docs"), col("w"), col("rate"))
-      val flagged = docs.select(col("source"), md5Bucket16(col("text")).as("h"))
+      val rates = mixtureRates(s, dir)
+      val flagged = docs.select(col("source"), col("text"))
         .join(broadcast(rates), Seq("source"))
         .withColumn("keep",
-          (col("h") < floor(col("rate") * 65536)).cast("int"))
+          mixtureKeep(col("rate"), col("text")).cast("int"))
+        .drop("text")
       val agg = flagged
         .groupBy(col("source"), col("n_docs"), col("w"), col("rate"))
         .agg(sum(col("keep")).as("n_kept"))

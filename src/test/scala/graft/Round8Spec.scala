@@ -182,6 +182,32 @@ class Round8Spec extends AnyFunSuite {
     assert(Snapshots.readLatest(spark, tbl).as[Long].collect().sorted.toSeq == viewBefore)
   }
 
+  test("d15 mixture gate: streaming ingest keeps exactly the batch-selected documents") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = t("documents").select(col("doc_id"), col("source"), col("text"))
+    val rates = ExtensionQueries3.mixtureRates(spark, dir)
+      .select(col("source"), col("rate"))
+    val batchKept = docs.join(broadcast(rates), Seq("source"))
+      .filter(ExtensionQueries3.mixtureKeep(col("rate"), col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept.nonEmpty && batchKept.size < docs.count())
+    // same rate table, same gate, applied to a stream-static join: the
+    // content-hash decision is stateless, so the stream keeps the exact
+    // batch-selected set — a reproducible mixture under streaming ingest
+    val stream = MemoryStream[(Long, String, String)]
+    val q = stream.toDS().toDF("doc_id", "source", "text")
+      .join(broadcast(rates), Seq("source"))
+      .filter(ExtensionQueries3.mixtureKeep(col("rate"), col("text")))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("mix_kept").outputMode("append").start()
+    stream.addData(docs.as[(Long, String, String)].collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamKept = spark.table("mix_kept").as[Long].collect().toSet
+    assert(streamKept == batchKept)
+  }
+
   test("partitioned compaction: per-partition file counts drop, layout and pruning survive") {
     val small = Scratch.fresh(spark, "spec_pcompact_small")
     val packed = Scratch.fresh(spark, "spec_pcompact_packed")
