@@ -36,7 +36,7 @@ object Bench {
     // round-8 additions
     "d14_minhash_estimate", "s11_knn_ivfpq", "q72_compact_partitioned",
     "d15_mixture_sample", "t15_sequence_pack", "t16_bpe_apply",
-    "q73_quantile_sketch")
+    "q73_quantile_sketch", "q74_snapshot_changes")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

@@ -289,6 +289,27 @@ object RelationalQueries4 {
         .orderBy(col("lang"))
     }),
 
+    // Incremental snapshot read (round 8): the "what's new since version
+    // N" contract an incremental training run consumes. Append-only
+    // manifests are strict supersets, so the delta is a plain scan of the
+    // batch dirs v2 lists beyond v1 — O(new data), no anti-join against
+    // the old corpus (at 100 TB THE difference between incremental and
+    // full reprocessing). The oracle recomputes the delta as the odd-doc
+    // filter the second commit wrote, so a leaked or missed batch fails
+    // the hash; Round8Spec pins the replace-boundary refusal.
+    "q74_snapshot_changes" -> ((s, dir) => {
+      val tbl = graft.sources.Scratch.fresh(s, s"snapdiff_${new java.io.File(dir).getName}")
+      val docs = t(s, dir, "documents")
+      graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 === 0))
+      graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 =!= 0))
+      graft.sources.Snapshots.readChanges(s, tbl, fromV = 1, toV = 2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
     // Partition-preserving compaction (round 8): the ingest-shaped layout a
     // per-trigger writer leaves behind — MANY small files inside EVERY
     // o_year=YYYY partition dir — rewritten per-partition (independent
@@ -373,6 +394,15 @@ object RelationalQueries4 {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              count(DISTINCT source) AS n_sources
       FROM documents
+      GROUP BY 1 ORDER BY 1""",
+
+    // the delta IS the second commit: odd doc_ids only
+    "q74_snapshot_changes" -> """
+      SELECT lang, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             count(DISTINCT source) AS n_sources
+      FROM documents
+      WHERE doc_id % 2 <> 0
       GROUP BY 1 ORDER BY 1""",
 
     "q66_full_outer_join" -> """

@@ -147,6 +147,30 @@ object Snapshots {
     readAsOf(spark, tableDir, vs.last)
   }
 
+  /** The rows ADDED between `fromV` and `toV` — incremental consumption
+    * ("train on what's new since version N") as a plain scan of the batch
+    * dirs `toV`'s manifest lists beyond `fromV`'s: O(new data), no
+    * anti-join against the old corpus, because append-only manifests are
+    * strict supersets. Raises if `fromV`'s visible set is NOT a subset of
+    * `toV`'s (a [[commitReplace]]/compaction rewrite sits between them —
+    * dir identity no longer tracks row identity, so "changes" has no
+    * scan-shaped answer; re-baseline on the rewritten version instead).
+    */
+  def readChanges(spark: SparkSession, tableDir: String,
+                  fromV: Int, toV: Int): DataFrame = {
+    val vs = versions(spark, tableDir)
+    require(vs.contains(fromV) && vs.contains(toV) && fromV < toV,
+      s"need committed versions fromV < toV, got $fromV -> $toV in $vs")
+    val from = readManifest(spark, tableDir, fromV).toSet
+    val to = readManifest(spark, tableDir, toV)
+    require(from.subsetOf(to.toSet),
+      s"version $fromV is not a subset of $toV — a replace/compaction " +
+        "rewrite sits between them; re-baseline on the rewritten version")
+    val added = to.filterNot(from)
+    require(added.nonEmpty, s"no batches added between $fromV and $toV")
+    spark.read.parquet(added: _*)
+  }
+
   /** Retention: drop every version but the newest `keepLast`, then delete
     * the batch dirs no surviving manifest references. Returns the expired
     * version numbers.

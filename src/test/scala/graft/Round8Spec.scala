@@ -182,6 +182,22 @@ class Round8Spec extends AnyFunSuite {
     assert(Snapshots.readLatest(spark, tbl).as[Long].collect().sorted.toSeq == viewBefore)
   }
 
+  test("readChanges: exact append delta, and refuses to diff across a replace boundary") {
+    val tbl = Scratch.fresh(spark, "spec_snap_changes")
+    Snapshots.commit(spark, tbl, (1L to 10L).toDF("id"))
+    Snapshots.commit(spark, tbl, (11L to 15L).toDF("id"))
+    assert(Snapshots.readChanges(spark, tbl, 1, 2).as[Long].collect().toSet ==
+      (11L to 15L).toSet)
+    // compaction rewrites the visible set: dir identity no longer tracks
+    // row identity, so diffing across it must fail loudly
+    Snapshots.compactLatest(spark, tbl, targetBytes = Long.MaxValue / 4)
+    Snapshots.commit(spark, tbl, (16L to 18L).toDF("id"))
+    intercept[IllegalArgumentException](Snapshots.readChanges(spark, tbl, 2, 4))
+    // and re-baselining past the rewrite works again
+    assert(Snapshots.readChanges(spark, tbl, 3, 4).as[Long].collect().toSet ==
+      (16L to 18L).toSet)
+  }
+
   test("d15 mixture gate: streaming ingest keeps exactly the batch-selected documents") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
