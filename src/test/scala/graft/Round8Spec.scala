@@ -109,10 +109,12 @@ class Round8Spec extends AnyFunSuite {
     // restricting ADC scoring to the probed cells must not cost recall on
     // the fixture: the probed cells contain the true neighbors, and the
     // restriction drops only far-cell vectors PQ could mis-score upward.
-    // Absolute recall is LOW for both (≈0.2 — PqK=8 is 3 bits/subspace,
-    // sized to the fixture per the PqK scaladoc; a production 256-centroid
-    // codebook is what buys real recall), so the assertion is the
-    // COMPOSITION property, not an absolute bar.
+    // Absolute recall is LOW for both (≈0.2) and that is the FIXTURE, not
+    // the geometry: the synthetic embeddings are near-random, so cosine
+    // margins are tiny and every reduced-precision method lands at ~0.2
+    // here — s08's LSH recall is 0.4/0.2/0.0 over the same three queries,
+    // and doubling PqK to 16 moves nothing (measured). So the assertion is
+    // the COMPOSITION property, not an absolute bar.
     assert(ivfpq >= pq, s"IVF-PQ recall $ivfpq fell below plain PQ's $pq")
     assert(ivfpq > 0.0, s"IVF-PQ recall $ivfpq: no overlap with brute force at all")
     // determinism across runs (training + routing + scoring)
