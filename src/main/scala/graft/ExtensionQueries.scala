@@ -85,7 +85,7 @@ object ExtensionQueries {
   }
 
   /** DuckDB mirror of [[VectorOps.dot]] for two 64-dim double lists. */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1,65), i -> $a[i] * $b[i])), (acc,x) -> acc + x)"
 
@@ -236,7 +236,7 @@ object ExtensionQueries {
       )"""
 
   /** The full deterministic training run c0 -> a1 -> c1 -> ... -> c_iters. */
-  private def kmTrainingCtes(k: Int, iters: Int): String = {
+  private[graft] def kmTrainingCtes(k: Int, iters: Int): String = {
     val seeds = s"""
       seeds AS (
         SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS INTEGER) AS cell, v

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Agg, TextOps}
+import graft.operators.{Agg, Kmeans, TextOps, VectorOps}
 import graft.sources.Tables
 
 /** Round-8 LLM-pipeline extensions (continues [[ExtensionQueries2]], split
@@ -42,6 +42,12 @@ object ExtensionQueries3 {
     */
   private val QsBins = 1024
   private val QsTargets = Seq(0.5, 0.9, 0.99)
+
+  /** s12 semantic-dedup near-duplicate threshold on ROUNDED cosine — the
+    * same notion of "embedding near-dup" d06 uses on this fixture (planted
+    * near-dups sit well above it, the random background well below).
+    */
+  private val SemThr = 0.4
 
   /** Packing budget for t15 — small relative to the fixture's ~50-token
     * documents so each source shard packs into several sequences; a
@@ -152,6 +158,43 @@ object ExtensionQueries3 {
       qs.reduce(_.unionAll(_)).orderBy(col("quantile"))
     }),
 
+    // Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    // embedding space with the SAME deterministic k-means the IVF index
+    // trains (s05/s11 — canonically equal plans, so whichever query runs
+    // first trains and the rest reuse the cache), then look for
+    // near-duplicates ONLY within a cluster. The cluster is the pruning
+    // device: pairwise cosine is quadratic, but only inside a cell —
+    // at 100 TB you raise k with the corpus (like planesFor) so cell
+    // sizes stay bounded and the self-join stays a bucketed equi-join on
+    // the cell key, never an all-pairs cross. Drop rule is deterministic:
+    // a vector is dropped iff an EARLIER (smaller vec_id) vector in its
+    // cell clears the rounded-cosine threshold — no RNG, no sequential
+    // greedy state, one shuffle (the cell self-join) past training.
+    "s12_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val (_, assigned) = Kmeans.fit(e,
+        k = ExtensionQueries.IvfCells, iters = ExtensionQueries.IvfIters)
+      val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("cell"))
+      val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("cell").as("cell_b"))
+      val near = a.join(b,
+          col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+        .withColumn("cos",
+          Agg.roundAt(VectorOps.cosineFast(col("va"), col("vb")), 6))
+        .filter(col("cos") >= SemThr)
+      val agg = near.groupBy(col("vec_b").as("nvid"))
+        .agg(count(lit(1)).as("n_e"), min(col("vec_a")).as("dup_of"))
+      assigned.select(col("vec_id"), col("cell"))
+        .join(agg, col("vec_id") === col("nvid"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("n_e"), lit(0L)).as("n_earlier_neighbors"),
+          col("dup_of"),
+          col("dup_of").isNull.as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Sequence packing (concat-then-chunk): documents concatenate in
     // doc_id order WITHIN their source shard and split at fixed token
     // budgets — how corpora become fixed-length training sequences. Chunk
@@ -238,6 +281,35 @@ object ExtensionQueries3 {
              floor((mn + bin * ((mx - mn) / $QsBins.0)) * 1000000 + 0.5) / 1000000 AS est,
              floor(((mx - mn) / $QsBins.0) * 1000000 + 0.5) / 1000000 AS max_err
       FROM sel CROSS JOIN mm ORDER BY quantile""",
+
+    // SemDeDup replay: the s05 training-run CTEs (seeds -> a1/c1 -> a2)
+    // verbatim, then the within-cell pairwise with the same rounded-cos
+    // threshold and the same earlier-neighbor drop rule.
+    "s12_semantic_dedup" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),${ExtensionQueries.kmTrainingCtes(
+        ExtensionQueries.IvfCells, ExtensionQueries.IvfIters)},
+      near AS (
+        SELECT b.vec_id AS vid, a.vec_id AS ovid
+        FROM a${ExtensionQueries.IvfIters} a
+        JOIN a${ExtensionQueries.IvfIters} b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE floor((${ExtensionQueries.dotSql("a.v", "b.v")} /
+                (sqrt(${ExtensionQueries.dotSql("a.v", "a.v")}) *
+                 sqrt(${ExtensionQueries.dotSql("b.v", "b.v")}))) * 1000000 + 0.5)
+              / 1000000 >= $SemThr
+      ),
+      nagg AS (
+        SELECT vid, CAST(count(*) AS BIGINT) AS n_e, min(ovid) AS dup_of
+        FROM near GROUP BY 1
+      )
+      SELECT f.vec_id, f.cell,
+             COALESCE(g.n_e, CAST(0 AS BIGINT)) AS n_earlier_neighbors,
+             g.dup_of, (g.dup_of IS NULL) AS kept
+      FROM a${ExtensionQueries.IvfIters} f LEFT JOIN nagg g ON f.vec_id = g.vid
+      ORDER BY f.vec_id""",
 
     // Packing replay: same tokenization as t01, ROWS-framed cumsum, same
     // start-offset chunk arithmetic (trunc == floor for the non-negative
