@@ -26,7 +26,7 @@ object ExtensionQueries {
   // ---- shared DuckDB SQL fragments (mirrors of TextOps/VectorOps) ----
 
   /** DuckDB mirror of [[TextOps.charHash]]. */
-  private def chSql(x: String): String =
+  private[graft] def chSql(x: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($x,''), ch -> CAST(ascii(ch) AS BIGINT))), " +
       s"(acc,x) -> (acc*31 + x) % $P)"

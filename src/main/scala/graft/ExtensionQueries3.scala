@@ -49,6 +49,16 @@ object ExtensionQueries3 {
     */
   private val SemThr = 0.4
 
+  /** t17 span width in tokens. A duplicated run of ≥ SpanK tokens shares at
+    * least one SpanK-gram, so SpanK-gram fingerprints find every long
+    * duplicated substring (the suffix-array criterion of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", recast as
+    * the shuffle-friendly k-gram form). 8 is small enough that the
+    * fixture's planted near-dup edits still leave shared runs, large
+    * enough that the random bag-of-words background shares nothing.
+    */
+  private val SpanK = 8
+
   /** Packing budget for t15 — small relative to the fixture's ~50-token
     * documents so each source shard packs into several sequences; a
     * production run sets the model context length (2k/4k/8k).
@@ -195,6 +205,44 @@ object ExtensionQueries3 {
         .orderBy(col("vec_id"))
     }),
 
+    // Cross-document duplicated-substring detection: every SpanK-token
+    // window fingerprints to a rolling hash; a fingerprint seen in ≥2
+    // DISTINCT documents marks a duplicated span (the k-gram recast of
+    // suffix-array substring dedup — any duplicated run of ≥ SpanK tokens
+    // must share a window). Per doc: how much of it is duplicated-elsewhere
+    // text — the signal substring-level trimming acts on, which
+    // MinHash-style whole-doc dedup (d02) cannot see. Scale shape: the
+    // positions table is token-count-sized and hits ONE shuffle (groupBy
+    // span hash — the distributed stand-in for the suffix array), the
+    // dup-hash set is a second keyed join back; both are plain hash
+    // shuffles, no sort, no all-pairs term. 64-bit hash collisions mark
+    // false dup spans at ~n²/2⁶⁴ rates (the engines agree bit-for-bit
+    // either way — the hash is mirrored); a production run widens to two
+    // independent hashes.
+    "t17_substring_dedup" -> ((s, dir) => {
+      val spans = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), SpanK)).as("sp"))
+        .select(col("doc_id"), TextOps.charHash(col("sp")).as("h"))
+        .persist() // two consumers: the dup-hash agg and the join-back
+      val dupHashes = spans.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("__nd"))
+        .filter(col("__nd") >= 2).select(col("h"))
+      val perDoc = spans.join(dupHashes.withColumn("__dup", lit(1)), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(coalesce(col("__dup"), lit(0))).cast("long").as("n_dup_spans"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          when(col("n_spans") > 0, Agg.roundAt(
+            col("n_dup_spans").cast("double") / col("n_spans"), 6)).as("dup_frac"),
+          (coalesce(col("n_dup_spans"), lit(0L)) > 0).as("has_cross_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing (concat-then-chunk): documents concatenate in
     // doc_id order WITHIN their source shard and split at fixed token
     // budgets — how corpora become fixed-length training sequences. Chunk
@@ -310,6 +358,41 @@ object ExtensionQueries3 {
              g.dup_of, (g.dup_of IS NULL) AS kept
       FROM a${ExtensionQueries.IvfIters} f LEFT JOIN nagg g ON f.vec_id = g.vid
       ORDER BY f.vec_id""",
+
+    // Substring-dedup replay: same tokenization, same span windows (range
+    // is exclusive-end where shingles' sequence is inclusive — both yield
+    // len-k+1 windows), same rolling hash, same ≥2-distinct-docs rule.
+    "t17_substring_dedup" -> s"""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ),
+      sp AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= $SpanK
+                 THEN list_transform(range(0, len(toks) - $SpanK + 1),
+                        i -> ${ExtensionQueries.chSql(
+                          s"array_to_string(list_slice(toks, i+1, i+$SpanK), ' ')")})
+                 ELSE []::BIGINT[] END) AS h
+        FROM tok
+      ),
+      dh AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      pd AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_spans
+        FROM sp s LEFT JOIN dh d ON s.h = d.h
+        GROUP BY 1
+      )
+      SELECT doc_id,
+             COALESCE(pd.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+             COALESCE(pd.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+             CASE WHEN pd.n_spans > 0 THEN
+               floor((CAST(pd.n_dup_spans AS DOUBLE) / pd.n_spans) * 1000000 + 0.5)
+                 / 1000000 END AS dup_frac,
+             (COALESCE(pd.n_dup_spans, CAST(0 AS BIGINT)) > 0) AS has_cross_dup
+      FROM documents LEFT JOIN pd USING (doc_id)
+      ORDER BY doc_id""",
 
     // Packing replay: same tokenization as t01, ROWS-framed cumsum, same
     // start-offset chunk arithmetic (trunc == floor for the non-negative
