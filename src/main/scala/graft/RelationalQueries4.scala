@@ -310,6 +310,29 @@ object RelationalQueries4 {
         .orderBy(col("lang"))
     }),
 
+    // Merge-on-read row-level delete (round 8): GDPR-shaped erasure on the
+    // versioned table WITHOUT rewriting data — the delete commit writes
+    // only the matched doc_id key set as an equality-delete sidecar, and
+    // the read applies one anti-join (broadcast-sized build side). The
+    // post-delete view hash-matches a filtered-table oracle, so a key
+    // leaking through the mask — or the mask over-deleting — fails the
+    // hash; Round8Spec pins time travel to the PRE-delete version, the
+    // delete-then-reappend ordering rule, and that compaction folds the
+    // mask away.
+    "q75_snapshot_delete" -> ((s, dir) => {
+      val tbl = graft.sources.Scratch.fresh(s, s"snapdel_${new java.io.File(dir).getName}")
+      val docs = t(s, dir, "documents")
+      graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 === 0))
+      graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 =!= 0))
+      graft.sources.Snapshots.delete(s, tbl, col("lang") === "zh", Seq("doc_id"))
+      graft.sources.Snapshots.readLatest(s, tbl)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
     // Partition-preserving compaction (round 8): the ingest-shaped layout a
     // per-trigger writer leaves behind — MANY small files inside EVERY
     // o_year=YYYY partition dir — rewritten per-partition (independent
@@ -403,6 +426,15 @@ object RelationalQueries4 {
              count(DISTINCT source) AS n_sources
       FROM documents
       WHERE doc_id % 2 <> 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // the masked table: every zh row dead, everything else untouched
+    "q75_snapshot_delete" -> """
+      SELECT lang, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             count(DISTINCT source) AS n_sources
+      FROM documents
+      WHERE lang <> 'zh'
       GROUP BY 1 ORDER BY 1""",
 
     "q66_full_outer_join" -> """

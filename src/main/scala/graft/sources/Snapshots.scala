@@ -15,7 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                                per commit ATTEMPT (writer-scoped, so
   *                                concurrent committers never touch each
   *                                other's files)
-  *   _manifests/00001.manifest    newline-separated data dirs visible at v1
+  *   _manifests/00001.manifest    newline-separated entries visible at v1:
+  *                                data dirs, plus `delete:`-prefixed
+  *                                equality-delete dirs ([[delete]])
   * }}}
   *
   * Each manifest lists the FULL set of data directories visible at that
@@ -39,6 +41,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[expire]] prunes it.
   */
 object Snapshots {
+
+  /** A manifest line: a data batch dir, or (prefixed `delete:`) an
+    * equality-delete batch dir whose parquet rows are the KEY TUPLES of
+    * deleted rows. Delete entries mask only data entries listed BEFORE
+    * them in the manifest (commit order = manifest order), which is the
+    * sequence-number rule every merge-on-read format uses: a key deleted
+    * at version N and re-appended at N+1 is visible again.
+    */
+  private[graft] final case class Entry(dir: String, isDelete: Boolean) {
+    def line: String = if (isDelete) s"delete:$dir" else dir
+  }
+
+  private[graft] def parseEntry(line: String): Entry =
+    if (line.startsWith("delete:")) Entry(line.stripPrefix("delete:"), isDelete = true)
+    else Entry(line, isDelete = false)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,6 +89,29 @@ object Snapshots {
   def commitReplace(spark: SparkSession, tableDir: String, df: DataFrame): Int =
     commitWithHook(spark, tableDir, df, replace = true, _ => ())
 
+  /** Merge-on-read row-level DELETE: rows of the current view matching
+    * `predicate` die, WITHOUT rewriting any data file. What gets written is
+    * one equality-delete batch — the distinct `keyCols` tuples of the
+    * matched rows — and a manifest where that entry masks every earlier
+    * data entry (reads apply one anti-join; see [[Entry]] for the ordering
+    * rule). At 100 TB this is the difference between deleting a user's
+    * documents in seconds (key scan + small sidecar write) and rewriting
+    * the corpus; the debt is paid once, by the next [[compactLatest]],
+    * which folds the masks into data and drops the delete entries.
+    * `keyCols` must identify rows (the table's natural key): masking is by
+    * key equality, so a non-key column would over-delete. Returns the new
+    * version.
+    */
+  def delete(spark: SparkSession, tableDir: String,
+             predicate: org.apache.spark.sql.Column,
+             keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "equality delete needs at least one key column")
+    val keys = readLatest(spark, tableDir).filter(predicate)
+      .select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    commitWithHook(spark, tableDir, keys, replace = false, _ => (),
+      isDelete = true)
+  }
+
   /** `beforePublish(v)` runs between version selection and the exclusive
     * publish attempt at `v` — test seam for forcing the publish race
     * deterministically (a competing commit inside the hook makes THIS
@@ -79,12 +119,14 @@ object Snapshots {
     */
   private[graft] def commitWithHook(spark: SparkSession, tableDir: String,
                                     df: DataFrame, replace: Boolean,
-                                    beforePublish: Int => Unit): Int = {
+                                    beforePublish: Int => Unit,
+                                    isDelete: Boolean = false): Int = {
     val f = fs(spark, tableDir)
     // stage once, under a name no other writer can pick
     val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val batch = new Path(tableDir, s"batch-$uid")
     df.write.mode("errorifexists").parquet(batch.toString)
+    val entry = Entry(batch.toString, isDelete).line
     val md = manifestDir(tableDir)
     f.mkdirs(md)
     var attempt = 0
@@ -94,9 +136,9 @@ object Snapshots {
       val v = prev.lastOption.getOrElse(0) + 1
       beforePublish(v)
       val visible =
-        if (replace) Seq(batch.toString)
+        if (replace) Seq(entry)
         else prev.lastOption.map(readManifest(spark, tableDir, _))
-          .getOrElse(Seq.empty) :+ batch.toString
+          .getOrElse(Seq.empty) :+ entry
       val tmp = new Path(md, s".$uid-$v.manifest.tmp")
       val out = f.create(tmp, true)
       try out.write((visible.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -133,11 +175,38 @@ object Snapshots {
     finally in.close()
   }
 
-  /** The table exactly as version `v` published it. */
+  /** The table exactly as version `v` published it. A manifest with no
+    * delete entries (every append-only table) plans as ONE multi-path
+    * parquet scan. Delete entries fold in manifest order — data dirs
+    * between deletes batch into one scan, each delete anti-joins what
+    * accumulated before it — so plan size is linear in manifest entries
+    * and the key sets are small sidecars (AQE broadcasts the anti-join
+    * build side); [[compactLatest]] resets both.
+    */
   def readAsOf(spark: SparkSession, tableDir: String, v: Int): DataFrame = {
     require(versions(spark, tableDir).contains(v),
       s"version $v not committed at $tableDir")
-    spark.read.parquet(readManifest(spark, tableDir, v): _*)
+    val ents = readManifest(spark, tableDir, v).map(parseEntry)
+    if (!ents.exists(_.isDelete))
+      return spark.read.parquet(ents.map(_.dir): _*)
+    var acc: Option[DataFrame] = None
+    var pending = List.empty[String]
+    def flush(): Unit = if (pending.nonEmpty) {
+      val scan = spark.read.parquet(pending.reverse: _*)
+      acc = Some(acc.map(_.unionByName(scan)).getOrElse(scan))
+      pending = Nil
+    }
+    ents.foreach {
+      case Entry(d, false) => pending ::= d
+      case Entry(d, true) =>
+        flush()
+        val base = acc.getOrElse(throw new IllegalStateException(
+          s"manifest $v at $tableDir lists a delete before any data"))
+        val keys = spark.read.parquet(d)
+        acc = Some(base.join(keys, keys.columns.toSeq, "left_anti"))
+    }
+    flush()
+    acc.get
   }
 
   /** The newest committed version's view. */
@@ -166,9 +235,13 @@ object Snapshots {
     require(from.subsetOf(to.toSet),
       s"version $fromV is not a subset of $toV — a replace/compaction " +
         "rewrite sits between them; re-baseline on the rewritten version")
-    val added = to.filterNot(from)
+    val added = to.filterNot(from).map(parseEntry)
+    require(!added.exists(_.isDelete),
+      s"a row-level delete sits between $fromV and $toV — appended dirs no " +
+        "longer tell the whole row-set story; re-baseline past the delete " +
+        "(or read both versions and diff)")
     require(added.nonEmpty, s"no batches added between $fromV and $toV")
-    spark.read.parquet(added: _*)
+    spark.read.parquet(added.map(_.dir): _*)
   }
 
   /** Retention: drop every version but the newest `keepLast`, then delete
@@ -193,8 +266,10 @@ object Snapshots {
     val drop = vs.dropRight(keepLast)
     if (drop.isEmpty) return Seq.empty
     val keep = vs.takeRight(keepLast)
-    val keptDirs = keep.flatMap(readManifest(spark, tableDir, _)).toSet
-    val droppedDirs = drop.flatMap(readManifest(spark, tableDir, _)).toSet
+    val keptDirs = keep.flatMap(readManifest(spark, tableDir, _))
+      .map(parseEntry(_).dir).toSet
+    val droppedDirs = drop.flatMap(readManifest(spark, tableDir, _))
+      .map(parseEntry(_).dir).toSet
     drop.foreach(v => f.delete(manifestPath(tableDir, v), false))
     (droppedDirs -- keptDirs).foreach(d => f.delete(new Path(d), true))
     drop
@@ -212,13 +287,23 @@ object Snapshots {
                     targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val f = fs(spark, tableDir)
-    val dirs = readManifest(spark, tableDir, versions(spark, tableDir).last)
-    val bytes = dirs.map(d => f.getContentSummary(new Path(d)).getLength).sum
+    val latest = versions(spark, tableDir).last
+    val ents = readManifest(spark, tableDir, latest).map(parseEntry)
+    val dataDirs = ents.filterNot(_.isDelete).map(_.dir)
+    val bytes = dataDirs.map(d => f.getContentSummary(new Path(d)).getLength).sum
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    // narrow coalesce, same rationale as Layout.compact: compaction is an
-    // I/O rewrite, it must not pay a shuffle
-    val df = spark.read.parquet(dirs: _*)
-    commitReplace(spark, tableDir,
-      df.coalesce(math.min(nFiles, df.rdd.getNumPartitions).max(1)))
+    if (ents.exists(_.isDelete)) {
+      // merge-on-read debt comes due here: apply the delete masks once
+      // (the anti-join IS the rewrite's job) and publish a manifest with
+      // no delete entries — readers go back to the one-scan plan
+      val df = readAsOf(spark, tableDir, latest)
+      commitReplace(spark, tableDir, df.coalesce(nFiles))
+    } else {
+      // narrow coalesce, same rationale as Layout.compact: a pure-layout
+      // rewrite must not pay a shuffle
+      val df = spark.read.parquet(dataDirs: _*)
+      commitReplace(spark, tableDir,
+        df.coalesce(math.min(nFiles, df.rdd.getNumPartitions).max(1)))
+    }
   }
 }

@@ -88,6 +88,40 @@ class Round8Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshots.readAsOf(spark, tbl, 3))
   }
 
+  test("row-level delete: masks without rewriting, time travel intact, reappend wins, compaction folds") {
+    val tbl = Scratch.fresh(spark, "spec_snap_delete")
+    Snapshots.commit(spark, tbl, (1L to 10L).toDF("id"))
+    Snapshots.commit(spark, tbl, (11L to 15L).toDF("id"))
+    val dirsBefore = subdirs(tbl).toSet
+    // v3: delete even ids — one sidecar dir appears, no data dir changes
+    assert(Snapshots.delete(spark, tbl, col("id") % 2 === 0, Seq("id")) == 3)
+    assert((subdirs(tbl).toSet -- dirsBefore).size == 1,
+      "a delete writes exactly one new (sidecar) dir")
+    assert(Snapshots.readLatest(spark, tbl).as[Long].collect().toSet ==
+      (1L to 15L).filter(_ % 2 == 1).toSet)
+    // the pre-delete version still shows every row (merge-on-read: the
+    // data files were never touched)
+    assert(Snapshots.readAsOf(spark, tbl, 2).as[Long].collect().toSet ==
+      (1L to 15L).toSet)
+    // v4: re-append a deleted key — the sequence rule makes it visible
+    // again (the delete masks only batches committed before it)
+    Snapshots.commit(spark, tbl, Seq(4L).toDF("id"))
+    assert(Snapshots.readLatest(spark, tbl).as[Long].collect().toSet ==
+      ((1L to 15L).filter(_ % 2 == 1) :+ 4L).toSet)
+    // CDC across the delete is refused — appended dirs no longer tell
+    // the whole row-set story
+    val e = intercept[IllegalArgumentException](
+      Snapshots.readChanges(spark, tbl, fromV = 2, toV = 4))
+    assert(e.getMessage.contains("delete"))
+    // compaction folds the mask into data: view identical, manifest back
+    // to one entry, and no delete entries survive
+    val view = Snapshots.readLatest(spark, tbl).as[Long].collect().sorted.toSeq
+    assert(Snapshots.compactLatest(spark, tbl, targetBytes = Long.MaxValue / 4) == 5)
+    assert(Snapshots.readLatest(spark, tbl).as[Long].collect().sorted.toSeq == view)
+    Snapshots.expire(spark, tbl, keepLast = 1)
+    assert(Snapshots.readLatest(spark, tbl).as[Long].collect().sorted.toSeq == view)
+  }
+
   test("s11 IVF-PQ: recall vs brute force is at least s09's, and scoring is deterministic") {
     // sf0.01, not the usual sf0.001: with ~50 vectors the 8-centroid
     // subspace codebooks quantize too coarsely for ANY PQ variant to rank
