@@ -36,7 +36,9 @@ object Bench {
     // round-8 additions
     "d14_minhash_estimate", "s11_knn_ivfpq", "q72_compact_partitioned",
     "d15_mixture_sample", "t15_sequence_pack", "t16_bpe_apply",
-    "q73_quantile_sketch", "q74_snapshot_changes")
+    "q73_quantile_sketch", "q74_snapshot_changes",
+    "s12_semantic_dedup", "t17_substring_dedup",
+    "q75_snapshot_delete", "q76_bloom_index_scan")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

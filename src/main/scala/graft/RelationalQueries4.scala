@@ -35,6 +35,13 @@ object RelationalQueries4 {
     */
   private val ZBits = 10
 
+  /** q76 bloom geometry: 2^14 bits / 4 hashes over ~1k keys per file puts
+    * the per-file false-positive rate near 0.2% — candidates ≈ the files
+    * that truly hold a key.
+    */
+  private val BloomBits = 1 << 14
+  private val BloomK = 4
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Directory-partitioned lake write + pruned read: orders land under
@@ -310,6 +317,33 @@ object RelationalQueries4 {
         .orderBy(col("lang"))
     }),
 
+    // Bloom-filter file index (round 8): equality lookups on a
+    // high-cardinality key over a TIME-ordered layout — the case where
+    // q63's min/max boxes skip nothing (every file spans nearly the whole
+    // key range). The index build is one aggregation pass producing
+    // files-sized metadata (256 longs per file here); the probe consults
+    // only the index and reads the candidate file subset. Pruning cannot
+    // change results (no false negatives by construction), so the oracle
+    // is the plain filtered table — a key lost to over-pruning fails the
+    // hash; Round8Spec asserts the skip actually happens (candidates <
+    // total files).
+    "q76_bloom_index_scan" -> ((s, dir) => {
+      val tmp = graft.sources.Scratch.fresh(s, s"bloom_${new java.io.File(dir).getName}")
+      t(s, dir, "orders").repartitionByRange(16, col("o_orderdate"))
+        .write.mode("overwrite").parquet(tmp)
+      val idx = Layout.bloomIndex(s, tmp, "o_orderkey", mBits = BloomBits, k = BloomK)
+      val keys = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val files = Layout.bloomFilesFor(s, idx, keys, mBits = BloomBits, k = BloomK)
+      s.read.parquet(files: _*)
+        .filter(col("o_orderkey").isin(keys: _*))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          Agg.roundAt(Agg.decSum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Merge-on-read row-level delete (round 8): GDPR-shaped erasure on the
     // versioned table WITHOUT rewriting data — the delete commit writes
     // only the matched doc_id key set as an equality-delete sidecar, and
@@ -426,6 +460,15 @@ object RelationalQueries4 {
              count(DISTINCT source) AS n_sources
       FROM documents
       WHERE doc_id % 2 <> 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // the three smallest orderkeys, straight off the raw table — pruning
+    // must be invisible to results
+    "q76_bloom_index_scan" -> """
+      SELECT o_orderkey, count(*) AS n,
+             floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+      FROM orders
+      WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY 1 LIMIT 3)
       GROUP BY 1 ORDER BY 1""",
 
     // the masked table: every zh row dead, everything else untouched

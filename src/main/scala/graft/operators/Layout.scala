@@ -89,6 +89,82 @@ object Layout {
       .collect().map(_.getString(0)).toSeq
   }
 
+  /** Per-file Bloom filter index over `key` — the skipping index for
+    * EQUALITY lookups on high-cardinality columns, where min/max boxes
+    * ([[statsIndex]]) are useless unless the data happens to be clustered
+    * on the key (a time-ordered ingest leaves an id column spanning nearly
+    * its full range in every file). One aggregation pass keyed on
+    * `input_file_name()` builds an `mBits`-bit filter per file as 64-bit
+    * words: each value contributes `k` double-hashed bit positions
+    * (h1 + i·h2, the standard Kirsch–Mitzenmacher construction over two
+    * xxhash64 seeds), exploded to (word, mask) pairs and OR-folded. The
+    * index is files-sized metadata (mBits/64 longs per file), exactly what
+    * Delta/Iceberg persist as bloom sidecars. Both hashes run INSIDE the
+    * engine — [[bloomFilesFor]] probes with the same expressions, so
+    * build/probe consistency is by construction, and cross-engine hash
+    * portability is irrelevant: pruning never changes results (the oracle
+    * for any bloom-scanned query is the plain filter), it only skips
+    * files that provably lack the key.
+    */
+  def bloomIndex(spark: SparkSession, dir: String, key: String,
+                 mBits: Int, k: Int): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64, got $mBits")
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    spark.read.parquet(dir)
+      .select(input_file_name().as("file"), bloomPositions(col(key), mBits, k))
+      .select(col("file"), explode(col("pos")).as("p"))
+      .select(col("file"), (col("p") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))").as("mask"))
+      .groupBy(col("file"), col("w")).agg(expr("bit_or(mask)").as("bits"))
+      .groupBy(col("file"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("bloom"))
+  }
+
+  /** The k double-hashed bit positions of `key` as an array column `pos`.
+    * Shared by index build and probe — consistency by construction.
+    */
+  private def bloomPositions(key: Column, mBits: Int, k: Int): Column = {
+    val h1 = pmod(xxhash64(key), lit(mBits.toLong))
+    // step must be odd so it is coprime with the power-of-two mBits and
+    // the k probe positions stay distinct
+    val h2 = pmod(xxhash64(key, lit(0x9e3779b97f4a7c15L)), lit(mBits.toLong))
+      .bitwiseOR(lit(1L))
+    array((0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong))): _*)
+      .as("pos")
+  }
+
+  /** The files of `index` (a [[bloomIndex]] result) that may contain ANY of
+    * `keys` — every file actually containing one is included (no false
+    * negatives: its build pass set exactly these bits), plus a false
+    * positive sliver bounded by the (1-e^(-kn/m))^k budget the caller
+    * sized. The probe evaluates the SAME hash expressions as the build on
+    * a keys-sized literal frame, then tests the index rows; both frames
+    * are metadata-scale (planner-side collect, like [[filesForBox]]).
+    */
+  def bloomFilesFor(spark: SparkSession, index: DataFrame, keys: Seq[Long],
+                    mBits: Int, k: Int): Seq[String] = {
+    import spark.implicits._
+    require(keys.nonEmpty, "bloom probe needs at least one key")
+    // one tiny job computes every key's (word, needed-bits) set; the file
+    // test is per key — a file qualifies when ALL of some key's words
+    // cover that key's bits (OR-merging different keys' masks into one
+    // requirement would demand bits no single key sets and miss files)
+    val probes = keys.toDF("key")
+      .select(col("key"), bloomPositions(col("key"), mBits, k))
+      .select(col("key"), explode(col("pos")).as("p"))
+      .select(col("key"), (col("p") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))").as("mask"))
+      .groupBy(col("key"), col("w")).agg(expr("bit_or(mask)").as("need"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).values.toSeq
+    val perKey = probes.map(_.map { case (_, w, need) =>
+      element_at(col("bloom"), lit(w)).bitwiseAND(lit(need)) === lit(need)
+    }.reduce(_ && _))
+    index.filter(perKey.reduce(_ || _)).select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
   /** Compact a parquet directory of many small files into
     * ceil(totalBytes / targetBytes) files at `dstDir`. Uses `coalesce`
     * (narrow — each output task concatenates input splits, no shuffle):

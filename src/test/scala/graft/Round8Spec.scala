@@ -88,6 +88,37 @@ class Round8Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshots.readAsOf(spark, tbl, 3))
   }
 
+  test("bloom file index: no false negatives, and point lookups skip most files") {
+    val tmp = Scratch.fresh(spark, "spec_bloom")
+    val m = 1 << 14; val k = 4
+    // time-ordered layout: every file spans nearly the full key range, so
+    // min/max boxes would skip nothing — the bloom index has to
+    t("orders").repartitionByRange(16, col("o_orderdate"))
+      .write.mode("overwrite").parquet(tmp)
+    val idx = Layout.bloomIndex(spark, tmp, "o_orderkey", mBits = m, k = k)
+    val keys = t("orders").select(col("o_orderkey"))
+      .orderBy(col("o_orderkey")).limit(3).collect().map(_.getLong(0)).toSeq
+    val cand = Layout.bloomFilesFor(spark, idx, keys, mBits = m, k = k)
+    val total = dataFiles(tmp).size
+    assert(total == 16, s"expected the 16-file layout, got $total")
+    // no false negatives: every file that truly holds a key is a candidate
+    val truth = spark.read.parquet(tmp)
+      .filter(col("o_orderkey").isin(keys: _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(cand.toSet),
+      s"bloom pruning lost files holding real keys: ${truth -- cand.toSet}")
+    // and the skip is real: candidates stay well under the file count
+    assert(cand.size < total / 2,
+      s"bloom index skipped too little: ${cand.size} of $total candidates")
+    // every probed row survives the candidate-only scan
+    val viaIndex = spark.read.parquet(cand: _*)
+      .filter(col("o_orderkey").isin(keys: _*)).count()
+    val direct = spark.read.parquet(tmp)
+      .filter(col("o_orderkey").isin(keys: _*)).count()
+    assert(viaIndex == direct && direct > 0)
+  }
+
   test("row-level delete: masks without rewriting, time travel intact, reappend wins, compaction folds") {
     val tbl = Scratch.fresh(spark, "spec_snap_delete")
     Snapshots.commit(spark, tbl, (1L to 10L).toDF("id"))
