@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Agg, Kmeans, TextOps, VectorOps}
+import graft.operators.{Agg, Kmeans, Kmv, TextOps, VectorOps}
 import graft.sources.Tables
 
 /** Round-8 LLM-pipeline extensions (continues [[ExtensionQueries2]], split
@@ -42,6 +42,22 @@ object ExtensionQueries3 {
     */
   private val QsBins = 1024
   private val QsTargets = Seq(0.5, 0.9, 0.99)
+
+  /** q77 KMV size: k=256 gives ~6% relative error saturated, and the
+    * sf0.01 fixture (2,000 distinct partkeys) genuinely saturates it —
+    * the estimate exercised is the approximate regime, which stays
+    * oracle-replayable because "the k smallest distinct hashes" is a pure
+    * function of the value set (see [[Kmv]]).
+    */
+  private val KmvK = 256
+
+  /** Portable 48-bit uniform hash: the first 12 hex digits of
+    * md5(decimal-rendered value) — wide enough that birthday collisions
+    * are negligible at fixture scale, and identical in both engines
+    * (collisions included).
+    */
+  private def md5Hash48(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 12), 16, 10).cast("long")
 
   /** s12 semantic-dedup near-duplicate threshold on ROUNDED cosine — the
     * same notion of "embedding near-dup" d06 uses on this fixture (planted
@@ -205,6 +221,29 @@ object ExtensionQueries3 {
         .orderBy(col("vec_id"))
     }),
 
+    // KMV distinct-count sketch: COUNT(DISTINCT l_partkey) without the
+    // distinct's full key shuffle — each partition folds to its k
+    // smallest distinct hashes (a 256-long summary), partials merge by
+    // union-and-trim, and the k-th smallest hash prices the density.
+    // This is the q73 story (mergeable summary vs exact shuffle) for
+    // cardinality instead of quantiles; at 100 TB the exact distinct
+    // moves every key over the network, the sketch moves 2 KB per
+    // partition. The fixture saturates k (2,000 distinct > 256), so the
+    // oracle replays the genuinely APPROXIMATE estimate — bottom-k is a
+    // pure function of the distinct hash set, immune to partitioning and
+    // merge order (the determinism counting sketches lack).
+    "q77_distinct_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val ds = t(s, dir, "lineitem")
+        .select(md5Hash48(col("l_partkey")).as("h")).as[Long]
+      ds.select(Kmv.sketch(KmvK).toColumn).toDF("n_kept", "theta")
+        .select(lit(KmvK).as("k"), col("n_kept"), col("theta"),
+          Agg.roundAt(
+            when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+              .otherwise(lit((KmvK - 1).toDouble) * lit(math.pow(2, 48))
+                / col("theta")), 4).as("est_distinct"))
+    }),
+
     // Cross-document duplicated-substring detection: every SpanK-token
     // window fingerprints to a rolling hash; a fingerprint seen in ≥2
     // DISTINCT documents marks a duplicated span (the k-gram recast of
@@ -358,6 +397,23 @@ object ExtensionQueries3 {
              g.dup_of, (g.dup_of IS NULL) AS kept
       FROM a${ExtensionQueries.IvfIters} f LEFT JOIN nagg g ON f.vec_id = g.vid
       ORDER BY f.vec_id""",
+
+    // KMV replay: distinct portable hashes, ORDER BY, LIMIT k — "the k
+    // smallest" needs no aggregator to mirror; same estimate arithmetic
+    // (2^48 = 281474976710656 exactly, both engines fold the constant
+    // product in doubles identically).
+    "q77_distinct_sketch" -> s"""
+      WITH h AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        FROM lineitem
+      ),
+      kk AS (SELECT h FROM h ORDER BY h LIMIT $KmvK),
+      s AS (SELECT CAST(count(*) AS INTEGER) AS n_kept, max(h) AS theta FROM kk)
+      SELECT $KmvK AS k, n_kept, theta,
+             floor((CASE WHEN n_kept < $KmvK THEN CAST(n_kept AS DOUBLE)
+                    ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / theta END)
+               * 10000 + 0.5) / 10000 AS est_distinct
+      FROM s""",
 
     // Substring-dedup replay: same tokenization, same span windows (range
     // is exclusive-end where shingles' sequence is inclusive — both yield

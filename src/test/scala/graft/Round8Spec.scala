@@ -88,6 +88,27 @@ class Round8Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshots.readAsOf(spark, tbl, 3))
   }
 
+  test("KMV sketch: exact under k, partitioning-invariant saturated, estimate within budget") {
+    import graft.operators.Kmv
+    val hashed = t("lineitem")
+      .select(expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 12), 16, 10) AS BIGINT)").as("h"))
+    val exact = hashed.distinct().count()
+    // exact regime: k above the distinct count -> the sketch IS the set
+    val big = hashed.as[Long].select(Kmv.sketch(1 << 20).toColumn)
+      .toDF("n_kept", "theta").collect().head
+    assert(big.getInt(0).toLong == exact)
+    // saturated regime: the summary is a pure function of the value set —
+    // radically different partitionings must agree bit-for-bit
+    def sat(parts: Int) = hashed.repartition(parts).as[Long]
+      .select(Kmv.sketch(64).toColumn).toDF("n_kept", "theta").collect().head
+    val (a, b, c) = (sat(1), sat(7), sat(32))
+    assert(a == b && b == c, "bottom-64 must not depend on partitioning")
+    // and the estimate lands within a generous 5/sqrt(k-2) of truth
+    val est = 63.0 * math.pow(2, 48) / a.getLong(1)
+    assert(math.abs(est - exact) / exact < 5.0 / math.sqrt(62.0),
+      s"KMV estimate $est too far from $exact")
+  }
+
   test("bloom file index: no false negatives, and point lookups skip most files") {
     val tmp = Scratch.fresh(spark, "spec_bloom")
     val m = 1 << 14; val k = 4
