@@ -43,6 +43,26 @@ object ExtensionQueries3 {
   private val QsBins = 1024
   private val QsTargets = Seq(0.5, 0.9, 0.99)
 
+  /** t18 feature-hash space (the "hashing trick" bucket count). 4096 is
+    * fixture-sized; a production classifier uses 2^20+ and NOTHING in the
+    * plan changes — the weight table never materializes anywhere (weights
+    * are a pure function of the bucket), and the score is one per-row
+    * expression chain.
+    */
+  private val ClsBuckets = 4096L
+
+  /** t18 pseudo-weight of feature bucket `b`: the [[VectorOps]] plane
+    * construction ((b+1)·φ mod 1000003, scaled to [-0.5, 0.5)) standing in
+    * for TRAINED weights — the container ships no model, so the weights
+    * are a documented deterministic fake (the multimodal-stub stance);
+    * the hashing-trick plumbing, sparse fold, and margin threshold are
+    * the real, tested artifacts. Swapping in real weights = joining or
+    * broadcasting a (bucket, weight) table in place of this expression.
+    */
+  private def clsWeight(b: Column): Column =
+    pmod((b + 1) * lit(2654435761L), lit(1000003L)).cast("double") /
+      lit(1000003.0) - lit(0.5)
+
   /** q77 KMV size: k=256 gives ~6% relative error saturated, and the
     * sf0.01 fixture (2,000 distinct partkeys) genuinely saturates it —
     * the estimate exercised is the approximate regime, which stays
@@ -221,6 +241,34 @@ object ExtensionQueries3 {
         .orderBy(col("vec_id"))
     }),
 
+    // Hashed-n-gram linear classifier scoring (the fastText serving
+    // shape): unigram + bigram features hash into ClsBuckets (the hashing
+    // trick — no vocabulary table exists, OOV is impossible by
+    // construction), each bucket maps to a weight, and the document's
+    // margin is the mean feature weight; pred_keep thresholds the ROUNDED
+    // margin so both engines decide identically. This is how quality /
+    // language / toxicity classifiers actually run inside 100 TB
+    // pipelines: a pure per-row expression chain — no shuffle, no joins,
+    // no model state on the wire — that codegen executes next to the scan.
+    // The margin (not a sigmoid) is reported: the logistic link is
+    // monotone, so the decision is identical, and exp() is the one
+    // function whose last-ulp behavior the two engines don't share.
+    "t18_classifier_score" -> ((s, dir) => {
+      val margin = aggregate(col("__feats"), lit(0.0),
+        (acc, ft) => acc + clsWeight(pmod(TextOps.charHash(ft), lit(ClsBuckets)))) /
+        size(col("__feats"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        // feature array projected to a column BEFORE the lambda consumes
+        // it (PLANS.md lambda-inlining rule)
+        .select(col("doc_id"),
+          concat(col("__toks"), TextOps.shingles(col("__toks"), 2)).as("__feats"))
+        .select(col("doc_id"), size(col("__feats")).as("n_feats"),
+          Agg.roundAt(margin, 6).as("margin"))
+        .withColumn("pred_keep", col("margin") > 0.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // KMV distinct-count sketch: COUNT(DISTINCT l_partkey) without the
     // distinct's full key shuffle — each partition folds to its k
     // smallest distinct hashes (a 256-long summary), partials merge by
@@ -397,6 +445,35 @@ object ExtensionQueries3 {
              g.dup_of, (g.dup_of IS NULL) AS kept
       FROM a${ExtensionQueries.IvfIters} f LEFT JOIN nagg g ON f.vec_id = g.vid
       ORDER BY f.vec_id""",
+
+    // Classifier replay: same tokens, same bigram windows, same
+    // charHash-mod-bucket, same affine weight map, same sequential fold.
+    "t18_classifier_score" -> s"""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ),
+      f AS (
+        SELECT doc_id, list_concat(toks,
+          CASE WHEN len(toks) >= 2
+               THEN list_transform(range(0, len(toks) - 1),
+                      i -> array_to_string(list_slice(toks, i+1, i+2), ' '))
+               ELSE []::VARCHAR[] END) AS feats
+        FROM tok
+      ),
+      sc AS (
+        SELECT doc_id, CAST(len(feats) AS INTEGER) AS n_feats,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(feats, ft ->
+                   CAST((((${ExtensionQueries.chSql("ft")}) % $ClsBuckets + 1) * 2654435761) % 1000003 AS DOUBLE)
+                     / 1000003.0 - 0.5)),
+                 (acc, x) -> acc + x) / len(feats) AS m
+        FROM f
+      )
+      SELECT doc_id, n_feats,
+             floor(m * 1000000 + 0.5) / 1000000 AS margin,
+             (floor(m * 1000000 + 0.5) / 1000000 > 0.0) AS pred_keep
+      FROM sc ORDER BY doc_id""",
 
     // KMV replay: distinct portable hashes, ORDER BY, LIMIT k — "the k
     // smallest" needs no aggregator to mirror; same estimate arithmetic
