@@ -43,6 +43,33 @@ object ExtensionQueries3 {
   private val QsBins = 1024
   private val QsTargets = Seq(0.5, 0.9, 0.99)
 
+  /** d16 bloom geometry: 2^18 bits / 4 hashes over the fixture's ~300
+    * distinct eval shingles is deliberately oversized — the point is the
+    * shape. Bits pack into 32-bit-word masks (not 64) so probe masks stay
+    * exactly representable through the double-typed `pow` path Spark's
+    * lambda arithmetic takes.
+    */
+  private val DecM = 1L << 18
+  private val DecK = 4
+
+  /** The k double-hashed bloom bit positions of shingle-hash `sh` (same
+    * Kirsch–Mitzenmacher construction as [[graft.operators.Layout]]'s file
+    * index; engine-internal only — pruning never shows in results, so no
+    * DuckDB mirror exists or is needed).
+    */
+  private def decPositions(sh: Column): Column = {
+    val h1 = pmod(xxhash64(sh), lit(DecM))
+    val h2 = pmod(xxhash64(sh, lit(0x9e3779b97f4a7c15L)), lit(DecM))
+      .bitwiseOR(lit(1L))
+    array((0 until DecK).map(i => pmod(h1 + lit(i.toLong) * h2, lit(DecM))): _*)
+  }
+
+  /** Bit mask of position `p` within its 32-bit word, exact through
+    * doubles: 2^(p mod 32) <= 2^31.
+    */
+  private def decMask(p: Column): Column =
+    pow(lit(2.0), pmod(p, lit(32L)).cast("int")).cast("long")
+
   /** t18 feature-hash space (the "hashing trick" bucket count). 4096 is
     * fixture-sized; a production classifier uses 2^20+ and NOTHING in the
     * plan changes — the weight table never materializes anywhere (weights
@@ -239,6 +266,41 @@ object ExtensionQueries3 {
           col("dup_of"),
           col("dup_of").isNull.as("kept"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Bloom-prefiltered decontamination: d10's exact broadcast of the eval
+    // shingle set stops fitting when the benchmark suite holds 100M+
+    // n-grams (gigabytes of 64-bit hashes); the m-BIT filter (32 MB at
+    // 2^28) still broadcasts, the corpus side tests it as pure expressions
+    // next to the scan, and only the surviving sliver — true contamination
+    // plus the sized false-positive rate — enters the exact confirm join.
+    // The confirm removes false positives, so the RESULT is identical to
+    // the exact join and the oracle recomputes it exactly (the bloom is
+    // invisible to correctness, visible only as the pruned join input —
+    // Round8Spec measures the pruning). Same stance as q76: both hashes
+    // run in-engine, so build/probe agree by construction.
+    "d16_bloom_decontaminate" -> ((s, dir) => {
+      val shingled = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextHash.shingleHashes(col("text"), 3)).as("sh"))
+        .persist() // three consumers: bloom build, exact eval set, corpus side
+      val evalSh = shingled.filter(col("doc_id") % 97 === 0)
+        .select(col("sh")).distinct()
+        .persist() // two consumers: bloom build + confirm join
+      val bloom = evalSh.select(explode(decPositions(col("sh"))).as("p"))
+        .select((col("p") / 32).cast("int").as("w"), decMask(col("p")).as("mask"))
+        .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+        .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("bloom"))
+      val pass = forall(decPositions(col("sh")), p =>
+        coalesce(element_at(col("bloom"), (p / 32).cast("int")), lit(0L))
+          .bitwiseAND(decMask(p)) =!= 0L)
+      shingled.filter(col("doc_id") % 97 =!= 0)
+        .crossJoin(broadcast(bloom))
+        .filter(pass)
+        .join(broadcast(evalSh), "sh") // exact confirm: false positives die here
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy(col("doc_id"))
     }),
 
     // Hashed-n-gram linear classifier scoring (the fastText serving
@@ -445,6 +507,11 @@ object ExtensionQueries3 {
              g.dup_of, (g.dup_of IS NULL) AS kept
       FROM a${ExtensionQueries.IvfIters} f LEFT JOIN nagg g ON f.vec_id = g.vid
       ORDER BY f.vec_id""",
+
+    // The bloom prefilter is invisible to results (the confirm join kills
+    // its false positives), so the oracle is EXACTLY d10's exact-join
+    // replay — sharing the text is the statement of that invariant.
+    "d16_bloom_decontaminate" -> ExtensionQueries.oracles("d10_decontamination"),
 
     // Classifier replay: same tokens, same bigram windows, same
     // charHash-mod-bucket, same affine weight map, same sequential fold.

@@ -88,6 +88,47 @@ class Round8Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshots.readAsOf(spark, tbl, 3))
   }
 
+  test("d16 bloom decontamination: equals the exact join, and the prefilter prunes the corpus side") {
+    val q = SparkEntry.queries
+    val exact = q("d10_decontamination")(spark, dir).collect().toSeq
+    val bloomed = q("d16_bloom_decontaminate")(spark, dir).collect().toSeq
+    assert(bloomed == exact, "bloom prefilter must be invisible to results")
+    // measure the pruning the query's plan relies on: corpus shingles
+    // passing the bloom must be a small fraction of all corpus shingles
+    val shingled = t("documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextHash.shingleHashes(col("text"), 3)).as("sh"))
+    val corpus = shingled.filter(col("doc_id") % 97 =!= 0)
+    val evalSet = shingled.filter(col("doc_id") % 97 === 0)
+      .select(col("sh")).distinct()
+    val total = corpus.count()
+    // the query's bloom, reconstructed with its constants (2^18 bits, 4
+    // double-hashed probes, 32-bit words) — this measures the PASS RATE
+    // the confirm join actually sees
+    val m = 1L << 18
+    def positions(sh: org.apache.spark.sql.Column) = {
+      val h1 = pmod(xxhash64(sh), lit(m))
+      val h2 = pmod(xxhash64(sh, lit(0x9e3779b97f4a7c15L)), lit(m))
+        .bitwiseOR(lit(1L))
+      array((0 until 4).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m))): _*)
+    }
+    def mask(p: org.apache.spark.sql.Column) =
+      pow(lit(2.0), pmod(p, lit(32L)).cast("int")).cast("long")
+    val bloom = evalSet.select(explode(positions(col("sh"))).as("p"))
+      .select((col("p") / 32).cast("int").as("w"), mask(col("p")).as("mk"))
+      .groupBy(col("w")).agg(expr("bit_or(mk)").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("bloom"))
+    val passed = corpus.crossJoin(broadcast(bloom))
+      .filter(forall(positions(col("sh")), p =>
+        coalesce(element_at(col("bloom"), (p / 32).cast("int")), lit(0L))
+          .bitwiseAND(mask(p)) =!= 0L))
+      .count()
+    val trueMatches = corpus.join(broadcast(evalSet), Seq("sh"), "left_semi").count()
+    assert(passed >= trueMatches, "a bloom can never pass fewer than the true matches")
+    assert(passed < total / 10,
+      s"prefilter pruned too little: $passed of $total corpus shingles passed")
+  }
+
   test("KMV sketch: exact under k, partitioning-invariant saturated, estimate within budget") {
     import graft.operators.Kmv
     val hashed = t("lineitem")
