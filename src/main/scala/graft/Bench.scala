@@ -38,7 +38,9 @@ object Bench {
     "d15_mixture_sample", "t15_sequence_pack", "t16_bpe_apply",
     "q73_quantile_sketch", "q74_snapshot_changes",
     "s12_semantic_dedup", "t17_substring_dedup",
-    "q75_snapshot_delete", "q76_bloom_index_scan")
+    "q75_snapshot_delete", "q76_bloom_index_scan",
+    "q77_distinct_sketch", "q78_drift_psi",
+    "t18_classifier_score", "d16_bloom_decontaminate")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

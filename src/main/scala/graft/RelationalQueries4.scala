@@ -367,6 +367,50 @@ object RelationalQueries4 {
         .orderBy(col("lang"))
     }),
 
+    // Distribution-drift monitoring (PSI) between table versions: the
+    // population stability index of the n_chars distribution, version 1
+    // (two-thirds of the corpus) vs version 2 (all of it) — the standard
+    // "did yesterday's ingest shift the data" gate, run against the
+    // versioned table so the comparison is between PUBLISHED states, not
+    // racing reads. Fixed bin edges (PSI convention — reference bins,
+    // never data-dependent min/max), per-bin contributions
+    // (p-q)·ln(p/q) where both sides are populated, and the total
+    // summed as fixed-point longs so bin-count partitioning can't
+    // reorder double additions (the g01 rule). Each version's histogram
+    // is one map-side-combinable aggregation; the bin join is
+    // bins-sized. Oracle replays both versions from the raw table.
+    "q78_drift_psi" -> ((s, dir) => {
+      val tbl = graft.sources.Scratch.fresh(s, s"psi_${new java.io.File(dir).getName}")
+      val docs = t(s, dir, "documents")
+      graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 3 =!= 0))
+      graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 3 === 0))
+      def hist(df: DataFrame) = df
+        .select(least(lit(15), floor(col("n_chars") / lit(64.0)).cast("int")).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      val ref = hist(graft.sources.Snapshots.readAsOf(s, tbl, 1))
+      val cur = hist(graft.sources.Snapshots.readAsOf(s, tbl, 2))
+      val p = col("n_ref").cast("double") / col("rt")
+      val q = col("n_cur").cast("double") / col("ct")
+      val contrib = when(col("n_ref") > 0 && col("n_cur") > 0,
+        (p - q) * log(p / q))
+      val j = ref.select(col("bin"), col("n").as("n_ref"))
+        .join(cur.select(col("bin").as("bin_c"), col("n").as("n_cur")),
+          col("bin") === col("bin_c"), "full_outer")
+        .select(coalesce(col("bin"), col("bin_c")).as("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        .crossJoin(broadcast(ref.agg(sum(col("n")).as("rt"))))
+        .crossJoin(broadcast(cur.agg(sum(col("n")).as("ct"))))
+        .withColumn("fp", floor(contrib * lit(1e9)).cast("long"))
+        .persist() // bins-sized; feeds both the per-bin rows and the total
+      val tot = j.agg((sum(col("fp")).cast("double") / lit(1e9)).as("__t"))
+        .select(Agg.roundAt(col("__t"), 6).as("psi_total"))
+      j.select(col("bin"), col("n_ref"), col("n_cur"),
+          Agg.roundAt(contrib, 6).as("psi_bin"))
+        .crossJoin(broadcast(tot))
+        .orderBy(col("bin"))
+    }),
+
     // Partition-preserving compaction (round 8): the ingest-shaped layout a
     // per-trigger writer leaves behind — MANY small files inside EVERY
     // o_year=YYYY partition dir — rewritten per-partition (independent
@@ -461,6 +505,46 @@ object RelationalQueries4 {
       FROM documents
       WHERE doc_id % 2 <> 0
       GROUP BY 1 ORDER BY 1""",
+
+    // PSI replay: v1/v2 are the %3 filters, same fixed bins, same
+    // (p-q)·ln(p/q) arithmetic, same fixed-point total
+    "q78_drift_psi" -> """
+      WITH ref AS (
+        SELECT least(15, CAST(floor(n_chars / 64.0) AS INTEGER)) AS bin,
+               count(*) AS n
+        FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+      ),
+      cur AS (
+        SELECT least(15, CAST(floor(n_chars / 64.0) AS INTEGER)) AS bin,
+               count(*) AS n
+        FROM documents GROUP BY 1
+      ),
+      rt AS (SELECT CAST(sum(n) AS BIGINT) AS rt FROM ref),
+      ct AS (SELECT CAST(sum(n) AS BIGINT) AS ct FROM cur),
+      j AS (
+        SELECT COALESCE(ref.bin, cur.bin) AS bin,
+               CAST(COALESCE(ref.n, 0) AS BIGINT) AS n_ref,
+               CAST(COALESCE(cur.n, 0) AS BIGINT) AS n_cur
+        FROM ref FULL OUTER JOIN cur ON ref.bin = cur.bin
+      ),
+      c AS (
+        SELECT bin, n_ref, n_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                 (CAST(n_ref AS DOUBLE) / rt - CAST(n_cur AS DOUBLE) / ct)
+                   * ln((CAST(n_ref AS DOUBLE) / rt) / (CAST(n_cur AS DOUBLE) / ct))
+               END AS contrib
+        FROM j CROSS JOIN rt CROSS JOIN ct
+      ),
+      tot AS (
+        SELECT floor((CAST(sum(CAST(floor(contrib * 1000000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000000) * 1000000 + 0.5) / 1000000 AS psi_total
+        FROM c
+      )
+      SELECT bin, n_ref, n_cur,
+             floor(contrib * 1000000 + 0.5) / 1000000 AS psi_bin,
+             psi_total
+      FROM c CROSS JOIN tot
+      ORDER BY bin""",
 
     // the three smallest orderkeys, straight off the raw table — pruning
     // must be invisible to results
