@@ -40,7 +40,8 @@ object Bench {
     "s12_semantic_dedup", "t17_substring_dedup",
     "q75_snapshot_delete", "q76_bloom_index_scan",
     "q77_distinct_sketch", "q78_drift_psi",
-    "t18_classifier_score", "d16_bloom_decontaminate")
+    "t18_classifier_score", "d16_bloom_decontaminate",
+    "q79_snapshot_upsert")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

@@ -367,6 +367,31 @@ object RelationalQueries4 {
         .orderBy(col("lang"))
     }),
 
+    // MERGE INTO on the versioned table (round 8): a CDC-shaped batch of
+    // changed rows (every doc_id % 5 == 0 document re-measured 1000 chars
+    // longer) lands as ONE atomic version — an equality-delete mask plus
+    // the new rows in the same manifest publish, no data rewrite (q53 is
+    // the copy-on-write merge over plain tables; this is the
+    // merge-on-read form a few-minute CDC cadence needs). The read-back
+    // hash-matches a latest-wins oracle over the raw table, so a row
+    // duplicated (mask missed) or lost (mask over-matched) fails;
+    // Round8Spec pins atomicity (one version), insert-of-new-keys, and
+    // pre-upsert time travel.
+    "q79_snapshot_upsert" -> ((s, dir) => {
+      val tbl = graft.sources.Scratch.fresh(s, s"snapup_${new java.io.File(dir).getName}")
+      val docs = t(s, dir, "documents")
+      graft.sources.Snapshots.commit(s, tbl, docs)
+      val changed = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+      graft.sources.Snapshots.upsert(s, tbl, changed, Seq("doc_id"))
+      graft.sources.Snapshots.readLatest(s, tbl)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
     // Distribution-drift monitoring (PSI) between table versions: the
     // population stability index of the n_chars distribution, version 1
     // (two-thirds of the corpus) vs version 2 (all of it) — the standard
@@ -504,6 +529,16 @@ object RelationalQueries4 {
              count(DISTINCT source) AS n_sources
       FROM documents
       WHERE doc_id % 2 <> 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // latest-wins merge replay: the %5 rows carry the updated measure,
+    // row counts unchanged (pure update, no inserts in the oracled path)
+    "q79_snapshot_upsert" -> """
+      SELECT lang, count(*) AS n,
+             CAST(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+                           ELSE n_chars END) AS BIGINT) AS sum_chars,
+             count(DISTINCT source) AS n_sources
+      FROM documents
       GROUP BY 1 ORDER BY 1""",
 
     // PSI replay: v1/v2 are the %3 filters, same fixed bins, same

@@ -112,6 +112,26 @@ object Snapshots {
       isDelete = true)
   }
 
+  /** MERGE INTO, merge-on-read: every row of `df` lands as the table's
+    * new truth for its `keyCols` tuple — updates mask the old row,
+    * inserts just append — in ONE atomic version: the commit stages an
+    * equality-delete sidecar (df's key tuples) plus df itself and
+    * publishes a single manifest listing the mask BEFORE the data (so it
+    * masks only pre-existing batches — [[Entry]]'s sequence rule). No
+    * data file is rewritten; readers before the publish see none of it,
+    * readers after see all of it. At 100 TB this is the upsert a CDC
+    * ingest applies every few minutes, deferring the rewrite to
+    * [[compactLatest]]. Returns the new version.
+    */
+  def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
+             keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val keys = df.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct()
+    commitEntries(spark, tableDir, Seq(keys -> true, df -> false),
+      replace = false, _ => ())
+  }
+
   /** `beforePublish(v)` runs between version selection and the exclusive
     * publish attempt at `v` — test seam for forcing the publish race
     * deterministically (a competing commit inside the hook makes THIS
@@ -120,13 +140,28 @@ object Snapshots {
   private[graft] def commitWithHook(spark: SparkSession, tableDir: String,
                                     df: DataFrame, replace: Boolean,
                                     beforePublish: Int => Unit,
-                                    isDelete: Boolean = false): Int = {
+                                    isDelete: Boolean = false): Int =
+    commitEntries(spark, tableDir, Seq(df -> isDelete), replace, beforePublish)
+
+  /** The staged-commit core: write every (frame, isDelete) batch under its
+    * own writer-scoped dir, then publish ONE manifest appending their
+    * entries in the given order (order is semantics: a delete entry masks
+    * only entries before it). Multi-entry commits are what makes
+    * [[upsert]] atomic — the mask and the new rows become visible in the
+    * same version or not at all.
+    */
+  private def commitEntries(spark: SparkSession, tableDir: String,
+                            batches: Seq[(DataFrame, Boolean)],
+                            replace: Boolean,
+                            beforePublish: Int => Unit): Int = {
     val f = fs(spark, tableDir)
-    // stage once, under a name no other writer can pick
+    // stage once, under names no other writer can pick
     val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    val batch = new Path(tableDir, s"batch-$uid")
-    df.write.mode("errorifexists").parquet(batch.toString)
-    val entry = Entry(batch.toString, isDelete).line
+    val entries = batches.zipWithIndex.map { case ((df, isDelete), i) =>
+      val batch = new Path(tableDir, s"batch-$uid-$i")
+      df.write.mode("errorifexists").parquet(batch.toString)
+      Entry(batch.toString, isDelete).line
+    }
     val md = manifestDir(tableDir)
     f.mkdirs(md)
     var attempt = 0
@@ -136,9 +171,9 @@ object Snapshots {
       val v = prev.lastOption.getOrElse(0) + 1
       beforePublish(v)
       val visible =
-        if (replace) Seq(entry)
+        if (replace) entries
         else prev.lastOption.map(readManifest(spark, tableDir, _))
-          .getOrElse(Seq.empty) :+ entry
+          .getOrElse(Seq.empty) ++ entries
       val tmp = new Path(md, s".$uid-$v.manifest.tmp")
       val out = f.create(tmp, true)
       try out.write((visible.mkString("\n") + "\n").getBytes("UTF-8"))

@@ -215,6 +215,32 @@ class Round8Spec extends AnyFunSuite {
     assert(Snapshots.readLatest(spark, tbl).as[Long].collect().sorted.toSeq == view)
   }
 
+  test("snapshot upsert: one atomic version, updates mask, inserts land, history intact") {
+    val tbl = Scratch.fresh(spark, "spec_snap_upsert")
+    Snapshots.commit(spark, tbl,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // updates ids 1,3 and inserts id 9 — in ONE commit
+    val v = Snapshots.upsert(spark, tbl,
+      Seq((1L, "A"), (3L, "C"), (9L, "Z")).toDF("id", "v"), Seq("id"))
+    assert(v == 2 && Snapshots.versions(spark, tbl) == Seq(1, 2),
+      "the mask and the rows must publish as one version")
+    val latest = Snapshots.readLatest(spark, tbl)
+      .as[(Long, String)].collect().toSet
+    assert(latest == Set((1L, "A"), (2L, "b"), (3L, "C"), (9L, "Z")))
+    // pre-upsert version untouched (merge-on-read: nothing rewritten)
+    assert(Snapshots.readAsOf(spark, tbl, 1).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a second upsert re-updating an upserted key still wins (the new
+    // mask sits after v2's data entry, so it masks it)
+    Snapshots.upsert(spark, tbl, Seq((9L, "ZZ")).toDF("id", "v"), Seq("id"))
+    assert(Snapshots.readLatest(spark, tbl).as[(Long, String)].collect().toSet ==
+      Set((1L, "A"), (2L, "b"), (3L, "C"), (9L, "ZZ")))
+    // compaction folds both masks away, view identical
+    val view = Snapshots.readLatest(spark, tbl).as[(Long, String)].collect().toSet
+    Snapshots.compactLatest(spark, tbl, targetBytes = Long.MaxValue / 4)
+    assert(Snapshots.readLatest(spark, tbl).as[(Long, String)].collect().toSet == view)
+  }
+
   test("s11 IVF-PQ: recall vs brute force is at least s09's, and scoring is deterministic") {
     // sf0.01, not the usual sf0.001: with ~50 vectors the 8-centroid
     // subspace codebooks quantize too coarsely for ANY PQ variant to rank
