@@ -90,6 +90,15 @@ object ExtensionQueries3 {
     pmod((b + 1) * lit(2654435761L), lit(1000003L)).cast("double") /
       lit(1000003.0) - lit(0.5)
 
+  /** t19 posting-list cap: shingles in more than DfCap documents are
+    * dropped from the inverted index. At fixture scale this prunes a few
+    * percent; at web scale it is the FEASIBILITY condition — the pair
+    * join's cost is Σ df², so one stop-shingle in a million documents
+    * alone would contribute 10^12 pairs. Dropping ubiquitous features
+    * barely moves idf-weighted cosine (their weight ln(N/df) ≈ 0 anyway).
+    */
+  private val SimDfCap = 5
+
   /** q77 KMV size: k=256 gives ~6% relative error saturated, and the
     * sf0.01 fixture (2,000 distinct partkeys) genuinely saturates it —
     * the estimate exercised is the approximate regime, which stays
@@ -266,6 +275,52 @@ object ExtensionQueries3 {
           col("dup_of"),
           col("dup_of").isNull.as("kept"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Top-k similar documents via an idf-weighted inverted index — the
+    // sparse-vector complement to the embedding ANN stack (s01-s11):
+    // features are distinct 3-token shingle hashes, weighted ln(N/df),
+    // and a document pair's dot product is Σ w(sh)² over SHARED shingles
+    // only — so the all-pairs term never materializes; pairs exist only
+    // where posting lists overlap, and the SimDfCap bound keeps every
+    // posting list short (the Σ df² feasibility condition at 100 TB).
+    // Every shuffle is keyed (shingle, then pair, then doc); nothing
+    // broadcasts but the 1-row corpus count. Partial products are
+    // fixed-pointed before the pair aggregation so partitioning cannot
+    // reorder double additions (the g01 rule), which is what lets the
+    // oracle replay the whole index exactly.
+    "t19_doc_similarity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = broadcast(docs.agg(count(lit(1)).as("__n")))
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.TextHash.shingleHashes(col("text"), 3)).as("sh"))
+      val dfT = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val w = log(col("__n").cast("double") / col("df"))
+      val kept = sh.join(dfT.filter(col("df") <= SimDfCap), "sh")
+        .crossJoin(nDocs)
+        .withColumn("fp", floor(w * w * lit(1e9)).cast("long"))
+        .select(col("doc_id"), col("sh"), col("fp"))
+        .persist() // three consumers: both posting-join sides + norms
+      val norms = kept.groupBy(col("doc_id")).agg(sum(col("fp")).as("n2fp"))
+      val pairs = kept.select(col("doc_id").as("da"), col("sh"), col("fp"))
+        .join(kept.select(col("doc_id").as("db"), col("sh").as("sh_b")),
+          col("sh") === col("sh_b") && col("da") =!= col("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(sum(col("fp")).as("dotfp"), count(lit(1)).as("n_shared"))
+      val cos = (col("dotfp").cast("double") / lit(1e9)) /
+        (sqrt(col("na").cast("double") / lit(1e9)) *
+          sqrt(col("nb").cast("double") / lit(1e9)))
+      val rw = Window.partitionBy(col("da"))
+        .orderBy(col("cos").desc, col("db").asc)
+      pairs
+        .join(norms.select(col("doc_id").as("da"), col("n2fp").as("na")), Seq("da"))
+        .join(norms.select(col("doc_id").as("db"), col("n2fp").as("nb")), Seq("db"))
+        .withColumn("cos", cos)
+        .withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 3)
+        .select(col("da").as("doc_id"), col("rank"), col("db").as("neighbor"),
+          col("n_shared"), Agg.roundAt(col("cos"), 6).as("cos"))
+        .orderBy(col("doc_id"), col("rank"))
     }),
 
     // Bloom-prefiltered decontamination: d10's exact broadcast of the eval
@@ -507,6 +562,57 @@ object ExtensionQueries3 {
              g.dup_of, (g.dup_of IS NULL) AS kept
       FROM a${ExtensionQueries.IvfIters} f LEFT JOIN nagg g ON f.vec_id = g.vid
       ORDER BY f.vec_id""",
+
+    // Inverted-index replay: same d10-style shingle hashes, same df cap,
+    // same fixed-point idf² weights, same shared-shingle pair sums.
+    "t19_doc_similarity" -> s"""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ),
+      shg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          CASE WHEN len(toks) >= 3
+               THEN list_transform(range(0, len(toks)-2),
+                      i -> array_to_string(list_slice(toks, i+1, i+3), ' '))
+               ELSE []::VARCHAR[] END,
+          s -> ${ExtensionQueries.chSql("s")}))) AS sh
+        FROM tok
+      ),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      dfc AS (SELECT sh, count(*) AS df FROM shg GROUP BY 1),
+      kept AS (
+        SELECT s.doc_id, s.sh,
+               CAST(floor(ln(CAST(nn.n AS DOUBLE) / d.df)
+                 * ln(CAST(nn.n AS DOUBLE) / d.df) * 1000000000) AS BIGINT) AS fp
+        FROM shg s JOIN dfc d USING (sh) CROSS JOIN nn
+        WHERE d.df <= $SimDfCap
+      ),
+      norms AS (SELECT doc_id, CAST(sum(fp) AS BIGINT) AS n2 FROM kept GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(sum(a.fp) AS BIGINT) AS dotfp, count(*) AS n_shared
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+      ),
+      sc AS (
+        SELECT p.da, p.db, p.n_shared,
+               (CAST(p.dotfp AS DOUBLE) / 1000000000.0)
+                 / (sqrt(CAST(na.n2 AS DOUBLE) / 1000000000.0)
+                    * sqrt(CAST(nb.n2 AS DOUBLE) / 1000000000.0)) AS cos
+        FROM pairs p
+        JOIN norms na ON p.da = na.doc_id
+        JOIN norms nb ON p.db = nb.doc_id
+      ),
+      rk AS (
+        SELECT da, db, n_shared, cos,
+               row_number() OVER (PARTITION BY da ORDER BY cos DESC, db ASC) AS rank
+        FROM sc
+      )
+      SELECT da AS doc_id, CAST(rank AS INTEGER) AS rank, db AS neighbor,
+             n_shared, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      FROM rk WHERE rank <= 3
+      ORDER BY doc_id, rank""",
 
     // The bloom prefilter is invisible to results (the confirm join kills
     // its false positives), so the oracle is EXACTLY d10's exact-join
