@@ -342,15 +342,30 @@ object ExtensionQueries3 {
       val evalSh = shingled.filter(col("doc_id") % 97 === 0)
         .select(col("sh")).distinct()
         .persist() // two consumers: bloom build + confirm join
-      val bloom = evalSh.select(explode(decPositions(col("sh"))).as("p"))
+      // the filter is built PLANNER-SIDE (a 64 KB long[] — the same move
+      // as Spark's own InjectRuntimeFilter: aggregate the build side,
+      // ship the bitset into the probe expression as a literal). The
+      // first cut attached the bitset as a broadcast MAP column via a
+      // 1-row cross join — every probe row then carried an 8192-entry
+      // map through UnsafeRow copies, and the forall lambda fell back to
+      // interpretation: 15 s at sf0.1. As an expression literal the
+      // bitset lives once in the generated code, the k probes unroll to
+      // plain codegen'd boolean tests, and the scan stays whole-stage.
+      val words = new Array[Long]((DecM / 32).toInt)
+      evalSh.select(explode(decPositions(col("sh"))).as("p"))
         .select((col("p") / 32).cast("int").as("w"), decMask(col("p")).as("mask"))
         .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
-        .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("bloom"))
-      val pass = forall(decPositions(col("sh")), p =>
-        coalesce(element_at(col("bloom"), (p / 32).cast("int")), lit(0L))
-          .bitwiseAND(decMask(p)) =!= 0L)
+        .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+      val wordsLit = typedlit(words.toSeq)
+      val h1 = pmod(xxhash64(col("sh")), lit(DecM))
+      val h2 = pmod(xxhash64(col("sh"), lit(0x9e3779b97f4a7c15L)), lit(DecM))
+        .bitwiseOR(lit(1L))
+      val pass = (0 until DecK).map { i =>
+        val p = pmod(h1 + lit(i.toLong) * h2, lit(DecM))
+        element_at(wordsLit, (p / 32).cast("int") + 1)
+          .bitwiseAND(decMask(p)) =!= 0L
+      }.reduce(_ && _)
       shingled.filter(col("doc_id") % 97 =!= 0)
-        .crossJoin(broadcast(bloom))
         .filter(pass)
         .join(broadcast(evalSh), "sh") // exact confirm: false positives die here
         .groupBy(col("doc_id"))

@@ -150,6 +150,25 @@ class Round8Spec extends AnyFunSuite {
       s"KMV estimate $est too far from $exact")
   }
 
+  test("KMV sketch runs unchanged as streaming state, matching the batch summary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.operators.Kmv
+    implicit val sqlCtx = spark.sqlContext
+    val values = (1 to 500).map(i => (i % 37).toLong * 2654435761L)
+    val stream = MemoryStream[Long]
+    stream.addData(values: _*)
+    val summary = stream.toDS().groupByKey(_ => 0)
+      .agg(Kmv.sketch(16).toColumn.name("s"))
+    val got = graft.streaming.EventStreams.runToMemory(
+        summary.toDF("gid", "s"), "kmv_stream", OutputMode.Complete())
+      .select(col("s.n_kept"), col("s.theta")).collect().head
+    val batch = values.toDF("v").as[Long]
+      .select(Kmv.sketch(16).toColumn).toDF("n_kept", "theta").collect().head
+    assert((got.getInt(0), got.getLong(1)) == (batch.getInt(0), batch.getLong(1)),
+      "the streaming sketch state must equal the batch summary")
+  }
+
   test("bloom file index: no false negatives, and point lookups skip most files") {
     val tmp = Scratch.fresh(spark, "spec_bloom")
     val m = 1 << 14; val k = 4
