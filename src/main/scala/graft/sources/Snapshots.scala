@@ -155,6 +155,23 @@ object Snapshots {
                             replace: Boolean,
                             beforePublish: Int => Unit): Int = {
     val f = fs(spark, tableDir)
+    // schema enforcement (the Delta default): an append whose DATA schema
+    // drifts from the table's poisons every multi-path read after it —
+    // fail the commit, not the eventual reader. Intentional evolution is
+    // a commitReplace (rewrite the visible set under the new schema).
+    // Name-based equality: nullability and metadata don't gate.
+    if (!replace) {
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(fd => (fd.name, fd.dataType)).toSeq
+      versions(spark, tableDir).lastOption.foreach { v =>
+        val cur = readAsOf(spark, tableDir, v).schema
+        batches.filterNot(_._2).map(_._1.schema).foreach { b =>
+          require(shape(b) == shape(cur),
+            s"schema drift rejected: table $tableDir has ${cur.simpleString}, " +
+              s"batch has ${b.simpleString}; evolve via commitReplace")
+        }
+      }
+    }
     // stage once, under names no other writer can pick
     val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val entries = batches.zipWithIndex.map { case ((df, isDelete), i) =>

@@ -234,6 +234,46 @@ class Round8Spec extends AnyFunSuite {
     assert(Snapshots.readLatest(spark, tbl).as[Long].collect().sorted.toSeq == view)
   }
 
+  test("snapshot schema enforcement: drifted appends fail, commitReplace evolves, CDC upserts stream in") {
+    val tbl = Scratch.fresh(spark, "spec_snap_schema")
+    Snapshots.commit(spark, tbl, Seq((1L, "a")).toDF("id", "v"))
+    // a drifted append is rejected at COMMIT time (column added / renamed
+    // / retyped would poison every multi-path read after it)
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.commit(spark, tbl, Seq((2L, "b", 0)).toDF("id", "v", "extra")))
+    assert(e1.getMessage.contains("schema drift"))
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.commit(spark, tbl, Seq((2, "b")).toDF("id", "v"))) // int id
+    assert(e2.getMessage.contains("schema drift"))
+    assert(Snapshots.versions(spark, tbl) == Seq(1), "rejected commits publish nothing")
+    // intentional evolution: commitReplace rewrites under the new schema,
+    // and appends under it then flow again
+    Snapshots.commitReplace(spark, tbl,
+      Seq((1L, "a", 7)).toDF("id", "v", "extra"))
+    Snapshots.commit(spark, tbl, Seq((2L, "b", 8)).toDF("id", "v", "extra"))
+    assert(Snapshots.readLatest(spark, tbl).as[(Long, String, Int)].collect().toSet ==
+      Set((1L, "a", 7), (2L, "b", 8)))
+    // the CDC loop end-to-end: a stream of change batches applied as
+    // atomic upserts via foreachBatch — latest-wins view at every point
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val changes = MemoryStream[(Long, String, Int)]
+    val q = changes.toDS().toDF("id", "v", "extra").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Scratch.fresh(spark, "spec_snap_cdc_ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) { Snapshots.upsert(spark, tbl, batch, Seq("id")): Unit }
+      }.start()
+    changes.addData((2L, "B", 9), (3L, "c", 1))
+    q.processAllAvailable()
+    changes.addData((3L, "C", 2))
+    q.processAllAvailable()
+    q.stop()
+    assert(Snapshots.readLatest(spark, tbl).as[(Long, String, Int)].collect().toSet ==
+      Set((1L, "a", 7), (2L, "B", 9), (3L, "C", 2)),
+      "streamed CDC upserts must leave the latest-wins view")
+  }
+
   test("snapshot upsert: one atomic version, updates mask, inserts land, history intact") {
     val tbl = Scratch.fresh(spark, "spec_snap_upsert")
     Snapshots.commit(spark, tbl,
