@@ -99,6 +99,34 @@ object ExtensionQueries3 {
     */
   private val SimDfCap = 5
 
+  /** (doc_id, lang, n_tok, margin) — t18's classifier margin (rounded 6)
+    * plus the t15 token count, shared by the scoring query and the
+    * budgeted-selection query so "best documents" means the same thing in
+    * both.
+    */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val margin = aggregate(col("__feats"), lit(0.0),
+      (acc, ft) => acc + clsWeight(pmod(TextOps.charHash(ft), lit(ClsBuckets)))) /
+      size(col("__feats"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        concat(col("__toks"), TextOps.shingles(col("__toks"), 2)).as("__feats"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        size(col("__feats")).as("n_feats"),
+        Agg.roundAt(margin, 6).as("margin"))
+  }
+
+  /** t20 geometry: the margin lives in [-0.5, 0.5), so floor(margin·2^10)
+    * buckets it into ≤1024 score bins — monotone in the margin, which is
+    * what makes bucket-then-boundary selection EQUAL to the global greedy
+    * prefix. The budget is tokens, sized to take roughly a third of the
+    * sf0.01 corpus.
+    */
+  private val SelBucketScale = 1024L
+  private val SelBudget = 8000L
+
   /** q77 KMV size: k=256 gives ~6% relative error saturated, and the
     * sf0.01 fixture (2,000 distinct partkeys) genuinely saturates it —
     * the estimate exercised is the approximate regime, which stays
@@ -385,20 +413,51 @@ object ExtensionQueries3 {
     // The margin (not a sigmoid) is reported: the logistic link is
     // monotone, so the decision is identical, and exp() is the one
     // function whose last-ulp behavior the two engines don't share.
-    "t18_classifier_score" -> ((s, dir) => {
-      val margin = aggregate(col("__feats"), lit(0.0),
-        (acc, ft) => acc + clsWeight(pmod(TextOps.charHash(ft), lit(ClsBuckets)))) /
-        size(col("__feats"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
-        // feature array projected to a column BEFORE the lambda consumes
-        // it (PLANS.md lambda-inlining rule)
-        .select(col("doc_id"),
-          concat(col("__toks"), TextOps.shingles(col("__toks"), 2)).as("__feats"))
-        .select(col("doc_id"), size(col("__feats")).as("n_feats"),
-          Agg.roundAt(margin, 6).as("margin"))
+    "t18_classifier_score" -> ((s, dir) =>
+      scoredDocs(s, dir)
+        .select(col("doc_id"), col("n_feats"), col("margin"))
         .withColumn("pred_keep", col("margin") > 0.0)
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // Token-budgeted data selection: "the best documents until the budget
+    // is spent" — the step that turns a scored corpus into a training set
+    // of a target size. The naive spelling is a global sort plus a global
+    // running sum: one task sees every row (exactly the unbounded-window
+    // shape PlanSpec forbids). The scale-correct spelling selects by
+    // THRESHOLD: bucket scores (monotone, ≤1024 bins), cumulate TOKEN
+    // sums over the bins-sized histogram (the only global window, bounded
+    // by construction like q73), fully keep buckets above the boundary,
+    // and resolve the one boundary bucket exactly with a window
+    // PARTITIONED by that bucket. Because the bucket map is monotone in
+    // the score, the result EQUALS the global greedy prefix — which is
+    // why the oracle may replay the naive global form and still
+    // hash-match. Selection is a prefix rule (stop at the first doc that
+    // would overflow), deterministic via the (margin desc, doc_id asc)
+    // total order.
+    "t20_budget_select" -> ((s, dir) => {
+      val scored = scoredDocs(s, dir)
+        .withColumn("b", floor(col("margin") * lit(SelBucketScale)).cast("int"))
+        .persist() // two consumers: the histogram and the doc-level pass
+      val bw = Window.orderBy(col("b").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hist = scored.groupBy(col("b")).agg(sum(col("n_tok")).as("btok"))
+        .withColumn("cum", sum(col("btok")).over(bw))
+        .withColumn("cum_before", col("cum") - col("btok"))
+      val dw = Window.partitionBy(col("b"))
+        .orderBy(col("margin").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = scored
+        .join(broadcast(hist), Seq("b")) // bins-sized build side
+        .withColumn("keep",
+          when(col("cum") <= SelBudget, lit(true)) // whole bucket fits
+            .when(col("cum_before") >= SelBudget, lit(false)) // budget spent
+            // the single boundary bucket: exact doc-level prefix
+            .otherwise(col("cum_before") + sum(col("n_tok")).over(dw) <= SelBudget))
+      kept.filter(col("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("margin")).as("worst_margin"))
+        .orderBy(col("lang"))
     }),
 
     // KMV distinct-count sketch: COUNT(DISTINCT l_partkey) without the
@@ -662,6 +721,43 @@ object ExtensionQueries3 {
              floor(m * 1000000 + 0.5) / 1000000 AS margin,
              (floor(m * 1000000 + 0.5) / 1000000 > 0.0) AS pred_keep
       FROM sc ORDER BY doc_id""",
+
+    // Budget-selection replay: the NAIVE global form (sort, running sum,
+    // prefix) — legitimate here because DuckDB runs single-node anyway,
+    // and equality with the engine's bucket-threshold form is exactly the
+    // property worth pinning.
+    "t20_budget_select" -> s"""
+      WITH tok AS (
+        SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ),
+      f AS (
+        SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+               list_concat(toks,
+          CASE WHEN len(toks) >= 2
+               THEN list_transform(range(0, len(toks) - 1),
+                      i -> array_to_string(list_slice(toks, i+1, i+2), ' '))
+               ELSE []::VARCHAR[] END) AS feats
+        FROM tok
+      ),
+      sc AS (
+        SELECT doc_id, lang, n_tok,
+               floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(feats, ft ->
+                   CAST((((${ExtensionQueries.chSql("ft")}) % $ClsBuckets + 1) * 2654435761) % 1000003 AS DOUBLE)
+                     / 1000003.0 - 0.5)),
+                 (acc, x) -> acc + x) / len(feats)) * 1000000 + 0.5) / 1000000 AS margin
+        FROM f
+      ),
+      ord AS (
+        SELECT *, sum(n_tok) OVER (ORDER BY margin DESC, doc_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sc
+      )
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             min(margin) AS worst_margin
+      FROM ord WHERE cum <= $SelBudget
+      GROUP BY 1 ORDER BY 1""",
 
     // KMV replay: distinct portable hashes, ORDER BY, LIMIT k — "the k
     // smallest" needs no aggregator to mirror; same estimate arithmetic

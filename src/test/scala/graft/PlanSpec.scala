@@ -131,7 +131,10 @@ class PlanSpec extends AnyFunSuite {
       // rows out of a single-row aggregate, ExtensionQueries2.T12Capacity)
       "t12_heavy_hitters" -> "space-saving summary is capacity-bounded",
       // cumulates a <=1024-row histogram summary out of an aggregate
-      "q73_quantile_sketch" -> "equi-width histogram is bin-bounded (QsBins)")
+      "q73_quantile_sketch" -> "equi-width histogram is bin-bounded (QsBins)",
+      // cumulates a <=1024-row score-bucket histogram (SelBucketScale);
+      // the doc-level boundary window is PARTITIONED (by bucket)
+      "t20_budget_select" -> "score histogram is bucket-bounded (SelBucketScale)")
     def boundedBelow(p: SparkPlan): Boolean = p match {
       case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
            _: TakeOrderedAndProjectExec => true
