@@ -41,7 +41,8 @@ object Bench {
     "q75_snapshot_delete", "q76_bloom_index_scan",
     "q77_distinct_sketch", "q78_drift_psi",
     "t18_classifier_score", "d16_bloom_decontaminate",
-    "q79_snapshot_upsert", "t19_doc_similarity", "t20_budget_select")
+    "q79_snapshot_upsert", "t19_doc_similarity", "t20_budget_select",
+    "g02_triangles")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

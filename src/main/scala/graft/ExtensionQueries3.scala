@@ -305,6 +305,43 @@ object ExtensionQueries3 {
         .orderBy(col("vec_id"))
     }),
 
+    // Triangle counting + local clustering coefficient over the near-dup
+    // candidate graph (g01's exact pair list — canonically equal plans, so
+    // the feature and pair caches are shared): how CLIQUE-LIKE is each
+    // document's neighborhood, the standard signal separating template
+    // families (near-cliques: boilerplate, mirrored sites) from chance
+    // LSH collisions (no closure). Enumeration is the two-keyed-join form
+    // over a<b<c ordered edges — no all-pairs term, cost bounded by the
+    // pair list's join fanout; at web scale the standard refinement
+    // (order edge endpoints by degree before joining) bounds the fanout
+    // by the arboricity, same plan shape.
+    "g02_triangles" -> ((s, dir) => {
+      val feats = t(s, dir, "documents").select(col("doc_id").as("id"),
+        graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
+        .persist()
+      val pairs = graft.operators.Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+        .select(col("doc_a"), col("doc_b")).persist()
+      val e1 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val e2 = pairs.select(col("doc_a").as("b2"), col("doc_b").as("c2"))
+      val e3 = pairs.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+        .select(col("a"), col("b"), col("c2").as("c"))
+      val perNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      val deg = pairs.select(col("doc_a").as("node"))
+        .union(pairs.select(col("doc_b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      deg.join(perNode, Seq("node"), "left")
+        .select(col("node").as("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("deg") >= 2, Agg.roundAt(
+            lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+              (col("deg") * (col("deg") - 1)), 6)).as("lcc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Top-k similar documents via an idf-weighted inverted index — the
     // sparse-vector complement to the embedding ANN stack (s01-s11):
     // features are distinct 3-token shingle hashes, weighted ln(N/df),
@@ -636,6 +673,40 @@ object ExtensionQueries3 {
              g.dup_of, (g.dup_of IS NULL) AS kept
       FROM a${ExtensionQueries.IvfIters} f LEFT JOIN nagg g ON f.vec_id = g.vid
       ORDER BY f.vec_id""",
+
+    // Triangle replay over the d03 pair subquery (the g01 trick): same
+    // two-join enumeration, same degree counts, same lcc arithmetic.
+    "g02_triangles" -> s"""
+      WITH pairs AS (
+        SELECT doc_a, doc_b FROM (${ExtensionQueries.oracles("d03_lsh_candidates")})
+      ),
+      tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.doc_b = e2.doc_a
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+      ),
+      pn AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        ) GROUP BY 1
+      ),
+      deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT doc_a AS node FROM pairs
+          UNION ALL SELECT doc_b FROM pairs
+        ) GROUP BY 1
+      )
+      SELECT deg.node AS doc_id, deg.deg,
+             COALESCE(pn.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+             CASE WHEN deg.deg >= 2 THEN
+               floor((CAST(2 AS DOUBLE) * COALESCE(pn.n_tri, CAST(0 AS BIGINT))
+                 / (deg.deg * (deg.deg - 1))) * 1000000 + 0.5) / 1000000
+             END AS lcc
+      FROM deg LEFT JOIN pn ON deg.node = pn.node
+      ORDER BY doc_id""",
 
     // Inverted-index replay: same d10-style shingle hashes, same df cap,
     // same fixed-point idf² weights, same shared-shingle pair sums.
