@@ -305,6 +305,40 @@ object ExtensionQueries3 {
         .orderBy(col("vec_id"))
     }),
 
+    // Per-language adaptive quality cutoffs (the CCNet pattern): a single
+    // global quality bar systematically starves whichever languages the
+    // scorer rates lower, so each language gets ITS OWN threshold — here
+    // "strictly better than the language's median score bucket". The
+    // median comes from the same mergeable score-bucket histogram t20
+    // thresholds against (per-(lang,bucket) counts, cumulated per
+    // language over ≤1024 buckets — a PARTITIONED bounded window), the
+    // cutoff table is languages-sized and broadcasts, and the keep
+    // decision is one expression per row. Scored+bucketed input is
+    // canonically t20's first stage — one cache serves both.
+    "t21_adaptive_cutoff" -> ((s, dir) => {
+      val scored = scoredDocs(s, dir)
+        .withColumn("b", floor(col("margin") * lit(SelBucketScale)).cast("int"))
+        .persist()
+      val hist = scored.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("cnt"))
+      val hw = Window.partitionBy(col("lang")).orderBy(col("b").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ntot = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val med = hist.withColumn("cum", sum(col("cnt")).over(hw))
+        .join(ntot, Seq("lang"))
+        .filter(col("cum") >= ceil(col("n_docs") / lit(2.0)))
+        .groupBy(col("lang"), col("n_docs")).agg(min(col("b")).as("median_b"))
+      scored.join(broadcast(med.drop("n_docs")), Seq("lang"))
+        .withColumn("keep", (col("b") > col("median_b")).cast("long"))
+        .groupBy(col("lang"), col("median_b"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
+        .select(col("lang"), col("n_docs"), col("median_b"),
+          Agg.roundAt(col("median_b").cast("double") / lit(SelBucketScale.toDouble), 6)
+            .as("threshold"),
+          col("n_kept"),
+          Agg.roundAt(col("n_kept").cast("double") / col("n_docs"), 6).as("kept_frac"))
+        .orderBy(col("lang"))
+    }),
+
     // Triangle counting + local clustering coefficient over the near-dup
     // candidate graph (g01's exact pair list — canonically equal plans, so
     // the feature and pair caches are shared): how CLIQUE-LIKE is each
@@ -673,6 +707,57 @@ object ExtensionQueries3 {
              g.dup_of, (g.dup_of IS NULL) AS kept
       FROM a${ExtensionQueries.IvfIters} f LEFT JOIN nagg g ON f.vec_id = g.vid
       ORDER BY f.vec_id""",
+
+    // Adaptive-cutoff replay: same margin, same buckets, same per-lang
+    // cumulated histogram median, same strictly-above keep rule.
+    "t21_adaptive_cutoff" -> s"""
+      WITH tok AS (
+        SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ),
+      f AS (
+        SELECT doc_id, lang, list_concat(toks,
+          CASE WHEN len(toks) >= 2
+               THEN list_transform(range(0, len(toks) - 1),
+                      i -> array_to_string(list_slice(toks, i+1, i+2), ' '))
+               ELSE []::VARCHAR[] END) AS feats
+        FROM tok
+      ),
+      sc AS (
+        SELECT doc_id, lang,
+               floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(feats, ft ->
+                   CAST((((${ExtensionQueries.chSql("ft")}) % $ClsBuckets + 1) * 2654435761) % 1000003 AS DOUBLE)
+                     / 1000003.0 - 0.5)),
+                 (acc, x) -> acc + x) / len(feats)) * 1000000 + 0.5) / 1000000 AS margin
+        FROM f
+      ),
+      bs AS (
+        SELECT lang, CAST(floor(margin * $SelBucketScale) AS INTEGER) AS b
+        FROM sc
+      ),
+      hist AS (SELECT lang, b, count(*) AS cnt FROM bs GROUP BY 1, 2),
+      cm AS (
+        SELECT lang, b, sum(cnt) OVER (PARTITION BY lang ORDER BY b ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist
+      ),
+      nt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM bs GROUP BY 1),
+      med AS (
+        SELECT cm.lang, min(cm.b) AS median_b
+        FROM cm JOIN nt ON cm.lang = nt.lang
+        WHERE cm.cum >= ceil(nt.n_docs / 2.0)
+        GROUP BY 1
+      )
+      SELECT bs.lang, CAST(count(*) AS BIGINT) AS n_docs, med.median_b,
+             floor((CAST(med.median_b AS DOUBLE) / CAST($SelBucketScale AS DOUBLE)) * 1000000 + 0.5)
+               / 1000000 AS threshold,
+             CAST(sum(CASE WHEN bs.b > med.median_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             floor((CAST(sum(CASE WHEN bs.b > med.median_b THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*)) * 1000000 + 0.5) / 1000000 AS kept_frac
+      FROM bs JOIN med ON bs.lang = med.lang
+      GROUP BY 1, 3 ORDER BY 1""",
 
     // Triangle replay over the d03 pair subquery (the g01 trick): same
     // two-join enumeration, same degree counts, same lcc arithmetic.
