@@ -305,6 +305,38 @@ object ExtensionQueries3 {
         .orderBy(col("vec_id"))
     }),
 
+    // Perceptual image near-dup (dHash + banded LSH): the multimodal twin
+    // of d13 — images fingerprint to 64 gradient-sign bits through the
+    // REAL decode/resize path (Ppm), candidates collide on 16-bit hash
+    // bands (the d13 pigeonhole: hamming ≤ 3 guarantees a shared band),
+    // and exact hamming verifies. No all-pairs term: the pair join is a
+    // bucketed equi-join on (band, value). The oracle replays the entire
+    // pixel pipeline from the text-synthesized rasters — resize sampling,
+    // integer grayscale, every gradient bit — so a one-pixel drift in the
+    // decode path fails the hash.
+    "m05_phash_neardup" -> ((s, dir) => {
+      val hashes = graft.operators.Multimodal.dHash64(
+          graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .toDF().persist() // both band-join sides read it
+      val banded = hashes.select(col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band_idx"),
+          shiftrightunsigned(col("phash"), 16 * b).bitwiseAND(lit(65535L))
+            .as("bv"))): _*)).as("g"))
+        .select(col("doc_id"), col("phash"), col("g.band_idx"), col("g.bv"))
+      val a = banded.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"),
+        col("band_idx"), col("bv"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"),
+        col("band_idx").as("bi_b"), col("bv").as("bv_b"))
+      val pairs = a.join(b, col("band_idx") === col("bi_b") &&
+          col("bv") === col("bv_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("ph_a"), col("ph_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+      val hamming = bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
+      pairs.select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          hamming.as("hamming"), (hamming <= 6).as("is_dup"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Per-language adaptive quality cutoffs (the CCNet pattern): a single
     // global quality bar systematically starves whichever languages the
     // scorer rates lower, so each language gets ITS OWN threshold — here
@@ -707,6 +739,57 @@ object ExtensionQueries3 {
              g.dup_of, (g.dup_of IS NULL) AS kept
       FROM a${ExtensionQueries.IvfIters} f LEFT JOIN nagg g ON f.vec_id = g.vid
       ORDER BY f.vec_id""",
+
+    // dHash replay from the text-synthesized rasters (the m04 trick):
+    // same 9×8 nearest sampling (x·16//9, y·9//8), same integer
+    // grayscale, same bit order (y·8+x, x fastest). Bit 63's term is the
+    // BIGINT min-value literal — DuckDB refuses 1<<63, and adding
+    // -(2^63) IS the two's-complement value Scala's `1L << 63` sets.
+    "m05_phash_neardup" -> s"""
+      WITH img AS (
+        SELECT doc_id, rpad(text, ${16 * 9 * 3}, ' ') AS raster
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+      ),
+      gr AS (
+        SELECT doc_id,
+               list_transform(range(0, 72), i ->
+                 (ascii(substr(raster,
+                    (CAST(i AS INTEGER) // 9 * 9 // 8 * 16
+                     + CAST(i AS INTEGER) % 9 * 16 // 9) * 3 + 1, 1))
+                + ascii(substr(raster,
+                    (CAST(i AS INTEGER) // 9 * 9 // 8 * 16
+                     + CAST(i AS INTEGER) % 9 * 16 // 9) * 3 + 2, 1))
+                + ascii(substr(raster,
+                    (CAST(i AS INTEGER) // 9 * 9 // 8 * 16
+                     + CAST(i AS INTEGER) % 9 * 16 // 9) * 3 + 3, 1))) // 3) AS g
+        FROM img
+      ),
+      ph AS (
+        SELECT doc_id, CAST(list_sum(list_transform(range(0, 64), b ->
+          CASE WHEN g[CAST(b AS INTEGER) // 8 * 9 + CAST(b AS INTEGER) % 8 + 2]
+                    > g[CAST(b AS INTEGER) // 8 * 9 + CAST(b AS INTEGER) % 8 + 1]
+               THEN CASE WHEN CAST(b AS INTEGER) = 63
+                         THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) << CAST(b AS INTEGER) END
+               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        FROM gr
+      ),
+      banded AS (
+        SELECT doc_id, phash, CAST(b AS INTEGER) AS band_idx,
+               (phash >> (16 * CAST(b AS INTEGER))) & 65535 AS bv
+        FROM ph CROSS JOIN range(0, 4) t(b)
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.phash AS ph_a, b.phash AS ph_b, count(*) AS n_shared_bands
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      )
+      SELECT doc_a, doc_b, n_shared_bands,
+             CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming,
+             bit_count(xor(ph_a, ph_b)) <= 6 AS is_dup
+      FROM pairs ORDER BY doc_a, doc_b""",
 
     // Adaptive-cutoff replay: same margin, same buckets, same per-lang
     // cumulated histogram median, same strictly-above keep rule.

@@ -111,6 +111,44 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) of an image: the decode -> 9×8
+    * nearest-neighbor downsample -> integer grayscale -> 64
+    * horizontal-gradient sign bits pipeline every perceptual image dedup
+    * runs. Bit y·8+x is set when gray(x+1, y) > gray(x, y) — gradient
+    * SIGNS survive re-encoding, scaling, and brightness shifts that break
+    * exact byte hashes, which is the point. Same partition-local batch
+    * shape as [[thumbnails]] (decoder reuse; the real libjpeg-style
+    * decoder would amortize the same way).
+    */
+  case class PhashRecord(doc_id: Long, phash: Long)
+
+  def dHash64(media: Dataset[MediaRecord]): Dataset[PhashRecord] = {
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "image").mapPartitions { records =>
+      records.map { r =>
+        val img = Ppm.resizeNearest(Ppm.parse(r.payload), 9, 8)
+        def gray(px: Int, py: Int): Int = {
+          val o = (py * 9 + px) * 3
+          ((img.pixels(o) & 0xff) + (img.pixels(o + 1) & 0xff) +
+            (img.pixels(o + 2) & 0xff)) / 3
+        }
+        var hash = 0L
+        var bit = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(x + 1, y) > gray(x, y)) hash |= 1L << bit
+            bit += 1
+            x += 1
+          }
+          y += 1
+        }
+        PhashRecord(r.doc_id, hash)
+      }
+    }
+  }
+
   /** Thumbnail output row: geometry + exact channel sums + the md5 of the
     * re-encoded thumbnail PPM, so the oracle pins the exact bytes of the
     * resized image, not just aggregates.
