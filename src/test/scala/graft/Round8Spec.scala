@@ -150,6 +150,36 @@ class Round8Spec extends AnyFunSuite {
       s"KMV estimate $est too far from $exact")
   }
 
+  test("every GraftExtensions function is SQL-callable and matches its Column twin") {
+    graft.plans.GraftExtensions.registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val docs = t("documents").limit(50).select(col("doc_id"), col("text"))
+    docs.createOrReplaceTempView("__ext_docs")
+    val viaSql = spark.sql("""
+      SELECT doc_id,
+             shingle_hashes(text, 2) AS sh,
+             char_ngram_hashes(text, 5) AS cg,
+             simhash32(shingle_hashes(text, 2)) AS sim,
+             minhash_bands(shingle_hashes(text, 2), 4, 3) AS mb,
+             nfc_normalize(text) AS norm
+      FROM __ext_docs ORDER BY doc_id""").collect()
+    val viaApi = docs.select(col("doc_id"),
+        graft.functions.TextHash.shingleHashes(col("text"), 2).as("sh"),
+        graft.functions.TextHash.charNgramHashes(col("text"), 5).as("cg"),
+        graft.functions.TextHash.simhash32(
+          graft.functions.TextHash.shingleHashes(col("text"), 2)).as("sim"),
+        graft.functions.TextHash.minhashBands(
+          graft.functions.TextHash.shingleHashes(col("text"), 2), 4, 3).as("mb"),
+        graft.functions.UnicodeNormalizeNFC.nfcNormalize(col("text")).as("norm"))
+      .orderBy(col("doc_id")).collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    // geometry arguments must be literals — a column there is a user error
+    val e = intercept[Exception](
+      spark.sql("SELECT shingle_hashes(text, CAST(doc_id AS INT)) FROM __ext_docs").collect())
+    assert(e.getMessage.contains("integer literals"))
+  }
+
   test("KMV sketch runs unchanged as streaming state, matching the batch summary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
