@@ -42,7 +42,8 @@ object Bench {
     "q77_distinct_sketch", "q78_drift_psi",
     "t18_classifier_score", "d16_bloom_decontaminate",
     "q79_snapshot_upsert", "t19_doc_similarity", "t20_budget_select",
-    "g02_triangles", "t21_adaptive_cutoff", "m05_phash_neardup")
+    "g02_triangles", "t21_adaptive_cutoff", "m05_phash_neardup",
+    "d17_incremental_dedup")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

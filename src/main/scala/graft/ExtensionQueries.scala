@@ -32,7 +32,7 @@ object ExtensionQueries {
       s"(acc,x) -> (acc*31 + x) % $P)"
 
   /** DuckDB mirror of [[TextOps.shingleHashes]] with n=2 as a CTE body. */
-  private val featuresCte: String =
+  private[graft] val featuresCte: String =
     s"""doc_feat AS (
       SELECT doc_id, list_distinct(list_transform(
         CASE WHEN len(toks) >= 2
@@ -79,7 +79,7 @@ object ExtensionQueries {
         THEN CAST(floor(pow(2,b)) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
       (acc,y) -> acc + y)"""
 
-  private def bandSql(b: Int): String = {
+  private[graft] def bandSql(b: Int): String = {
     val m = (0 until 3).map(r => mhSql(b * 3 + r))
     s"(((${m(0)}) * 31 + (${m(1)})) % $P * 31 + (${m(2)})) % $P"
   }

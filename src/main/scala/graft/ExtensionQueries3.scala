@@ -305,6 +305,24 @@ object ExtensionQueries3 {
         .orderBy(col("vec_id"))
     }),
 
+    // Incremental dedup of a new ingest batch against the corpus's stored
+    // fingerprint index: the %4==0 slice plays the day's crawl, the rest
+    // the already-deduplicated corpus. Only delta×index and delta×delta
+    // pairs are computed — historical pairs NEVER recompute, so the
+    // per-ingest cost is O(Δ·collisions) instead of the O(n²) a full
+    // re-dedup pays (at 100 TB: minutes per day vs re-processing the
+    // lake). vs_existing separates "drop the new doc" (dup of corpus)
+    // from "keep one of the batch" (dup within the delta).
+    "d17_incremental_dedup" -> ((s, dir) => {
+      val feats = t(s, dir, "documents").select(col("doc_id").as("id"),
+        graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
+        .persist()
+      graft.operators.Dedup.incrementalCandidatePairs(
+          feats.filter(col("id") % 4 =!= 0), feats.filter(col("id") % 4 === 0),
+          bands = 4, rows = 3)
+        .orderBy(col("doc_new"), col("doc_matched"))
+    }),
+
     // Perceptual image near-dup (dHash + banded LSH): the multimodal twin
     // of d13 — images fingerprint to 64 gradient-sign bits through the
     // REAL decode/resize path (Ppm), candidates collide on 16-bit hash
@@ -739,6 +757,34 @@ object ExtensionQueries3 {
              g.dup_of, (g.dup_of IS NULL) AS kept
       FROM a${ExtensionQueries.IvfIters} f LEFT JOIN nagg g ON f.vec_id = g.vid
       ORDER BY f.vec_id""",
+
+    // Incremental-dedup replay: d03's band table split into delta/index
+    // slices, the same two joins, the same pair identities.
+    "d17_incremental_dedup" -> s"""
+      WITH ${ExtensionQueries.featuresCte},
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${ExtensionQueries.bandSql(0)} AS bh FROM doc_feat
+        UNION ALL SELECT doc_id, 1, ${ExtensionQueries.bandSql(1)} FROM doc_feat
+        UNION ALL SELECT doc_id, 2, ${ExtensionQueries.bandSql(2)} FROM doc_feat
+        UNION ALL SELECT doc_id, 3, ${ExtensionQueries.bandSql(3)} FROM doc_feat
+      ),
+      nb AS (SELECT * FROM banded WHERE doc_id % 4 = 0),
+      ob AS (SELECT * FROM banded WHERE doc_id % 4 <> 0),
+      nvo AS (
+        SELECT n.doc_id AS doc_new, o.doc_id AS doc_matched,
+               count(*) AS n_shared_bands, TRUE AS vs_existing
+        FROM nb n JOIN ob o ON n.band_idx = o.band_idx AND n.bh = o.bh
+        GROUP BY 1, 2
+      ),
+      nvn AS (
+        SELECT a.doc_id AS doc_new, b.doc_id AS doc_matched,
+               count(*) AS n_shared_bands, FALSE AS vs_existing
+        FROM nb a JOIN nb b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT * FROM (SELECT * FROM nvo UNION ALL SELECT * FROM nvn)
+      ORDER BY doc_new, doc_matched""",
 
     // dHash replay from the text-synthesized rasters (the m04 trick):
     // same 9×8 nearest sampling (x·16//9, y·9//8), same integer

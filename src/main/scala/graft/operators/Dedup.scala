@@ -42,6 +42,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Incremental [[lshCandidatePairs]]: candidates for a NEW batch against
+    * an already-deduplicated corpus. The historical side enters as its
+    * banded fingerprint INDEX — (id, band_idx, bh), the small artifact a
+    * production dedup stores and appends to — and only two joins run:
+    * delta × index and delta × delta. Historical pairs are never
+    * recomputed, so per-ingest cost is O(Δ · collisions), not O(n²) —
+    * at 100 TB the difference between deduping a day's crawl in minutes
+    * and re-deduping the corpus. `vs_existing` distinguishes "duplicate
+    * of something we already have" (drop the new doc) from "duplicate
+    * within the batch" (keep one).
+    */
+  def incrementalCandidatePairs(index: DataFrame, delta: DataFrame,
+                                bands: Int, rows: Int): DataFrame = {
+    def banded(df: DataFrame) = df.select(col("id"),
+      posexplode(graft.functions.TextHash.minhashBands(col("features"), bands, rows))
+        .as(Seq("band_idx", "bh")))
+    // the delta bands feed three join sides — persist before mirroring
+    // (the union-double-read rule, PLANS.md)
+    val nb = banded(delta).persist()
+    val newSide = nb.select(col("id").as("doc_new"), col("band_idx"), col("bh"))
+    def matches(other: DataFrame, extraCond: org.apache.spark.sql.Column,
+                vsExisting: Boolean) =
+      newSide.join(other.select(col("id").as("doc_matched"),
+          col("band_idx").as("bi"), col("bh").as("bhb")),
+          col("band_idx") === col("bi") && col("bh") === col("bhb") && extraCond)
+        .groupBy(col("doc_new"), col("doc_matched"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .withColumn("vs_existing", lit(vsExisting))
+    matches(banded(index), lit(true), vsExisting = true)
+      .unionAll(matches(nb, col("doc_new") < col("doc_matched"), vsExisting = false))
+  }
+
   /** Resolve candidate pairs into duplicate clusters: min-label propagation
     * over the pair graph for a FIXED number of rounds (deterministic plan,
     * no driver-side convergence polling — after r rounds every doc carries

@@ -150,6 +150,26 @@ class Round8Spec extends AnyFunSuite {
       s"KMV estimate $est too far from $exact")
   }
 
+  test("incremental dedup finds exactly the full-dedup pairs that touch the new batch") {
+    import graft.operators.Dedup
+    val feats = t("documents").select(col("doc_id").as("id"),
+      graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
+    val full = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = full.collect {
+      case (a, b, n) if a % 4 == 0 || b % 4 == 0 =>
+        if (a % 4 == 0) (a, b, n) else if (b % 4 == 0 && a % 4 != 0) (b, a, n)
+        else (a, b, n) // both new: canonical a<b from the full pairs
+    }
+    val got = Dedup.incrementalCandidatePairs(
+        feats.filter(col("id") % 4 =!= 0), feats.filter(col("id") % 4 === 0),
+        bands = 4, rows = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      "delta-vs-index + delta-vs-delta must cover every pair touching the delta")
+    assert(expected.nonEmpty, "fixture must exercise both branches")
+  }
+
   test("every GraftExtensions function is SQL-callable and matches its Column twin") {
     graft.plans.GraftExtensions.registrations.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
