@@ -127,6 +127,14 @@ object ExtensionQueries3 {
   private val SelBucketScale = 1024L
   private val SelBudget = 8000L
 
+  /** q80's per-group sketch size. The fixtures put every month on one
+    * side of the boundary per scale factor (sf0.001: 10 suppliers, all
+    * exact; sf0.01+: ~100 per month, all saturated), so the driver's
+    * sf0.01 run oracles the ESTIMATE regime and the smoke sf oracles the
+    * exact one.
+    */
+  private val GKmvK = 64
+
   /** q77 KMV size: k=256 gives ~6% relative error saturated, and the
     * sf0.01 fixture (2,000 distinct partkeys) genuinely saturates it —
     * the estimate exercised is the approximate regime, which stays
@@ -604,6 +612,31 @@ object ExtensionQueries3 {
                 / col("theta")), 4).as("est_distinct"))
     }),
 
+    // Grouped distinct-count sketches — "distinct suppliers per month"
+    // without a per-group distinct shuffle, the shape cardinality
+    // dashboards actually query. The SAME typed Aggregator q77 uses runs
+    // here through Spark's untyped-UDAF bridge (functions.udaf), so one
+    // implementation serves Dataset.select, DataFrame groupBy.agg, and
+    // (q77's spec) streaming state. Per-group summaries are 64 longs;
+    // partials merge up the aggregation tree exactly like any built-in
+    // agg. Both regimes replay in the oracle (bottom-k per group is
+    // still a pure function of each group's value set): the sf0.001
+    // smoke run exercises the exact side, sf0.01+ the theta estimate.
+    "q80_grouped_distinct_sketch" -> ((s, dir) => {
+      val kmvU = udaf(Kmv.sketch(GKmvK), org.apache.spark.sql.Encoders.scalaLong)
+      t(s, dir, "lineitem")
+        .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("int").as("ym"),
+          md5Hash48(col("l_suppkey")).as("h"))
+        .groupBy(col("ym")).agg(kmvU(col("h")).as("s"))
+        .select(col("ym"), col("s.n_kept").as("n_kept"), col("s.theta").as("theta"),
+          Agg.roundAt(
+            when(col("s.n_kept") < GKmvK, col("s.n_kept").cast("double"))
+              .otherwise(lit((GKmvK - 1).toDouble) * lit(math.pow(2, 48))
+                / col("s.theta")), 4).as("est_distinct"))
+        .orderBy(col("ym"))
+    }),
+
     // Cross-document duplicated-substring detection: every SpanK-token
     // window fingerprints to a rolling hash; a fingerprint seen in ≥2
     // DISTINCT documents marks a duplicated span (the k-gram recast of
@@ -757,6 +790,29 @@ object ExtensionQueries3 {
              g.dup_of, (g.dup_of IS NULL) AS kept
       FROM a${ExtensionQueries.IvfIters} f LEFT JOIN nagg g ON f.vec_id = g.vid
       ORDER BY f.vec_id""",
+
+    // Grouped-KMV replay: bottom-k per group via a partitioned rank over
+    // the distinct hashes; same estimate arithmetic as q77.
+    "q80_grouped_distinct_sketch" -> s"""
+      WITH h AS (
+        SELECT DISTINCT
+               CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER) AS ym,
+               CAST(('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        FROM lineitem
+      ),
+      rk AS (
+        SELECT ym, h, row_number() OVER (PARTITION BY ym ORDER BY h) AS rn
+        FROM h
+      ),
+      s AS (
+        SELECT ym, CAST(count(*) AS INTEGER) AS n_kept, max(h) AS theta
+        FROM rk WHERE rn <= $GKmvK GROUP BY 1
+      )
+      SELECT ym, n_kept, theta,
+             floor((CASE WHEN n_kept < $GKmvK THEN CAST(n_kept AS DOUBLE)
+                    ELSE CAST(${GKmvK - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / theta END)
+               * 10000 + 0.5) / 10000 AS est_distinct
+      FROM s ORDER BY ym""",
 
     // Incremental-dedup replay: d03's band table split into delta/index
     // slices, the same two joins, the same pair identities.
