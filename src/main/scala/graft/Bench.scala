@@ -43,7 +43,8 @@ object Bench {
     "t18_classifier_score", "d16_bloom_decontaminate",
     "q79_snapshot_upsert", "t19_doc_similarity", "t20_budget_select",
     "g02_triangles", "t21_adaptive_cutoff", "m05_phash_neardup",
-    "d17_incremental_dedup", "q80_grouped_distinct_sketch")
+    "d17_incremental_dedup", "q80_grouped_distinct_sketch",
+    "q81_change_events")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

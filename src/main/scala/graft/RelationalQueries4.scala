@@ -367,6 +367,30 @@ object RelationalQueries4 {
         .orderBy(col("lang"))
     }),
 
+    // Change-event feed across an upsert (round 8): the delete-inclusive
+    // CDC read q74 refuses — one event per inserted row and per deleted
+    // key, ordered by manifest position so replaying the feed reproduces
+    // the version transition. The summary aggregates the feed per op; an
+    // upsert's mask and rows appear as matching delete/insert counts
+    // (an UPDATE, split into its two events, as every CDC protocol
+    // transports it).
+    "q81_change_events" -> ((s, dir) => {
+      val tbl = graft.sources.Scratch.fresh(s, s"snapev_${new java.io.File(dir).getName}")
+      val docs = t(s, dir, "documents")
+      graft.sources.Snapshots.commit(s, tbl, docs)
+      val changed = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+      graft.sources.Snapshots.upsert(s, tbl, changed, Seq("doc_id"))
+      graft.sources.Snapshots.readChangeEvents(s, tbl, fromV = 1, toV = 2)
+        .groupBy(col("_op"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("doc_id")).as("n_keys"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("_op").as("op"), col("n_events"), col("n_keys"),
+          col("sum_chars"))
+        .orderBy(col("op"))
+    }),
+
     // MERGE INTO on the versioned table (round 8): a CDC-shaped batch of
     // changed rows (every doc_id % 5 == 0 document re-measured 1000 chars
     // longer) lands as ONE atomic version — an equality-delete mask plus
@@ -530,6 +554,19 @@ object RelationalQueries4 {
       FROM documents
       WHERE doc_id % 2 <> 0
       GROUP BY 1 ORDER BY 1""",
+
+    // the feed is the %5 keys twice: once as the delete mask (no data
+    // columns), once as the updated rows
+    "q81_change_events" -> """
+      SELECT 'delete' AS op, count(*) AS n_events,
+             count(DISTINCT doc_id) AS n_keys,
+             CAST(NULL AS BIGINT) AS sum_chars
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 'insert', count(*), count(DISTINCT doc_id),
+             CAST(sum(n_chars + 1000) AS BIGINT)
+      FROM documents WHERE doc_id % 5 = 0
+      ORDER BY op""",
 
     // latest-wins merge replay: the %5 rows carry the updated measure,
     // row counts unchanged (pure update, no inserts in the oracled path)

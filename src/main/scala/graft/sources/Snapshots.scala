@@ -290,10 +290,39 @@ object Snapshots {
     val added = to.filterNot(from).map(parseEntry)
     require(!added.exists(_.isDelete),
       s"a row-level delete sits between $fromV and $toV — appended dirs no " +
-        "longer tell the whole row-set story; re-baseline past the delete " +
-        "(or read both versions and diff)")
+        "longer tell the whole row-set story; use readChangeEvents (or " +
+        "re-baseline past the delete)")
     require(added.nonEmpty, s"no batches added between $fromV and $toV")
     spark.read.parquet(added.map(_.dir): _*)
+  }
+
+  /** The full change FEED between two versions — what a CDC consumer
+    * applies, delete events included (the case [[readChanges]] refuses):
+    * one row per inserted row (`_op = 'insert'`, all columns) and one per
+    * deleted key tuple (`_op = 'delete'`, key columns set, data columns
+    * null), with `_ord` the manifest position so replaying events in
+    * `_ord` order reproduces the version transition exactly (an upsert
+    * arrives as its delete mask then its rows — an UPDATE, in order).
+    * Still O(changed data): only the ADDED batch dirs are read.
+    */
+  def readChangeEvents(spark: SparkSession, tableDir: String,
+                       fromV: Int, toV: Int): DataFrame = {
+    val vs = versions(spark, tableDir)
+    require(vs.contains(fromV) && vs.contains(toV) && fromV < toV,
+      s"need committed versions fromV < toV, got $fromV -> $toV in $vs")
+    val from = readManifest(spark, tableDir, fromV).toSet
+    val to = readManifest(spark, tableDir, toV)
+    require(from.subsetOf(to.toSet),
+      s"version $fromV is not a subset of $toV — a replace/compaction " +
+        "rewrite sits between them; re-baseline on the rewritten version")
+    val added = to.filterNot(from).map(parseEntry)
+    require(added.nonEmpty, s"no batches added between $fromV and $toV")
+    added.zipWithIndex.map { case (e, i) =>
+      spark.read.parquet(e.dir)
+        .withColumn("_op", org.apache.spark.sql.functions.lit(
+          if (e.isDelete) "delete" else "insert"))
+        .withColumn("_ord", org.apache.spark.sql.functions.lit(i))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Retention: drop every version but the newest `keepLast`, then delete
