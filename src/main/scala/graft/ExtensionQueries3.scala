@@ -363,6 +363,36 @@ object ExtensionQueries3 {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // kNN-graph construction: every vector's top-3 neighbors, not just a
+    // few query points' (s01-s11 serve queries; graph-based ANN, SemDeDup
+    // refinements, and link-based diversity sampling all consume the
+    // whole GRAPH). Candidates come from the same coarse k-means cells
+    // the IVF index routes through (shared training cache with s05/s11/
+    // s12), so the pairwise term is per-cell — the nprobe=1
+    // approximation, documented: neighbors in adjacent cells are unseen,
+    // the price of never materializing all-pairs. Ranking is a window
+    // per vector over its cell's candidates (bounded by cell size).
+    "s13_knn_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val (_, assigned) = Kmeans.fit(e,
+        k = ExtensionQueries.IvfCells, iters = ExtensionQueries.IvfIters)
+      val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("cell"))
+      val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("cell").as("cell_b"))
+      val w = Window.partitionBy(col("vec_a"))
+        .orderBy(col("cos").desc, col("vec_b").asc)
+      a.join(b, col("cell") === col("cell_b") && col("vec_a") =!= col("vec_b"))
+        .withColumn("cos",
+          Agg.roundAt(VectorOps.cosineFast(col("va"), col("vb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("vec_a").as("vec_id"), col("rank"), col("vec_b").as("neighbor"),
+          col("cell"), col("cos"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // Per-language adaptive quality cutoffs (the CCNet pattern): a single
     // global quality bar systematically starves whichever languages the
     // scorer rates lower, so each language gets ITS OWN threshold — here
@@ -892,6 +922,36 @@ object ExtensionQueries3 {
              CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming,
              bit_count(xor(ph_a, ph_b)) <= 6 AS is_dup
       FROM pairs ORDER BY doc_a, doc_b""",
+
+    // kNN-graph replay: the s05 training CTEs, then within-cell pairwise
+    // + per-vector rank — the s12 pair construction with ranking instead
+    // of a drop rule.
+    "s13_knn_graph" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),${ExtensionQueries.kmTrainingCtes(
+        ExtensionQueries.IvfCells, ExtensionQueries.IvfIters)},
+      scored AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+               floor((${ExtensionQueries.dotSql("a.v", "b.v")} /
+                 (sqrt(${ExtensionQueries.dotSql("a.v", "a.v")}) *
+                  sqrt(${ExtensionQueries.dotSql("b.v", "b.v")}))) * 1000000 + 0.5)
+                 / 1000000 AS cos
+        FROM a${ExtensionQueries.IvfIters} a
+        JOIN a${ExtensionQueries.IvfIters} b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      ),
+      ranked AS (
+        SELECT vec_a, vec_b, cell, cos,
+               row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC)
+                 AS rank
+        FROM scored
+      )
+      SELECT vec_a AS vec_id, CAST(rank AS INTEGER) AS rank, vec_b AS neighbor,
+             cell, cos
+      FROM ranked WHERE rank <= 3
+      ORDER BY vec_id, rank""",
 
     // Adaptive-cutoff replay: same margin, same buckets, same per-lang
     // cumulated histogram median, same strictly-above keep rule.
