@@ -705,6 +705,32 @@ object ExtensionQueries3 {
         .orderBy(col("doc_id"))
     }),
 
+    // Pack manifest: t15 tells you HOW MANY sequences; this emits what the
+    // training loader actually needs per sequence — which documents start
+    // at which token offsets (the attention-mask boundaries that stop
+    // cross-document attention). Same per-shard cumsum, then one
+    // aggregation collecting (offset, doc) pairs sorted WITHIN the
+    // array_sort expression — deterministic output arrays, no
+    // order-dependent collect_list left exposed.
+    "t22_pack_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("start", col("cum") - col("n_tok"))
+        .withColumn("seq_id", (col("start") / lit(PackBudget.toDouble)).cast("long"))
+        .withColumn("off", col("start") - col("seq_id") * PackBudget)
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sort_array(collect_list(struct(col("off"), col("doc_id")))).as("__m"))
+        .select(col("source"), col("seq_id"), col("n_docs"),
+          transform(col("__m"), x => x.getField("doc_id")).as("doc_ids"),
+          transform(col("__m"), x => x.getField("off")).as("offsets"))
+        .orderBy(col("source"), col("seq_id"))
+    }),
+
     // Sequence packing (concat-then-chunk): documents concatenate in
     // doc_id order WITHIN their source shard and split at fixed token
     // budgets — how corpora become fixed-length training sequences. Chunk
@@ -1211,6 +1237,31 @@ object ExtensionQueries3 {
              (COALESCE(pd.n_dup_spans, CAST(0 AS BIGINT)) > 0) AS has_cross_dup
       FROM documents LEFT JOIN pd USING (doc_id)
       ORDER BY doc_id""",
+
+    // Pack-manifest replay: t15's cumsum, then ordered list aggregation
+    // per sequence (ORDER BY inside list() mirrors the array_sort).
+    "t22_pack_manifest" -> s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+        FROM documents
+      ),
+      c AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d
+      ),
+      x AS (
+        SELECT doc_id, source, n_tok, cum - n_tok AS start,
+               CAST(trunc((cum - n_tok) / $PackBudget.0) AS BIGINT) AS seq_id
+        FROM c
+      )
+      SELECT source, seq_id, count(*) AS n_docs,
+             list(doc_id ORDER BY start - seq_id * $PackBudget, doc_id) AS doc_ids,
+             list(start - seq_id * $PackBudget
+                  ORDER BY start - seq_id * $PackBudget, doc_id) AS offsets
+      FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Packing replay: same tokenization as t01, ROWS-framed cumsum, same
     // start-offset chunk arithmetic (trunc == floor for the non-negative
