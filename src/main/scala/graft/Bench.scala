@@ -44,7 +44,8 @@ object Bench {
     "q79_snapshot_upsert", "t19_doc_similarity", "t20_budget_select",
     "g02_triangles", "t21_adaptive_cutoff", "m05_phash_neardup",
     "d17_incremental_dedup", "q80_grouped_distinct_sketch",
-    "q81_change_events", "s13_knn_graph", "t22_pack_manifest")
+    "q81_change_events", "s13_knn_graph", "t22_pack_manifest",
+    "q82_table_history")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

@@ -367,6 +367,29 @@ object RelationalQueries4 {
         .orderBy(col("lang"))
     }),
 
+    // Table history audit (round 8): DESCRIBE HISTORY for the versioned
+    // table — every committed version's view re-read and summarized in
+    // one result (append, append, delete here), which is both the audit
+    // surface a lakehouse exposes and a second proof that EVERY
+    // historical version stays exactly readable (q65/q75 each pin one
+    // version; this pins them all). The version list is manifest
+    // metadata (driver-side, planner-scale); each version's summary is
+    // one aggregation.
+    "q82_table_history" -> ((s, dir) => {
+      val tbl = graft.sources.Scratch.fresh(s, s"snaphist_${new java.io.File(dir).getName}")
+      val docs = t(s, dir, "documents")
+      graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 === 0))
+      graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 =!= 0))
+      graft.sources.Snapshots.delete(s, tbl, col("lang") === "zh", Seq("doc_id"))
+      graft.sources.Snapshots.versions(s, tbl).map { v =>
+        graft.sources.Snapshots.readAsOf(s, tbl, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_chars"),
+            col("n_langs"))
+      }.reduce(_.unionAll(_)).orderBy(col("version"))
+    }),
+
     // Change-event feed across an upsert (round 8): the delete-inclusive
     // CDC read q74 refuses — one event per inserted row and per deleted
     // key, ordered by manifest position so replaying the feed reproduces
@@ -554,6 +577,20 @@ object RelationalQueries4 {
       FROM documents
       WHERE doc_id % 2 <> 0
       GROUP BY 1 ORDER BY 1""",
+
+    // v1 = even half, v2 = all, v3 = all minus zh — replayed as filters
+    "q82_table_history" -> """
+      SELECT 1 AS version, count(*) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             count(DISTINCT lang) AS n_langs
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT), count(DISTINCT lang)
+      FROM documents
+      UNION ALL
+      SELECT 3, count(*), CAST(sum(n_chars) AS BIGINT), count(DISTINCT lang)
+      FROM documents WHERE lang <> 'zh'
+      ORDER BY version""",
 
     // the feed is the %5 keys twice: once as the delete mask (no data
     // columns), once as the updated rows
