@@ -335,8 +335,7 @@ object RelationalQueries4 {
       val keys = t(s, dir, "orders").select(col("o_orderkey"))
         .orderBy(col("o_orderkey")).limit(3)
         .collect().map(_.getLong(0)).toSeq
-      val files = Layout.bloomFilesFor(s, idx, keys, mBits = BloomBits, k = BloomK)
-      s.read.parquet(files: _*)
+      Layout.bloomScan(s, tmp, idx, keys, mBits = BloomBits, k = BloomK)
         .filter(col("o_orderkey").isin(keys: _*))
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n"),

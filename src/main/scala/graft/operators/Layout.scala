@@ -165,6 +165,23 @@ object Layout {
       .collect().map(_.getString(0)).toSeq
   }
 
+  /** The bloom-indexed point-lookup read, end to end: scan ONLY the
+    * candidate files for `keys`. Hardened for the absent-key case — when
+    * the index proves no file can hold any key, `spark.read.parquet`
+    * cannot take an empty path list, so the scan degrades to an empty
+    * frame with the TABLE's schema (a lookup for a key that never
+    * existed must return zero rows, not crash the planner).
+    */
+  def bloomScan(spark: SparkSession, dir: String, index: DataFrame,
+                keys: Seq[Long], mBits: Int, k: Int): DataFrame = {
+    val files = bloomFilesFor(spark, index, keys, mBits, k)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(dir).schema)
+    else spark.read.parquet(files: _*)
+  }
+
   /** Compact a parquet directory of many small files into
     * ceil(totalBytes / targetBytes) files at `dstDir`. Uses `coalesce`
     * (narrow — each output task concatenates input splits, no shuffle):

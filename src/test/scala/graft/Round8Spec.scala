@@ -248,6 +248,17 @@ class Round8Spec extends AnyFunSuite {
     val direct = spark.read.parquet(tmp)
       .filter(col("o_orderkey").isin(keys: _*)).count()
     assert(viaIndex == direct && direct > 0)
+    // absent-key lookups return zero rows (never crash), including the
+    // no-candidate-files branch spark.read.parquet can't express
+    val absent = keys.max + 999983L
+    val miss = Layout.bloomScan(spark, tmp, idx, Seq(absent), mBits = m, k = k)
+      .filter(col("o_orderkey") === absent)
+    assert(miss.count() == 0)
+    val noFiles = Layout.bloomScan(spark, tmp,
+      idx.filter(lit(false)), Seq(absent), mBits = m, k = k)
+    assert(noFiles.count() == 0 &&
+      noFiles.schema == spark.read.parquet(tmp).schema,
+      "empty candidate set must yield an empty, correctly-typed frame")
   }
 
   test("row-level delete: masks without rewriting, time travel intact, reappend wins, compaction folds") {
