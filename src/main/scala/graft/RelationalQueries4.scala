@@ -366,6 +366,43 @@ object RelationalQueries4 {
         .orderBy(col("lang"))
     }),
 
+    // Corrupt-tolerant JSON ingestion (round 8): web-scale feeds are
+    // never clean, and a reader that dies on the first malformed line
+    // cannot ingest a crawl. Every doc_id % 7 == 0 line is written
+    // deliberately broken (truncated JSON); the PERMISSIVE read captures
+    // them in a _corrupt column instead of failing, and the summary
+    // reports good rows per lang plus the quarantine count — the
+    // good-vs-quarantined split a real ingest routes to separate sinks.
+    // The oracle recomputes both sides from the raw table, so a line
+    // misclassified in either direction fails the hash.
+    "q83_corrupt_json" -> ((s, dir) => {
+      val tmp = graft.sources.Scratch.fresh(s, s"cjson_${new java.io.File(dir).getName}")
+      t(s, dir, "documents")
+        .select(when(col("doc_id") % 7 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": TRUNC")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .as("value"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").text(tmp)
+      // persisted for two reasons: the good/bad branches both consume it,
+      // and Spark refuses corrupt-column-only predicates against a raw
+      // file scan (the column exists only after parsing materializes)
+      val parsed = s.read
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(tmp)
+        .persist()
+      val good = parsed.filter(col("_corrupt").isNull)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_good"), sum(col("n_chars")).as("sum_chars"))
+      val bad = parsed.filter(col("_corrupt").isNotNull)
+        .agg(count(lit(1)).as("n_good")) // row shape below: lang='__corrupt'
+        .select(lit("__corrupt").as("lang"), col("n_good"),
+          lit(null).cast("long").as("sum_chars"))
+      good.unionByName(bad).orderBy(col("lang"))
+    }),
+
     // Table history audit (round 8): DESCRIBE HISTORY for the versioned
     // table — every committed version's view re-read and summarized in
     // one result (append, append, delete here), which is both the audit
@@ -576,6 +613,17 @@ object RelationalQueries4 {
       FROM documents
       WHERE doc_id % 2 <> 0
       GROUP BY 1 ORDER BY 1""",
+
+    // good rows are the non-%7 slice per lang; the quarantine row counts
+    // the deliberately-broken lines
+    "q83_corrupt_json" -> """
+      SELECT lang, count(*) AS n_good, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE doc_id % 7 <> 0
+      GROUP BY 1
+      UNION ALL
+      SELECT '__corrupt', count(*), CAST(NULL AS BIGINT)
+      FROM documents WHERE doc_id % 7 = 0
+      ORDER BY lang""",
 
     // v1 = even half, v2 = all, v3 = all minus zh — replayed as filters
     "q82_table_history" -> """
