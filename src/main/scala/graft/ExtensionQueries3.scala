@@ -642,6 +642,40 @@ object ExtensionQueries3 {
                 / col("theta")), 4).as("est_distinct"))
     }),
 
+    // First-touch purchase attribution: each purchase credits the user's
+    // most recent preceding view/click within 24h — the as-of-join (q27)
+    // semantics recast as ONE carried-forward keyed window instead of a
+    // join (touches and conversions interleave in the same per-user
+    // event order, so `last(touch, ignoreNulls)` over that order IS the
+    // as-of lookup, with no second shuffle and no range-join blowup).
+    // Ties at the same timestamp sort the touch first — a same-instant
+    // touch gets credit, deterministically. Scale shape: one shuffle on
+    // user_id; everything else is per-partition window arithmetic.
+    "e08_attribution" -> ((s, dir) => {
+      val sec = col("ts").cast("double")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("__tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .withColumn("__tag",
+          when(col("event_type").isin("view", "click"), 0).otherwise(1))
+        .withColumn("__touch_sec",
+          last(when(col("__tag") === 0, sec), ignoreNulls = true).over(w))
+        .withColumn("__touch_type",
+          last(when(col("__tag") === 0, col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("attribution",
+          when(col("__touch_sec").isNotNull &&
+              (sec - col("__touch_sec")) <= 86400.0, col("__touch_type"))
+            .otherwise(lit("none")))
+        .groupBy(col("attribution"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Agg.roundAt(Agg.decSum(col("value")), 2).as("total_value"))
+        .orderBy(col("attribution"))
+    }),
+
     // Grouped distinct-count sketches — "distinct suppliers per month"
     // without a per-group distinct shuffle, the shape cardinality
     // dashboards actually query. The SAME typed Aggregator q77 uses runs
@@ -846,6 +880,32 @@ object ExtensionQueries3 {
              g.dup_of, (g.dup_of IS NULL) AS kept
       FROM a${ExtensionQueries.IvfIters} f LEFT JOIN nagg g ON f.vec_id = g.vid
       ORDER BY f.vec_id""",
+
+    // Attribution replay: same per-user order (ts, touch-first, event_id),
+    // same carried-forward IGNORE NULLS window, same 24h rule.
+    "e08_attribution" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               epoch(CAST(ts AS TIMESTAMP)) AS sec, event_type, value,
+               CASE WHEN event_type IN ('view', 'click') THEN 0 ELSE 1 END AS tag
+        FROM events
+      ),
+      m AS (
+        SELECT *,
+               last_value(CASE WHEN tag = 0 THEN sec END IGNORE NULLS) OVER w AS touch_sec,
+               last_value(CASE WHEN tag = 0 THEN event_type END IGNORE NULLS) OVER w AS touch_type
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ),
+      p AS (
+        SELECT CASE WHEN touch_sec IS NOT NULL AND sec - touch_sec <= 86400.0
+                    THEN touch_type ELSE 'none' END AS attribution, value
+        FROM m WHERE event_type = 'purchase'
+      )
+      SELECT attribution, count(*) AS n_purchases,
+             floor(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) * 100 + 0.5) / 100
+               AS total_value
+      FROM p GROUP BY 1 ORDER BY 1""",
 
     // Grouped-KMV replay: bottom-k per group via a partitioned rank over
     // the distinct hashes; same estimate arithmetic as q77.
