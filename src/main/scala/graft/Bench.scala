@@ -45,7 +45,8 @@ object Bench {
     "g02_triangles", "t21_adaptive_cutoff", "m05_phash_neardup",
     "d17_incremental_dedup", "q80_grouped_distinct_sketch",
     "q81_change_events", "s13_knn_graph", "t22_pack_manifest",
-    "q82_table_history", "q83_corrupt_json", "e08_attribution")
+    "q82_table_history", "q83_corrupt_json", "e08_attribution",
+    "s14_matryoshka_eval")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

@@ -46,7 +46,7 @@ object ExtensionQueries2 {
   /** dotSql generalized to `dims` and shared lambda shape with
     * [[VectorOps.dot]] (sequential fold, so doubles agree bit-for-bit).
     */
-  private def dotSqlN(a: String, b: String, dims: Int): String =
+  private[graft] def dotSqlN(a: String, b: String, dims: Int): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1,${dims + 1}), i -> $a[i] * $b[i])), (acc,x) -> acc + x)"
 

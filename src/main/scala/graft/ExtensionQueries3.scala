@@ -363,6 +363,47 @@ object ExtensionQueries3 {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Matryoshka truncation evaluation: how much search fidelity survives
+    // keeping only the first 16/32 of 64 embedding dims — the
+    // accept/reject gate for MRL-style dimension cuts, which at 100 TB
+    // are a 2-4× index-size and bandwidth lever (the same lever PQ pulls
+    // by quantizing; this one cuts dims instead). Per truncation k: the
+    // mean absolute cosine deviation from the full vectors (fixed-point
+    // mean, partition-order-proof) and top-5 overlap with the full
+    // ranking on the s01 query set. One scored frame feeds every k —
+    // the deviations are plain columns, the rankings per-(query) windows.
+    "s14_matryoshka_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      def cosK(k: Int) = VectorOps.cosineFast(
+        slice(col("v"), 1, k), slice(col("qv"), 1, k))
+      def wK(c: String) = Window.partitionBy(col("query_id"))
+        .orderBy(col(c).desc, col("vec_id").asc)
+      val ks = Seq(16, 32, 64)
+      val scored = ks.foldLeft(
+          e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("query_id"))) {
+          case (df, k) => df.withColumn(s"cos$k", cosK(k))
+        }
+      val ranked = ks.foldLeft(scored) { case (df, k) =>
+          df.withColumn(s"r$k", row_number().over(wK(s"cos$k")))
+        }.persist() // one scored+ranked frame serves all three k summaries
+      ks.map { k =>
+        ranked.agg(
+            count(lit(1)).as("__n"),
+            sum(floor(abs(col(s"cos$k") - col("cos64")) * lit(1e9)).cast("long"))
+              .as("__sfp"),
+            sum((col(s"r$k") <= 5 && col("r64") <= 5).cast("long")).as("n_top5_hits"))
+          .select(lit(k).as("k"),
+            Agg.roundAt(col("__sfp").cast("double") / lit(1e9) / col("__n"), 6)
+              .as("mean_cos_dev"),
+            col("n_top5_hits"),
+            Agg.roundAt(col("n_top5_hits").cast("double") / lit(15.0), 4)
+              .as("recall_at_5"))
+      }.reduce(_.unionAll(_)).orderBy(col("k"))
+    }),
+
     // kNN-graph construction: every vector's top-3 neighbors, not just a
     // few query points' (s01-s11 serve queries; graph-based ANN, SemDeDup
     // refinements, and link-based diversity sampling all consume the
@@ -1008,6 +1049,48 @@ object ExtensionQueries3 {
              CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming,
              bit_count(xor(ph_a, ph_b)) <= 6 AS is_dup
       FROM pairs ORDER BY doc_a, doc_b""",
+
+    // Matryoshka replay: truncated cosines via sliced dot folds, same
+    // fixed-point deviation mean, same per-query rank windows.
+    "s14_matryoshka_eval" -> {
+      // dotSqlN already bounds the fold to the first k elements, so the
+      // truncated cosine needs no slice — index, don't copy
+      def cosSql(k: Int) =
+        s"(${ExtensionQueries2.dotSqlN("e.v", "q.qv", k)} / " +
+          s"(sqrt(${ExtensionQueries2.dotSqlN("e.v", "e.v", k)}) * " +
+          s"sqrt(${ExtensionQueries2.dotSqlN("q.qv", "q.qv", k)})))"
+      val perK = Seq(16, 32, 64).map { k =>
+        s"""
+      SELECT $k AS k,
+             floor((CAST(sum(CAST(floor(abs(cos$k - cos64) * 1000000000) AS BIGINT)) AS DOUBLE)
+               / 1000000000 / count(*)) * 1000000 + 0.5) / 1000000 AS mean_cos_dev,
+             CAST(sum(CASE WHEN r$k <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_top5_hits,
+             floor((CAST(sum(CASE WHEN r$k <= 5 AND r64 <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(15 AS DOUBLE)) * 10000 + 0.5) / 10000 AS recall_at_5
+      FROM ranked"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      qq AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id <= 2),
+      scored AS (
+        SELECT e.vec_id, q.query_id,
+               ${cosSql(16)} AS cos16, ${cosSql(32)} AS cos32, ${cosSql(64)} AS cos64
+        FROM emb e CROSS JOIN qq q
+        WHERE e.vec_id <> q.query_id
+      ),
+      ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos16 DESC, vec_id ASC) AS r16,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos32 DESC, vec_id ASC) AS r32,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos64 DESC, vec_id ASC) AS r64
+        FROM scored
+      )
+      SELECT * FROM ($perK) ORDER BY k"""
+    },
 
     // kNN-graph replay: the s05 training CTEs, then within-cell pairwise
     // + per-vector rank — the s12 pair construction with ranking instead
