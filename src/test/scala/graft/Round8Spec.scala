@@ -150,6 +150,70 @@ class Round8Spec extends AnyFunSuite {
       s"KMV estimate $est too far from $exact")
   }
 
+  test("t20 budget selection: greedy-prefix properties hold on the selected set") {
+    // re-derive the selected DOCUMENT set via the oracle's naive spelling
+    // (score desc, id asc, running sum <= budget) and check the engine's
+    // per-lang summary aggregates exactly it — plus the two properties
+    // that make it a greedy prefix: within budget, and maximal
+    val q = SparkEntry.queries
+    val summary = q("t20_budget_select")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // naive reference: rank all docs globally
+    val scored = q("t18_classifier_score")(spark, dir)
+      .select(col("doc_id"), col("margin")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val toks = t("documents")
+      .select(col("doc_id"), col("lang"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+    val order = toks.sortBy { case (id, _) => (-scored(id), id) }
+    val budget = 8000L
+    var cum = 0L
+    val kept = order.takeWhile { case (_, (_, n)) => { cum += n; cum <= budget } }
+    val perLang = kept.groupBy(_._2._1).map { case (l, xs) =>
+      l -> (xs.size.toLong, xs.map(_._2._2).sum) }
+    assert(summary.map { case (l, (n, t)) => l -> (n, t) } == perLang,
+      "engine bucket-threshold selection must equal the naive greedy prefix")
+    val total = kept.map(_._2._2).sum
+    assert(total <= budget, "selection exceeds the token budget")
+    val next = order.drop(kept.length).headOption
+    next.foreach { case (_, (_, n)) =>
+      assert(total + n > budget, "selection is not maximal — the next doc fits") }
+  }
+
+  test("q78 PSI: identical distributions score exactly zero") {
+    val tbl = Scratch.fresh(spark, "spec_psi_zero")
+    val docs = t("documents")
+    Snapshots.commit(spark, tbl, docs)
+    Snapshots.commit(spark, tbl, docs.limit(0)) // v2 adds nothing
+    def hist(v: Int) = Snapshots.readAsOf(spark, tbl, v)
+      .select(least(lit(15), floor(col("n_chars") / lit(64.0)).cast("int")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val (h1, h2) = (hist(1), hist(2))
+    assert(h1 == h2)
+    // p == q in every bin -> every contribution ln(1)*(0) == 0
+    val psi = h1.keys.map { b =>
+      val p = h1(b).toDouble / h1.values.sum
+      val q = h2(b).toDouble / h2.values.sum
+      (p - q) * math.log(p / q)
+    }.sum
+    assert(psi == 0.0)
+  }
+
+  test("s13 kNN graph: k-bounded, irreflexive, and neighbors share the vector's cell") {
+    val g = SparkEntry.queries("s13_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(g.nonEmpty)
+    assert(g.forall { case (v, _, n, _) => v != n }, "self-edges are forbidden")
+    val perVec = g.groupBy(_._1)
+    assert(perVec.values.forall(xs => xs.length <= 3 &&
+      xs.map(_._2).sorted.sameElements(1 to xs.length)),
+      "ranks must be dense 1..k with k <= 3")
+    // a vector's listed cell is consistent across its rows
+    assert(perVec.values.forall(xs => xs.map(_._4).distinct.length == 1))
+  }
+
   test("incremental dedup finds exactly the full-dedup pairs that touch the new batch") {
     import graft.operators.Dedup
     val feats = t("documents").select(col("doc_id").as("id"),
