@@ -785,8 +785,11 @@ object ExtensionQueries3 {
     // at which token offsets (the attention-mask boundaries that stop
     // cross-document attention). Same per-shard cumsum, then one
     // aggregation collecting (offset, doc) pairs sorted WITHIN the
-    // array_sort expression — deterministic output arrays, no
-    // order-dependent collect_list left exposed.
+    // array_sort expression. The manifest columns are emitted as
+    // comma-joined STRINGS, not arrays — the correctness harness
+    // canonicalizes rows by sorting every output column, and array
+    // cells are not sortable there; long→string is deterministic in
+    // both engines so the hash gate stays exact.
     "t22_pack_manifest" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -801,8 +804,10 @@ object ExtensionQueries3 {
         .agg(count(lit(1)).as("n_docs"),
           sort_array(collect_list(struct(col("off"), col("doc_id")))).as("__m"))
         .select(col("source"), col("seq_id"), col("n_docs"),
-          transform(col("__m"), x => x.getField("doc_id")).as("doc_ids"),
-          transform(col("__m"), x => x.getField("off")).as("offsets"))
+          array_join(transform(col("__m"),
+            x => x.getField("doc_id").cast("string")), ",").as("doc_ids"),
+          array_join(transform(col("__m"),
+            x => x.getField("off").cast("string")), ",").as("offsets"))
         .orderBy(col("source"), col("seq_id"))
     }),
 
@@ -1381,8 +1386,9 @@ object ExtensionQueries3 {
       FROM documents LEFT JOIN pd USING (doc_id)
       ORDER BY doc_id""",
 
-    // Pack-manifest replay: t15's cumsum, then ordered list aggregation
-    // per sequence (ORDER BY inside list() mirrors the array_sort).
+    // Pack-manifest replay: t15's cumsum, then ordered string_agg per
+    // sequence (ORDER BY inside string_agg mirrors the array_sort);
+    // comma-joined strings keep the output comparator-sortable.
     "t22_pack_manifest" -> s"""
       WITH d AS (
         SELECT doc_id, source,
@@ -1401,8 +1407,9 @@ object ExtensionQueries3 {
         FROM c
       )
       SELECT source, seq_id, count(*) AS n_docs,
-             list(doc_id ORDER BY start - seq_id * $PackBudget, doc_id) AS doc_ids,
-             list(start - seq_id * $PackBudget
+             string_agg(CAST(doc_id AS VARCHAR), ','
+                  ORDER BY start - seq_id * $PackBudget, doc_id) AS doc_ids,
+             string_agg(CAST(start - seq_id * $PackBudget AS VARCHAR), ','
                   ORDER BY start - seq_id * $PackBudget, doc_id) AS offsets
       FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 

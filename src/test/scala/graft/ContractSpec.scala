@@ -30,4 +30,22 @@ class ContractSpec extends AnyFunSuite {
       assert(fn(spark, dir).schema == fn(spark, dir).schema)
     }
   }
+
+  // The correctness harness canonicalizes result rows by pandas-sorting
+  // every output column; array/map cells are unhashable there, so a query
+  // emitting them is silently UNVERIFIED (r8's t22). Forbid the shape:
+  // flatten (inline/explode) or join to strings before returning.
+  test("no registered query emits top-level array/map output columns") {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val bad = fn(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] => f.name
+      }
+      if (bad.isEmpty) None else Some(s"$name(${bad.mkString(",")})")
+    }
+    assert(offenders.isEmpty,
+      s"comparator-unsafe output schemas: ${offenders.mkString("; ")}")
+  }
 }
