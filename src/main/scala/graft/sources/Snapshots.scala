@@ -99,8 +99,10 @@ object Snapshots {
     * the corpus; the debt is paid once, by the next [[compactLatest]],
     * which folds the masks into data and drops the delete entries.
     * `keyCols` must identify rows (the table's natural key): masking is by
-    * key equality, so a non-key column would over-delete. Returns the new
-    * version.
+    * key equality, so a non-key column would over-delete. Key equality is
+    * NULL-SAFE (`<=>` in [[readAsOf]]), so rows whose key columns hold
+    * NULL are deletable like any others — a plain equi-join would skip
+    * them silently. Returns the new version.
     */
   def delete(spark: SparkSession, tableDir: String,
              predicate: org.apache.spark.sql.Column,
@@ -255,7 +257,16 @@ object Snapshots {
         val base = acc.getOrElse(throw new IllegalStateException(
           s"manifest $v at $tableDir lists a delete before any data"))
         val keys = spark.read.parquet(d)
-        acc = Some(base.join(keys, keys.columns.toSeq, "left_anti"))
+        // null-safe equality (<=>), not a plain equi-anti-join: with `=`,
+        // a data row carrying a NULL key column can NEVER match a delete
+        // tuple (NULL = x is NULL), so a GDPR-style delete would silently
+        // skip it forever, and a NULL key tuple in the sidecar would mask
+        // nothing. <=> treats NULL as a value, so NULL-keyed rows delete
+        // and upsert exactly like any other key. Still an equi-join to
+        // the planner (EqualNullSafe is an extractable join key), so the
+        // small sidecar side broadcasts as before.
+        val cond = keys.columns.map(c => base(c) <=> keys(c)).reduce(_ && _)
+        acc = Some(base.join(keys, cond, "left_anti"))
     }
     flush()
     acc.get

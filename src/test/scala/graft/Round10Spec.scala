@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Scratch, Snapshots}
+
+/** Round-10 properties the hash oracles can't see: NULL-keyed rows are
+  * first-class citizens of the merge-on-read delete/upsert path (a plain
+  * equi-anti-join would leak them past every delete forever).
+  */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("snapshot delete masks NULL-keyed rows (null-safe <=> anti-join)") {
+    val tbl = Scratch.fresh(spark, "spec_snap_null_delete")
+    val rows = Seq(
+      (Option(1L), "keep-1"),
+      (Option(2L), "delete-me"),
+      (Option.empty[Long], "null-key-delete-me"),
+      (Option.empty[Long], "null-key-delete-me-too"),
+      (Option(3L), "keep-3")
+    ).toDF("id", "payload")
+    Snapshots.commit(spark, tbl, rows)
+    // predicate matches the id=2 row AND both NULL-keyed rows; with a
+    // non-null-safe mask the NULL-keyed rows would silently survive
+    Snapshots.delete(spark, tbl, col("payload").contains("delete-me"), Seq("id"))
+    val left = Snapshots.readLatest(spark, tbl)
+      .select("payload").as[String].collect().toSet
+    assert(left == Set("keep-1", "keep-3"),
+      s"NULL-keyed rows must be masked by a key delete, got $left")
+  }
+
+  test("snapshot upsert replaces a NULL-keyed row instead of duplicating it") {
+    val tbl = Scratch.fresh(spark, "spec_snap_null_upsert")
+    Snapshots.commit(spark, tbl, Seq(
+      (Option(1L), "v1-of-1"), (Option.empty[Long], "v1-of-null")
+    ).toDF("id", "payload"))
+    Snapshots.upsert(spark, tbl, Seq(
+      (Option.empty[Long], "v2-of-null"), (Option(2L), "v1-of-2")
+    ).toDF("id", "payload"), Seq("id"))
+    val got = Snapshots.readLatest(spark, tbl)
+      .select("payload").as[String].collect().toSet
+    assert(got == Set("v1-of-1", "v2-of-null", "v1-of-2"),
+      s"upsert must mask the old NULL-keyed row exactly once, got $got")
+  }
+
+  test("snapshot delete of a non-NULL key never over-deletes NULL-keyed rows") {
+    // the converse direction: <=> must not make a concrete key tuple
+    // match NULL-keyed data rows
+    val tbl = Scratch.fresh(spark, "spec_snap_null_preserve")
+    Snapshots.commit(spark, tbl, Seq(
+      (Option(7L), "dead"), (Option.empty[Long], "alive-null")
+    ).toDF("id", "payload"))
+    Snapshots.delete(spark, tbl, col("id") === 7L, Seq("id"))
+    val got = Snapshots.readLatest(spark, tbl)
+      .select("payload").as[String].collect().toSet
+    assert(got == Set("alive-null"))
+  }
+}
