@@ -18,6 +18,50 @@ object ExtensionQueries3 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** s13's whole-corpus kNN graph, parameterized by probe width (the spec
+    * compares nprobe widths; the registered query runs the IVF default).
+    *
+    * Candidates come from the same coarse k-means cells the IVF index
+    * routes through (shared training cache with s05/s11/s12), and every
+    * vector multi-probes its `nprobe` nearest final centroids — the s05
+    * query routing applied corpus-side. nprobe=1 (the pre-r10 shape) only
+    * paired vectors within their own posting cell, so a vector sitting on
+    * a cell boundary silently lost true neighbors assigned one cell over;
+    * nprobe=2 recovers exactly those. Still no all-pairs term: the
+    * candidate join is probe-cells × posting-lists, O(nprobe · Σcell²)
+    * pairs, and each (a,b) pair arises at most once because b's posting
+    * cell is unique among a's distinct probe cells. Ranking is a window
+    * per vector over its probed candidates (bounded by nprobe × cell
+    * size); ranks order by the ROUNDED cosine so both engines break ties
+    * identically.
+    */
+  private[graft] def knnGraph(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    val (cent, assigned) = Kmeans.fit(e,
+      k = ExtensionQueries.IvfCells, iters = ExtensionQueries.IvfIters)
+    val wProbe = Window.partitionBy(col("vec_a"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", VectorOps.cosineFast(col("va"), col("cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_a"), col("va"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("cell").as("cell_b"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cos").desc, col("vec_b").asc)
+    probes.join(b, col("cell") === col("cell_b") && col("vec_a") =!= col("vec_b"))
+      .withColumn("cos",
+        Agg.roundAt(VectorOps.cosineFast(col("va"), col("vb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vec_a").as("vec_id"), col("rank"), col("vec_b").as("neighbor"),
+        col("cell_b").as("cell"), col("cos"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Portable 16-bit uniform hash: the first four hex digits of md5(text)
     * assembled positionally (the d12 split-bucket trick widened from 4 to
     * 16 bits — finer-grained sampling rates). Identical text ↔ identical
@@ -333,9 +377,14 @@ object ExtensionQueries3 {
 
     // Perceptual image near-dup (dHash + banded LSH): the multimodal twin
     // of d13 — images fingerprint to 64 gradient-sign bits through the
-    // REAL decode/resize path (Ppm), candidates collide on 16-bit hash
-    // bands (the d13 pigeonhole: hamming ≤ 3 guarantees a shared band),
-    // and exact hamming verifies. No all-pairs term: the pair join is a
+    // REAL decode/resize path (Ppm), candidates collide on 8-bit hash
+    // bands, and exact hamming verifies. Band width is dictated by the
+    // dup threshold: 8 bands × 8 bits pigeonholes every pair at hamming
+    // ≤ 7 into at least one shared band, so the `is_dup` (hamming ≤ 6)
+    // verdict below is complete — no qualifying pair can be silently
+    // dropped at candidate generation. (4 × 16-bit bands, the pre-r10
+    // shape, only guaranteed ≤ 3: a pair at distance 4-6 spread one bit
+    // per band never collided.) No all-pairs term: the pair join is a
     // bucketed equi-join on (band, value). The oracle replays the entire
     // pixel pipeline from the text-synthesized rasters — resize sampling,
     // integer grayscale, every gradient bit — so a one-pixel drift in the
@@ -345,8 +394,8 @@ object ExtensionQueries3 {
           graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .toDF().persist() // both band-join sides read it
       val banded = hashes.select(col("doc_id"), col("phash"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("band_idx"),
-          shiftrightunsigned(col("phash"), 16 * b).bitwiseAND(lit(65535L))
+        explode(array((0 until 8).map(b => struct(lit(b).as("band_idx"),
+          shiftrightunsigned(col("phash"), 8 * b).bitwiseAND(lit(255L))
             .as("bv"))): _*)).as("g"))
         .select(col("doc_id"), col("phash"), col("g.band_idx"), col("g.bv"))
       val a = banded.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"),
@@ -407,32 +456,9 @@ object ExtensionQueries3 {
     // kNN-graph construction: every vector's top-3 neighbors, not just a
     // few query points' (s01-s11 serve queries; graph-based ANN, SemDeDup
     // refinements, and link-based diversity sampling all consume the
-    // whole GRAPH). Candidates come from the same coarse k-means cells
-    // the IVF index routes through (shared training cache with s05/s11/
-    // s12), so the pairwise term is per-cell — the nprobe=1
-    // approximation, documented: neighbors in adjacent cells are unseen,
-    // the price of never materializing all-pairs. Ranking is a window
-    // per vector over its cell's candidates (bounded by cell size).
-    "s13_knn_graph" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id"),
-        VectorOps.toDouble(col("embedding")).as("v"))
-      val (_, assigned) = Kmeans.fit(e,
-        k = ExtensionQueries.IvfCells, iters = ExtensionQueries.IvfIters)
-      val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("va"),
-        col("cell"))
-      val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-        col("cell").as("cell_b"))
-      val w = Window.partitionBy(col("vec_a"))
-        .orderBy(col("cos").desc, col("vec_b").asc)
-      a.join(b, col("cell") === col("cell_b") && col("vec_a") =!= col("vec_b"))
-        .withColumn("cos",
-          Agg.roundAt(VectorOps.cosineFast(col("va"), col("vb")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("vec_a").as("vec_id"), col("rank"), col("vec_b").as("neighbor"),
-          col("cell"), col("cos"))
-        .orderBy(col("vec_id"), col("rank"))
-    }),
+    // whole GRAPH). Multi-probe (nprobe=2) since r10 — see [[knnGraph]].
+    "s13_knn_graph" -> ((s, dir) =>
+      knnGraph(s, dir, nprobe = ExtensionQueries.IvfProbe)),
 
     // Per-language adaptive quality cutoffs (the CCNet pattern): a single
     // global quality bar systematically starves whichever languages the
@@ -1040,8 +1066,8 @@ object ExtensionQueries3 {
       ),
       banded AS (
         SELECT doc_id, phash, CAST(b AS INTEGER) AS band_idx,
-               (phash >> (16 * CAST(b AS INTEGER))) & 65535 AS bv
-        FROM ph CROSS JOIN range(0, 4) t(b)
+               (phash >> (8 * CAST(b AS INTEGER))) & 255 AS bv
+        FROM ph CROSS JOIN range(0, 8) t(b)
       ),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1097,24 +1123,36 @@ object ExtensionQueries3 {
       SELECT * FROM ($perK) ORDER BY k"""
     },
 
-    // kNN-graph replay: the s05 training CTEs, then within-cell pairwise
-    // + per-vector rank — the s12 pair construction with ranking instead
-    // of a drop rule.
+    // kNN-graph replay: the s05 training CTEs, then the s05 probe routing
+    // applied to EVERY vector (nprobe=2 against the final centroids),
+    // then probe-cell × posting-list pairwise + per-vector rank — the s12
+    // pair construction with ranking instead of a drop rule.
     "s13_knn_graph" -> s"""
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
       ),${ExtensionQueries.kmTrainingCtes(
         ExtensionQueries.IvfCells, ExtensionQueries.IvfIters)},
+      probes AS (
+        SELECT vec_a, va, cell FROM (
+          SELECT e.vec_id AS vec_a, e.v AS va, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   (${ExtensionQueries.dotSql("e.v", "c.cv")} /
+                    (sqrt(${ExtensionQueries.dotSql("e.v", "e.v")}) *
+                     sqrt(${ExtensionQueries.dotSql("c.cv", "c.cv")}))) DESC,
+                   c.cell ASC) AS prn
+          FROM e CROSS JOIN c${ExtensionQueries.IvfIters} c
+        ) p WHERE prn <= ${ExtensionQueries.IvfProbe}
+      ),
       scored AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
-               floor((${ExtensionQueries.dotSql("a.v", "b.v")} /
-                 (sqrt(${ExtensionQueries.dotSql("a.v", "a.v")}) *
+        SELECT p.vec_a, b.vec_id AS vec_b, b.cell,
+               floor((${ExtensionQueries.dotSql("p.va", "b.v")} /
+                 (sqrt(${ExtensionQueries.dotSql("p.va", "p.va")}) *
                   sqrt(${ExtensionQueries.dotSql("b.v", "b.v")}))) * 1000000 + 0.5)
                  / 1000000 AS cos
-        FROM a${ExtensionQueries.IvfIters} a
+        FROM probes p
         JOIN a${ExtensionQueries.IvfIters} b
-          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          ON p.cell = b.cell AND p.vec_a <> b.vec_id
       ),
       ranked AS (
         SELECT vec_a, vec_b, cell, cos,

@@ -46,6 +46,33 @@ class Round10Spec extends AnyFunSuite {
       s"upsert must mask the old NULL-keyed row exactly once, got $got")
   }
 
+  test("m05 banding completeness: every hamming<=7 pair shares an 8-bit band") {
+    // the pigeonhole m05's is_dup (hamming <= 6) verdict rests on: 8
+    // bands x 8 bits means <= 7 differing bits cannot touch all 8 bands,
+    // so candidate generation is complete for the threshold. Randomized
+    // over seeds + flip counts, plus the exact adversarial pair the old
+    // 4x16 banding missed.
+    def bands8(h: Long): Set[(Int, Long)] =
+      (0 until 8).map(b => b -> ((h >>> (8 * b)) & 255L)).toSet
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5000) {
+      val base = rnd.nextLong()
+      val flips = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(8))
+      val other = flips.foldLeft(base)((h, p) => h ^ (1L << p))
+      assert((bands8(base) intersect bands8(other)).nonEmpty,
+        s"hamming<=7 pair with no shared 8-bit band: $base vs $other")
+    }
+    // hamming-6 pair touching all four 16-bit half-words: the pre-r10
+    // 4x16 banding generated NO candidate for it; 8x8 must
+    val a = 0L
+    val b = Seq(0, 1, 16, 32, 33, 48).foldLeft(a)((h, p) => h ^ (1L << p))
+    val old4x16 = (0 until 4).map(i => i -> ((a >>> (16 * i)) & 65535L)).toSet
+    val old4x16b = (0 until 4).map(i => i -> ((b >>> (16 * i)) & 65535L)).toSet
+    assert((old4x16 intersect old4x16b).isEmpty, "fixture must be the old blind spot")
+    assert(java.lang.Long.bitCount(a ^ b) == 6)
+    assert((bands8(a) intersect bands8(b)).nonEmpty)
+  }
+
   test("snapshot delete of a non-NULL key never over-deletes NULL-keyed rows") {
     // the converse direction: <=> must not make a concrete key tuple
     // match NULL-keyed data rows
