@@ -31,6 +31,12 @@ object ExtensionQueries {
       s"list_transform(string_split($x,''), ch -> CAST(ascii(ch) AS BIGINT))), " +
       s"(acc,x) -> (acc*31 + x) % $P)"
 
+  /** DuckDB mirror of [[TextOps.charHash2]] (the independent second hash). */
+  private[graft] def ch2Sql(x: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($x,''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"(acc,x) -> (acc*131 + x) % ${TextOps.P2})"
+
   /** DuckDB mirror of [[TextOps.shingleHashes]] with n=2 as a CTE body. */
   private[graft] val featuresCte: String =
     s"""doc_feat AS (

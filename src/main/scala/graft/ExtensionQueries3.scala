@@ -249,6 +249,43 @@ object ExtensionQueries3 {
   private[graft] def mixtureKeep(rate: Column, text: Column): Column =
     md5Bucket16(text) < floor(rate * 65536)
 
+  /** t17's core, parameterized over the documents frame (`(doc_id, text)`)
+    * so specs can drive adversarial fixtures through the exact production
+    * path. Every `spanK`-token window fingerprints to TWO independent
+    * rolling hashes ([[TextOps.charHash]]/[[TextOps.charHash2]] — different
+    * base and modulus); a span counts as duplicated only when the (h, h2)
+    * PAIR is seen in ≥ 2 distinct documents, so a false dup needs a
+    * simultaneous collision in both (~2^59 combined range) rather than
+    * one (birthday-bound real at 10^13-span corpus scale). The pair is
+    * simply the shuffle key — same one-groupBy + one-join-back shape as a
+    * single hash.
+    */
+  private[graft] def substringDedup(docs: DataFrame, spanK: Int): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), spanK)).as("sp"))
+      .select(col("doc_id"), TextOps.charHash(col("sp")).as("h"),
+        TextOps.charHash2(col("sp")).as("h2"))
+      .persist() // two consumers: the dup-hash agg and the join-back
+    val dupHashes = spans.groupBy(col("h"), col("h2"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("h"), col("h2"))
+    val perDoc = spans
+      .join(dupHashes.withColumn("__dup", lit(1)), Seq("h", "h2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__dup"), lit(0))).cast("long").as("n_dup_spans"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") > 0, Agg.roundAt(
+          col("n_dup_spans").cast("double") / col("n_spans"), 6)).as("dup_frac"),
+        (coalesce(col("n_dup_spans"), lit(0L)) > 0).as("has_cross_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Corpus mixture balancing ("data mixing"): resample each source to a
@@ -359,7 +396,8 @@ object ExtensionQueries3 {
 
     // Incremental dedup of a new ingest batch against the corpus's stored
     // fingerprint index: the %4==0 slice plays the day's crawl, the rest
-    // the already-deduplicated corpus. Only delta×index and delta×delta
+    // (banded here to stand in for the persisted (id, band_idx, bh)
+    // artifact) the already-deduplicated corpus. Only delta×index and delta×delta
     // pairs are computed — historical pairs NEVER recompute, so the
     // per-ingest cost is O(Δ·collisions) instead of the O(n²) a full
     // re-dedup pays (at 100 TB: minutes per day vs re-processing the
@@ -370,7 +408,9 @@ object ExtensionQueries3 {
         graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
         .persist()
       graft.operators.Dedup.incrementalCandidatePairs(
-          feats.filter(col("id") % 4 =!= 0), feats.filter(col("id") % 4 === 0),
+          graft.operators.Dedup.bandFingerprints(
+            feats.filter(col("id") % 4 =!= 0), bands = 4, rows = 3),
+          feats.filter(col("id") % 4 === 0),
           bands = 4, rows = 3)
         .orderBy(col("doc_new"), col("doc_matched"))
     }),
@@ -709,7 +749,7 @@ object ExtensionQueries3 {
                 / col("theta")), 4).as("est_distinct"))
     }),
 
-    // First-touch purchase attribution: each purchase credits the user's
+    // Last-touch purchase attribution: each purchase credits the user's
     // most recent preceding view/click within 24h — the as-of-join (q27)
     // semantics recast as ONE carried-forward keyed window instead of a
     // join (touches and conversions interleave in the same per-user
@@ -778,33 +818,14 @@ object ExtensionQueries3 {
     // positions table is token-count-sized and hits ONE shuffle (groupBy
     // span hash — the distributed stand-in for the suffix array), the
     // dup-hash set is a second keyed join back; both are plain hash
-    // shuffles, no sort, no all-pairs term. 64-bit hash collisions mark
-    // false dup spans at ~n²/2⁶⁴ rates (the engines agree bit-for-bit
-    // either way — the hash is mirrored); a production run widens to two
-    // independent hashes.
-    "t17_substring_dedup" -> ((s, dir) => {
-      val spans = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextOps.shingles(TextOps.tokens(col("text")), SpanK)).as("sp"))
-        .select(col("doc_id"), TextOps.charHash(col("sp")).as("h"))
-        .persist() // two consumers: the dup-hash agg and the join-back
-      val dupHashes = spans.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("__nd"))
-        .filter(col("__nd") >= 2).select(col("h"))
-      val perDoc = spans.join(dupHashes.withColumn("__dup", lit(1)), Seq("h"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(coalesce(col("__dup"), lit(0))).cast("long").as("n_dup_spans"))
-      t(s, dir, "documents").select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-          when(col("n_spans") > 0, Agg.roundAt(
-            col("n_dup_spans").cast("double") / col("n_spans"), 6)).as("dup_frac"),
-          (coalesce(col("n_dup_spans"), lit(0L)) > 0).as("has_cross_dup"))
-        .orderBy(col("doc_id"))
-    }),
+    // shuffles, no sort, no all-pairs term. Duplication requires TWO
+    // independent span hashes (different base and modulus — charHash and
+    // charHash2) to both match: a single-hash scheme false-positives at
+    // the birthday rate of its range and trims unique text; the pair
+    // behaves like one ~2^59 hash, and the shuffle key is the (h, h2)
+    // tuple, so the extra hash costs a column, not a pass.
+    "t17_substring_dedup" -> ((s, dir) =>
+      substringDedup(t(s, dir, "documents"), SpanK)),
 
     // Pack manifest: t15 tells you HOW MANY sequences; this emits what the
     // training loader actually needs per sequence — which documents start
@@ -1391,27 +1412,33 @@ object ExtensionQueries3 {
 
     // Substring-dedup replay: same tokenization, same span windows (range
     // is exclusive-end where shingles' sequence is inclusive — both yield
-    // len-k+1 windows), same rolling hash, same ≥2-distinct-docs rule.
+    // len-k+1 windows), same TWO independent rolling hashes, same
+    // ≥2-distinct-docs rule on the (h, h2) pair.
     "t17_substring_dedup" -> s"""
       WITH tok AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
         FROM documents
       ),
-      sp AS (
+      spt AS (
         SELECT doc_id,
                unnest(CASE WHEN len(toks) >= $SpanK
                  THEN list_transform(range(0, len(toks) - $SpanK + 1),
-                        i -> ${ExtensionQueries.chSql(
-                          s"array_to_string(list_slice(toks, i+1, i+$SpanK), ' ')")})
-                 ELSE []::BIGINT[] END) AS h
+                        i -> array_to_string(list_slice(toks, i+1, i+$SpanK), ' '))
+                 ELSE []::VARCHAR[] END) AS sp
         FROM tok
       ),
-      dh AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      sp AS (
+        SELECT doc_id, ${ExtensionQueries.chSql("sp")} AS h,
+               ${ExtensionQueries.ch2Sql("sp")} AS h2
+        FROM spt
+      ),
+      dh AS (SELECT h, h2 FROM sp GROUP BY h, h2
+             HAVING count(DISTINCT doc_id) >= 2),
       pd AS (
         SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
                CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_dup_spans
-        FROM sp s LEFT JOIN dh d ON s.h = d.h
+        FROM sp s LEFT JOIN dh d ON s.h = d.h AND s.h2 = d.h2
         GROUP BY 1
       )
       SELECT doc_id,

@@ -28,11 +28,7 @@ object Dedup {
     * n_shared_bands).
     */
   def lshCandidatePairs(docs: DataFrame, bands: Int, rows: Int): DataFrame = {
-    // All band hashes in one compiled pass (graft.functions.MinhashBands);
-    // semantically equal to TextOps.bandHash per band (TextHashSpec).
-    val banded = docs.select(col("id"),
-      posexplode(graft.functions.TextHash.minhashBands(col("features"), bands, rows))
-        .as(Seq("band_idx", "bh")))
+    val banded = bandFingerprints(docs, bands, rows)
     val a = banded.select(col("id").as("doc_a"), col("band_idx"), col("bh"))
     val b = banded.select(col("id").as("doc_b"), col("band_idx").as("band_idx_b"),
       col("bh").as("bh_b"))
@@ -42,25 +38,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Banded MinHash fingerprints — (id, band_idx, bh) rows, all band
+    * hashes in one compiled pass (graft.functions.MinhashBands;
+    * semantically equal to TextOps.bandHash per band, see TextHashSpec).
+    * This IS the stored dedup index: bands × docs rows of three small
+    * integers, the artifact an incremental pipeline persists (e.g. as a
+    * [[graft.sources.Snapshots]] table) and appends each ingest's bands
+    * to — re-banding history would mean re-reading corpus text.
+    */
+  def bandFingerprints(docs: DataFrame, bands: Int, rows: Int): DataFrame =
+    docs.select(col("id"),
+      posexplode(graft.functions.TextHash.minhashBands(col("features"), bands, rows))
+        .as(Seq("band_idx", "bh")))
+
   /** Incremental [[lshCandidatePairs]]: candidates for a NEW batch against
-    * an already-deduplicated corpus. The historical side enters as its
-    * banded fingerprint INDEX — (id, band_idx, bh), the small artifact a
-    * production dedup stores and appends to — and only two joins run:
+    * an already-deduplicated corpus. The historical side enters PRE-BANDED
+    * as its stored fingerprint index — (id, band_idx, bh) rows from
+    * [[bandFingerprints]], never the corpus text — and only two joins run:
     * delta × index and delta × delta. Historical pairs are never
-    * recomputed, so per-ingest cost is O(Δ · collisions), not O(n²) —
-    * at 100 TB the difference between deduping a day's crawl in minutes
-    * and re-deduping the corpus. `vs_existing` distinguishes "duplicate
-    * of something we already have" (drop the new doc) from "duplicate
-    * within the batch" (keep one).
+    * recomputed and historical features are never re-hashed, so per-ingest
+    * cost is O(Δ · collisions), not O(n²) — at 100 TB the difference
+    * between deduping a day's crawl in minutes and re-deduping the corpus.
+    * `delta` enters raw as (id, features); its fingerprints
+    * (`bandFingerprints(delta, bands, rows)`) are what the caller appends
+    * to the index after the ingest commits. `vs_existing` distinguishes
+    * "duplicate of something we already have" (drop the new doc) from
+    * "duplicate within the batch" (keep one).
     */
   def incrementalCandidatePairs(index: DataFrame, delta: DataFrame,
                                 bands: Int, rows: Int): DataFrame = {
-    def banded(df: DataFrame) = df.select(col("id"),
-      posexplode(graft.functions.TextHash.minhashBands(col("features"), bands, rows))
-        .as(Seq("band_idx", "bh")))
     // the delta bands feed three join sides — persist before mirroring
     // (the union-double-read rule, PLANS.md)
-    val nb = banded(delta).persist()
+    val nb = bandFingerprints(delta, bands, rows).persist()
     val newSide = nb.select(col("id").as("doc_new"), col("band_idx"), col("bh"))
     def matches(other: DataFrame, extraCond: org.apache.spark.sql.Column,
                 vsExisting: Boolean) =
@@ -70,7 +79,7 @@ object Dedup {
         .groupBy(col("doc_new"), col("doc_matched"))
         .agg(count(lit(1)).as("n_shared_bands"))
         .withColumn("vs_existing", lit(vsExisting))
-    matches(banded(index), lit(true), vsExisting = true)
+    matches(index, lit(true), vsExisting = true)
       .unionAll(matches(nb, col("doc_new") < col("doc_matched"), vsExisting = false))
   }
 

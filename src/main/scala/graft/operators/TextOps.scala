@@ -27,6 +27,18 @@ object TextOps {
   def charHash(c: Column): Column =
     aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
 
+  /** Second, independent polynomial hash — different base AND modulus
+    * (131 mod 998244353 vs charHash's 31 mod 1e9+7), so a pair of strings
+    * colliding under BOTH behaves like a single ~2^59 hash. Substring
+    * dedup (t17) requires both to agree before a span counts as
+    * duplicated: one 64-bit-range hash false-positives at ~n²/2^30-per-
+    * bucket rates on a 100 TB corpus's ~10^13 spans, marking unique text
+    * as duplicate and trimming it; the pair drives the rate to harmless.
+    */
+  val P2: Long = 998244353L
+  def charHash2(c: Column): Column =
+    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 131 + ascii(ch)) % P2)
+
   /** Whitespace tokens of the lowercased, trimmed text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 

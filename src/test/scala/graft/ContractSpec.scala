@@ -32,16 +32,23 @@ class ContractSpec extends AnyFunSuite {
   }
 
   // The correctness harness canonicalizes result rows by pandas-sorting
-  // every output column; array/map cells are unhashable there, so a query
-  // emitting them is silently UNVERIFIED (r8's t22). Forbid the shape:
-  // flatten (inline/explode) or join to strings before returning.
-  test("no registered query emits top-level array/map output columns") {
-    import org.apache.spark.sql.types.{ArrayType, MapType}
+  // every output column; array/map/struct cells are unhashable/unsortable
+  // there, so a query emitting them is silently UNVERIFIED (r8's t22).
+  // Struct columns count too (r9 ADVICE): a struct is itself unsortable
+  // AND is the only place a nested array/map could hide — so rejecting
+  // every container type at the top level covers all nesting depths.
+  // Forbid the shape: flatten (inline/explode) or join to strings before
+  // returning.
+  test("no registered query emits array/map/struct output columns at any depth") {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def nonAtomic(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val bad = fn(spark, dir).schema.fields.collect {
-        case f if f.dataType.isInstanceOf[ArrayType] ||
-                  f.dataType.isInstanceOf[MapType] => f.name
+        case f if nonAtomic(f.dataType) => f.name
       }
       if (bad.isEmpty) None else Some(s"$name(${bad.mkString(",")})")
     }

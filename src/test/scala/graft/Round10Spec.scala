@@ -73,6 +73,34 @@ class Round10Spec extends AnyFunSuite {
     assert((bands8(a) intersect bands8(b)).nonEmpty)
   }
 
+  test("t17 two-hash rule: a single-hash collision is NOT a duplicated span") {
+    // Adversarial pair: "zz b!" and "zz a@" collide under charHash
+    // (98*31+33 == 97*31+64 == 3071 after the shared prefix) but differ
+    // under charHash2 (base 131, different modulus). A single-hash t17
+    // marks both docs as cross-duplicated; the (h, h2) pair rule must not.
+    val collide = Seq("zz b!", "zz a@").toDF("s")
+      .select(graft.operators.TextOps.charHash(col("s")).as("h"),
+        graft.operators.TextOps.charHash2(col("s")).as("h2"))
+      .collect()
+    assert(collide(0).getLong(0) == collide(1).getLong(0),
+      "fixture must be a real charHash collision")
+    assert(collide(0).getLong(1) != collide(1).getLong(1),
+      "charHash2 must separate the charHash collision")
+
+    val docs = Seq(
+      (1L, "zz b!"),          // h1-collides with doc 2's only span
+      (2L, "zz a@"),
+      (3L, "qq ww unique-a"), // genuinely shares span "qq ww" with doc 4
+      (4L, "qq ww unique-b")
+    ).toDF("doc_id", "text")
+    val got = ExtensionQueries3.substringDedup(docs, spanK = 2)
+      .select("doc_id", "n_dup_spans", "has_cross_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 0L, false), (2L, 0L, false),
+      (3L, 1L, true), (4L, 1L, true)),
+      s"only the true shared span may count as duplicated, got $got")
+  }
+
   test("snapshot delete of a non-NULL key never over-deletes NULL-keyed rows") {
     // the converse direction: <=> must not make a concrete key tuple
     // match NULL-keyed data rows

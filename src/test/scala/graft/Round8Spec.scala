@@ -201,7 +201,7 @@ class Round8Spec extends AnyFunSuite {
     assert(psi == 0.0)
   }
 
-  test("s13 kNN graph: k-bounded, irreflexive, and neighbors share the vector's cell") {
+  test("s13 kNN graph: k-bounded, irreflexive, and neighbors come from <= nprobe cells") {
     val g = SparkEntry.queries("s13_knn_graph")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
     assert(g.nonEmpty)
@@ -210,8 +210,11 @@ class Round8Spec extends AnyFunSuite {
     assert(perVec.values.forall(xs => xs.length <= 3 &&
       xs.map(_._2).sorted.sameElements(1 to xs.length)),
       "ranks must be dense 1..k with k <= 3")
-    // a vector's listed cell is consistent across its rows
-    assert(perVec.values.forall(xs => xs.map(_._4).distinct.length == 1))
+    // `cell` is the NEIGHBOR's posting cell; with multi-probe routing
+    // (nprobe=2 since r10) a vector's neighbors may span its home cell
+    // plus its runner-up probe cell, never more
+    assert(perVec.values.forall(xs => xs.map(_._4).distinct.length <= 2),
+      "neighbors must come from at most nprobe distinct cells")
   }
 
   test("incremental dedup finds exactly the full-dedup pairs that touch the new batch") {
@@ -226,7 +229,8 @@ class Round8Spec extends AnyFunSuite {
         else (a, b, n) // both new: canonical a<b from the full pairs
     }
     val got = Dedup.incrementalCandidatePairs(
-        feats.filter(col("id") % 4 =!= 0), feats.filter(col("id") % 4 === 0),
+        Dedup.bandFingerprints(feats.filter(col("id") % 4 =!= 0), bands = 4, rows = 3),
+        feats.filter(col("id") % 4 === 0),
         bands = 4, rows = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected,
