@@ -366,6 +366,37 @@ object RelationalQueries4 {
         .orderBy(col("lang"))
     }),
 
+    // Z-order-clustered compaction (round 10): one maintenance pass folds
+    // merge-on-read delete debt AND rewrites the visible rows along the
+    // (l_partkey, l_suppkey) space-filling curve —
+    // Snapshots.compactLatestZOrdered, the composition of q64's compaction
+    // with q62's clustering. The gate proves the rewrite is layout-only:
+    // the post-compaction view must hash-equal the oracle's direct replay
+    // of ingest-minus-deletes, byte for byte, while the clustering payoff
+    // (box predicates skipping most files via per-file stats) is pinned in
+    // Round10Spec where file geometry is observable.
+    "q84_zorder_compact" -> ((s, dir) => {
+      val tbl = graft.sources.Scratch.fresh(s, s"zcomp_${new java.io.File(dir).getName}")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+      for (i <- 0 to 3)
+        graft.sources.Snapshots.commit(s, tbl, li.filter(col("l_orderkey") % 4 === i))
+      // key = the full tuple: (l_orderkey, l_linenumber) is NOT unique in
+      // the synthetic lineitem, and a sub-tuple key would mask innocent
+      // rows sharing it; full-tuple equality deletes exactly the
+      // predicate-matched rows even where tuples repeat
+      graft.sources.Snapshots.delete(s, tbl, col("l_quantity") > 45.0,
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"))
+      graft.sources.Snapshots.compactLatestZOrdered(s, tbl,
+        "l_partkey", "l_suppkey", bits = 12, nFiles = 8)
+      graft.sources.Snapshots.readLatest(s, tbl)
+        .groupBy((col("l_partkey") % 16).as("pk_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+        .orderBy(col("pk_bucket"))
+    }),
+
     // Corrupt-tolerant JSON ingestion (round 8): web-scale feeds are
     // never clean, and a reader that dies on the first malformed line
     // cannot ingest a crawl. Every doc_id % 7 == 0 line is written
@@ -718,6 +749,16 @@ object RelationalQueries4 {
              count(DISTINCT source) AS n_sources
       FROM documents
       WHERE lang <> 'zh'
+      GROUP BY 1 ORDER BY 1""",
+
+    // the z-ordered rewrite is layout-only, so the oracle is simply the
+    // ingested-minus-deleted view aggregated straight off the base table
+    "q84_zorder_compact" -> """
+      SELECT l_partkey % 16 AS pk_bucket, count(*) AS n,
+             sum(l_quantity) AS sum_qty,
+             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+      FROM lineitem
+      WHERE l_quantity <= 45.0
       GROUP BY 1 ORDER BY 1""",
 
     "q66_full_outer_join" -> """

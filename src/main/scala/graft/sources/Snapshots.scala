@@ -398,4 +398,36 @@ object Snapshots {
         df.coalesce(math.min(nFiles, df.rdd.getNumPartitions).max(1)))
     }
   }
+
+  /** [[compactLatest]] fused with z-order clustering
+    * ([[graft.operators.Layout.zorderKey]]): ONE maintenance pass that
+    * pays down merge-on-read delete debt AND rewrites the visible rows
+    * along the (a, b) space-filling curve, so the compacted files carry
+    * tight min/max stats on BOTH columns and a
+    * [[graft.operators.Layout.statsIndex]] box predicate skips most of
+    * them — running compaction and clustering as separate rewrites would
+    * read and write the table twice for the same end state. Unlike
+    * [[compactLatest]]'s narrow coalesce, clustering is inherently a
+    * shuffle (repartitionByRange samples the key to build skew-balanced
+    * range bounds — at 100 TB that sampling is what keeps file sizes even
+    * under key skew); that is the price of tight stats, paid once per
+    * maintenance cycle, not per query. The sort key is dropped before
+    * publish: ordering is a file-layout property, not schema, so readers
+    * and time travel see the exact pre-compaction schema and rows —
+    * another atomic manifest swap.
+    */
+  def compactLatestZOrdered(spark: SparkSession, tableDir: String,
+                            a: String, b: String, bits: Int,
+                            nFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val latest = versions(spark, tableDir).last
+    val clustered = readAsOf(spark, tableDir, latest)
+      .withColumn("__zkey",
+        graft.operators.Layout.zorderKey(col(a), col(b), bits))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+    commitReplace(spark, tableDir, clustered)
+  }
 }

@@ -101,6 +101,137 @@ class Round10Spec extends AnyFunSuite {
       s"only the true shared span may count as duplicated, got $got")
   }
 
+  test("z-ordered compaction preserves the view, keeps time travel, and out-skips plain compaction") {
+    val li = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(pmod(col("l_orderkey") * 131 + col("l_linenumber"), lit(1024)).as("pa"),
+        pmod(col("l_partkey") * 31 + col("l_suppkey"), lit(1024)).as("sb"),
+        col("l_quantity").as("qty"))
+    val tblZ = Scratch.fresh(spark, "spec_snap_zcompact")
+    val tblP = Scratch.fresh(spark, "spec_snap_pcompact")
+    for (tbl <- Seq(tblZ, tblP)) {
+      // four random-ordered ingest batches + one merge-on-read delete, so
+      // compaction has both small files and delete debt to fold
+      for (i <- 0 until 4)
+        Snapshots.commit(spark, tbl, li.filter(col("pa") % 4 === i))
+      Snapshots.delete(spark, tbl, col("qty") > lit(45.0), Seq("pa", "sb", "qty"))
+    }
+    val expected = Snapshots.readLatest(spark, tblZ)
+      .collect().map(_.toString).sorted
+    val preVersion = 5 // 4 commits + 1 delete
+
+    Snapshots.compactLatestZOrdered(spark, tblZ, "pa", "sb", bits = 10, nFiles = 8)
+    Snapshots.compactLatest(spark, tblP, targetBytes = 1L) // same view, row-order files
+
+    // the rewrite changed layout only: same rows, and the pre-compaction
+    // version still time-travels to the same view
+    assert(Snapshots.readLatest(spark, tblZ).collect().map(_.toString).sorted
+      .sameElements(expected), "z-compaction must not change the visible rows")
+    assert(Snapshots.readAsOf(spark, tblZ, preVersion).collect().map(_.toString).sorted
+      .sameElements(expected), "pre-compaction version must stay readable")
+
+    // file-skipping: per-file min/max stats under a box predicate — the
+    // z-ordered rewrite must prune files the row-order rewrite cannot
+    def boxHits(tbl: String): (Long, Long) = {
+      val stats = Snapshots.readLatest(spark, tbl)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("pa").as("pa_lo"), max("pa").as("pa_hi"),
+          min("sb").as("sb_lo"), max("sb").as("sb_hi"))
+      (stats.filter(col("pa_hi") >= 128 && col("pa_lo") <= 255 &&
+        col("sb_hi") >= 2 && col("sb_lo") <= 128).count(), stats.count())
+    }
+    val (zHit, zTotal) = boxHits(tblZ)
+    val (pHit, pTotal) = boxHits(tblP)
+    assert(zTotal >= 4 && pTotal >= 4, s"both rewrites must emit several files ($zTotal, $pTotal)")
+    assert(pHit == pTotal,
+      s"row-order compaction leaves every file intersecting the box ($pHit/$pTotal)")
+    assert(zHit < zTotal,
+      s"z-ordered compaction must let the box skip files ($zHit/$zTotal)")
+  }
+
+  test("streaming incremental dedup hash-equals the batch ingest loop across a restart") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val B = 4; val R = 3
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"),
+        graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
+      .persist()
+    val corpus = docs.filter(col("id") % 4 =!= 0)
+    val d1 = docs.filter(col("id") % 8 === 0) // day 1's crawl
+    val d2 = docs.filter(col("id") % 8 === 4) // day 2's crawl
+
+    // expected: the sequential batch ingest loop — day 2 joins an index
+    // that already contains day 1's fingerprints
+    val idx0 = Dedup.bandFingerprints(corpus, B, R)
+    val p1 = Dedup.incrementalCandidatePairs(idx0, d1, B, R)
+    val idx1 = idx0.unionAll(Dedup.bandFingerprints(d1, B, R))
+    val p2 = Dedup.incrementalCandidatePairs(idx1, d2, B, R)
+    val expected = p1.unionAll(p2).collect().map(_.toString).sorted
+    assert(expected.nonEmpty, "fixture must produce candidate pairs")
+
+    // streaming twin: the index and the pair results live as snapshot
+    // tables (the stored artifacts); each micro-batch of arriving doc ids
+    // probes the CURRENT index, commits its pairs, then appends its own
+    // fingerprints. Both commits are gated on a batch_id column, so a
+    // batch replayed after a crash/restart is a no-op per table —
+    // exactly-once without sink transactions.
+    val idxTbl = Scratch.fresh(spark, "spec_sdedup_idx")
+    val pairsTbl = Scratch.fresh(spark, "spec_sdedup_pairs")
+    Snapshots.commit(spark, idxTbl,
+      Dedup.bandFingerprints(corpus, B, R).withColumn("batch_id", lit(-1L)))
+    def applied(tbl: String, batchId: Long): Boolean =
+      Snapshots.versions(spark, tbl).nonEmpty &&
+        Snapshots.readLatest(spark, tbl)
+          .filter(col("batch_id") === batchId).limit(1).count() > 0
+
+    val stream = MemoryStream[Long]
+    val ckpt = Scratch.fresh(spark, "spec_sdedup_ckpt")
+    def start() = stream.toDS().toDF("id").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val delta = docs.join(batch, Seq("id"))
+          if (!applied(pairsTbl, batchId)) {
+            val idx = Snapshots.readLatest(spark, idxTbl).drop("batch_id")
+            Snapshots.commit(spark, pairsTbl,
+              Dedup.incrementalCandidatePairs(idx, delta, B, R)
+                .withColumn("batch_id", lit(batchId))): Unit
+          }
+          if (!applied(idxTbl, batchId)) {
+            Snapshots.commit(spark, idxTbl,
+              Dedup.bandFingerprints(delta, B, R)
+                .withColumn("batch_id", lit(batchId))): Unit
+          }
+        }
+      }.start()
+
+    val d1Ids = d1.select("id").as[Long].collect().toSeq
+    val d2Ids = d2.select("id").as[Long].collect().toSeq
+    val q1 = start()
+    stream.addData(d1Ids: _*)
+    q1.processAllAvailable()
+    q1.stop() // crash/redeploy between the two days
+
+    val q2 = start() // new incarnation, same checkpoint
+    stream.addData(d2Ids: _*)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = Snapshots.readLatest(spark, pairsTbl).drop("batch_id")
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(expected),
+      "streamed ingest-by-ingest dedup must equal the batch loop")
+
+    // replaying an already-applied batch is a no-op on both tables
+    val pairsV = Snapshots.versions(spark, pairsTbl).last
+    val idxV = Snapshots.versions(spark, idxTbl).last
+    assert(!applied(pairsTbl, 99L) && applied(pairsTbl, 0L) && applied(idxTbl, 1L))
+    assert(Snapshots.versions(spark, pairsTbl).last == pairsV &&
+      Snapshots.versions(spark, idxTbl).last == idxV)
+  }
+
   test("snapshot delete of a non-NULL key never over-deletes NULL-keyed rows") {
     // the converse direction: <=> must not make a concrete key tuple
     // match NULL-keyed data rows
