@@ -286,6 +286,45 @@ object ExtensionQueries3 {
       .orderBy(col("doc_id"))
   }
 
+  /** t23's core, parameterized like [[substringDedup]]. Returns per doc the
+    * token widths before/after trimming plus md5 of the rebuilt kept text
+    * (tokens not covered by any cross-document duplicated span, original
+    * order, single-space joined).
+    */
+  private[graft] def substringTrim(docs: DataFrame, spanK: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .persist() // consumed by spans, positions, and the final widths
+    val spans = toks
+      .select(col("doc_id"), posexplode(TextOps.shingles(col("toks"), spanK))
+        .as(Seq("p", "sp")))
+      .select(col("doc_id"), col("p"), TextOps.charHash(col("sp")).as("h"),
+        TextOps.charHash2(col("sp")).as("h2"))
+      .persist() // two consumers: dup-pair agg and the coverage join
+    val dup = spans.groupBy(col("h"), col("h2"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("h"), col("h2"))
+    val covered = spans.join(dup, Seq("h", "h2"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(spanK - 1))).as("pos"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).as("kept_text"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_trimmed"),
+        md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Corpus mixture balancing ("data mixing"): resample each source to a
@@ -826,6 +865,24 @@ object ExtensionQueries3 {
     // tuple, so the extra hash costs a column, not a pass.
     "t17_substring_dedup" -> ((s, dir) =>
       substringDedup(t(s, dir, "documents"), SpanK)),
+
+    // Substring TRIMMING — the step after t17's detection: actually remove
+    // every token covered by a cross-document duplicated span (the
+    // ExactSubstr removal of Lee et al. 2022, k-gram form), emitting the
+    // cleaned corpus a training run would read. Same dup rule as t17 (the
+    // two-hash (h, h2) pair in ≥2 distinct docs); a token is trimmed iff
+    // ≥1 dup span covers its position, so overlapping dup spans excise
+    // whole duplicated RUNS, not just isolated k-grams. Identical docs
+    // trim to empty — that's correct (whole-doc dup) and the md5('')
+    // sentinel keeps them visible. Scale shape: every step is
+    // token-count-sized and keyed — span groupBy, coverage explode (k
+    // rows per DUP span only, not per span), per-doc rebuild — no
+    // all-pairs term, no driver state; kept text is re-joined per doc by
+    // one sort_array over that doc's kept tokens (bounded by doc length).
+    // The gate hashes md5(kept text), so a one-token drift anywhere in
+    // tokenize→hash→cover→rebuild fails the row.
+    "t23_substring_trim" -> ((s, dir) =>
+      substringTrim(t(s, dir, "documents"), SpanK)),
 
     // Pack manifest: t15 tells you HOW MANY sequences; this emits what the
     // training loader actually needs per sequence — which documents start
@@ -1450,6 +1507,58 @@ object ExtensionQueries3 {
              (COALESCE(pd.n_dup_spans, CAST(0 AS BIGINT)) > 0) AS has_cross_dup
       FROM documents LEFT JOIN pd USING (doc_id)
       ORDER BY doc_id""",
+
+    // Substring-trim replay: t17's span/dup machinery, then coverage
+    // positions (span start + 0..k-1), then the kept text rebuilt with an
+    // ordered string_agg — md5 of the rebuilt string is the gate, so the
+    // engines must agree on every kept token and its order.
+    "t23_substring_trim" -> s"""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ),
+      spt AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= $SpanK
+                 THEN range(0, len(toks) - $SpanK + 1)
+                 ELSE []::BIGINT[] END) AS p,
+               toks
+        FROM tok
+      ),
+      sp AS (
+        SELECT doc_id, p,
+               ${ExtensionQueries.chSql(
+                  s"array_to_string(list_slice(toks, p+1, p+$SpanK), ' ')")} AS h,
+               ${ExtensionQueries.ch2Sql(
+                  s"array_to_string(list_slice(toks, p+1, p+$SpanK), ' ')")} AS h2
+        FROM spt
+      ),
+      dh AS (SELECT h, h2 FROM sp GROUP BY h, h2
+             HAVING count(DISTINCT doc_id) >= 2),
+      cover AS (
+        SELECT DISTINCT s.doc_id, s.p + u.u AS pos
+        FROM sp s JOIN dh d ON s.h = d.h AND s.h2 = d.h2
+        CROSS JOIN (SELECT unnest(range(0, $SpanK)) AS u) u
+      ),
+      pos AS (
+        SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks
+        FROM tok
+      ),
+      kept AS (
+        SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(p.toks[CAST(p.pos AS INTEGER) + 1], ' '
+                 ORDER BY p.pos) AS kept_text
+        FROM pos p LEFT JOIN cover c ON p.doc_id = c.doc_id AND p.pos = c.pos
+        WHERE c.doc_id IS NULL
+        GROUP BY 1
+      )
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+             CAST(len(t.toks) AS BIGINT) - COALESCE(k.n_kept, CAST(0 AS BIGINT))
+               AS n_trimmed,
+             md5(COALESCE(k.kept_text, '')) AS kept_md5
+      FROM tok t LEFT JOIN kept k USING (doc_id)
+      ORDER BY t.doc_id""",
 
     // Pack-manifest replay: t15's cumsum, then ordered string_agg per
     // sequence (ORDER BY inside string_agg mirrors the array_sort);

@@ -232,6 +232,30 @@ class Round10Spec extends AnyFunSuite {
       Snapshots.versions(spark, idxTbl).last == idxV)
   }
 
+  test("t23 trimming excises whole duplicated runs, keeps unique text, empties exact dups") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee one"),  // shares run "cc dd ee" with doc 2
+      (2L, "xx yy cc dd ee two"),
+      (3L, "solo text never repeated anywhere"),
+      (4L, "twin twin twin twin"), // exact dup of doc 5: trims to empty
+      (5L, "twin twin twin twin")
+    ).toDF("doc_id", "text")
+    val got = ExtensionQueries3.substringTrim(docs, spanK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(_._1)
+    // the 3-token run is covered by its two overlapping dup 2-grams —
+    // the whole run goes, not just one window
+    assert(got(0) == ((1L, 6L, 3L, 3L, md5Hex("aa bb one"))), s"got ${got(0)}")
+    assert(got(1) == ((2L, 6L, 3L, 3L, md5Hex("xx yy two"))), s"got ${got(1)}")
+    assert(got(2) == ((3L, 5L, 5L, 0L, md5Hex("solo text never repeated anywhere"))))
+    assert(got(3) == ((4L, 4L, 0L, 4L, md5Hex(""))), "exact dup must trim to empty")
+    assert(got(4) == ((5L, 4L, 0L, 4L, md5Hex(""))))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("snapshot delete of a non-NULL key never over-deletes NULL-keyed rows") {
     // the converse direction: <=> must not make a concrete key tuple
     // match NULL-keyed data rows
