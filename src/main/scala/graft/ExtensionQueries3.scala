@@ -491,6 +491,30 @@ object ExtensionQueries3 {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Windowed audio energy + silence detection (m06): the audio third of
+    // the corpus carries REAL parsed PCM payloads (header-validated by
+    // Multimodal.Pcm, the audio twin of the Ppm image path), and each clip
+    // reduces to per-window integer energies Σ(sample-32)² — exact in both
+    // engines, so the gate needs no float tolerance. n_silent counts
+    // windows under the threshold: the voice-activity signal an audio
+    // curation pipeline trims on (here: space padding IS silence, text is
+    // signal). Scale shape: embarrassingly parallel mapPartitions decode —
+    // the same partition-local batch the image stages use — then a pure
+    // per-row projection; no shuffle at all before the output sort. The
+    // oracle replays header-stripping arithmetic straight off the text.
+    "m06_audio_energy" -> ((s, dir) => {
+      val audio = graft.operators.Multimodal.audioFromDocuments(
+        t(s, dir, "documents"))
+      graft.operators.Multimodal.audioEnergy(audio,
+          graft.operators.Multimodal.PcmWin,
+          graft.operators.Multimodal.PcmSilenceThr).toDF()
+        .select(col("doc_id"), col("n_samples"), col("n_windows"),
+          col("total_energy"), col("peak_energy"), col("n_silent"),
+          Agg.roundAt(col("n_silent").cast("double") / col("n_windows"), 6)
+            .as("silence_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Matryoshka truncation evaluation: how much search fidelity survives
     // keeping only the first 16/32 of 64 embedding dims — the
     // accept/reject gate for MRL-style dimension cuts, which at 100 TB
@@ -1107,6 +1131,46 @@ object ExtensionQueries3 {
       )
       SELECT * FROM (SELECT * FROM nvo UNION ALL SELECT * FROM nvn)
       ORDER BY doc_new, doc_matched""",
+
+    // Audio-energy replay: same bias-32 samples (the first PcmN text
+    // chars, space-padded — ascii(char) == payload byte because the
+    // fixture text is ASCII), same integer window energies, same
+    // threshold. Integer arithmetic end-to-end: the only double is the
+    // final rounded ratio.
+    "m06_audio_energy" -> s"""
+      WITH clip AS (
+        SELECT doc_id, rpad(text, ${graft.operators.Multimodal.PcmN}, ' ') AS s
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 1
+      ),
+      w AS (
+        SELECT doc_id, s,
+               unnest(range(0, ${graft.operators.Multimodal.PcmN /
+                 graft.operators.Multimodal.PcmWin})) AS wi
+        FROM clip
+      ),
+      e AS (
+        SELECT doc_id, wi,
+               CAST(list_sum(list_transform(
+                 list_transform(range(0, ${graft.operators.Multimodal.PcmWin}),
+                   j -> ascii(substr(s,
+                     CAST(wi * ${graft.operators.Multimodal.PcmWin} + j + 1
+                       AS INTEGER), 1)) - 32),
+                 c -> CAST(c AS BIGINT) * c)) AS BIGINT) AS energy
+        FROM w
+      ),
+      g AS (
+        SELECT doc_id, CAST(sum(energy) AS BIGINT) AS total_energy,
+               CAST(max(energy) AS BIGINT) AS peak_energy,
+               CAST(sum(CASE WHEN energy < ${graft.operators.Multimodal.PcmSilenceThr}
+                 THEN 1 ELSE 0 END) AS INTEGER) AS n_silent,
+               CAST(count(*) AS INTEGER) AS n_windows
+        FROM e GROUP BY 1
+      )
+      SELECT doc_id, CAST(${graft.operators.Multimodal.PcmN} AS INTEGER) AS n_samples,
+             n_windows, total_energy, peak_energy, n_silent,
+             floor(CAST(n_silent AS DOUBLE) / n_windows * 1000000 + 0.5)
+               / 1000000 AS silence_ratio
+      FROM g ORDER BY doc_id""",
 
     // dHash replay from the text-synthesized rasters (the m04 trick):
     // same 9×8 nearest sampling (x·16//9, y·9//8), same integer

@@ -265,4 +265,96 @@ object Multimodal {
         lit(0).as("width"), lit(0).as("height"))
       .as[MediaRecord]
   }
+
+  // ---- audio path: a REAL parsed payload format, like Ppm for images ----
+
+  /** Synthesized PCM geometry: sample count per clip and the analysis
+    * window. 512 samples / 64-sample windows = 8 windows per clip.
+    */
+  val PcmN = 512
+  val PcmWin = 64
+
+  /** A window is "silent" below this exact integer energy. The synthetic
+    * clips are bias-32 (space = zero amplitude), so runs of
+    * padding/whitespace are genuinely silent and text is signal — the
+    * same shape real voice-activity trimming sees.
+    */
+  val PcmSilenceThr = 1024L
+
+  /** Minimal single-channel PCM container, the audio twin of [[Ppm]]:
+    * ASCII header `PCM\n<n>\n` followed by exactly n unsigned-byte
+    * samples. The parser genuinely validates and strips the header — the
+    * decode seam a real codec (libsndfile etc.) would fill.
+    */
+  object Pcm {
+    def encodeHeader(n: Int): Array[Byte] = s"PCM\n$n\n".getBytes("UTF-8")
+
+    /** Parse and validate; returns the raw sample bytes. */
+    def parse(payload: Array[Byte]): Array[Byte] = {
+      val s = new String(payload, "UTF-8")
+      require(s.startsWith("PCM\n"), "bad PCM magic")
+      val nl = s.indexOf('\n', 4)
+      require(nl > 4, "bad PCM header")
+      val n = s.substring(4, nl).toInt
+      val off = nl + 1
+      require(payload.length == off + n,
+        s"PCM payload length ${payload.length} != header $n + $off")
+      java.util.Arrays.copyOfRange(payload, off, off + n)
+    }
+  }
+
+  /** Audio records synthesized from the documents fixture: the audio-typed
+    * third of the corpus (same doc_id % 3 cycling as
+    * [[mediaFromDocuments]]) carries a REAL [[Pcm]] payload — header plus
+    * the first [[PcmN]] text bytes as bias-32 samples, space-padded, so
+    * [[Pcm.parse]] genuinely exercises the container on every row.
+    */
+  def audioFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(
+        col("doc_id"),
+        lit("audio").as("media_type"),
+        concat(lit(Pcm.encodeHeader(PcmN)),
+          encode(rpad(col("text"), PcmN, " "), "UTF-8")).as("payload"),
+        lit(PcmN).as("width"), lit(1).as("height"))
+      .as[MediaRecord]
+  }
+
+  /** Windowed-energy audio features: integer energy Σ(sample-32)² per
+    * fixed window — exact in both engines, no float drift — plus how many
+    * windows fall below the silence threshold (the voice-activity /
+    * silence-trim signal). Same partition-local batch shape as the image
+    * stages: parse is per-record, a real decoder would amortize per
+    * partition.
+    */
+  case class AudioFeatures(doc_id: Long, n_samples: Int, n_windows: Int,
+      total_energy: Long, peak_energy: Long, n_silent: Int)
+
+  def audioEnergy(media: Dataset[MediaRecord], window: Int,
+                  silenceThr: Long): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "audio").mapPartitions { records =>
+      records.map { r =>
+        val samples = Pcm.parse(r.payload)
+        val nw = samples.length / window
+        var total = 0L; var peak = 0L; var silent = 0
+        var w = 0
+        while (w < nw) {
+          var e = 0L
+          var j = 0
+          while (j < window) {
+            val d = (samples(w * window + j) & 0xff) - 32
+            e += d.toLong * d
+            j += 1
+          }
+          total += e
+          if (e > peak) peak = e
+          if (e < silenceThr) silent += 1
+          w += 1
+        }
+        AudioFeatures(r.doc_id, samples.length, nw, total, peak, silent)
+      }
+    }
+  }
 }

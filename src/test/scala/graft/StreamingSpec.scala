@@ -288,7 +288,8 @@ class MultimodalSpec extends AnyFunSuite {
 }
 
 class PpmSpec extends AnyFunSuite {
-  import graft.operators.Ppm
+  import graft.operators.{Multimodal, Ppm}
+  lazy val spark = SparkTestSession.spark
 
   test("encode -> parse round-trips dims, maxval, and raster") {
     val pixels = Array.tabulate[Byte](5 * 4 * 3)(i => (i * 7 % 256).toByte)
@@ -336,5 +337,31 @@ class PpmSpec extends AnyFunSuite {
     val px = Array.tabulate[Byte](4 * 3 * 3)(i => (i * 11 % 256).toByte)
     val t = Ppm.resizeNearest(Ppm.parse(Ppm.encode(4, 3, px)), 4, 3)
     assert(t.pixels.toSeq == px.toSeq)
+  }
+
+  test("Pcm round-trips samples and rejects malformed payloads") {
+    val samples = Array.tabulate[Byte](512)(i => (i % 251).toByte)
+    val payload = Multimodal.Pcm.encodeHeader(512) ++ samples
+    assert(Multimodal.Pcm.parse(payload).toSeq == samples.toSeq)
+    intercept[IllegalArgumentException]( // wrong magic
+      Multimodal.Pcm.parse("WAV\n512\n".getBytes ++ samples))
+    intercept[IllegalArgumentException]( // header/body length mismatch
+      Multimodal.Pcm.parse(Multimodal.Pcm.encodeHeader(513) ++ samples))
+    intercept[IllegalArgumentException](Multimodal.Pcm.parse(Array[Byte]()))
+  }
+
+  test("audioEnergy: silence threshold separates padding from text, energies exact") {
+    import spark.implicits._
+    // 64 signal bytes ('a' = 97 -> amplitude 65) then 448 spaces: exactly
+    // one loud window, seven silent ones, all-integer energies
+    val docs = Seq((1L, "a" * 64)).toDF("doc_id", "text")
+    val got = Multimodal.audioEnergy(Multimodal.audioFromDocuments(docs),
+      Multimodal.PcmWin, Multimodal.PcmSilenceThr).collect()
+    assert(got.length == 1)
+    val f = got(0)
+    assert(f.n_samples == 512 && f.n_windows == 8)
+    assert(f.peak_energy == 65L * 65 * 64, "window of 'a' is 64 * (97-32)^2")
+    assert(f.total_energy == f.peak_energy, "padding windows contribute zero")
+    assert(f.n_silent == 7)
   }
 }
