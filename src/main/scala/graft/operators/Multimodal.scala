@@ -357,4 +357,102 @@ object Multimodal {
       }
     }
   }
+
+  // ---- video path: a multi-frame parsed container + scene detection ----
+
+  /** Synthesized clip geometry: 6 frames of 16×9 single-channel gray. */
+  val VidW = 16
+  val VidH = 9
+  val VidFrames = 6
+  val VidFrameBytes: Int = VidW * VidH
+
+  /** Consecutive frames whose sum-of-absolute-differences exceeds this are
+    * a scene cut. Sized so text-vs-text and text-vs-padding transitions
+    * register as cuts while the space-padded still tail (SAD = 0) never
+    * does — the shot-boundary shape real frame differencing sees.
+    */
+  val SceneCutThr = 1000L
+
+  /** Minimal multi-frame video container, the moving-picture twin of
+    * [[Pcm]]/[[Ppm]]: ASCII header `VID\n<w> <h> <nframes>\n` followed by
+    * nframes × w·h unsigned gray bytes, frame-major. The parser genuinely
+    * validates geometry against payload length — the seam a real demuxer
+    * (ffmpeg etc.) would fill.
+    */
+  object Vid {
+    case class Clip(w: Int, h: Int, nFrames: Int, frames: Array[Byte])
+
+    def encodeHeader(w: Int, h: Int, n: Int): Array[Byte] =
+      s"VID\n$w $h $n\n".getBytes("UTF-8")
+
+    def parse(payload: Array[Byte]): Clip = {
+      val s = new String(payload, "UTF-8")
+      require(s.startsWith("VID\n"), "bad VID magic")
+      val nl = s.indexOf('\n', 4)
+      require(nl > 4, "bad VID header")
+      val dims = s.substring(4, nl).split(" ")
+      require(dims.length == 3, "bad VID geometry")
+      val (w, h, n) = (dims(0).toInt, dims(1).toInt, dims(2).toInt)
+      val off = nl + 1
+      require(payload.length == off + w * h * n,
+        s"VID payload length ${payload.length} != $w x $h x $n + $off")
+      Clip(w, h, n, java.util.Arrays.copyOfRange(payload, off, payload.length))
+    }
+  }
+
+  /** Video records synthesized from the documents fixture: the video-typed
+    * third of the corpus (doc_id % 3 == 2, same cycling as
+    * [[mediaFromDocuments]]) carries a REAL [[Vid]] payload — header plus
+    * the first VidFrames·w·h text bytes as gray frames, space-padded, so
+    * every row exercises the container parse.
+    */
+  def videoFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    val body = VidFrames * VidFrameBytes
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(
+        col("doc_id"),
+        lit("video").as("media_type"),
+        concat(lit(Vid.encodeHeader(VidW, VidH, VidFrames)),
+          encode(rpad(col("text"), body, " "), "UTF-8")).as("payload"),
+        lit(VidW).as("width"), lit(VidH).as("height"))
+      .as[MediaRecord]
+  }
+
+  /** Frame-differencing scene detection: integer SAD Σ|gray(f,i)−gray(f−1,i)|
+    * between consecutive frames — exact in both engines — and a cut wherever
+    * SAD exceeds the threshold. This is the classic shot-boundary detector
+    * every video curation pipeline runs before sampling keyframes; the
+    * still space-padded tail is SAD-0 by construction, so cut counts measure
+    * genuine content transitions. Embarrassingly parallel partition-local
+    * decode, no shuffle before the output sort.
+    */
+  case class SceneFeatures(doc_id: Long, n_frames: Int, n_cuts: Int,
+      total_diff: Long, max_diff: Long)
+
+  def sceneDetect(media: Dataset[MediaRecord], cutThr: Long): Dataset[SceneFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "video").mapPartitions { records =>
+      records.map { r =>
+        val clip = Vid.parse(r.payload)
+        val fb = clip.w * clip.h
+        var total = 0L; var mx = 0L; var cuts = 0
+        var f = 1
+        while (f < clip.nFrames) {
+          var sad = 0L
+          var i = 0
+          while (i < fb) {
+            sad += math.abs((clip.frames(f * fb + i) & 0xff) -
+              (clip.frames((f - 1) * fb + i) & 0xff))
+            i += 1
+          }
+          total += sad
+          if (sad > mx) mx = sad
+          if (sad > cutThr) cuts += 1
+          f += 1
+        }
+        SceneFeatures(r.doc_id, clip.nFrames, cuts, total, mx)
+      }
+    }
+  }
 }

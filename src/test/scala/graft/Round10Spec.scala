@@ -268,4 +268,94 @@ class Round10Spec extends AnyFunSuite {
       .select("payload").as[String].collect().toSet
     assert(got == Set("alive-null"))
   }
+
+  test("Vid round-trips geometry and rejects malformed payloads") {
+    import graft.operators.Multimodal
+    val frames = Array.tabulate[Byte](2 * 3 * 4)(i => (i * 11 % 256).toByte)
+    val clip = Multimodal.Vid.parse(
+      Multimodal.Vid.encodeHeader(2, 3, 4) ++ frames)
+    assert(clip.w == 2 && clip.h == 3 && clip.nFrames == 4)
+    assert(clip.frames.toSeq == frames.toSeq)
+    intercept[IllegalArgumentException]( // wrong magic
+      Multimodal.Vid.parse("PPM\n2 3 4\n".getBytes ++ frames))
+    intercept[IllegalArgumentException]( // geometry/body mismatch
+      Multimodal.Vid.parse(Multimodal.Vid.encodeHeader(2, 3, 5) ++ frames))
+    intercept[IllegalArgumentException](
+      Multimodal.Vid.parse(Array[Byte]()))
+  }
+
+  test("sceneDetect: cuts fire exactly at content transitions, still tail is SAD-0") {
+    import graft.operators.Multimodal
+    val fb = Multimodal.VidFrameBytes
+    // frame 0 = 'a'*144, frame 1 = 'z'*144 (SAD 144*25 = 3600 > thr = cut),
+    // frames 2..5 = space padding (one 'z'->' ' cut, then three SAD-0 stills)
+    val docs = Seq((2L, "a" * fb + "z" * fb)).toDF("doc_id", "text")
+    val got = Multimodal.sceneDetect(
+      Multimodal.videoFromDocuments(docs), Multimodal.SceneCutThr).collect()
+    assert(got.length == 1)
+    val f = got(0)
+    assert(f.n_frames == Multimodal.VidFrames)
+    assert(f.max_diff == fb.toLong * ('z' - ' '), "z->space is the biggest jump")
+    assert(f.total_diff ==
+      fb.toLong * ('z' - 'a') + fb.toLong * ('z' - ' '),
+      "three still padding transitions contribute zero")
+    assert(f.n_cuts == 2, "a->z and z->padding, nothing in the still tail")
+  }
+
+  test("chunk_overlap tiles every document: stitched chunks reconstruct the text") {
+    // coverage property the md5 oracle can't see: dropping each chunk's
+    // leading overlap and concatenating in index order is the identity
+    val size = ExtensionQueries4.ChunkSize
+    val stride = ExtensionQueries4.ChunkStride
+    for (len <- Seq(0, 1, size - 1, size, size + 1, 2 * size, 1000)) {
+      val text = Iterator.continually("abcdefghij").flatten.take(len).mkString
+      val nChunks = 1 + math.ceil(math.max(len - size, 0) / stride.toDouble).toInt
+      val chunks = (0 until nChunks).map(i => text.slice(i * stride, i * stride + size))
+      val stitched = chunks.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c else c.drop(size - stride)
+      }.mkString
+      assert(stitched == text, s"len=$len must reconstruct")
+      // and every adjacent pair genuinely overlaps by size - stride chars
+      chunks.sliding(2).filter(_.length == 2).zipWithIndex.foreach {
+        case (Seq(a, b), i) =>
+          val want = text.slice((i + 1) * stride, math.min(i * stride + size, len))
+          assert(a.takeRight(want.length) == want && b.startsWith(want),
+            s"len=$len chunk $i overlap mismatch")
+      }
+    }
+  }
+
+  test("e09 spike rule: integer cross-multiply flags only true rate spikes") {
+    import java.sql.Timestamp
+    // one type, daily counts 10,10,10,21: 21*3 > 2*30 spikes; a fourth day
+    // at 20 would not (20*3 = 60 == 2*30 fails strict >)
+    val rows = for {
+      (day, n) <- Seq((1, 10), (2, 10), (3, 10), (4, 21), (5, 20))
+      i <- 0 until n
+    } yield (Timestamp.valueOf(f"2024-01-0$day%d 12:00:${i % 60}%02d"),
+      "click", i.toLong)
+    val df = rows.toDF("ts", "event_type", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // replicate the registered query's window logic on the in-memory frame
+    // (the registered entry reads from a fixture dir; the constants are
+    // shared so the rule under test is the same)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-ExtensionQueries4.SpikeWindow, -1)
+    val out = df.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("prev_sum", coalesce(sum(col("n_events")).over(w), lit(0L)))
+      .withColumn("prev_days", count(col("n_events")).over(w).cast("int"))
+      .withColumn("is_spike",
+        col("prev_days") === ExtensionQueries4.SpikeWindow &&
+          col("n_events") * ExtensionQueries4.SpikeWindow *
+            ExtensionQueries4.SpikeDen >
+            lit(ExtensionQueries4.SpikeNum) * col("prev_sum"))
+      .orderBy(col("day"))
+      .select(col("n_events"), col("is_spike"))
+      .as[(Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(10L, 10L, 10L, 21L, 20L))
+    assert(out.map(_._2) == Seq(false, false, false, true, false),
+      "only the 21-count day clears 2x the trailing-3 mean; 20 ties and fails strict >")
+  }
 }
