@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal
+import graft.operators.{Agg, Multimodal, VectorOps}
 import graft.sources.Tables
 
 /** Round-10 LLM-pipeline extensions (continues [[ExtensionQueries3]], split
@@ -34,6 +34,17 @@ object ExtensionQueries4 {
   val SpikeWindow = 3
   val SpikeNum = 2
   val SpikeDen = 1
+
+  /** BM25 retrieval constants for t25: the classic k1=1.2 / b=0.75, carried
+    * in exact rational form (k1 = 6/5, b = 3/4) so the per-term
+    * normalization cross-multiplies to all-integer numerator/denominator —
+    * num = 44·tf·S, den = 20·tf·S + 6·S + 18·dl·N after clearing
+    * denominators by 20·N·avgdl (S = Σ dl, N = corpus size). The only
+    * doubles are ln(idf) — fixed-pointed the instant it is computed, the
+    * t19 rule — and the final display division.
+    */
+  val Bm25Terms: Seq[String] = Seq("vector", "merge", "window")
+  val Bm25K = 20
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -103,8 +114,96 @@ object ExtensionQueries4 {
           col("prev_days") === SpikeWindow &&
             col("n_events") * SpikeWindow * SpikeDen > lit(SpikeNum) * col("prev_sum"))
         .orderBy(col("event_type"), col("day"))
-    })
+    }),
+
+    // Metadata-filtered vector search (s15): top-k cosine neighbors
+    // restricted to candidates sharing the query's label — the
+    // pre-filtered ANN every multi-tenant / attribute-constrained vector
+    // store runs (search only *your* tenant, only docs passing the
+    // predicate). Pre-filter beats post-filter here by construction:
+    // the predicate lands on the candidate scan BEFORE any distance math,
+    // so at 100 TB — where label/tenant is a partition column — the filter
+    // is partition pruning and the scored set shrinks by the selectivity
+    // up front, instead of scoring everything and discarding. Scale shape:
+    // the query set broadcasts (it is a handful of vectors); the corpus
+    // side is scan → filter → score, shuffle-free until the bounded
+    // per-query rank window.
+    "s15_filtered_knn" -> ((s, dir) =>
+      filteredKnn(t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v")),
+        col("vec_id") <= 2, k = 5)),
+
+    // BM25 retrieval (t25): the lexical scoring baseline every RAG stack
+    // pairs with its vector index — idf·tf saturation with doc-length
+    // normalization, over the same whitespace tokenization the d10/t19
+    // family uses. All corpus statistics (df, Σdl, N) are computed in the
+    // query, never hardcoded. Float discipline is the t19 rule: ln(idf)
+    // fixed-points to a BIGINT the moment it exists; the tf normalization
+    // is exact integer arithmetic (see [[Bm25Terms]] doc); per-term scores
+    // fixed-point BEFORE the per-doc sum so partitioning can never reorder
+    // double additions. Scale shape: one stateless scan computes every
+    // (doc × query-term) tf — |Q| is bounded, so the fan-out is a
+    // constant factor — then one groupBy(doc) and a global top-k
+    // (TakeOrdered, no full sort); df and the corpus stats broadcast.
+    "t25_bm25" -> ((s, dir) =>
+      bm25(t(s, dir, "documents"), Bm25Terms, Bm25K))
   )
+
+  /** s15's body over an (vec_id, label, v) frame: top-k cosine within the
+    * query's label partition, queries selected by `queryPred`.
+    */
+  private[graft] def filteredKnn(e: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.select(col("vec_id"), col("label"), col("v").as("cv"))
+      .join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorOps.cosineFast(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"),
+        Agg.roundAt(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** t25's body over a (doc_id, text) frame. */
+  private[graft] def bm25(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val tokenized = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = broadcast(tokenized.agg(sum(col("dl")).as("S"),
+      count(lit(1)).as("N")))
+    val hits = tokenized
+      .select(col("doc_id"), col("dl"), col("toks"),
+        explode(typedLit(terms)).as("term"))
+      .withColumn("tf",
+        size(filter(col("toks"), x => x === col("term"))).cast("long"))
+      .filter(col("tf") > 0)
+      .drop("toks")
+    val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    hits.join(broadcast(dfs), "term").crossJoin(stats)
+      .withColumn("idf_fp",
+        floor(log((col("N") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * 1e9).cast("long"))
+      .withColumn("num", lit(44L) * col("tf") * col("S"))
+      .withColumn("den", lit(20L) * col("tf") * col("S") +
+        lit(6L) * col("S") + lit(18L) * col("dl") * col("N"))
+      .withColumn("term_fp",
+        floor(col("idf_fp").cast("double") / 1e9 *
+          (col("num").cast("double") / col("den").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_fp")).as("score_fp"), count(lit(1)).as("n_hits"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_hits"), col("score_fp"),
+        (col("score_fp").cast("double") / 1e6).as("score"))
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -186,6 +285,69 @@ object ExtensionQueries4 {
              (prev_days = $SpikeWindow AND
               n_events * $SpikeWindow * $SpikeDen > $SpikeNum * prev_sum)
                AS is_spike
-      FROM r ORDER BY event_type, day"""
+      FROM r ORDER BY event_type, day""",
+
+    // Filtered-kNN replay: s01's exact-cosine shape plus the label
+    // equality pushed into the candidate join.
+    "s15_filtered_knn" -> s"""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      en AS (SELECT vec_id, label, v,
+               sqrt(${ExtensionQueries.dotSql("v", "v")}) AS nrm FROM e),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id, c.label,
+               ${ExtensionQueries.dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+        FROM en q JOIN en c
+          ON c.vec_id <> q.vec_id AND c.label = q.label
+        WHERE q.vec_id <= 2
+      ),
+      ranked AS (
+        SELECT query_id, vec_id, label, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored
+      )
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, label,
+             floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
+    // BM25 replay: same tokenization as the d10/t19 oracles, same
+    // fixed-point idf, same integer tf normalization, same top-k order.
+    "t25_bm25" -> s"""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ),
+      d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+      st AS (SELECT CAST(sum(dl) AS BIGINT) AS s_dl,
+                    CAST(count(*) AS BIGINT) AS n FROM d),
+      qt AS (SELECT unnest([${Bm25Terms.map("'" + _ + "'").mkString(", ")}]) AS term),
+      hit AS (
+        SELECT doc_id, dl, term,
+               CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+        FROM d CROSS JOIN qt
+        WHERE len(list_filter(toks, x -> x = term)) > 0
+      ),
+      dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM hit GROUP BY 1),
+      sc AS (
+        SELECT h.doc_id,
+               CAST(floor(
+                 CAST(CAST(floor(ln((st.n - dfc.df + 0.5) / (dfc.df + 0.5)
+                     + 1.0) * 1000000000) AS BIGINT) AS DOUBLE) / 1000000000
+                 * (CAST(44 * h.tf * st.s_dl AS DOUBLE)
+                    / CAST(20 * h.tf * st.s_dl + 6 * st.s_dl
+                           + 18 * h.dl * st.n AS DOUBLE))
+                 * 1000000) AS BIGINT) AS term_fp
+        FROM hit h JOIN dfc USING (term) CROSS JOIN st
+      ),
+      g AS (SELECT doc_id, CAST(sum(term_fp) AS BIGINT) AS score_fp,
+                   count(*) AS n_hits FROM sc GROUP BY 1)
+      SELECT doc_id, n_hits, score_fp,
+             CAST(score_fp AS DOUBLE) / 1000000 AS score
+      FROM g ORDER BY score_fp DESC, doc_id ASC LIMIT $Bm25K"""
   )
 }

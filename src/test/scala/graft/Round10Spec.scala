@@ -358,4 +358,44 @@ class Round10Spec extends AnyFunSuite {
     assert(out.map(_._2) == Seq(false, false, false, true, false),
       "only the 21-count day clears 2x the trailing-3 mean; 20 ties and fails strict >")
   }
+
+  test("filteredKnn is a PRE-filter: cross-label vectors never outrank in-label ones") {
+    // query 0 (label 1): vector 10 (label 2) is nearly identical to the
+    // query — a post-filter top-1 would waste its slot on it and then drop
+    // it; the pre-filter must return the farther SAME-label vectors 11, 12
+    val vecs = Seq(
+      (0L, 1, Seq(1.0, 0.0, 0.0)),
+      (10L, 2, Seq(0.999, 0.01, 0.0)), // closest overall, wrong label
+      (11L, 1, Seq(0.8, 0.6, 0.0)),
+      (12L, 1, Seq(0.0, 1.0, 0.0)),
+      (13L, 2, Seq(0.9, 0.1, 0.0))
+    ).toDF("vec_id", "label", "v")
+    val got = ExtensionQueries4.filteredKnn(vecs, col("vec_id") === 0L, k = 2)
+      .select("rank", "vec_id", "label")
+      .as[(Int, Long, Int)].collect().toSeq
+    assert(got == Seq((1, 11L, 1), (2, 12L, 1)),
+      s"expected only label-1 neighbors in cosine order, got $got")
+  }
+
+  test("bm25: tf raises score with saturation, doc length normalizes, rarity wins") {
+    def doc(id: Long, s: String) = (id, s)
+    val docs = Seq(
+      doc(1, "alpha beta beta filler filler filler filler filler"),
+      doc(2, "alpha filler filler filler filler filler filler filler"),
+      doc(3, "alpha filler"), // same single hit as 2 but much shorter
+      doc(4, "rare filler filler filler filler filler filler filler"),
+      doc(5, "filler filler filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val got = ExtensionQueries4.bm25(docs, Seq("alpha", "beta", "rare"), k = 10)
+      .select("doc_id", "n_hits", "score_fp")
+      .as[(Long, Long, Long)].collect().toList
+    val score = got.map(r => r._1 -> r._3).toMap
+    assert(!score.contains(5L), "doc without any query term never scores")
+    assert(score(1L) > score(2L), "extra matched term must raise the score")
+    assert(score(3L) > score(2L), "same tf in a shorter doc must score higher")
+    // 'rare' (df=1) must outweigh one hit of 'alpha' (df=3) at equal length
+    assert(score(4L) > score(2L), "rarer term carries more idf weight")
+    assert(got.map(_._1) == got.sortBy(r => (-r._3, r._1)).map(_._1),
+      "output is ordered by score desc, doc_id asc")
+  }
 }
