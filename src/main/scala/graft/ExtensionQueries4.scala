@@ -170,21 +170,31 @@ object ExtensionQueries4 {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** t25's body over a (doc_id, text) frame. */
+  /** t25's body over a (doc_id, text) frame.
+    *
+    * ONE corpus scan: a single pass tokenizes and reduces each doc to the
+    * narrow row (doc_id, dl, tf-per-term), persisted so the three
+    * downstream consumers (corpus stats, per-term df, the scoring join)
+    * never re-read text — at 100 TB the naive formulation re-scans and
+    * re-tokenizes the corpus three times, which IS the query's cost.
+    */
   private[graft] def bm25(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val tokenized = docs
+    val perDoc = docs
       .select(col("doc_id"), toks.as("toks"))
-      .withColumn("dl", size(col("toks")).cast("long"))
-    val stats = broadcast(tokenized.agg(sum(col("dl")).as("S"),
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        transform(typedLit(terms),
+          term => size(filter(col("toks"), x => x === term)).cast("long"))
+          .as("tfs"))
+      .persist()
+    val stats = broadcast(perDoc.agg(sum(col("dl")).as("S"),
       count(lit(1)).as("N")))
-    val hits = tokenized
-      .select(col("doc_id"), col("dl"), col("toks"),
-        explode(typedLit(terms)).as("term"))
-      .withColumn("tf",
-        size(filter(col("toks"), x => x === col("term"))).cast("long"))
+    val hits = perDoc
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("tfs")).as(Seq("ti", "tf")))
       .filter(col("tf") > 0)
-      .drop("toks")
+      .withColumn("term", element_at(typedLit(terms), col("ti") + 1))
+      .drop("ti")
     val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
     hits.join(broadcast(dfs), "term").crossJoin(stats)
       .withColumn("idf_fp",
