@@ -110,6 +110,53 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("media decode queries (audio, video, chunking) shuffle only for the output sort") {
+    for (q <- Seq("m06_audio_energy", "m07_scene_detect", "t24_chunk_overlap")) {
+      val p = plan(q)
+      val exchanges = "(?<!Reused)Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1,
+        s"$q: expected only the final sort exchange, got $exchanges:\n$p")
+    }
+  }
+
+  test("filtered kNN broadcasts the query set; corpus side never shuffle-joins") {
+    val p = plan("s15_filtered_knn")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "query-set join fell back to a corpus-wide shuffle join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bm25 tokenizes the corpus exactly once (persisted narrow per-doc pass)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.catalog.clearCache() // count builders fresh, not a prior test's
+      val exec = SparkEntry.queries("t25_bm25")(spark, dir)
+        .queryExecution.executedPlan
+      val seen = scala.collection.mutable.LinkedHashSet[AnyRef]()
+      def docScans(p: SparkPlan): Int = {
+        val self = p match {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => 1
+          case _ => 0
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+          case im: InMemoryTableScanExec =>
+            val b = im.relation.cacheBuilder
+            if (seen.add(b)) Seq(b.cachedPlan) else Nil
+          case o => o.children
+        }
+        self + kids.map(docScans).sum
+      }
+      assert(docScans(exec) == 1,
+        s"bm25 must read+tokenize the corpus exactly once:\n$exec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("simhash banding never plans a cartesian product") {
     val p = plan("d13_simhash_neardup")
     assert(!p.contains("CartesianProduct"),
