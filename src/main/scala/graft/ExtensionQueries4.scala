@@ -46,6 +46,14 @@ object ExtensionQueries4 {
   val Bm25Terms: Seq[String] = Seq("vector", "merge", "window")
   val Bm25K = 20
 
+  /** Reciprocal-rank-fusion constants for s16: the standard K=60 damping,
+    * contributions fixed-pointed as 1e9 DIV (K + rank) — integer division,
+    * so fusion scores are exact BIGINTs in both engines.
+    */
+  val RrfK = 60
+  val HybridK = 20
+  val HybridQueryVec = 0L
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Video scene detection (m07): the video third of the corpus carries a
@@ -146,7 +154,44 @@ object ExtensionQueries4 {
     // constant factor — then one groupBy(doc) and a global top-k
     // (TakeOrdered, no full sort); df and the corpus stats broadcast.
     "t25_bm25" -> ((s, dir) =>
-      bm25(t(s, dir, "documents"), Bm25Terms, Bm25K))
+      bm25(t(s, dir, "documents"), Bm25Terms, Bm25K)),
+
+    // Hybrid retrieval fusion (s16): reciprocal-rank fusion of the two
+    // rankers this engine now owns — t25's BM25 lexical top-k and an exact
+    // cosine vector top-k — the standard two-tower merge every hybrid
+    // search stack (lexical + embedding) ships. RRF is rank-only, so the
+    // two score scales never need calibrating, and the fused score
+    // Σ 1e9 DIV (60 + rank) is exact integer arithmetic in both engines.
+    // Docs surfaced by only one ranker keep their single contribution
+    // (full outer join), which is RRF's recall property. Scale shape: both
+    // inputs are already top-k-bounded (≤ K rows each), so the fusion join
+    // and sort are trivially small regardless of corpus size; the heavy
+    // lifting lives in the two rankers, each already scale-shaped.
+    "s16_hybrid_rrf" -> ((s, dir) => {
+      val lexW = Window.orderBy(col("score_fp").desc, col("doc_id").asc)
+      val lex = bm25(t(s, dir, "documents"), Bm25Terms, HybridK)
+        .withColumn("lex_rank", row_number().over(lexW).cast("int"))
+        .select(col("doc_id"), col("lex_rank"))
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val q = broadcast(e.filter(col("vec_id") === HybridQueryVec)
+        .select(col("v").as("qv")))
+      val vecW = Window.orderBy(col("cos").desc, col("doc_id").asc)
+      val vec = e.filter(col("vec_id") =!= HybridQueryVec).crossJoin(q)
+        .withColumn("cos", Agg.roundAt(VectorOps.cosineFast(col("qv"), col("v")), 6))
+        .select(col("vec_id").as("doc_id"), col("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc)
+        .limit(HybridK)
+        .withColumn("vec_rank", row_number().over(vecW).cast("int"))
+        .select(col("doc_id"), col("vec_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_fp",
+          (coalesce(expr(s"1000000000 DIV ($RrfK + lex_rank)"), lit(0L)) +
+            coalesce(expr(s"1000000000 DIV ($RrfK + vec_rank)"), lit(0L)))
+            .cast("long"))
+        .orderBy(col("rrf_fp").desc, col("doc_id").asc)
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_fp"))
+    })
   )
 
   /** s15's body over an (vec_id, label, v) frame: top-k cosine within the
@@ -327,7 +372,52 @@ object ExtensionQueries4 {
 
     // BM25 replay: same tokenization as the d10/t19 oracles, same
     // fixed-point idf, same integer tf normalization, same top-k order.
-    "t25_bm25" -> s"""
+    "t25_bm25" -> bm25Oracle,
+
+    // RRF replay: both rankers' oracle shapes as subqueries, ranks from
+    // the same (score desc, doc_id asc) order, integer-division fusion.
+    "s16_hybrid_rrf" -> s"""
+      WITH lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
+                 AS INTEGER) AS lex_rank
+        FROM ($bm25Oracle)
+      ),
+      ve AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      ven AS (SELECT vec_id, v,
+                sqrt(${ExtensionQueries.dotSql("v", "v")}) AS nrm FROM ve),
+      vq AS (SELECT v AS qv, nrm AS qnrm FROM ven
+             WHERE vec_id = $HybridQueryVec),
+      vs AS (
+        SELECT c.vec_id AS doc_id,
+               floor((${ExtensionQueries.dotSql("qv", "c.v")}
+                 / (qnrm * c.nrm)) * 1000000 + 0.5) / 1000000 AS cos
+        FROM ven c CROSS JOIN vq WHERE c.vec_id <> $HybridQueryVec
+      ),
+      vtop AS (SELECT doc_id, cos FROM vs
+               ORDER BY cos DESC, doc_id ASC LIMIT $HybridK),
+      vr AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC)
+                 AS INTEGER) AS vec_rank
+        FROM vtop
+      )
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+             CAST(coalesce(1000000000 // ($RrfK + l.lex_rank), 0)
+               + coalesce(1000000000 // ($RrfK + v.vec_rank), 0) AS BIGINT)
+               AS rrf_fp
+      FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id
+      ORDER BY rrf_fp DESC, doc_id ASC"""
+  )
+
+  /** t25's DuckDB replay, shared with s16's lexical subquery (lazy: the
+    * [[oracles]] map initializer above runs first).
+    */
+  private lazy val bm25Oracle: String = s"""
       WITH tok AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
         FROM documents
@@ -359,5 +449,4 @@ object ExtensionQueries4 {
       SELECT doc_id, n_hits, score_fp,
              CAST(score_fp AS DOUBLE) / 1000000 AS score
       FROM g ORDER BY score_fp DESC, doc_id ASC LIMIT $Bm25K"""
-  )
 }

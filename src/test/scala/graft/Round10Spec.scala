@@ -398,4 +398,27 @@ class Round10Spec extends AnyFunSuite {
     assert(got.map(_._1) == got.sortBy(r => (-r._3, r._1)).map(_._1),
       "output is ordered by score desc, doc_id asc")
   }
+
+  test("hybrid RRF: fused score is exactly the integer rank formula, order follows it") {
+    val rows = ExtensionQueries4.all("s16_hybrid_rrf")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lex_rank", "vec_rank", "rrf_fp")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getLong(3)))
+      .toSeq
+    assert(rows.nonEmpty)
+    def contrib(rank: Option[Int]): Long =
+      rank.map(r => 1000000000L / (ExtensionQueries4.RrfK + r)).getOrElse(0L)
+    for ((doc, lex, vec, fp) <- rows) {
+      assert(lex.isDefined || vec.isDefined, s"doc $doc in neither ranker")
+      assert(fp == contrib(lex) + contrib(vec),
+        s"doc $doc: rrf_fp $fp != ${contrib(lex)} + ${contrib(vec)}")
+    }
+    assert(rows == rows.sortBy(r => (-r._4, r._1)),
+      "rows must be ordered by fused score desc, doc_id asc")
+    // both rankers' full top-k survive fusion (RRF's recall property)
+    assert(rows.flatMap(_._2).sorted == (1 to rows.count(_._2.isDefined)).toList)
+  }
 }
