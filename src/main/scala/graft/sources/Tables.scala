@@ -106,17 +106,30 @@ object Tables {
   def enableNanosReads(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as raw nanos ([[enableNanosReads]] — session-wide, see
-    * its scaladoc) and convert to a microsecond TimestampType with exact
-    * integer division (`DIV` — a double division would lose precision above
-    * 2^53 ns). Oracle side mirrors with CAST(ts AS TIMESTAMP), which also
-    * truncates to micros.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across fixture generations, so the load adapts to the
+    * physical type instead of assuming one: a NANOS column surfaces as a raw
+    * long ([[enableNanosReads]] — session-wide, see its scaladoc) and is
+    * converted to a microsecond TimestampType with exact integer division
+    * (`DIV` — a double division would lose precision above 2^53 ns); a
+    * MICROS column already arrives as TimestampType and passes through.
+    * Either way the downstream schema is identical. Oracle side mirrors with
+    * CAST(ts AS TIMESTAMP), which is exact for both encodings.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     enableNanosReads(spark)
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Normalize to the session-zoned TimestampType the nanos path
+        // produces (session TZ is UTC, so the cast is value-preserving);
+        // downstream epoch arithmetic (cast to double) rejects NTZ.
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Register every fixture table as a temp view so the engine's full SQL

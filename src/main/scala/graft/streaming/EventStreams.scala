@@ -138,12 +138,20 @@ object EventStreams {
     * in the directory become new micro-batches).
     */
   def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    // Same TIMESTAMP(NANOS) handling as the batch path (Tables.loadEvents):
-    // nanos surface as long, converted with exact integer division.
+    // Same ts-encoding adaptivity as the batch path (Tables.loadEvents):
+    // NANOS surfaces as long (exact integer division to micros), MICROS as
+    // TimestampType/NTZ (normalized to the session-zoned type).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(eventsDir).schema
-    spark.readStream.schema(rawSchema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.readStream.schema(rawSchema).parquet(eventsDir)
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Run a streaming DataFrame to completion against an in-memory sink and
