@@ -98,13 +98,13 @@ object ExtensionQueries {
   /** DuckDB mirror of [[VectorOps.planeWeight]] as a function of plane
     * expression `p` and the in-lambda index `i` (1-based dim = i-1).
     */
-  private def planeDotSql(v: String, p: String): String =
+  private[graft] def planeDotSql(v: String, p: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1,65), " +
       s"i -> $v[i] * (CAST((($p*64 + (i-1)) * 2654435761) % 1000003 AS DOUBLE)/1000003.0 - 0.5))), " +
       s"(acc,x) -> acc + x)"
 
   /** DuckDB mirror of [[VectorOps.lshBucket]]. */
-  private def bucketSql(v: String, planes: Int): String =
+  private[graft] def bucketSql(v: String, planes: Int): String =
     (0 until planes).map(p =>
       s"(CASE WHEN ${planeDotSql(v, p.toString)} >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
@@ -160,7 +160,7 @@ object ExtensionQueries {
   // query reads the corpus side at least twice (index build + probe or
   // verify), and the float->double conversion would otherwise re-run per
   // reference.
-  private def embeddingsD(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embeddingsD(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"), col("label"),
       VectorOps.toDouble(col("embedding")).as("v"))
       .persist()
@@ -168,7 +168,7 @@ object ExtensionQueries {
   /** Exact top-k per query, unrounded — s01's body, shared with the recall
     * evaluation (s08).
     */
-  private def knnBruteRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private[graft] def knnBruteRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
     val e = embeddingsD(s, dir)
     val q = e.filter(col("vec_id") <= 2).select(col("vec_id").as("id"), col("v").as("vec"))
     val c = e.select(col("vec_id").as("id"), col("v").as("vec"))
@@ -178,7 +178,7 @@ object ExtensionQueries {
   /** SRP-LSH top-k per query (single probe), unrounded — s02's body, shared
     * with the recall evaluation (s08).
     */
-  private def knnLshRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private[graft] def knnLshRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
     val e = embeddingsD(s, dir)
       .withColumn("bucket",
         VectorOps.lshBucketFast(col("v"), embPlanes(s, dir, KnnTargetBucket), 64))
@@ -190,6 +190,29 @@ object ExtensionQueries {
     c.join(broadcast(q), col("bucket") === col("bucket_c") &&
         col("vec_id") =!= col("query_id"))
       .withColumn("cos", VectorOps.cosineFast(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-probe SRP-LSH top-k per query (nprobe=2: home bucket plus the
+    * lowest-|margin| plane flip), unrounded — s06's body, shared with the
+    * retrieval-metrics evaluation (s19). The corpus holds ONE bucket per
+    * vector; only the (tiny, broadcast) query side explodes into nprobe
+    * rows.
+    */
+  private[graft] def knnLshMultiprobeRanked(s: SparkSession, dir: String, k: Int)
+      : DataFrame = {
+    val planes = embPlanes(s, dir, KnnTargetBucket)
+    val e = embeddingsD(s, dir)
+      .withColumn("bucket", VectorOps.lshBucketFast(col("v"), planes, 64))
+    val q = embeddingsD(s, dir).filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(VectorOps.lshProbeBuckets(col("v"), planes, 64, nprobe = 2)).as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q),
+        col("qbucket") === col("bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorOps.cosineFast(col("qv"), col("v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -206,9 +229,9 @@ object ExtensionQueries {
     */
   val NearDupTargetBucket = 2L
   val KnnTargetBucket = 8L
-  private val OracleCorpusSize = 500L // embeddings rows at sf0.001/sf0.01
+  private[graft] val OracleCorpusSize = 500L // embeddings rows at sf0.001/sf0.01
 
-  private def embPlanes(s: SparkSession, dir: String, target: Long): Int =
+  private[graft] def embPlanes(s: SparkSession, dir: String, target: Long): Int =
     VectorOps.planesFor(Tables.rowCount(s, dir, "embeddings"), target)
 
   /** Learned-IVF training budget (s05): cells, Lloyd iterations, probes.
@@ -698,24 +721,11 @@ object ExtensionQueries {
     // recall without growing corpus storage or shrinking the plane count.
     // The corpus still holds ONE bucket per vector; only the (tiny,
     // broadcast) query side explodes into nprobe rows.
-    "s06_knn_lsh_multiprobe" -> ((s, dir) => {
-      val planes = embPlanes(s, dir, KnnTargetBucket)
-      val e = embeddingsD(s, dir)
-        .withColumn("bucket", VectorOps.lshBucketFast(col("v"), planes, 64))
-      val q = embeddingsD(s, dir).filter(col("vec_id") <= 2)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          explode(VectorOps.lshProbeBuckets(col("v"), planes, 64, nprobe = 2)).as("qbucket"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      e.join(broadcast(q),
-          col("qbucket") === col("bucket") && col("vec_id") =!= col("query_id"))
-        .withColumn("cos", VectorOps.cosineFast(col("qv"), col("v")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+    "s06_knn_lsh_multiprobe" -> ((s, dir) =>
+      knnLshMultiprobeRanked(s, dir, 5)
         .select(col("query_id"), col("rank"), col("vec_id"),
           Agg.roundAt(col("cos"), 6).as("cos"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
+        .orderBy(col("query_id"), col("rank"))),
 
     // IVF-style vector aggregation: deterministic per-(cell, dim) centroid
     // via explode + decAvg — the oracle-checkable form (the typed

@@ -1,0 +1,496 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Agg, VectorOps}
+import graft.sources.Tables
+
+/** Round-11 LLM-pipeline extensions (continues [[ExtensionQueries4]], split
+  * for file hygiene): the serving/evaluation-side steps — two-stage int8
+  * quantized ANN with exact rescoring, eval-set n-gram contamination rates,
+  * graded retrieval metrics (recall/MRR/nDCG) over the engine's own ANN
+  * indexes, and grouped mergeable quantile sketches. Same contract as the
+  * earlier extension files: every query deterministic with a DuckDB oracle.
+  */
+object ExtensionQueries5 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** s17 geometry: stage 1 keeps the top [[RescoreC]] candidates per query
+    * by int8-approximate cosine; stage 2 rescores ONLY those in full
+    * precision and keeps the top [[KnnK]]. c/k = 4 is the classic
+    * quantized-serving margin (big enough that int8 ranking error below the
+    * cut line cannot cost a true top-k neighbor on realistic spectra).
+    */
+  val RescoreC = 20
+  val KnnK = 5
+
+  /** t26 contamination geometry: word 3-gram shingles (the d10 family's
+    * unit), eval set = doc_id % 97 == 0 (d10's split, so the two queries
+    * describe the same contamination event from both sides).
+    */
+  val NgramN = 3
+  val EvalMod = 97
+
+  /** s19 nDCG rank weights, fixed-pointed ONCE here and spliced into both
+    * engines as integer literals: w(r) = floor(1e9 / log2(1+r)). Computing
+    * the log in each engine would bet on two libms agreeing to the last
+    * ulp; integer literals cannot drift. IDCG is the ideal (all top-k
+    * relevant) prefix sum.
+    */
+  val NdcgWeights: Seq[Long] =
+    (1 to KnnK).map(r => math.floor(1e9 / (math.log1p(r) / math.log(2.0))).toLong)
+  val IdcgFp: Long = NdcgWeights.sum
+
+  /** q85 sketch geometry — q73's 1024-bin equi-width histogram, per group. */
+  val GQsBins = 1024
+  val GQsTargets: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  // ---- DuckDB SQL mirrors ----
+
+  /** Integer dot product of two BIGINT lists (64 dims) — the s17 stage-1
+    * scorer. Exact integer arithmetic, so both engines agree bit-for-bit.
+    */
+  private def intDotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1,65), i -> $a[i] * $b[i])), (acc,x) -> acc + x)"
+
+  /** CASE-form nDCG weight lookup over a rank expression (both engines get
+    * the same literals from [[NdcgWeights]]).
+    */
+  private def ndcgWeightSql(rank: String): String =
+    NdcgWeights.zipWithIndex.map { case (w, i) =>
+      s"WHEN $rank = ${i + 1} THEN CAST($w AS BIGINT)"
+    }.mkString("CASE ", " ", " ELSE CAST(0 AS BIGINT) END")
+
+  private def ndcgWeightCol(rank: Column): Column =
+    NdcgWeights.zipWithIndex.foldLeft(lit(0L)) { case (acc, (w, i)) =>
+      when(rank === (i + 1), lit(w)).otherwise(acc)
+    }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Two-stage int8 ANN with exact rescoring (s17): the production
+    // quantized-serving pattern — stage 1 ranks the WHOLE corpus by an
+    // integer dot product over s07's symmetric int8 codes (4x less memory
+    // traffic than the float scan; on real hardware an integer-SIMD
+    // kernel), stage 2 re-fetches ONLY the top-c survivors' full-precision
+    // vectors by key and rescores exactly, so the served top-k carries
+    // true cosines, not quantized approximations. The rescore join IS the
+    // point at 100 TB: the float vectors are 4x the bytes of the codes,
+    // and this plan reads c*|Q| of them instead of the corpus. Stage-1
+    // ranking is exact integer arithmetic (approx cosine = intdot /
+    // (int-norm product) — the only doubles are sqrt/division of exact
+    // ints, IEEE-identical in both engines). Scale shape: quantized scan →
+    // broadcast queries → bounded rank window; then a keyed equi-join of
+    // c*|Q| rows against the corpus for rescoring — no second corpus scan
+    // in the scoring path.
+    "s17_knn_int8_rescore" -> ((s, dir) => {
+      val e = ExtensionQueries.embeddingsD(s, dir)
+      val mxAbs = array_max(transform(col("v"), x => abs(x)))
+      val quant = e
+        .withColumn("__scale",
+          when(mxAbs > 0, lit(127.0) / mxAbs).otherwise(lit(1.0)))
+        .withColumn("qv", transform(col("v"), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x * col("__scale") + 0.5).cast("long")))))
+        .withColumn("qn",
+          sqrt(aggregate(col("qv"), lit(0L), (a, x) => a + x * x).cast("double")))
+        .select(col("vec_id"), col("qv"), col("qn"))
+      val q = quant.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+          col("qn").as("qqn"))
+      val w1 = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_cos").desc, col("vec_id").asc)
+      val stage1 = quant.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("iprod",
+          aggregate(zip_with(col("qqv"), col("qv"), (a, b) => a * b),
+            lit(0L), (a, x) => a + x))
+        .withColumn("approx_cos",
+          col("iprod").cast("double") / (col("qqn") * col("qn")))
+        .withColumn("approx_rank", row_number().over(w1).cast("int"))
+        .filter(col("approx_rank") <= RescoreC)
+        .select(col("query_id"), col("vec_id"), col("approx_rank"))
+      // stage 2: fetch full-precision vectors for survivors ONLY (keyed
+      // joins — the corpus is never rescanned for scoring)
+      val qFull = broadcast(e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      stage1
+        .join(e.select(col("vec_id"), col("v").as("cv")), Seq("vec_id"))
+        .join(qFull, Seq("query_id"))
+        .withColumn("cos", VectorOps.cosineFast(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w2).cast("int"))
+        .filter(col("rank") <= KnnK)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          col("approx_rank"), Agg.roundAt(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Eval-set n-gram contamination rate (t26): for every EVAL document,
+    // what fraction of its distinct word 3-grams appears anywhere in the
+    // train split — the contamination REPORT the eval-integrity audit
+    // publishes (d10/d16 answer the inverse question: which TRAIN docs to
+    // drop). Rate form matters: a 0.9-contaminated eval doc invalidates
+    // its benchmark; a 0.02 one is background collision. Scale shape: the
+    // train shingle set is far too big to broadcast at 100 TB, so this is
+    // a hash-keyed equi-join (shuffle on the shingle hash — the one
+    // correct shape); eval-side explode is bounded by eval corpus size,
+    // and the final aggregate is per-eval-doc.
+    "t26_ngram_overlap" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextHash.shingleHashes(col("text"), NgramN))
+            .as("sh"))
+      val trainSh = sh.filter(col("doc_id") % EvalMod =!= 0)
+        .select(col("sh")).distinct()
+        .withColumn("__hit", lit(1L))
+      sh.filter(col("doc_id") % EvalMod === 0)
+        .join(trainSh, Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+        .withColumn("contamination",
+          Agg.roundAt(col("n_contaminated").cast("double") / col("n_ngrams"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Graded retrieval metrics (s19): recall@k, MRR and nDCG@k of the
+    // engine's OWN two lexicalless ANN retrievers — single-probe SRP-LSH
+    // (s02) and multi-probe nprobe=2 (s06) — against the exact brute-force
+    // top-k as graded ground truth. s08 reports recall only; ranking
+    // quality needs position-aware metrics (a retriever that finds every
+    // true neighbor at ranks 16-20 has recall 1 and terrible nDCG). The
+    // nDCG log weights are integer literals computed once in Scala
+    // ([[NdcgWeights]]) so neither engine evaluates a log. Queries the
+    // index misses entirely still appear (left join from the exact query
+    // set, all-zero metrics — the s08 rule). Scale shape: both retrievers
+    // are the already-scale-shaped kNN plans; metric joins are on
+    // (query_id, vec_id) — k rows per query.
+    "s19_retrieval_metrics" -> ((s, dir) => {
+      val exact = ExtensionQueries.knnBruteRanked(s, dir, KnnK)
+        .select(col("query_id"), col("vec_id")).withColumn("__rel", lit(1L))
+      val queries = exact.select(col("query_id")).distinct()
+      def metricsOf(method: String, approx: DataFrame): DataFrame = {
+        val m = approx
+          .select(col("query_id"), col("vec_id"), col("rank"))
+          .join(exact, Seq("query_id", "vec_id"), "left")
+          .withColumn("rel", coalesce(col("__rel"), lit(0L)))
+          .groupBy(col("query_id"))
+          .agg(sum(col("rel")).as("n_hits"),
+            sum(when(col("rel") === 1, ndcgWeightCol(col("rank")))
+              .otherwise(lit(0L))).as("dcg_fp"),
+            min(when(col("rel") === 1, col("rank"))).as("first_hit"))
+        queries.join(m, Seq("query_id"), "left")
+          .select(lit(method).as("method"), col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            Agg.roundAt(coalesce(col("n_hits"), lit(0L)).cast("double") / KnnK, 6)
+              .as("recall"),
+            Agg.roundAt(
+              when(col("first_hit").isNotNull,
+                lit(1.0) / col("first_hit")).otherwise(lit(0.0)), 6).as("mrr"),
+            Agg.roundAt(
+              coalesce(col("dcg_fp"), lit(0L)).cast("double") / IdcgFp, 6)
+              .as("ndcg"))
+      }
+      metricsOf("lsh_probe1", ExtensionQueries.knnLshRanked(s, dir, KnnK))
+        .unionAll(metricsOf("lsh_probe2",
+          ExtensionQueries.knnLshMultiprobeRanked(s, dir, KnnK)))
+        .orderBy(col("method"), col("query_id"))
+    }),
+
+    // Grouped mergeable quantile sketch (q85): q73's 1024-bin equi-width
+    // histogram estimator, one sketch PER GROUP — the per-partition /
+    // per-tenant percentile report a lake publishes without ever sorting
+    // any group's values. Everything stays mergeable: per-group bin
+    // counts combine map-side and merge by addition; the estimate is the
+    // first bin whose cumulative count reaches ceil(q·n_g), deterministic
+    // arithmetic the oracle replays exactly; error ≤ one bin width of
+    // THAT group's range. Scale shape: one aggregation pass to
+    // (group, bin) — ≤ groups×1024 rows however big the input — then
+    // windows/joins over the tiny summary; group min/max ride a
+    // broadcast ≤|groups|-row aggregate.
+    "q85_grouped_quantile_sketch" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      val mm = li.groupBy(col("g")).agg(min(col("x")).as("mn"),
+        max(col("x")).as("mx"), count(lit(1)).as("n")).persist()
+      val binned = li.join(broadcast(mm), Seq("g"))
+        .withColumn("w", (col("mx") - col("mn")) / lit(GQsBins.toDouble))
+        .withColumn("bin", least(lit(GQsBins - 1),
+          floor((col("x") - col("mn")) / col("w")).cast("int")))
+        .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy(col("g")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = binned.withColumn("cum", sum(col("cnt")).over(wc)).persist()
+      val qs = GQsTargets.map { q =>
+        cum.join(broadcast(mm), Seq("g"))
+          .filter(col("cum") >= ceil(lit(q) * col("n")))
+          .groupBy(col("g"), col("mn"), col("mx"))
+          .agg(min(col("bin")).as("bin"))
+          .select(col("g"), lit(q).as("quantile"), col("bin"),
+            Agg.roundAt(col("mn") + col("bin") *
+              ((col("mx") - col("mn")) / lit(GQsBins.toDouble)), 6).as("est"),
+            Agg.roundAt((col("mx") - col("mn")) / lit(GQsBins.toDouble), 6)
+              .as("max_err"))
+      }
+      qs.reduce(_.unionAll(_)).orderBy(col("g"), col("quantile"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // Two-stage replay: s07's quantization arithmetic, integer stage-1
+    // dot/norms, the same top-c cut, then s01's exact-cosine shape over
+    // the survivors.
+    "s17_knn_int8_rescore" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      qz AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                    ELSE 1.0 END AS scale
+        FROM e
+      ),
+      qq AS (
+        SELECT vec_id, v,
+               list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+                 least(CAST(127 AS BIGINT),
+                   CAST(floor(x * scale + 0.5) AS BIGINT)))) AS qv
+        FROM qz
+      ),
+      qn AS (
+        SELECT vec_id, v, qv,
+               sqrt(CAST(${intDotSql("qv", "qv")} AS DOUBLE)) AS qn
+        FROM qq
+      ),
+      s1 AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               CAST(${intDotSql("q.qv", "c.qv")} AS DOUBLE) / (q.qn * c.qn)
+                 AS approx_cos
+        FROM qn q JOIN qn c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 2
+      ),
+      r1 AS (
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cos DESC, vec_id ASC) AS INTEGER)
+                 AS approx_rank
+        FROM s1
+      ),
+      surv AS (SELECT * FROM r1 WHERE approx_rank <= $RescoreC),
+      en AS (SELECT vec_id, v, sqrt(${ExtensionQueries.dotSql("v", "v")})
+               AS nrm FROM e),
+      s2 AS (
+        SELECT s.query_id, s.vec_id, s.approx_rank,
+               ${ExtensionQueries.dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+        FROM surv s
+        JOIN en c ON c.vec_id = s.vec_id
+        JOIN en q ON q.vec_id = s.query_id
+      ),
+      r2 AS (
+        SELECT query_id, vec_id, approx_rank, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM s2
+      )
+      SELECT query_id, rank, vec_id, approx_rank,
+             floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      FROM r2 WHERE rank <= $KnnK
+      ORDER BY query_id, rank""",
+
+    // Contamination replay: d10's word-3-gram shingle CTE, eval side LEFT
+    // JOINed against the distinct train set, same rate rounding.
+    "t26_ngram_overlap" -> s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          CASE WHEN len(toks) >= $NgramN
+               THEN list_transform(range(0, len(toks)-${NgramN - 1}),
+                      i -> array_to_string(list_slice(toks, i+1, i+$NgramN), ' '))
+               ELSE []::VARCHAR[] END,
+          s -> ${ExtensionQueries.chSql("s")}))) AS sh
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents) tok
+      ),
+      tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $EvalMod <> 0)
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_ngrams,
+             CAST(sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+             floor(CAST(sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+               AS contamination
+      FROM (SELECT doc_id, sh FROM sh WHERE doc_id % $EvalMod = 0) e
+      LEFT JOIN tr t ON e.sh = t.sh
+      GROUP BY 1 ORDER BY 1""",
+
+    // Metrics replay: the s08 oracle's brute + LSH ranked CTEs, the s06
+    // oracle's multi-probe CTEs, and CASE-literal nDCG weights — then one
+    // metrics block per method, unioned.
+    "s19_retrieval_metrics" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      en AS (SELECT vec_id, v, sqrt(${ExtensionQueries.dotSql("v", "v")})
+               AS nrm FROM e),
+      bscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ${ExtensionQueries.dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+        FROM en q JOIN en c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 2
+      ),
+      branked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM bscored
+      ),
+      truth AS (SELECT query_id, vec_id FROM branked WHERE rank <= $KnnK),
+      qs AS (SELECT DISTINCT query_id FROM branked),
+      eb AS (
+        SELECT vec_id, v,
+               ${ExtensionQueries.bucketSql("v",
+                 VectorOps.planesFor(ExtensionQueries.OracleCorpusSize,
+                   ExtensionQueries.KnnTargetBucket))} AS bucket,
+               sqrt(${ExtensionQueries.dotSql("v", "v")}) AS nrm
+        FROM e
+      ),
+      l1scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ${ExtensionQueries.dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+        FROM eb q JOIN eb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 2
+      ),
+      l1ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM l1scored
+      ),
+      qm AS (
+        SELECT vec_id, p, abs(${ExtensionQueries.planeDotSql("v", "p")}) AS m
+        FROM e CROSS JOIN range(0, ${VectorOps.planesFor(
+          ExtensionQueries.OracleCorpusSize,
+          ExtensionQueries.KnnTargetBucket)}) t(p)
+        WHERE vec_id <= 2
+      ),
+      qflip AS (
+        SELECT vec_id, p FROM (
+          SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id
+            ORDER BY m, p) AS rn
+          FROM qm
+        ) WHERE rn = 1
+      ),
+      qprobe AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket AS qbucket
+        FROM eb WHERE vec_id <= 2
+        UNION ALL
+        SELECT q.vec_id, q.v, q.nrm, xor(q.bucket, CAST(1 << f.p AS BIGINT))
+        FROM eb q JOIN qflip f ON q.vec_id = f.vec_id
+      ),
+      l2scored AS (
+        SELECT p.query_id, c.vec_id,
+               ${ExtensionQueries.dotSql("p.qv", "c.v")} / (p.qnrm * c.nrm) AS cos
+        FROM qprobe p JOIN eb c ON p.qbucket = c.bucket
+          AND c.vec_id <> p.query_id
+      ),
+      l2ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM l2scored
+      ),
+      m1 AS (
+        SELECT a.query_id,
+               CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hits,
+               CAST(sum(CASE WHEN t.vec_id IS NOT NULL
+                 THEN ${ndcgWeightSql("a.rank")} ELSE 0 END) AS BIGINT)
+                 AS dcg_fp,
+               min(CASE WHEN t.vec_id IS NOT NULL THEN a.rank END)
+                 AS first_hit
+        FROM (SELECT * FROM l1ranked WHERE rank <= $KnnK) a
+        LEFT JOIN truth t
+          ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        GROUP BY 1
+      ),
+      m2 AS (
+        SELECT a.query_id,
+               CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hits,
+               CAST(sum(CASE WHEN t.vec_id IS NOT NULL
+                 THEN ${ndcgWeightSql("a.rank")} ELSE 0 END) AS BIGINT)
+                 AS dcg_fp,
+               min(CASE WHEN t.vec_id IS NOT NULL THEN a.rank END)
+                 AS first_hit
+        FROM (SELECT * FROM l2ranked WHERE rank <= $KnnK) a
+        LEFT JOIN truth t
+          ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        GROUP BY 1
+      )
+      SELECT method, query_id, n_hits, recall, mrr, ndcg FROM (
+        SELECT 'lsh_probe1' AS method, qs.query_id,
+               coalesce(m.n_hits, 0) AS n_hits,
+               floor(coalesce(m.n_hits, 0) / CAST($KnnK AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS recall,
+               floor(CASE WHEN m.first_hit IS NOT NULL
+                 THEN 1.0 / m.first_hit ELSE 0.0 END * 1000000 + 0.5)
+                 / 1000000 AS mrr,
+               floor(CAST(coalesce(m.dcg_fp, 0) AS DOUBLE) / $IdcgFp
+                 * 1000000 + 0.5) / 1000000 AS ndcg
+        FROM qs LEFT JOIN m1 m ON qs.query_id = m.query_id
+        UNION ALL
+        SELECT 'lsh_probe2' AS method, qs.query_id,
+               coalesce(m.n_hits, 0) AS n_hits,
+               floor(coalesce(m.n_hits, 0) / CAST($KnnK AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS recall,
+               floor(CASE WHEN m.first_hit IS NOT NULL
+                 THEN 1.0 / m.first_hit ELSE 0.0 END * 1000000 + 0.5)
+                 / 1000000 AS mrr,
+               floor(CAST(coalesce(m.dcg_fp, 0) AS DOUBLE) / $IdcgFp
+                 * 1000000 + 0.5) / 1000000 AS ndcg
+        FROM qs LEFT JOIN m2 m ON qs.query_id = m.query_id
+      ) u ORDER BY method, query_id""",
+
+    // Grouped-sketch replay: q73's oracle with PARTITION BY g everywhere.
+    "q85_grouped_quantile_sketch" -> s"""
+      WITH x AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+      mm AS (SELECT g, min(x) AS mn, max(x) AS mx, count(*) AS n
+             FROM x GROUP BY 1),
+      b AS (
+        SELECT x.g,
+               least(${GQsBins - 1},
+                 CAST(floor((x.x - mm.mn) / ((mm.mx - mm.mn) / $GQsBins.0))
+                   AS INTEGER)) AS bin,
+               count(*) AS cnt
+        FROM x JOIN mm ON x.g = mm.g GROUP BY 1, 2
+      ),
+      c AS (
+        SELECT g, bin, sum(cnt) OVER (PARTITION BY g ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM b
+      ),
+      sel AS (
+        SELECT c.g, CAST(q.q AS DOUBLE) AS quantile, min(c.bin) AS bin
+        FROM (VALUES (0.5), (0.9), (0.99)) q(q)
+        JOIN c ON true
+        JOIN mm ON c.g = mm.g
+        WHERE c.cum >= ceil(CAST(q.q AS DOUBLE) * mm.n)
+        GROUP BY 1, 2
+      )
+      SELECT sel.g, quantile, bin,
+             floor((mn + bin * ((mx - mn) / $GQsBins.0)) * 1000000 + 0.5)
+               / 1000000 AS est,
+             floor(((mx - mn) / $GQsBins.0) * 1000000 + 0.5) / 1000000
+               AS max_err
+      FROM sel JOIN mm ON sel.g = mm.g ORDER BY sel.g, quantile"""
+  )
+}

@@ -57,6 +57,87 @@ class Round11Spec extends AnyFunSuite {
     assert(b.select($"ts".cast(DoubleType)).count() === 3)
   }
 
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("s17 two-stage int8 rescore recovers the exact brute-force top-k") {
+    // end-to-end recall property of the two-stage design: with the 4x
+    // rescore margin (c=20, k=5), int8 stage-1 ranking error below the cut
+    // line never costs a true neighbor on the fixture, and stage-2 cosines
+    // are full-precision — so the served result IS the exact result.
+    val cols = Seq("query_id", "rank", "vec_id", "cos").map(col)
+    val exact = SparkEntry.queries("s01_knn_brute")(spark, Sf)
+      .select(cols: _*).collect().toSeq
+    val served = SparkEntry.queries("s17_knn_int8_rescore")(spark, Sf)
+      .select(cols: _*).collect().toSeq
+    assert(served === exact)
+  }
+
+  test("s19 multi-probe metrics dominate single-probe per query") {
+    // probe2's candidate pool is a superset of probe1's per query, and the
+    // approx list ranks by the same exact cosine as the ground truth — so
+    // every metric is monotonically >= (a relevant doc can only be
+    // displaced by another relevant doc ranked above it).
+    val m = SparkEntry.queries("s19_retrieval_metrics")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    val queries = m.keys.map(_._2).toSeq.distinct
+    assert(queries.nonEmpty)
+    for (q <- queries) {
+      val (h1, mrr1, ndcg1) = m(("lsh_probe1", q))
+      val (h2, mrr2, ndcg2) = m(("lsh_probe2", q))
+      assert(h2 >= h1, s"n_hits regressed for query $q")
+      assert(mrr2 >= mrr1, s"mrr regressed for query $q")
+      assert(ndcg2 >= ndcg1, s"ndcg regressed for query $q")
+    }
+  }
+
+  test("t26 contamination rate is exact on a constructed corpus") {
+    val dir = Files.createTempDirectory("graft_t26").toString
+    Seq(
+      // eval doc 0: 4 distinct 3-grams, 2 of which appear in train -> 0.5
+      (0L, "a b c d e f"),
+      // train doc 1 shares the "a b c d" span with eval doc 0
+      (1L, "a b c d q r s"),
+      (2L, "t u v w x y z"),
+      // eval doc 97: zero overlap with any train doc -> 0.0
+      (97L, "m1 m2 m3 m4"),
+      // eval doc 194: under 3 tokens -> no shingles -> absent from output
+      (194L, "x y"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t26_ngram_overlap")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet === Set(0L, 97L))
+    assert(got(0L) === ((4L, 2L, 0.5)))
+    assert(got(97L)._2 === 0L)
+    assert(got(97L)._3 === 0.0)
+  }
+
+  test("q85 per-group estimates bracket the exact percentile within max_err") {
+    val li = graft.sources.Tables.load(spark, Sf, "lineitem")
+      .select($"l_returnflag".as("g"), $"l_extendedprice".cast("double").as("x"))
+    val exact = li.groupBy($"g").agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY x)").as("p50"),
+      expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY x)").as("p90"),
+      expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY x)").as("p99"))
+      .collect().map(r => r.getString(0) ->
+        Map(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2), 0.99 -> r.getDouble(3)))
+      .toMap
+    val est = SparkEntry.queries("q85_grouped_quantile_sketch")(spark, Sf)
+      .collect()
+    assert(est.length === 9) // 3 groups x 3 targets
+    est.foreach { r =>
+      val (g, q, e, w) =
+        (r.getString(0), r.getDouble(1), r.getDouble(3), r.getDouble(4))
+      val x = exact(g)(q)
+      // est is the lower edge of the bin holding the ceil(q*n)-th value;
+      // percentile_cont interpolates, so allow one bin width each side
+      assert(x >= e - w - 1e-6 && x <= e + 2 * w + 1e-6,
+        s"group $g q=$q: exact $x outside [$e - w, $e + 2w], w=$w")
+    }
+  }
+
   test("streaming events read matches the batch load for both encodings") {
     val (nanosDir, microsDir) = writeFixtures()
     for (dir <- Seq(nanosDir, microsDir)) {
