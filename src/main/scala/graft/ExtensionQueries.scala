@@ -151,7 +151,7 @@ object ExtensionQueries {
   // fixture dirs make distinct cached relations, the Verify/Bench mains
   // clearCache() before stopping, and the shared test JVM's caches die with
   // it — under memory pressure the disk tier evicts, never OOMs.
-  private def docFeatures(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docFeatures(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id").as("id"),
       graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
       .persist()

@@ -49,6 +49,30 @@ object ExtensionQueries5 {
   val GQsBins = 1024
   val GQsTargets: Seq[Double] = Seq(0.5, 0.9, 0.99)
 
+  /** e11 native-session-window gap (seconds). Same figure and same split
+    * rule as e03 (a new session starts only when the inter-event gap is
+    * STRICTLY greater — an event landing exactly `gap` later still merges;
+    * pinned by Round11Spec's boundary case). What e11 adds over e03 is the
+    * native operator: the same declarative grouping key the streaming
+    * sessionizer uses, plus the [start, last+gap] window bounds.
+    */
+  val SessionGapSec = 1800
+
+  /** t27 containment threshold: doc A "contained in" a candidate pair when
+    * |A∩B| / min(|A|,|B|) clears this — the asymmetric complement of d04's
+    * symmetric Jaccard (a long doc quoting a short one wholesale has low
+    * Jaccard but containment ~1).
+    */
+  val ContainThr = 0.8
+
+  /** m08 frame-overlap geometry: fixed [[FrameW]]-char frames (m02's
+    * sampling unit), frames appearing in more than [[FrameDfCap]] docs
+    * dropped as boilerplate (the t19 df-cap rule — also the Σdf² bound that
+    * keeps the pair join feasible at 100 TB).
+    */
+  val FrameW = 64
+  val FrameDfCap = 10
+
   // ---- DuckDB SQL mirrors ----
 
   /** Integer dot product of two BIGINT lists (64 dims) — the s17 stage-1
@@ -239,6 +263,89 @@ object ExtensionQueries5 {
               .as("max_err"))
       }
       qs.reduce(_.unionAll(_)).orderBy(col("g"), col("quantile"))
+    }),
+
+    // Native session windows (e11): Spark's own `session_window` operator in
+    // batch form — the gap-merged grouping key the STREAMING sessionizer
+    // uses (state-store-backed there, plain aggregation here), so batch and
+    // stream share one declarative definition instead of e03's hand-rolled
+    // lag/cumsum. Window end = last event + gap, the handoff timestamp a
+    // downstream join keys on. Scale shape: ONE shuffle on user_id, then
+    // in-partition window merging — same cost as any keyed aggregation,
+    // no window-function pass at all.
+    "e11_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$SessionGapSec seconds").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          Agg.roundAt(Agg.decSum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Asymmetric containment scoring (t27): for d04's LSH candidate pairs,
+    // |A∩B|/|A| and |A∩B|/|B| over the same word-shingle sets — the metric
+    // that catches wholesale QUOTING, which symmetric Jaccard structurally
+    // cannot (a 10k-shingle doc embedding a 100-shingle doc verbatim has
+    // Jaccard ~0.01 but containment_b = 1.0). RefinedWeb/CCNet run exactly
+    // this pass to kill quote-inflated near-dups. Scale shape: d03's
+    // banded candidate generation (never all-pairs), then per-pair
+    // intersection over the two feature arrays.
+    "t27_containment" -> ((s, dir) => {
+      val feats = ExtensionQueries.docFeatures(s, dir)
+      val pairs = graft.operators.Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+      val fa = feats.select(col("id").as("doc_a"), col("features").as("fa"))
+      val fb = feats.select(col("id").as("doc_b"), col("features").as("fb"))
+      pairs.join(fa, "doc_a").join(fb, "doc_b")
+        .withColumn("__ov", size(array_intersect(col("fa"), col("fb"))).cast("double"))
+        .withColumn("__ca", col("__ov") / size(col("fa")))
+        .withColumn("__cb", col("__ov") / size(col("fb")))
+        .select(col("doc_a"), col("doc_b"),
+          col("__ov").cast("long").as("n_shared"),
+          size(col("fa")).as("n_a"), size(col("fb")).as("n_b"),
+          Agg.roundAt(col("__ca"), 4).as("containment_a"),
+          Agg.roundAt(col("__cb"), 4).as("containment_b"),
+          (greatest(col("__ca"), col("__cb")) >= ContainThr).as("is_contained"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Frame-overlap copy detection (m08): clips sharing verbatim frames —
+    // the shot-level media twin of t27's text containment, the pass a video
+    // corpus runs to find re-uploads/edits that full-file hashing (m01) and
+    // perceptual whole-image hashing (m05) both miss. Frames are m02's
+    // fixed-width sampling unit keyed by md5; frames in more than
+    // [[FrameDfCap]] docs are dropped as boilerplate (slates, black frames)
+    // — the df cap that both cleans the signal and bounds the pair join by
+    // Σdf² at 100 TB. Scale shape: distinct (doc, frame-hash) → df filter →
+    // hash-keyed self-join → per-pair count; never all-pairs.
+    "m08_frame_overlap" -> ((s, dir) => {
+      val frames = t(s, dir, "documents")
+        .select(col("doc_id"),
+          ceil(length(col("text")).cast("double") / FrameW).cast("int").as("nf"),
+          col("text"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("nf") - 1)).as("fi"), col("text"))
+        .select(col("doc_id"),
+          md5(encode(expr(s"substring(text, fi * $FrameW + 1, $FrameW)"),
+            "UTF-8")).as("fh"))
+        .distinct()
+        .persist()
+      val perDoc = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      val rare = frames.groupBy(col("fh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= FrameDfCap)
+      val keyed = frames.join(rare.select(col("fh")), "fh")
+      val a = keyed.select(col("fh"), col("doc_id").as("doc_a"))
+      val b = keyed.select(col("fh"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("fh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(perDoc.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), "doc_a")
+        .join(perDoc.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("nf_a"), col("nf_b"),
+          Agg.roundAt(col("n_shared").cast("double") /
+            least(col("nf_a"), col("nf_b")), 4).as("overlap_frac"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -491,6 +598,98 @@ object ExtensionQueries5 {
                / 1000000 AS est,
              floor(((mx - mn) / $GQsBins.0) * 1000000 + 0.5) / 1000000
                AS max_err
-      FROM sel JOIN mm ON sel.g = mm.g ORDER BY sel.g, quantile"""
+      FROM sel JOIN mm ON sel.g = mm.g ORDER BY sel.g, quantile""",
+
+    // Session-window replay: gaps-and-islands in exact integer micros; new
+    // session only at diff STRICTLY > gap (Spark's session_window merge
+    // rule — an event exactly gap after the previous still merges, pinned
+    // by Round11Spec); session_end = last event + gap.
+    "e11_session_window" -> s"""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+      ),
+      m AS (
+        SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > CAST($SessionGapSec AS BIGINT) * 1000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM m
+      )
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL '$SessionGapSec seconds' AS session_end,
+             count(*) AS n_events,
+             floor((CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE))
+               * 100 + 0.5) / 100 AS sum_value
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+
+    // Containment replay: d04's banded candidate pairs, intersection over
+    // the same shingle features, asymmetric ratios.
+    "t27_containment" -> s"""
+      WITH ${ExtensionQueries.featuresCte},
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${ExtensionQueries.bandSql(0)} AS bh FROM doc_feat
+        UNION ALL SELECT doc_id, 1, ${ExtensionQueries.bandSql(1)} FROM doc_feat
+        UNION ALL SELECT doc_id, 2, ${ExtensionQueries.bandSql(2)} FROM doc_feat
+        UNION ALL SELECT doc_id, 3, ${ExtensionQueries.bandSql(3)} FROM doc_feat
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      x AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(fa.features, fb.features)) AS DOUBLE) AS ov,
+               len(fa.features) AS n_a, len(fb.features) AS n_b
+        FROM pairs
+        JOIN doc_feat fa ON pairs.doc_a = fa.doc_id
+        JOIN doc_feat fb ON pairs.doc_b = fb.doc_id
+      )
+      SELECT doc_a, doc_b, CAST(ov AS BIGINT) AS n_shared,
+             CAST(n_a AS INTEGER) AS n_a, CAST(n_b AS INTEGER) AS n_b,
+             floor(ov / n_a * 10000 + 0.5) / 10000 AS containment_a,
+             floor(ov / n_b * 10000 + 0.5) / 10000 AS containment_b,
+             (greatest(ov / n_a, ov / n_b) >= $ContainThr) AS is_contained
+      FROM x ORDER BY doc_a, doc_b""",
+
+    // Frame-overlap replay: same fixed-width frames, same md5 keys (ASCII
+    // text: chars == bytes), same df cap, same pair counting.
+    "m08_frame_overlap" -> s"""
+      WITH d AS (
+        SELECT doc_id, text,
+               CAST(ceil(CAST(length(text) AS DOUBLE) / $FrameW) AS INTEGER)
+                 AS nf
+        FROM documents
+      ),
+      fr AS (
+        SELECT DISTINCT doc_id,
+               md5(substring(text, CAST(fi * $FrameW + 1 AS INTEGER), $FrameW))
+                 AS fh
+        FROM d, unnest(range(0, nf)) t(fi)
+      ),
+      per_doc AS (SELECT doc_id, count(*) AS nf FROM fr GROUP BY 1),
+      rare AS (SELECT fh FROM fr GROUP BY fh HAVING count(*) <= $FrameDfCap),
+      k AS (SELECT fr.doc_id, fr.fh FROM fr JOIN rare USING (fh)),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM k a JOIN k b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+             CAST(pa.nf AS BIGINT) AS nf_a, CAST(pb.nf AS BIGINT) AS nf_b,
+             floor(CAST(n_shared AS DOUBLE) / least(pa.nf, pb.nf) * 10000
+               + 0.5) / 10000 AS overlap_frac
+      FROM p
+      JOIN per_doc pa ON p.doc_a = pa.doc_id
+      JOIN per_doc pb ON p.doc_b = pb.doc_id
+      ORDER BY doc_a, doc_b"""
   )
 }

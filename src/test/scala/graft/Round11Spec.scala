@@ -138,6 +138,82 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("e11 native session_window equals manual gaps-and-islands with the > rule") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ev = graft.sources.Tables.load(spark, Sf, "events")
+    val byUser = W.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val running = byUser.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val us = unix_micros($"ts")
+    val gapUs = ExtensionQueries5.SessionGapSec.toLong * 1000000L
+    val manual = ev
+      .withColumn("__prev", lag(us, 1).over(byUser))
+      .withColumn("__new", when($"__prev".isNull || us - $"__prev" > gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("__sid", sum($"__new").over(running))
+      .groupBy($"user_id", $"__sid")
+      .agg(min($"ts").as("session_start"),
+        (max(us) + gapUs).as("__end_us"),
+        count(lit(1)).as("n_events"),
+        graft.operators.Agg.roundAt(graft.operators.Agg.decSum($"value"), 2)
+          .as("sum_value"))
+      .select($"user_id", $"session_start",
+        timestamp_micros($"__end_us").as("session_end"), $"n_events",
+        $"sum_value")
+      .orderBy($"user_id", $"session_start").collect().toSeq
+    val native = SparkEntry.queries("e11_session_window")(spark, Sf)
+      .collect().toSeq
+    assert(native === manual)
+    // pin the boundary rule: an event EXACTLY gap after the previous one
+    // still merges into the same session; one microsecond past it splits
+    def sessions(ts2: String): Long = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf(ts2), 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .groupBy($"user_id",
+        session_window($"ts", s"${ExtensionQueries5.SessionGapSec} seconds"))
+      .count().count()
+    assert(sessions("2024-01-01 00:30:00") === 1L)
+    assert(sessions("2024-01-01 00:30:00.000001") === 2L)
+  }
+
+  test("t27 containment fields are internally consistent and asymmetric") {
+    val rows = SparkEntry.queries("t27_containment")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (shared, na, nb) = (r.getLong(2), r.getInt(3), r.getInt(4))
+      val (ca, cb, flag) = (r.getDouble(5), r.getDouble(6), r.getBoolean(7))
+      assert(shared <= math.min(na, nb))
+      assert(math.abs(ca - math.floor(shared.toDouble / na * 10000 + 0.5) / 10000) < 1e-9)
+      assert(math.abs(cb - math.floor(shared.toDouble / nb * 10000 + 0.5) / 10000) < 1e-9)
+      assert(flag === (math.max(shared.toDouble / na, shared.toDouble / nb) >=
+        ExtensionQueries5.ContainThr))
+    }
+    // the metric is genuinely asymmetric on the fixture: some candidate
+    // pair has different containments in the two directions
+    assert(rows.exists(r => r.getDouble(5) != r.getDouble(6)))
+  }
+
+  test("m08 finds aligned shared frames and drops boilerplate past the df cap") {
+    val dir = Files.createTempDirectory("graft_m08").toString
+    val W = ExtensionQueries5.FrameW
+    def frame(c: Char): String = c.toString * W
+    val shared = frame('s')
+    val boiler = frame('z')
+    val docs =
+      // docs 0 and 1 share ONE aligned frame; the rest differ
+      Seq((0L, shared + frame('a')), (1L, shared + frame('b'))) ++
+        // 12 docs > FrameDfCap all carry the boilerplate frame
+        (2L to 13L).map(i => (i, boiler + frame(('c' + i).toChar)))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("m08_frame_overlap")(spark, dir).collect()
+    // the boilerplate frame is in 12 > 10 docs -> contributes no pairs;
+    // only (0,1) remains, sharing exactly one of two frames each
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 1L, 1L)))
+    assert(r.getDouble(5) === 0.5)
+  }
+
   test("streaming events read matches the batch load for both encodings") {
     val (nanosDir, microsDir) = writeFixtures()
     for (dir <- Seq(nanosDir, microsDir)) {
