@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g default: the full bench session holds ~100 cached relations at
+  // sf0.1; at 16g the old-gen fills and the last third of the suite runs
+  // in GC/eviction thrash (measured: 169-query total 271s at 16g vs 141s
+  // at 48g, worst single query 49.6s vs 4.3s). The box has 128 GiB;
+  // override with SPARK_DRIVER_MEM for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
