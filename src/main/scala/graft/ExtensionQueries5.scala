@@ -274,13 +274,8 @@ object ExtensionQueries5 {
     // in-partition window merging — same cost as any keyed aggregation,
     // no window-function pass at all.
     "e11_session_window" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("user_id"),
-          session_window(col("ts"), s"$SessionGapSec seconds").as("sw"))
-        .agg(count(lit(1)).as("n_events"),
-          Agg.roundAt(Agg.decSum(col("value")), 2).as("sum_value"))
-        .select(col("user_id"), col("sw.start").as("session_start"),
-          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+      graft.streaming.EventStreams
+        .sessionWindowed(t(s, dir, "events"), SessionGapSec)
         .orderBy(col("user_id"), col("session_start"))),
 
     // Asymmetric containment scoring (t27): for d04's LSH candidate pairs,

@@ -46,6 +46,27 @@ object EventStreams {
       org.apache.spark.sql.functions.window(c, w)
   }
 
+  /** Gap-merged session aggregation on Spark's NATIVE `session_window`
+    * grouping key — ONE definition for both execution modes: in batch it is
+    * a plain keyed aggregation (e11's registered query), in streaming the
+    * same plan runs against the session-window state store (append mode +
+    * watermark, per Spark's session-window streaming contract; the
+    * `withWatermark` is a no-op in batch). Window = [first event,
+    * last event + gap]; an event exactly `gap` after the previous still
+    * merges (strict-> split rule, pinned by Round11Spec).
+    */
+  def sessionWindowed(events: DataFrame, gapSec: Int,
+      watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Agg.roundAt(
+          graft.operators.Agg.decSum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Stateful gap-based sessionization with mapGroupsWithState: one state
     * record per user; a gap larger than `gapSeconds` between event times
     * starts a new session. The gap logic is event-time-driven, so the

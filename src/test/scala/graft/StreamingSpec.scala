@@ -41,6 +41,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == 4)
   }
 
+  test("native session_window: streaming append emits the batch sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val early = Seq(
+      Event(1L, ts("2024-01-01 00:00:00"), 7L, "view", 1.0),
+      Event(2L, ts("2024-01-01 00:10:00"), 7L, "view", 2.0),
+      // exactly gap after -> merges (the strict-> rule, in streaming too)
+      Event(3L, ts("2024-01-01 00:40:00"), 7L, "view", 4.0),
+      Event(4L, ts("2024-01-01 00:05:00"), 8L, "click", 8.0))
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionWindowed(stream.toDF(), gapSec = 1800)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("native_sessions").start()
+    stream.addData(early: _*)
+    q.processAllAvailable()
+    // sentinel far in the future advances the watermark past the early
+    // sessions so append finalizes and emits them
+    stream.addData(Event(9L, ts("2024-01-01 12:00:00"), 9L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("native_sessions")
+      .filter($"user_id" =!= 9L)
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    val batch = EventStreams.sessionWindowed(early.toDF(), gapSec = 1800)
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    assert(got === batch)
+    // user 7's three events (incl. the exactly-gap one) are ONE session
+    assert(got.filter(_._1 == 7L).map(_._4) === Seq(3L))
+  }
+
   test("stateful sessionization tracks per-user sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
