@@ -108,7 +108,10 @@ object ExtensionQueries5 {
     // and this plan reads c*|Q| of them instead of the corpus. Stage-1
     // ranking is exact integer arithmetic (approx cosine = intdot /
     // (int-norm product) — the only doubles are sqrt/division of exact
-    // ints, IEEE-identical in both engines). Scale shape: quantized scan →
+    // ints, IEEE-identical in both engines), evaluated by the native
+    // codegen'd [[graft.functions.IntDotProduct]] (a compiled tight loop,
+    // not interpreted zip_with/aggregate lambdas — this is the per-pair
+    // hot path). Scale shape: quantized scan →
     // broadcast queries → bounded rank window; then a keyed equi-join of
     // c*|Q| rows against the corpus for rescoring — no second corpus scan
     // in the scoring path.
@@ -122,7 +125,8 @@ object ExtensionQueries5 {
           greatest(lit(-127L), least(lit(127L),
             floor(x * col("__scale") + 0.5).cast("long")))))
         .withColumn("qn",
-          sqrt(aggregate(col("qv"), lit(0L), (a, x) => a + x * x).cast("double")))
+          sqrt(graft.functions.IntDotProduct.intDot(col("qv"), col("qv"))
+            .cast("double")))
         .select(col("vec_id"), col("qv"), col("qn"))
       val q = quant.filter(col("vec_id") <= 2)
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
@@ -131,8 +135,7 @@ object ExtensionQueries5 {
         .orderBy(col("approx_cos").desc, col("vec_id").asc)
       val stage1 = quant.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .withColumn("iprod",
-          aggregate(zip_with(col("qqv"), col("qv"), (a, b) => a * b),
-            lit(0L), (a, x) => a + x))
+          graft.functions.IntDotProduct.intDot(col("qqv"), col("qv")))
         .withColumn("approx_cos",
           col("iprod").cast("double") / (col("qqn") * col("qn")))
         .withColumn("approx_rank", row_number().over(w1).cast("int"))

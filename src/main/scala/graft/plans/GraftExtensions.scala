@@ -39,6 +39,8 @@ object GraftExtensions {
       e => CosineSimilarity(e(0), e(1))),
     simple("dot_product", classOf[graft.functions.DotProduct].getName, 2,
       e => graft.functions.DotProduct(e(0), e(1))),
+    simple("int_dot", classOf[graft.functions.IntDotProduct].getName, 2,
+      e => graft.functions.IntDotProduct(e(0), e(1))),
     simple("nfc_normalize", classOf[graft.functions.UnicodeNormalizeNFC].getName, 1,
       e => graft.functions.UnicodeNormalizeNFC(e(0))),
     // text-hash family: geometry parameters (shingle width, band counts,

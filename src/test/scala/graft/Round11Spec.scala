@@ -214,6 +214,35 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getDouble(5) === 0.5)
   }
 
+  test("int_dot native equals the portable fold, incl. null/mismatch edges") {
+    import graft.functions.IntDotProduct.intDot
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-127L, 127L), Seq(127L, 127L)),
+      (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b")
+    val native = df.select(intDot($"a", $"b")).collect().map(_.get(0)).toSeq
+    val fold = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .collect().map(_.get(0)).toSeq
+    assert(native === fold)
+    assert(native === Seq(32L, 0L, 0L))
+    // length mismatch and null element both -> null, like the fold
+    val edges = Seq(
+      (Seq[java.lang.Long](1L), Seq[java.lang.Long](1L, 2L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L)))
+      .toDF("a", "b")
+    val got = edges.select(intDot($"a", $"b")).collect()
+    assert(got.forall(_.isNullAt(0)))
+    // SQL surface registration
+    graft.plans.GraftExtensions.registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    df.createOrReplaceTempView("r11_intdot")
+    assert(spark.sql("SELECT int_dot(a, b) AS d FROM r11_intdot ORDER BY d")
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 0L, 32L))
+  }
+
   test("streaming events read matches the batch load for both encodings") {
     val (nanosDir, microsDir) = writeFixtures()
     for (dir <- Seq(nanosDir, microsDir)) {
