@@ -49,6 +49,18 @@ object ExtensionQueries5 {
   val GQsBins = 1024
   val GQsTargets: Seq[Double] = Seq(0.5, 0.9, 0.99)
 
+  /** q86 winsorization percentiles (clip below the p01 bin's lower edge,
+    * above the p99 bin's upper edge).
+    */
+  val WinsorLoQ = 0.01
+  val WinsorHiQ = 0.99
+
+  /** t28 Zipf-fit rank budget: regression over the top R term frequencies.
+    * R bounds every post-TakeOrdered stage AND the fixed-point products
+    * (R·(26e6)² ≪ 2^63).
+    */
+  val ZipfTopR = 100
+
   /** e11 native-session-window gap (seconds). Same figure and same split
     * rule as e03 (a new session starts only when the inter-event gap is
     * STRICTLY greater — an event landing exactly `gap` later still merges;
@@ -242,18 +254,7 @@ object ExtensionQueries5 {
     // windows/joins over the tiny summary; group min/max ride a
     // broadcast ≤|groups|-row aggregate.
     "q85_grouped_quantile_sketch" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
-      val mm = li.groupBy(col("g")).agg(min(col("x")).as("mn"),
-        max(col("x")).as("mx"), count(lit(1)).as("n")).persist()
-      val binned = li.join(broadcast(mm), Seq("g"))
-        .withColumn("w", (col("mx") - col("mn")) / lit(GQsBins.toDouble))
-        .withColumn("bin", least(lit(GQsBins - 1),
-          floor((col("x") - col("mn")) / col("w")).cast("int")))
-        .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
-      val wc = Window.partitionBy(col("g")).orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = binned.withColumn("cum", sum(col("cnt")).over(wc)).persist()
+      val (mm, cum) = groupedHistogram(groupedPrice(s, dir))
       val qs = GQsTargets.map { q =>
         cum.join(broadcast(mm), Seq("g"))
           .filter(col("cum") >= ceil(lit(q) * col("n")))
@@ -266,6 +267,78 @@ object ExtensionQueries5 {
               .as("max_err"))
       }
       qs.reduce(_.unionAll(_)).orderBy(col("g"), col("quantile"))
+    }),
+
+    // Sketch-driven winsorization (q86): per-group outlier clipping at the
+    // histogram-estimated p01/p99 — the robust-scaling repair step a
+    // feature pipeline runs before normalization, powered by the SAME
+    // mergeable sketch q85 publishes (no per-group sort at any point; the
+    // exact-percentile alternative shuffles and sorts every group's
+    // values). Clip bounds are bin EDGES (lower edge at p01, upper edge at
+    // p99) so no value inside the selected bins is touched; clipped sums
+    // are exact decimals. Scale shape: the q85 histogram pass, a broadcast
+    // ≤|groups|-row bounds table, then one more stateless scan + keyed
+    // aggregation.
+    "q86_winsorize" -> ((s, dir) => {
+      val li = groupedPrice(s, dir)
+      val (mm, cum) = groupedHistogram(li)
+      def edgeAt(q: Double, upper: Boolean) = {
+        val bin = cum.join(broadcast(mm), Seq("g"))
+          .filter(col("cum") >= ceil(lit(q) * col("n")))
+          .groupBy(col("g"), col("mn"), col("mx"))
+          .agg(min(col("bin")).as("bin"))
+        bin.select(col("g"),
+          (col("mn") + (col("bin") + lit(if (upper) 1 else 0)) *
+            ((col("mx") - col("mn")) / lit(GQsBins.toDouble)))
+            .as(if (upper) "hi" else "lo"))
+      }
+      val bounds = edgeAt(WinsorLoQ, upper = false)
+        .join(edgeAt(WinsorHiQ, upper = true), Seq("g"))
+      li.join(broadcast(bounds), Seq("g"))
+        .withColumn("cx",
+          when(col("x") < col("lo"), col("lo"))
+            .when(col("x") > col("hi"), col("hi"))
+            .otherwise(col("x")))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+          sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+          Agg.roundAt(Agg.decSum(col("cx")), 2).as("winsorized_sum"))
+        .orderBy(col("g"))
+    }),
+
+    // Corpus Zipf fit (t28): log-log least-squares slope over the top
+    // [[ZipfTopR]] term frequencies — the vocabulary-health diagnostic a
+    // corpus audit publishes (natural text tracks slope ≈ −1; template/spam
+    // corpora flatten, truncated vocabularies steepen). Float discipline:
+    // ln(rank) and ln(count) fixed-point to BIGINTs the instant they are
+    // computed (the t19 rule), so the regression's Σx, Σy, Σxy, Σx² are
+    // EXACT integer sums — magnitudes bounded by R·(26e6)² << 2^63 — and
+    // the slope is one double division of exact ints. Scale shape: term
+    // counting is the word-count shuffle; the top-R cut is TakeOrdered
+    // (per-partition heaps, no global sort), and everything after runs on
+    // R rows.
+    "t28_zipf_fit" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(ZipfTopR)
+      val ranked = terms
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("term").asc)))
+        .withColumn("x", floor(log(col("rank").cast("double")) * lit(1e6)).cast("long"))
+        .withColumn("y", floor(log(col("cnt").cast("double")) * lit(1e6)).cast("long"))
+      ranked.agg(count(lit(1)).as("n_points"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          max(when(col("rank") === 1, col("term"))).as("top_term"),
+          max(when(col("rank") === 1, col("cnt"))).as("top_count"))
+        .select(col("n_points"), col("top_term"), col("top_count"),
+          Agg.roundAt(
+            (col("n_points") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n_points") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6).as("slope"))
     }),
 
     // Native session windows (e11): Spark's own `session_window` operator in
@@ -346,6 +419,29 @@ object ExtensionQueries5 {
         .orderBy(col("doc_a"), col("doc_b"))
     })
   )
+
+  /** The (group, value) frame q85/q86 sketch over. */
+  private def groupedPrice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+
+  /** Shared grouped equi-width histogram: per-group (min, max, n) and the
+    * cumulated (g, bin, cnt, cum) summary, both persisted — the ≤
+    * |groups|×[[GQsBins]]-row mergeable sketch q85 reads estimates from and
+    * q86 derives clip bounds from.
+    */
+  private def groupedHistogram(li: DataFrame): (DataFrame, DataFrame) = {
+    val mm = li.groupBy(col("g")).agg(min(col("x")).as("mn"),
+      max(col("x")).as("mx"), count(lit(1)).as("n")).persist()
+    val binned = li.join(broadcast(mm), Seq("g"))
+      .withColumn("w", (col("mx") - col("mn")) / lit(GQsBins.toDouble))
+      .withColumn("bin", least(lit(GQsBins - 1),
+        floor((col("x") - col("mn")) / col("w")).cast("int")))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (mm, binned.withColumn("cum", sum(col("cnt")).over(wc)).persist())
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -597,6 +693,88 @@ object ExtensionQueries5 {
              floor(((mx - mn) / $GQsBins.0) * 1000000 + 0.5) / 1000000
                AS max_err
       FROM sel JOIN mm ON sel.g = mm.g ORDER BY sel.g, quantile""",
+
+    // Winsorize replay: the q85 histogram CTEs, p01/p99 edge selection,
+    // then the clip + DECIMAL sums.
+    "q86_winsorize" -> s"""
+      WITH x AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+      mm AS (SELECT g, min(x) AS mn, max(x) AS mx, count(*) AS n
+             FROM x GROUP BY 1),
+      b AS (
+        SELECT x.g,
+               least(${GQsBins - 1},
+                 CAST(floor((x.x - mm.mn) / ((mm.mx - mm.mn) / $GQsBins.0))
+                   AS INTEGER)) AS bin,
+               count(*) AS cnt
+        FROM x JOIN mm ON x.g = mm.g GROUP BY 1, 2
+      ),
+      c AS (
+        SELECT g, bin, sum(cnt) OVER (PARTITION BY g ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM b
+      ),
+      lo AS (
+        SELECT c.g, mm.mn + min(c.bin) * ((mm.mx - mm.mn) / $GQsBins.0) AS lo
+        FROM c JOIN mm ON c.g = mm.g
+        WHERE c.cum >= ceil($WinsorLoQ * mm.n)
+        GROUP BY c.g, mm.mn, mm.mx
+      ),
+      hi AS (
+        SELECT c.g, mm.mn + (min(c.bin) + 1) * ((mm.mx - mm.mn) / $GQsBins.0)
+                 AS hi
+        FROM c JOIN mm ON c.g = mm.g
+        WHERE c.cum >= ceil($WinsorHiQ * mm.n)
+        GROUP BY c.g, mm.mn, mm.mx
+      ),
+      cl AS (
+        SELECT x.g, x.x, lo.lo, hi.hi,
+               CASE WHEN x.x < lo.lo THEN lo.lo
+                    WHEN x.x > hi.hi THEN hi.hi
+                    ELSE x.x END AS cx
+        FROM x JOIN lo ON x.g = lo.g JOIN hi ON x.g = hi.g
+      )
+      SELECT g, count(*) AS n,
+             CAST(sum(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_lo,
+             CAST(sum(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_hi,
+             floor((CAST(sum(CAST(cx AS DECIMAL(30,6))) AS DOUBLE))
+               * 100 + 0.5) / 100 AS winsorized_sum
+      FROM cl GROUP BY 1 ORDER BY 1""",
+
+    // Zipf replay: same tokenization, same top-R cut (count desc, term
+    // asc), same 1e6 fixed-point logs, same exact-integer regression sums.
+    "t28_zipf_fit" -> s"""
+      WITH tok AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+      ),
+      tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1
+             ORDER BY cnt DESC, term ASC LIMIT $ZipfTopR),
+      r AS (
+        SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+        FROM tc
+      ),
+      p AS (
+        SELECT term, cnt, rank,
+               CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+               CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM r
+      ),
+      s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx,
+               max(CASE WHEN rank = 1 THEN term END) AS top_term,
+               max(CASE WHEN rank = 1 THEN cnt END) AS top_count
+        FROM p
+      )
+      SELECT n_points, top_term, CAST(top_count AS BIGINT) AS top_count,
+             floor(CAST(n_points * sxy - sx * sy AS DOUBLE)
+               / CAST(n_points * sxx - sx * sx AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS slope
+      FROM s""",
 
     // Session-window replay: gaps-and-islands in exact integer micros; new
     // session only at diff STRICTLY > gap (Spark's session_window merge

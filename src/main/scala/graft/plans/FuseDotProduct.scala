@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, IntDotProduct}
 
 /** Optimizer rule: fuse the portable dot-product fold
   *
@@ -33,6 +33,11 @@ object FuseDotProduct extends Rule[LogicalPlan] {
 
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 
@@ -69,5 +74,19 @@ object FuseDotProduct extends Rule[LogicalPlan] {
           usesBothVars(mx, my, zipArgs) && usesBothVars(aa, av, mergeArgs) &&
           isDoubleArray(a) && isDoubleArray(b) =>
         DotProduct(a, b)
+      // integer twin: same pattern over array<bigint> with a 0L seed ->
+      // the codegen'd IntDotProduct. Long + and * are exactly associative
+      // and commutative, so this rewrite needs no bit-exactness caveats
+      // at all — any 0 seed and either operand order is the same value.
+      case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _), zipArgs, _)),
+          Literal(0L, LongType),
+          LambdaFunction(Add(aa: NamedLambdaVariable, av: NamedLambdaVariable, _), mergeArgs, _),
+          finish: LambdaFunction)
+        if isIdentityLambda(finish) &&
+          usesBothVars(mx, my, zipArgs) && usesBothVars(aa, av, mergeArgs) &&
+          isLongArray(a) && isLongArray(b) =>
+        IntDotProduct(a, b)
     }
 }

@@ -67,6 +67,33 @@ class FuseDotProductSpec extends AnyFunSuite {
     }
   }
 
+  test("the integer fold is rewritten to int_dot and stays value-identical") {
+    val intDf = Seq(
+      (0, Some(Seq(Some(3L), Some(-2L), Some(5L))), Some(Seq(Some(2L), Some(7L), Some(1L)))),
+      (1, Some(Seq(Some(1L), None)), Some(Seq(Some(1L), Some(2L)))),   // null elem
+      (2, Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(1L)))),         // len mismatch
+      (3, Some(Seq.empty[Option[Long]]), Some(Seq.empty[Option[Long]])) // both empty
+    ).toDF("idx", "a", "b").repartition(2)
+    def query() = intDf.selectExpr("idx",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS d")
+      .orderBy("idx")
+    val portable = query().collect()
+    val (fused, plan) = withRule {
+      val df = query()
+      (df.collect(), df.queryExecution.optimizedPlan.toString)
+    }
+    assert(plan.contains("int_dot"), s"rule did not fire:\n$plan")
+    portable.zip(fused).foreach { case (p, f) =>
+      assert(p.isNullAt(1) == f.isNullAt(1))
+      if (!p.isNullAt(1)) assert(p.getLong(1) == f.getLong(1))
+    }
+    assert(fused(0).getLong(1) == -3L && fused(1).isNullAt(1) &&
+      fused(2).isNullAt(1) && fused(3).getLong(1) == 0L)
+    // (an INT-typed `0` seed against the BIGINT merge lambda is an
+    // analysis-time type error in Spark, so no near-miss case exists
+    // there — the only reachable integer spelling is the 0L one above)
+  }
+
   test("SQL spelling through the fold is fused too, on real embeddings") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))

@@ -214,6 +214,63 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getDouble(5) === 0.5)
   }
 
+  test("q86 clip counts obey the sketch-construction bounds; p50 inside [lo,hi]") {
+    val win = SparkEntry.queries("q86_winsorize")(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(win.keySet === Set("A", "N", "R"))
+    win.foreach { case (g, (n, lo, hi)) =>
+      // values strictly below the p01 bin's lower edge are < ceil(0.01*n)
+      // (the bin was the FIRST reaching that cumulative count), and values
+      // above the p99 bin's upper edge are <= n - ceil(0.99*n)
+      assert(lo < math.ceil(ExtensionQueries5.WinsorLoQ * n).toLong,
+        s"group $g: n_clipped_lo=$lo vs n=$n")
+      assert(hi <= n - math.ceil(ExtensionQueries5.WinsorHiQ * n).toLong,
+        s"group $g: n_clipped_hi=$hi vs n=$n")
+    }
+    // the q85 median estimate lies inside q86's clip bounds per group
+    val p50 = SparkEntry.queries("q85_grouped_quantile_sketch")(spark, Sf)
+      .filter($"quantile" === 0.5).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val li = graft.sources.Tables.load(spark, Sf, "lineitem")
+      .select($"l_returnflag".as("g"), $"l_extendedprice".as("x"))
+    val mm = li.groupBy($"g").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    p50.foreach { case (g, est) =>
+      val (mn, mx) = mm(g)
+      assert(est > mn && est < mx)
+    }
+  }
+
+  test("t28 regression recovers the slope of a constructed power-law corpus") {
+    val dir = Files.createTempDirectory("graft_t28").toString
+    // counts(r) = floor(2000 / r): a Zipf s=1 spectrum over 20 terms
+    val R = 20
+    val counts = (1 to R).map(r => 2000 / r)
+    val text = (1 to R).flatMap(r => Seq.fill(counts(r - 1))(f"w$r%02d"))
+      .mkString(" ")
+    Seq((0L, text)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("t28_zipf_fit")(spark, dir).collect().head
+    assert(row.getLong(0) === R.toLong)
+    assert(row.getString(1) === "w01")
+    assert(row.getLong(2) === 2000L)
+    // replay the exact fixed-point regression in plain Scala
+    val pts = (1 to R).map { r =>
+      (math.floor(math.log(r.toDouble) * 1e6).toLong,
+        math.floor(math.log(counts(r - 1).toDouble) * 1e6).toLong)
+    }
+    val n = R.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expect = math.floor(
+      (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble * 1e6 + 0.5) / 1e6
+    assert(row.getDouble(3) === expect)
+    // and it is Zipf-ish: slope near -1 (floor() quantization shifts it)
+    assert(row.getDouble(3) < -0.9 && row.getDouble(3) > -1.1)
+  }
+
   test("int_dot native equals the portable fold, incl. null/mismatch edges") {
     import graft.functions.IntDotProduct.intDot
     val df = Seq(
