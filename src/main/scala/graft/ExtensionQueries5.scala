@@ -61,6 +61,15 @@ object ExtensionQueries5 {
     */
   val ZipfTopR = 100
 
+  /** t29 grouped Space-Saving geometry: summary capacity per group and the
+    * published top-k. The fixture vocabulary is 31 terms (t14's bound), so
+    * 64 puts the sketch in its EXACT regime — the oracle replays plain
+    * per-source counts; the approximate regime's guarantees are
+    * HeavyHittersSpec's property tests.
+    */
+  val GHHCapacity = 64
+  val GHHTopK = 5
+
   /** e11 native-session-window gap (seconds). Same figure and same split
     * rule as e03 (a new session starts only when the inter-event gap is
     * STRICTLY greater — an event landing exactly `gap` later still merges;
@@ -339,6 +348,32 @@ object ExtensionQueries5 {
             (col("n_points") * col("sxy") - col("sx") * col("sy")).cast("double") /
               (col("n_points") * col("sxx") - col("sx") * col("sx")).cast("double"),
             6).as("slope"))
+    }),
+
+    // Grouped heavy hitters (t29): top terms PER SOURCE via the t12
+    // Space-Saving Aggregator lifted through functions.udaf into a
+    // DataFrame groupBy — per-group frequent-term summaries without
+    // shuffling raw terms (each partition folds its rows into bounded
+    // per-group summaries; capacity-sized partials merge up the agg tree —
+    // q80's grouped-sketch shape with a different sketch). The per-source
+    // term profile is the curation dashboard behind d11's caps and d15's
+    // mixture weights. Scale shape: ONE shuffle keyed on source carrying
+    // ≤ capacity-entry summaries, a partitioned rank window over
+    // |sources|×capacity rows.
+    "t29_grouped_heavy_hitters" -> ((s, dir) => {
+      val ssU = udaf(graft.operators.HeavyHitters.spaceSaving(GHHCapacity),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]())
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("est").desc, col("term").asc)
+      t(s, dir, "documents")
+        .select(col("source"), graft.operators.TextOps.tokens(col("text")).as("toks"))
+        .groupBy(col("source")).agg(ssU(col("toks")).as("ss"))
+        .select(col("source"), explode(col("ss")).as("e"))
+        .select(col("source"), col("e.term").as("term"), col("e.est").as("est"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= GHHTopK)
+        .select(col("source"), col("rank"), col("term"), col("est"))
+        .orderBy(col("source"), col("rank"))
     }),
 
     // Native session windows (e11): Spark's own `session_window` operator in
@@ -775,6 +810,25 @@ object ExtensionQueries5 {
                / CAST(n_points * sxx - sx * sx AS DOUBLE)
                * 1000000 + 0.5) / 1000000 AS slope
       FROM s""",
+
+    // Grouped heavy-hitters replay: the sketch runs in its exact regime
+    // (capacity >= per-source vocabulary), so per-source counts ARE the
+    // estimates — same tokenization as t12, rank per source.
+    "t29_grouped_heavy_hitters" -> s"""
+      WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+      ),
+      counts AS (SELECT source, term, count(*) AS est FROM tok GROUP BY 1, 2),
+      ranked AS (
+        SELECT source, term, est,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY est DESC, term ASC) AS rank
+        FROM counts
+      )
+      SELECT source, CAST(rank AS INTEGER) AS rank, term, est
+      FROM ranked WHERE rank <= $GHHTopK ORDER BY source, rank""",
 
     // Session-window replay: gaps-and-islands in exact integer micros; new
     // session only at diff STRICTLY > gap (Spark's session_window merge

@@ -271,6 +271,38 @@ class Round11Spec extends AnyFunSuite {
     assert(row.getDouble(3) < -0.9 && row.getDouble(3) > -1.1)
   }
 
+  test("t29 grouped sketch is partitioning-invariant and exact-regime correct") {
+    // exact regime (capacity >= per-source vocab): the sketch equals plain
+    // per-source counts, and the answer cannot depend on physical layout
+    val base = SparkEntry.queries("t29_grouped_heavy_hitters")(spark, Sf)
+      .collect().toSeq
+    assert(base.nonEmpty && base.map(_.getString(0)).distinct.size > 1)
+    val docs = graft.sources.Tables.load(spark, Sf, "documents")
+    val exact = docs
+      .select($"source", explode(graft.operators.TextOps.tokens($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("est"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")
+          .orderBy($"est".desc, $"term".asc)))
+      .filter($"rank" <= ExtensionQueries5.GHHTopK)
+      .select($"source", $"rank", $"term", $"est")
+      .orderBy($"source", $"rank").collect().toSeq
+    assert(base === exact)
+    // different physical partitioning -> different partial summaries ->
+    // same merged answer (the mergeable-summary property)
+    val ssU = udaf(
+      graft.operators.HeavyHitters.spaceSaving(ExtensionQueries5.GHHCapacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]())
+    def run(parts: Int) = docs
+      .select($"source", graft.operators.TextOps.tokens($"text").as("toks"))
+      .repartition(parts)
+      .groupBy($"source").agg(ssU($"toks").as("ss"))
+      .select($"source", explode($"ss").as("e"))
+      .select($"source", $"e.term", $"e.est")
+      .orderBy($"source", $"e.est".desc, $"e.term").collect().toSeq
+    assert(run(1) === run(7))
+  }
+
   test("int_dot native equals the portable fold, incl. null/mismatch edges") {
     import graft.functions.IntDotProduct.intDot
     val df = Seq(
