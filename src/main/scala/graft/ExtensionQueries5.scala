@@ -415,6 +415,26 @@ object ExtensionQueries5 {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Audio silence trimming (m09): the repair step on m06's detection —
+    // sub-threshold windows removed, surviving windows re-concatenated,
+    // the exact output bytes md5-pinned (the audio twin of t23's
+    // substring trimming: detect with one query, REPAIR with the next).
+    // Scale shape: stateless mapPartitions decode+trim, zero shuffle
+    // before the output sort; the oracle replays every window energy and
+    // the byte-exact concatenation off the text fixture.
+    "m09_audio_silence_trim" -> ((s, dir) => {
+      val audio = graft.operators.Multimodal.audioFromDocuments(
+        t(s, dir, "documents"))
+      graft.operators.Multimodal.audioSilenceTrim(audio,
+          graft.operators.Multimodal.PcmWin,
+          graft.operators.Multimodal.PcmSilenceThr).toDF()
+        .select(col("doc_id"), col("n_windows"), col("n_kept"),
+          col("kept_bytes"), col("trimmed_md5"),
+          Agg.roundAt((col("n_windows") - col("n_kept")).cast("double")
+            / col("n_windows"), 6).as("trimmed_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame-overlap copy detection (m08): clips sharing verbatim frames —
     // the shot-level media twin of t27's text containment, the pass a video
     // corpus runs to find re-uploads/edits that full-file hashing (m01) and
@@ -889,6 +909,53 @@ object ExtensionQueries5 {
              floor(ov / n_b * 10000 + 0.5) / 10000 AS containment_b,
              (greatest(ov / n_a, ov / n_b) >= $ContainThr) AS is_contained
       FROM x ORDER BY doc_a, doc_b""",
+
+    // Silence-trim replay: the m06 window energies, kept windows
+    // concatenated in order (string_agg ORDER BY wi), md5 over the exact
+    // surviving characters (ASCII fixture: chars == bytes; md5('') for
+    // all-silent clips in both engines).
+    "m09_audio_silence_trim" -> s"""
+      WITH clip AS (
+        SELECT doc_id, rpad(text, ${graft.operators.Multimodal.PcmN}, ' ') AS s
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 1
+      ),
+      w AS (
+        SELECT doc_id, s,
+               unnest(range(0, ${graft.operators.Multimodal.PcmN /
+                 graft.operators.Multimodal.PcmWin})) AS wi
+        FROM clip
+      ),
+      e AS (
+        SELECT doc_id, wi,
+               substr(s, CAST(wi * ${graft.operators.Multimodal.PcmWin} + 1
+                 AS INTEGER), ${graft.operators.Multimodal.PcmWin}) AS win,
+               CAST(list_sum(list_transform(
+                 list_transform(range(0, ${graft.operators.Multimodal.PcmWin}),
+                   j -> ascii(substr(s,
+                     CAST(wi * ${graft.operators.Multimodal.PcmWin} + j + 1
+                       AS INTEGER), 1)) - 32),
+                 c -> CAST(c AS BIGINT) * c)) AS BIGINT) AS energy
+        FROM w
+      ),
+      g AS (
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_windows,
+               CAST(sum(CASE WHEN energy >=
+                 ${graft.operators.Multimodal.PcmSilenceThr}
+                 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+               md5(coalesce(string_agg(
+                 CASE WHEN energy >=
+                   ${graft.operators.Multimodal.PcmSilenceThr}
+                   THEN win END, '' ORDER BY wi), '')) AS trimmed_md5
+        FROM e GROUP BY 1
+      )
+      SELECT doc_id, n_windows, n_kept,
+             CAST(n_kept * ${graft.operators.Multimodal.PcmWin} AS INTEGER)
+               AS kept_bytes,
+             trimmed_md5,
+             floor(CAST(n_windows - n_kept AS DOUBLE) / n_windows
+               * 1000000 + 0.5) / 1000000 AS trimmed_ratio
+      FROM g ORDER BY doc_id""",
 
     // Frame-overlap replay: same fixed-width frames, same md5 keys (ASCII
     // text: chars == bytes), same df cap, same pair counting.

@@ -358,6 +358,55 @@ object Multimodal {
     }
   }
 
+  /** Silence TRIMMING — the repair step after [[audioEnergy]]'s detection
+    * (the audio twin of t23's substring trimming): windows whose integer
+    * energy falls below the threshold are REMOVED and the surviving
+    * windows re-concatenated in order — the cleaned signal a speech
+    * pipeline feeds to its (stubbed) transcriber. The tail short of a full
+    * window is dropped with the silent windows (windowing defines the
+    * unit, same as [[audioEnergy]] ignoring it). The md5 pins the exact
+    * surviving bytes, so a trim that shifted, reordered, or re-encoded a
+    * window cannot pass the oracle. Same embarrassingly parallel
+    * mapPartitions shape as every decode stage — no shuffle.
+    */
+  case class TrimmedAudio(doc_id: Long, n_windows: Int, n_kept: Int,
+      kept_bytes: Int, trimmed_md5: String)
+
+  def audioSilenceTrim(media: Dataset[MediaRecord], window: Int,
+      silenceThr: Long): Dataset[TrimmedAudio] = {
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "audio").mapPartitions { records =>
+      // one digest instance per partition — per-record allocation is the
+      // kind of cost a million-record partition amortizes away
+      val md = java.security.MessageDigest.getInstance("MD5")
+      records.map { r =>
+        val samples = Pcm.parse(r.payload)
+        val nw = samples.length / window
+        val out = new java.io.ByteArrayOutputStream(samples.length)
+        var kept = 0
+        var w = 0
+        while (w < nw) {
+          var e = 0L
+          var j = 0
+          while (j < window) {
+            val d = (samples(w * window + j) & 0xff) - 32
+            e += d.toLong * d
+            j += 1
+          }
+          if (e >= silenceThr) {
+            out.write(samples, w * window, window)
+            kept += 1
+          }
+          w += 1
+        }
+        val bytes = out.toByteArray
+        md.reset()
+        val hex = md.digest(bytes).map("%02x".format(_)).mkString
+        TrimmedAudio(r.doc_id, nw, kept, bytes.length, hex)
+      }
+    }
+  }
+
   // ---- video path: a multi-frame parsed container + scene detection ----
 
   /** Synthesized clip geometry: 6 frames of 16×9 single-channel gray. */

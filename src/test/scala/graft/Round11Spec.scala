@@ -271,6 +271,32 @@ class Round11Spec extends AnyFunSuite {
     assert(row.getDouble(3) < -0.9 && row.getDouble(3) > -1.1)
   }
 
+  test("m09 silence trim keeps exactly the loud windows, byte-exact") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    // window=4: [loud][silent][loud] + a 2-byte tail that must be dropped
+    val loud1 = "ZZZZ".getBytes("UTF-8")   // (90-32)^2 * 4 = 13456 >= thr
+    val silent = "    ".getBytes("UTF-8")  // 0 < thr
+    val loud2 = "QQQQ".getBytes("UTF-8")
+    val tail = "ZZ".getBytes("UTF-8")
+    val samples = loud1 ++ silent ++ loud2 ++ tail
+    val payload = Multimodal.Pcm.encodeHeader(samples.length) ++ samples
+    val allSilent = Multimodal.Pcm.encodeHeader(4) ++ silent
+    val media = Seq(
+      MediaRecord(1L, "audio", payload, samples.length, 1),
+      MediaRecord(2L, "audio", allSilent, 4, 1)).toDS()
+    val got = Multimodal.audioSilenceTrim(media, window = 4, silenceThr = 100L)
+      .collect().map(t => t.doc_id -> t).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]) = md.digest(b).map("%02x".format(_)).mkString
+    assert(got(1L).n_windows === 3)
+    assert(got(1L).n_kept === 2)
+    assert(got(1L).kept_bytes === 8)
+    assert(got(1L).trimmed_md5 === hex(loud1 ++ loud2))
+    assert(got(2L).n_kept === 0)
+    assert(got(2L).trimmed_md5 === hex(Array.empty[Byte]))
+  }
+
   test("t29 grouped sketch is partitioning-invariant and exact-regime correct") {
     // exact regime (capacity >= per-source vocab): the sketch equals plain
     // per-source counts, and the answer cannot depend on physical layout
