@@ -16,12 +16,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * stand-in for the integer-SIMD kernel real vector stores run — is the
   * whole point of quantizing.
   *
-  * Exact semantics parity with the portable fold (asserted in Round11Spec):
-  * long addition is associative so there is no accumulation-order caveat;
-  * length mismatch -> null (zip_with null-pads, which nulls the fold);
-  * null element -> null; both empty -> 0L.
+  * Exact semantics parity with the portable fold (asserted in Round11Spec
+  * and PropertySpec): long addition is associative so there is no
+  * accumulation-order caveat; length mismatch -> null (zip_with null-pads,
+  * which nulls the fold); null element -> null; both empty -> 0L; and —
+  * like Spark's own Multiply/Add — overflow THROWS under ANSI mode
+  * (`failOnError`, captured from `spark.sql.ansi.enabled` at plan time,
+  * Spark 4's default) and wraps silently otherwise, so fusing the fold
+  * never changes overflow behavior.
   */
-case class IntDotProduct(left: Expression, right: Expression)
+case class IntDotProduct(left: Expression, right: Expression,
+    failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
@@ -50,9 +55,16 @@ case class IntDotProduct(left: Expression, right: Expression)
     }
     var dot = 0L
     var i = 0
-    while (i < n) {
-      dot += x.getLong(i) * y.getLong(i)
-      i += 1
+    if (failOnError) {
+      while (i < n) {
+        dot = Math.addExact(dot, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        dot += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
     }
     dot
   }
@@ -69,6 +81,12 @@ case class IntDotProduct(left: Expression, right: Expression)
              |  if ($a.isNullAt($j) || $b.isNullAt($j)) ${ev.isNull} = true;
              |}""".stripMargin
         else ""
+      val accumulate =
+        if (failOnError)
+          s"$dot = java.lang.Math.addExact($dot, " +
+            s"java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else
+          s"$dot += $a.getLong($i) * $b.getLong($i);"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -78,7 +96,7 @@ case class IntDotProduct(left: Expression, right: Expression)
          |if (!${ev.isNull}) {
          |long $dot = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getLong($i) * $b.getLong($i);
+         |  $accumulate
          |}
          |${ev.value} = $dot;
          |}

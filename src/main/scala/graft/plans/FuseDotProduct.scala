@@ -76,8 +76,9 @@ object FuseDotProduct extends Rule[LogicalPlan] {
         DotProduct(a, b)
       // integer twin: same pattern over array<bigint> with a 0L seed ->
       // the codegen'd IntDotProduct. Long + and * are exactly associative
-      // and commutative, so this rewrite needs no bit-exactness caveats
-      // at all — any 0 seed and either operand order is the same value.
+      // and commutative, so values never drift; overflow behavior is
+      // preserved too — IntDotProduct captures spark.sql.ansi.enabled
+      // (throw vs wrap) exactly like the Multiply/Add it replaces.
       case ArrayAggregate(
           ZipWith(a, b,
             LambdaFunction(Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _), zipArgs, _)),

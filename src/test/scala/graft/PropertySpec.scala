@@ -29,6 +29,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("int_dot ≡ the interpreted fold on arbitrary in-range longs") {
+    // magnitudes capped so products never overflow: parity of VALUES
+    val bound = 3037000498L // floor(sqrt(Long.MaxValue))/8 per element
+    val arr = Gen.choose(1, 8).flatMap(n =>
+      Gen.zip(Gen.listOfN(n, Gen.choose(-bound / 8, bound / 8)),
+        Gen.listOfN(n, Gen.choose(-bound / 8, bound / 8))))
+    for (batch <- Seq(samples(arr, 24))) {
+      val df = batch.toDF("a", "b")
+      val native = df.select(graft.functions.IntDotProduct.intDot($"a", $"b"))
+        .as[Long].collect().toSeq
+      val fold = df.select(
+        aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+        .as[Long].collect().toSeq
+      assert(native === fold)
+      // and both equal the plain Scala loop
+      val scala_ = batch.map { case (a, b) =>
+        a.zip(b).foldLeft(0L) { case (acc, (x, y)) => acc + x * y } }
+      assert(native === scala_)
+    }
+  }
+
+  test("int_dot overflow THROWS under ANSI mode, matching the fold it fuses") {
+    // Spark 4 runs ANSI by default: the interpreted fold's Multiply throws
+    // on long overflow. The native expression must not silently wrap where
+    // the expression it replaces errors — failOnError captures the conf.
+    val df = Seq((Seq(Long.MaxValue / 2 + 1L, 0L), Seq(4L, 0L))).toDF("a", "b")
+    intercept[Exception] {
+      df.select(
+        aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+        .collect()
+    }
+    intercept[Exception] {
+      df.select(graft.functions.IntDotProduct.intDot($"a", $"b")).collect()
+    }
+  }
+
   test("argmax-join ≡ window row_number when the max is unique per key") {
     val gen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 1000)))
     for (raw <- samples(gen, 5) if raw.nonEmpty) {
