@@ -138,30 +138,7 @@ object ExtensionQueries5 {
     // in the scoring path.
     "s17_knn_int8_rescore" -> ((s, dir) => {
       val e = ExtensionQueries.embeddingsD(s, dir)
-      val mxAbs = array_max(transform(col("v"), x => abs(x)))
-      val quant = e
-        .withColumn("__scale",
-          when(mxAbs > 0, lit(127.0) / mxAbs).otherwise(lit(1.0)))
-        .withColumn("qv", transform(col("v"), x =>
-          greatest(lit(-127L), least(lit(127L),
-            floor(x * col("__scale") + 0.5).cast("long")))))
-        .withColumn("qn",
-          sqrt(graft.functions.IntDotProduct.intDot(col("qv"), col("qv"))
-            .cast("double")))
-        .select(col("vec_id"), col("qv"), col("qn"))
-      val q = quant.filter(col("vec_id") <= 2)
-        .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
-          col("qn").as("qqn"))
-      val w1 = Window.partitionBy(col("query_id"))
-        .orderBy(col("approx_cos").desc, col("vec_id").asc)
-      val stage1 = quant.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("iprod",
-          graft.functions.IntDotProduct.intDot(col("qqv"), col("qv")))
-        .withColumn("approx_cos",
-          col("iprod").cast("double") / (col("qqn") * col("qn")))
-        .withColumn("approx_rank", row_number().over(w1).cast("int"))
-        .filter(col("approx_rank") <= RescoreC)
-        .select(col("query_id"), col("vec_id"), col("approx_rank"))
+      val stage1 = int8Ranked(s, dir, RescoreC)
       // stage 2: fetch full-precision vectors for survivors ONLY (keyed
       // joins — the corpus is never rescanned for scoring)
       val qFull = broadcast(e.filter(col("vec_id") <= 2)
@@ -350,6 +327,37 @@ object ExtensionQueries5 {
             6).as("slope"))
     }),
 
+    // Quantization-recall evaluation (s20): what the int8 scan ALONE loses
+    // vs the exact top-k, per query — the number that justifies s17's
+    // rescore stage (int8-only top-5 drops neighbors whose quantized
+    // ranking error crosses the cut; the 4x-margin candidate set recovers
+    // them). The s08 rule applies: every exact-side query appears even if
+    // int8-only missed everything. Scale shape: the already-shaped int8
+    // scan and brute scan, then k-row-per-query metric joins.
+    "s20_int8_recall" -> ((s, dir) => {
+      val truth = ExtensionQueries.knnBruteRanked(s, dir, KnnK)
+        .select(col("query_id"), col("vec_id")).withColumn("__rel", lit(1L))
+      val only = int8Ranked(s, dir, KnnK)
+        .join(truth, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__rel"), lit(0L))).as("hits_int8_only"))
+      val cand = int8Ranked(s, dir, RescoreC)
+        .join(truth, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__rel"), lit(0L))).as("hits_in_candidates"))
+      truth.select(col("query_id")).distinct()
+        .join(only, Seq("query_id"), "left")
+        .join(cand, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits_int8_only"), lit(0L)).as("hits_int8_only"),
+          Agg.roundAt(coalesce(col("hits_int8_only"), lit(0L)).cast("double")
+            / KnnK, 6).as("recall_int8_only"),
+          coalesce(col("hits_in_candidates"), lit(0L)).as("hits_in_candidates"),
+          Agg.roundAt(coalesce(col("hits_in_candidates"), lit(0L)).cast("double")
+            / KnnK, 6).as("recall_in_candidates"))
+        .orderBy(col("query_id"))
+    }),
+
     // Grouped heavy hitters (t29): top terms PER SOURCE via the t12
     // Space-Saving Aggregator lifted through functions.udaf into a
     // DataFrame groupBy — per-group frequent-term summaries without
@@ -474,6 +482,39 @@ object ExtensionQueries5 {
         .orderBy(col("doc_a"), col("doc_b"))
     })
   )
+
+  /** s17's stage 1, shared with the recall evaluation (s20): every corpus
+    * vector quantized to s07's int8 codes, ranked per query by the native
+    * integer dot over quantized norms, top `c` kept. Returns
+    * (query_id, vec_id, approx_rank).
+    */
+  private def int8Ranked(s: SparkSession, dir: String, c: Int): DataFrame = {
+    val e = ExtensionQueries.embeddingsD(s, dir)
+    val mxAbs = array_max(transform(col("v"), x => abs(x)))
+    val quant = e
+      .withColumn("__scale",
+        when(mxAbs > 0, lit(127.0) / mxAbs).otherwise(lit(1.0)))
+      .withColumn("qv", transform(col("v"), x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x * col("__scale") + 0.5).cast("long")))))
+      .withColumn("qn",
+        sqrt(graft.functions.IntDotProduct.intDot(col("qv"), col("qv"))
+          .cast("double")))
+      .select(col("vec_id"), col("qv"), col("qn"))
+    val q = quant.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("qn").as("qqn"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+    quant.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("iprod",
+        graft.functions.IntDotProduct.intDot(col("qqv"), col("qv")))
+      .withColumn("approx_cos",
+        col("iprod").cast("double") / (col("qqn") * col("qn")))
+      .withColumn("approx_rank", row_number().over(w1).cast("int"))
+      .filter(col("approx_rank") <= c)
+      .select(col("query_id"), col("vec_id"), col("approx_rank"))
+  }
 
   /** The (group, value) frame q85/q86 sketch over. */
   private def groupedPrice(s: SparkSession, dir: String): DataFrame =
@@ -830,6 +871,91 @@ object ExtensionQueries5 {
                / CAST(n_points * sxx - sx * sx AS DOUBLE)
                * 1000000 + 0.5) / 1000000 AS slope
       FROM s""",
+
+    // Quantization-recall replay: the s17 oracle's quantize/int-dot CTEs
+    // ranked at both cuts, scored against the brute-force truth set.
+    "s20_int8_recall" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      en AS (SELECT vec_id, v, sqrt(${ExtensionQueries.dotSql("v", "v")})
+               AS nrm FROM e),
+      bscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ${ExtensionQueries.dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+        FROM en q JOIN en c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 2
+      ),
+      branked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM bscored
+      ),
+      truth AS (SELECT query_id, vec_id FROM branked WHERE rank <= $KnnK),
+      qs AS (SELECT DISTINCT query_id FROM branked),
+      qz AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                    ELSE 1.0 END AS scale
+        FROM e
+      ),
+      qq AS (
+        SELECT vec_id,
+               list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+                 least(CAST(127 AS BIGINT),
+                   CAST(floor(x * scale + 0.5) AS BIGINT)))) AS qv
+        FROM qz
+      ),
+      qn AS (
+        SELECT vec_id, qv,
+               sqrt(CAST(${intDotSql("qv", "qv")} AS DOUBLE)) AS qn
+        FROM qq
+      ),
+      s1 AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               CAST(${intDotSql("q.qv", "c.qv")} AS DOUBLE) / (q.qn * c.qn)
+                 AS approx_cos
+        FROM qn q JOIN qn c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 2
+      ),
+      r1 AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cos DESC, vec_id ASC) AS approx_rank
+        FROM s1
+      ),
+      ionly AS (
+        SELECT r.query_id,
+               CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits_int8_only
+        FROM (SELECT * FROM r1 WHERE approx_rank <= $KnnK) r
+        LEFT JOIN truth t
+          ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+        GROUP BY 1
+      ),
+      icand AS (
+        SELECT r.query_id,
+               CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits_in_candidates
+        FROM (SELECT * FROM r1 WHERE approx_rank <= $RescoreC) r
+        LEFT JOIN truth t
+          ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+        GROUP BY 1
+      )
+      SELECT qs.query_id,
+             coalesce(o.hits_int8_only, 0) AS hits_int8_only,
+             floor(coalesce(o.hits_int8_only, 0) / CAST($KnnK AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS recall_int8_only,
+             coalesce(c.hits_in_candidates, 0) AS hits_in_candidates,
+             floor(coalesce(c.hits_in_candidates, 0) / CAST($KnnK AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS recall_in_candidates
+      FROM qs
+      LEFT JOIN ionly o ON qs.query_id = o.query_id
+      LEFT JOIN icand c ON qs.query_id = c.query_id
+      ORDER BY qs.query_id""",
 
     // Grouped heavy-hitters replay: the sketch runs in its exact regime
     // (capacity >= per-source vocabulary), so per-source counts ARE the

@@ -72,6 +72,18 @@ class Round11Spec extends AnyFunSuite {
     assert(served === exact)
   }
 
+  test("s20: candidate-set recall dominates int8-only; full recall at c=20") {
+    val rows = SparkEntry.queries("s20_int8_recall")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (only, cand) = (r.getLong(1), r.getLong(3))
+      // the c=20 candidate set contains the k=5 int8-only list
+      assert(cand >= only)
+      // s17's equals-brute spec implies the margin recovers everything here
+      assert(cand === ExtensionQueries5.KnnK.toLong)
+    }
+  }
+
   test("s19 multi-probe metrics dominate single-probe per query") {
     // probe2's candidate pool is a superset of probe1's per query, and the
     // approx list ranks by the same exact cosine as the ground truth — so
