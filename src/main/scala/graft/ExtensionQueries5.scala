@@ -327,6 +327,57 @@ object ExtensionQueries5 {
             6).as("slope"))
     }),
 
+    // Binary-quantized ANN with exact rescoring (s21): the 1-BIT end of
+    // the quantization spectrum — each vector reduces to its 64 sign bits
+    // (one long; 32x smaller than the int8 codes, 256x smaller than the
+    // doubles), stage 1 ranks by hamming distance (bit_count(xor)) — a
+    // single popcount instruction per candidate — and stage 2 rescores
+    // the top-c survivors in full precision, exactly s17's shape. Sign
+    // bits approximate ANGLE (each bit is the sign-hyperplane test along
+    // one axis), so hamming orders candidates roughly by cosine; the
+    // rescore margin absorbs the coarseness. This is the memory-bandwidth
+    // extreme a 100 TB store uses for its first-pass filter. Ties in
+    // hamming break by vec_id — deterministic in both engines.
+    "s21_knn_binary_rescore" -> ((s, dir) => {
+      val e = ExtensionQueries.embeddingsD(s, dir)
+      // two 32-bit halves: every shift stays below 2^32, so pow(2,i) is
+      // exact in doubles and no fold ever touches the long sign bit
+      // (which would trap under ANSI arithmetic)
+      def half(off: Int) = aggregate(
+        zip_with(slice(col("v"), off + 1, 32), sequence(lit(0), lit(31)),
+          (x, i) => when(x >= 0,
+            pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc.bitwiseOR(b))
+      val coded = e.withColumn("code_lo", half(0)).withColumn("code_hi", half(32))
+        .select(col("vec_id"), col("code_lo"), col("code_hi"))
+      val q = coded.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("code_lo").as("qlo"),
+          col("code_hi").as("qhi"))
+      val w1 = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+      val stage1 = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("hamming",
+          (bit_count(col("code_lo").bitwiseXOR(col("qlo"))) +
+            bit_count(col("code_hi").bitwiseXOR(col("qhi")))).cast("int"))
+        .withColumn("approx_rank", row_number().over(w1).cast("int"))
+        .filter(col("approx_rank") <= RescoreC)
+        .select(col("query_id"), col("vec_id"), col("hamming"),
+          col("approx_rank"))
+      val qFull = broadcast(e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      stage1
+        .join(e.select(col("vec_id"), col("v").as("cv")), Seq("vec_id"))
+        .join(qFull, Seq("query_id"))
+        .withColumn("cos", VectorOps.cosineFast(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w2).cast("int"))
+        .filter(col("rank") <= KnnK)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          col("hamming"), Agg.roundAt(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Quantization-recall evaluation (s20): what the int8 scan ALONE loses
     // vs the exact top-k, per query — the number that justifies s17's
     // rescore stage (int8-only top-5 drops neighbors whose quantized
@@ -871,6 +922,62 @@ object ExtensionQueries5 {
                / CAST(n_points * sxx - sx * sx AS DOUBLE)
                * 1000000 + 0.5) / 1000000 AS slope
       FROM s""",
+
+    // Binary replay: sign-bit codes as CASE sums, hamming via
+    // bit_count(xor) over BIT-typed casts, the same two-stage cut and
+    // exact rescore.
+    "s21_knn_binary_rescore" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      coded AS (
+        SELECT vec_id, v,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> CASE WHEN v[i] >= 0
+                   THEN CAST(floor(pow(2, i - 1)) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code_lo,
+               CAST(list_sum(list_transform(range(33, 65),
+                 i -> CASE WHEN v[i] >= 0
+                   THEN CAST(floor(pow(2, i - 33)) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code_hi
+        FROM e
+      ),
+      s1 AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               CAST(bit_count(xor(q.code_lo, c.code_lo))
+                 + bit_count(xor(q.code_hi, c.code_hi)) AS INTEGER)
+                 AS hamming
+        FROM coded q JOIN coded c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 2
+      ),
+      r1 AS (
+        SELECT query_id, vec_id, hamming,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY hamming ASC, vec_id ASC) AS INTEGER)
+                 AS approx_rank
+        FROM s1
+      ),
+      surv AS (SELECT * FROM r1 WHERE approx_rank <= $RescoreC),
+      en AS (SELECT vec_id, v, sqrt(${ExtensionQueries.dotSql("v", "v")})
+               AS nrm FROM e),
+      s2 AS (
+        SELECT s.query_id, s.vec_id, s.hamming,
+               ${ExtensionQueries.dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+        FROM surv s
+        JOIN en c ON c.vec_id = s.vec_id
+        JOIN en q ON q.vec_id = s.query_id
+      ),
+      r2 AS (
+        SELECT query_id, vec_id, hamming, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM s2
+      )
+      SELECT query_id, rank, vec_id, hamming,
+             floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      FROM r2 WHERE rank <= $KnnK
+      ORDER BY query_id, rank""",
 
     // Quantization-recall replay: the s17 oracle's quantize/int-dot CTEs
     // ranked at both cuts, scored against the brute-force truth set.

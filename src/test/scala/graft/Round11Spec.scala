@@ -84,6 +84,39 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("s21 binary rescore: true cosines, exact ordering, bounded hamming") {
+    val res = SparkEntry.queries("s21_knn_binary_rescore")(spark, Sf).collect()
+    assert(res.nonEmpty)
+    // hamming is a 64-bit distance; ranks order by the EXACT cosine
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getDouble(4)).toSeq ===
+        byRank.map(_.getDouble(4)).sortBy(-(_: Double)).toSeq)
+      assert(rows.forall(r => r.getInt(3) >= 0 && r.getInt(3) <= 64))
+    }
+    // every served cosine is the full-precision value for that pair
+    val exactAll = SparkEntry.queries("s01_knn_brute")(spark, Sf)
+    import graft.operators.VectorOps
+    val e = graft.sources.Tables.load(spark, Sf, "embeddings")
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    res.foreach { r =>
+      val (q, c, cos) = (r.getLong(0), r.getLong(2), r.getDouble(4))
+      val (a, b) = (vecs(q), vecs(c))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val exact = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(cos - math.floor(exact * 1e6 + 0.5) / 1e6) < 2e-6)
+    }
+    // the 1-bit first pass is coarse but not useless: it recovers a
+    // meaningful share of the exact top-k through the c=4k margin
+    val truth = exactAll.select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2 - 1))).toSet
+    val got = res.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.4, s"binary-rescore recall $recall")
+  }
+
   test("s19 multi-probe metrics dominate single-probe per query") {
     // probe2's candidate pool is a superset of probe1's per query, and the
     // approx list ranks by the same exact cosine as the ground truth — so
