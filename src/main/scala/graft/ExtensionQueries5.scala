@@ -448,6 +448,36 @@ object ExtensionQueries5 {
         .sessionWindowed(t(s, dir, "events"), SessionGapSec)
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Sequential pattern detection (e12): per user, the longest run of
+    // consecutive events (event-time order) with STRICTLY INCREASING
+    // value — the gaps-and-islands pattern over a VALUE predicate rather
+    // than a time gap (e03/e11 sessionize on time; this is the
+    // MATCH_RECOGNIZE-style streak primitive behind engagement-momentum
+    // and monotone-metric detection). A break starts a new island
+    // (row-number-difference-free form: cumulative sum over break flags —
+    // one pass, no self-join). Scale shape: one shuffle on user_id, two
+    // ordered window passes inside the partition, then a keyed aggregate;
+    // state never exceeds the partition.
+    "e12_value_streaks" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val running = byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("__prev", lag(col("value"), 1).over(byUser))
+        .withColumn("__brk",
+          when(col("__prev").isNull || col("value") <= col("__prev"), 1L)
+            .otherwise(0L))
+        .withColumn("__streak", sum(col("__brk")).over(running))
+        .groupBy(col("user_id"), col("__streak"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // Asymmetric containment scoring (t27): for d04's LSH candidate pairs,
     // |A∩B|/|A| and |A∩B|/|B| over the same word-shingle sets — the metric
     // that catches wholesale QUOTING, which symmetric Jaccard structurally
@@ -1111,6 +1141,33 @@ object ExtensionQueries5 {
                * 100 + 0.5) / 100 AS sum_value
       FROM s GROUP BY user_id, sid
       ORDER BY user_id, session_start""",
+
+    // Streak replay: identical break rule (first event or non-increase),
+    // identical cumulative island ids, identical per-user aggregate.
+    "e12_value_streaks" -> s"""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events
+      ),
+      m AS (
+        SELECT *, CASE WHEN lag(value) OVER w IS NULL
+                         OR value <= lag(value) OVER w
+                       THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      s AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak
+        FROM m
+      ),
+      runs AS (
+        SELECT user_id, streak, count(*) AS len
+        FROM s GROUP BY 1, 2
+      )
+      SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+             CAST(count(*) AS BIGINT) AS n_streaks,
+             CAST(sum(len) AS BIGINT) AS n_events
+      FROM runs GROUP BY 1 ORDER BY 1""",
 
     // Containment replay: d04's banded candidate pairs, intersection over
     // the same shingle features, asymmetric ratios.

@@ -374,6 +374,25 @@ class Round11Spec extends AnyFunSuite {
     assert(run(1) === run(7))
   }
 
+  test("e12 streaks: strict increase, equal values break, known answer") {
+    val dir = Files.createTempDirectory("graft_e12").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 7: values 1,2,3 | 1,5 | 2 -> longest 3, 3 streaks, 6 events
+    // user 8: values 4,4 -> equal value BREAKS (strict) -> two streaks of 1
+    val rows = Seq(
+      (1L, ts(1), 7L, "view", 1.0, "{}"), (2L, ts(2), 7L, "view", 2.0, "{}"),
+      (3L, ts(3), 7L, "view", 3.0, "{}"), (4L, ts(4), 7L, "view", 1.0, "{}"),
+      (5L, ts(5), 7L, "view", 5.0, "{}"), (6L, ts(6), 7L, "view", 2.0, "{}"),
+      (7L, ts(1), 8L, "view", 4.0, "{}"), (8L, ts(2), 8L, "view", 4.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("e12_value_streaks")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(7L) === ((3L, 3L, 6L)))
+    assert(got(8L) === ((1L, 2L, 2L)))
+  }
+
   test("int_dot native equals the portable fold, incl. null/mismatch edges") {
     import graft.functions.IntDotProduct.intDot
     val df = Seq(
