@@ -99,19 +99,97 @@ object ExtensionQueries5 {
   /** Integer dot product of two BIGINT lists (64 dims) — the s17 stage-1
     * scorer. Exact integer arithmetic, so both engines agree bit-for-bit.
     */
-  private def intDotSql(a: String, b: String): String =
+  private[graft] def intDotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1,65), i -> $a[i] * $b[i])), (acc,x) -> acc + x)"
+
+  /** Shared oracle CTE chain for the int8 stage-1 scan (s17/s20/s22): s07's
+    * quantization arithmetic, integer norms (zero-norm vectors dropped on
+    * BOTH sides — they carry no angle and would 0/0), approx-cos scoring
+    * and the per-query rank. Emits `qz, qq, qn, s1i, r1i` with
+    * r1i(query_id, vec_id, approx_rank); requires a preceding
+    * `e(vec_id, v)` CTE.
+    */
+  private[graft] def int8StageSql: String = s"""
+      qz AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                    ELSE 1.0 END AS scale
+        FROM e
+      ),
+      qq AS (
+        SELECT vec_id,
+               list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+                 least(CAST(127 AS BIGINT),
+                   CAST(floor(x * scale + 0.5) AS BIGINT)))) AS qv
+        FROM qz
+      ),
+      qn AS (
+        SELECT vec_id, qv,
+               sqrt(CAST(${intDotSql("qv", "qv")} AS DOUBLE)) AS qn
+        FROM qq
+      ),
+      s1i AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               CAST(${intDotSql("q.qv", "c.qv")} AS DOUBLE) / (q.qn * c.qn)
+                 AS approx_cos
+        FROM qn q JOIN qn c ON c.vec_id <> q.vec_id AND c.qn > 0
+        WHERE q.vec_id <= 2 AND q.qn > 0
+      ),
+      r1i AS (
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cos DESC, vec_id ASC) AS INTEGER)
+                 AS approx_rank
+        FROM s1i
+      )"""
+
+  /** Shared oracle CTE chain for the binary (sign-bit) stage-1 scan
+    * (s21/s22): sign codes as two 32-bit CASE sums (any bijective dim→bit
+    * layout gives the same hamming as the engine's single-long
+    * `sign_pack`), hamming ranking. Emits `bcoded, s1b, r1b` with
+    * r1b(query_id, vec_id, hamming, approx_rank); requires a preceding
+    * `e(vec_id, v)` CTE.
+    */
+  private[graft] def binaryStageSql: String = s"""
+      bcoded AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(1, 33),
+                 i -> CASE WHEN v[i] >= 0
+                   THEN CAST(floor(pow(2, i - 1)) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code_lo,
+               CAST(list_sum(list_transform(range(33, 65),
+                 i -> CASE WHEN v[i] >= 0
+                   THEN CAST(floor(pow(2, i - 33)) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code_hi
+        FROM e
+      ),
+      s1b AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               CAST(bit_count(xor(q.code_lo, c.code_lo))
+                 + bit_count(xor(q.code_hi, c.code_hi)) AS INTEGER)
+                 AS hamming
+        FROM bcoded q JOIN bcoded c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 2
+      ),
+      r1b AS (
+        SELECT query_id, vec_id, hamming,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY hamming ASC, vec_id ASC) AS INTEGER)
+                 AS approx_rank
+        FROM s1b
+      )"""
 
   /** CASE-form nDCG weight lookup over a rank expression (both engines get
     * the same literals from [[NdcgWeights]]).
     */
-  private def ndcgWeightSql(rank: String): String =
+  private[graft] def ndcgWeightSql(rank: String): String =
     NdcgWeights.zipWithIndex.map { case (w, i) =>
       s"WHEN $rank = ${i + 1} THEN CAST($w AS BIGINT)"
     }.mkString("CASE ", " ", " ELSE CAST(0 AS BIGINT) END")
 
-  private def ndcgWeightCol(rank: Column): Column =
+  private[graft] def ndcgWeightCol(rank: Column): Column =
     NdcgWeights.zipWithIndex.foldLeft(lit(0L)) { case (acc, (w, i)) =>
       when(rank === (i + 1), lit(w)).otherwise(acc)
     }
@@ -197,33 +275,10 @@ object ExtensionQueries5 {
     // are the already-scale-shaped kNN plans; metric joins are on
     // (query_id, vec_id) — k rows per query.
     "s19_retrieval_metrics" -> ((s, dir) => {
-      val exact = ExtensionQueries.knnBruteRanked(s, dir, KnnK)
-        .select(col("query_id"), col("vec_id")).withColumn("__rel", lit(1L))
-      val queries = exact.select(col("query_id")).distinct()
-      def metricsOf(method: String, approx: DataFrame): DataFrame = {
-        val m = approx
-          .select(col("query_id"), col("vec_id"), col("rank"))
-          .join(exact, Seq("query_id", "vec_id"), "left")
-          .withColumn("rel", coalesce(col("__rel"), lit(0L)))
-          .groupBy(col("query_id"))
-          .agg(sum(col("rel")).as("n_hits"),
-            sum(when(col("rel") === 1, ndcgWeightCol(col("rank")))
-              .otherwise(lit(0L))).as("dcg_fp"),
-            min(when(col("rel") === 1, col("rank"))).as("first_hit"))
-        queries.join(m, Seq("query_id"), "left")
-          .select(lit(method).as("method"), col("query_id"),
-            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-            Agg.roundAt(coalesce(col("n_hits"), lit(0L)).cast("double") / KnnK, 6)
-              .as("recall"),
-            Agg.roundAt(
-              when(col("first_hit").isNotNull,
-                lit(1.0) / col("first_hit")).otherwise(lit(0.0)), 6).as("mrr"),
-            Agg.roundAt(
-              coalesce(col("dcg_fp"), lit(0L)).cast("double") / IdcgFp, 6)
-              .as("ndcg"))
-      }
-      metricsOf("lsh_probe1", ExtensionQueries.knnLshRanked(s, dir, KnnK))
-        .unionAll(metricsOf("lsh_probe2",
+      val (exact, queries) = gradedTruth(s, dir)
+      gradedMetrics(exact, queries, "lsh_probe1",
+          ExtensionQueries.knnLshRanked(s, dir, KnnK))
+        .unionAll(gradedMetrics(exact, queries, "lsh_probe2",
           ExtensionQueries.knnLshMultiprobeRanked(s, dir, KnnK)))
         .orderBy(col("method"), col("query_id"))
     }),
@@ -312,8 +367,14 @@ object ExtensionQueries5 {
       val ranked = terms
         .withColumn("rank", row_number().over(
           Window.orderBy(col("cnt").desc, col("term").asc)))
-        .withColumn("x", floor(log(col("rank").cast("double")) * lit(1e6)).cast("long"))
-        .withColumn("y", floor(log(col("cnt").cast("double")) * lit(1e6)).cast("long"))
+        // DetLn, not log(): both engines must floor the SAME bits, and
+        // libm ln is only 1-ulp-accurate — a last-ulp disagreement at an
+        // integer boundary of ln(x)*1e6 would flip the floor
+        .withColumn("x",
+          floor(graft.functions.DetLn.detLn(col("rank").cast("long")) * lit(1e6))
+            .cast("long"))
+        .withColumn("y",
+          floor(graft.functions.DetLn.detLn(col("cnt")) * lit(1e6)).cast("long"))
       ranked.agg(count(lit(1)).as("n_points"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("y")).as("sxy"),
@@ -340,29 +401,7 @@ object ExtensionQueries5 {
     // hamming break by vec_id — deterministic in both engines.
     "s21_knn_binary_rescore" -> ((s, dir) => {
       val e = ExtensionQueries.embeddingsD(s, dir)
-      // two 32-bit halves: every shift stays below 2^32, so pow(2,i) is
-      // exact in doubles and no fold ever touches the long sign bit
-      // (which would trap under ANSI arithmetic)
-      def half(off: Int) = aggregate(
-        zip_with(slice(col("v"), off + 1, 32), sequence(lit(0), lit(31)),
-          (x, i) => when(x >= 0,
-            pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
-        lit(0L), (acc, b) => acc.bitwiseOR(b))
-      val coded = e.withColumn("code_lo", half(0)).withColumn("code_hi", half(32))
-        .select(col("vec_id"), col("code_lo"), col("code_hi"))
-      val q = coded.filter(col("vec_id") <= 2)
-        .select(col("vec_id").as("query_id"), col("code_lo").as("qlo"),
-          col("code_hi").as("qhi"))
-      val w1 = Window.partitionBy(col("query_id"))
-        .orderBy(col("hamming").asc, col("vec_id").asc)
-      val stage1 = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("hamming",
-          (bit_count(col("code_lo").bitwiseXOR(col("qlo"))) +
-            bit_count(col("code_hi").bitwiseXOR(col("qhi")))).cast("int"))
-        .withColumn("approx_rank", row_number().over(w1).cast("int"))
-        .filter(col("approx_rank") <= RescoreC)
-        .select(col("query_id"), col("vec_id"), col("hamming"),
-          col("approx_rank"))
+      val stage1 = binaryRanked(s, dir, RescoreC)
       val qFull = broadcast(e.filter(col("vec_id") <= 2)
         .select(col("vec_id").as("query_id"), col("v").as("qv")))
       val w2 = Window.partitionBy(col("query_id"))
@@ -534,17 +573,7 @@ object ExtensionQueries5 {
     // Σdf² at 100 TB. Scale shape: distinct (doc, frame-hash) → df filter →
     // hash-keyed self-join → per-pair count; never all-pairs.
     "m08_frame_overlap" -> ((s, dir) => {
-      val frames = t(s, dir, "documents")
-        .select(col("doc_id"),
-          ceil(length(col("text")).cast("double") / FrameW).cast("int").as("nf"),
-          col("text"))
-        .select(col("doc_id"),
-          explode(sequence(lit(0), col("nf") - 1)).as("fi"), col("text"))
-        .select(col("doc_id"),
-          md5(encode(expr(s"substring(text, fi * $FrameW + 1, $FrameW)"),
-            "UTF-8")).as("fh"))
-        .distinct()
-        .persist()
+      val frames = frameSet(t(s, dir, "documents")).persist()
       val perDoc = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
       val rare = frames.groupBy(col("fh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= FrameDfCap)
@@ -569,7 +598,7 @@ object ExtensionQueries5 {
     * integer dot over quantized norms, top `c` kept. Returns
     * (query_id, vec_id, approx_rank).
     */
-  private def int8Ranked(s: SparkSession, dir: String, c: Int): DataFrame = {
+  private[graft] def int8Ranked(s: SparkSession, dir: String, c: Int): DataFrame = {
     val e = ExtensionQueries.embeddingsD(s, dir)
     val mxAbs = array_max(transform(col("v"), x => abs(x)))
     val quant = e
@@ -581,6 +610,10 @@ object ExtensionQueries5 {
       .withColumn("qn",
         sqrt(graft.functions.IntDotProduct.intDot(col("qv"), col("qv"))
           .cast("double")))
+      // a zero vector has qn = 0, and 0/0 throws under ANSI where DuckDB
+      // yields NaN — zero-norm vectors carry no angle, drop them from both
+      // sides (mirrored in the s17/s20 oracles)
+      .filter(col("qn") > 0)
       .select(col("vec_id"), col("qv"), col("qn"))
     val q = quant.filter(col("vec_id") <= 2)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
@@ -597,6 +630,92 @@ object ExtensionQueries5 {
       .select(col("query_id"), col("vec_id"), col("approx_rank"))
   }
 
+  /** s21's stage 1, shared with the graded-metrics evaluation (s22): every
+    * corpus vector reduced to its 64 sign bits by the native codegen'd
+    * [[graft.functions.SignPack]] (one long; the compiled loop the
+    * full-corpus code BUILD needs — the interpreted
+    * `aggregate(zip_with(...pow...))` spelling this replaced is the exact
+    * CodegenFallback cost `FuseDotProduct` kills for dot products), ranked
+    * per query by hamming distance (`bit_count(xor)` — a single popcount
+    * per candidate), top `c` kept. Any bijective dim→bit layout gives the
+    * same hamming, so the oracle's two-halves replay is unchanged. Returns
+    * (query_id, vec_id, hamming, approx_rank).
+    */
+  private[graft] def binaryRanked(s: SparkSession, dir: String, c: Int): DataFrame = {
+    val coded = ExtensionQueries.embeddingsD(s, dir)
+      .select(col("vec_id"), graft.functions.SignPack.signPack(col("v")).as("code"))
+    val q = coded.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        bit_count(col("code").bitwiseXOR(col("qcode"))).cast("int"))
+      .withColumn("approx_rank", row_number().over(w1).cast("int"))
+      .filter(col("approx_rank") <= c)
+      .select(col("query_id"), col("vec_id"), col("hamming"), col("approx_rank"))
+  }
+
+  /** The graded ground truth the retrieval metrics score against: exact
+    * brute-force top-k pairs (with a `__rel` marker column) and the distinct
+    * query set — shared by s19 and the whole-family evaluation (s22).
+    */
+  private[graft] def gradedTruth(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val exact = ExtensionQueries.knnBruteRanked(s, dir, KnnK)
+      .select(col("query_id"), col("vec_id")).withColumn("__rel", lit(1L))
+    (exact, exact.select(col("query_id")).distinct())
+  }
+
+  /** Method-generic graded-metrics harness (s19/s22): recall@k, MRR and
+    * nDCG@k of one ranked retrieval (query_id, vec_id, rank) against the
+    * exact truth set. Queries the retriever missed entirely still appear
+    * (left join from the exact query set, all-zero metrics — the s08 rule);
+    * metric joins are on (query_id, vec_id) — k rows per query.
+    */
+  private[graft] def gradedMetrics(exact: DataFrame, queries: DataFrame,
+      method: String, approx: DataFrame): DataFrame = {
+    val m = approx
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      .join(exact, Seq("query_id", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("__rel"), lit(0L)))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_hits"),
+        sum(when(col("rel") === 1, ndcgWeightCol(col("rank")))
+          .otherwise(lit(0L))).as("dcg_fp"),
+        min(when(col("rel") === 1, col("rank"))).as("first_hit"))
+    queries.join(m, Seq("query_id"), "left")
+      .select(lit(method).as("method"), col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        Agg.roundAt(coalesce(col("n_hits"), lit(0L)).cast("double") / KnnK, 6)
+          .as("recall"),
+        Agg.roundAt(
+          when(col("first_hit").isNotNull,
+            lit(1.0) / col("first_hit")).otherwise(lit(0.0)), 6).as("mrr"),
+        Agg.roundAt(
+          coalesce(col("dcg_fp"), lit(0L)).cast("double") / IdcgFp, 6)
+          .as("ndcg"))
+  }
+
+  /** m08's distinct (doc_id, frame-md5) set. The `nf > 0` guard matters: a
+    * zero-length text makes `sequence(0, nf-1)` = `sequence(0, -1)` which
+    * DESCENDS (default step -1) to `[0, -1]`, yielding a phantom `md5("")`
+    * frame per empty doc — while the oracle's `range(0, nf)` yields no
+    * rows. Empty docs have no frames in either engine.
+    */
+  private[graft] def frameSet(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        ceil(length(col("text")).cast("double") / FrameW).cast("int").as("nf"),
+        col("text"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("nf") - 1)).as("fi"), col("text"))
+      .select(col("doc_id"),
+        md5(encode(expr(s"substring(text, fi * $FrameW + 1, $FrameW)"),
+          "UTF-8")).as("fh"))
+      .distinct()
+
   /** The (group, value) frame q85/q86 sketch over. */
   private def groupedPrice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -607,13 +726,19 @@ object ExtensionQueries5 {
     * |groups|×[[GQsBins]]-row mergeable sketch q85 reads estimates from and
     * q86 derives clip bounds from.
     */
-  private def groupedHistogram(li: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def groupedHistogram(li: DataFrame): (DataFrame, DataFrame) = {
     val mm = li.groupBy(col("g")).agg(min(col("x")).as("mn"),
       max(col("x")).as("mx"), count(lit(1)).as("n")).persist()
+    // a constant-valued group has mn == mx, so bin width 0 and a 0/0
+    // divide (throws under ANSI, NaN in DuckDB) — pin all of a degenerate
+    // group's rows to bin 0 instead (mirrored in the q85/q86 oracles)
     val binned = li.join(broadcast(mm), Seq("g"))
       .withColumn("w", (col("mx") - col("mn")) / lit(GQsBins.toDouble))
-      .withColumn("bin", least(lit(GQsBins - 1),
-        floor((col("x") - col("mn")) / col("w")).cast("int")))
+      .withColumn("bin",
+        when(col("mx") > col("mn"),
+          least(lit(GQsBins - 1),
+            floor((col("x") - col("mn")) / col("w")).cast("int")))
+          .otherwise(lit(0)))
       .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
     val wc = Window.partitionBy(col("g")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -629,41 +754,8 @@ object ExtensionQueries5 {
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
-      ),
-      qz AS (
-        SELECT vec_id, v,
-               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
-                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
-                    ELSE 1.0 END AS scale
-        FROM e
-      ),
-      qq AS (
-        SELECT vec_id, v,
-               list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
-                 least(CAST(127 AS BIGINT),
-                   CAST(floor(x * scale + 0.5) AS BIGINT)))) AS qv
-        FROM qz
-      ),
-      qn AS (
-        SELECT vec_id, v, qv,
-               sqrt(CAST(${intDotSql("qv", "qv")} AS DOUBLE)) AS qn
-        FROM qq
-      ),
-      s1 AS (
-        SELECT q.vec_id AS query_id, c.vec_id,
-               CAST(${intDotSql("q.qv", "c.qv")} AS DOUBLE) / (q.qn * c.qn)
-                 AS approx_cos
-        FROM qn q JOIN qn c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id <= 2
-      ),
-      r1 AS (
-        SELECT query_id, vec_id,
-               CAST(row_number() OVER (PARTITION BY query_id
-                 ORDER BY approx_cos DESC, vec_id ASC) AS INTEGER)
-                 AS approx_rank
-        FROM s1
-      ),
-      surv AS (SELECT * FROM r1 WHERE approx_rank <= $RescoreC),
+      ),$int8StageSql,
+      surv AS (SELECT * FROM r1i WHERE approx_rank <= $RescoreC),
       en AS (SELECT vec_id, v, sqrt(${ExtensionQueries.dotSql("v", "v")})
                AS nrm FROM e),
       s2 AS (
@@ -845,9 +937,11 @@ object ExtensionQueries5 {
              FROM x GROUP BY 1),
       b AS (
         SELECT x.g,
-               least(${GQsBins - 1},
-                 CAST(floor((x.x - mm.mn) / ((mm.mx - mm.mn) / $GQsBins.0))
-                   AS INTEGER)) AS bin,
+               CASE WHEN mm.mx > mm.mn
+                    THEN least(${GQsBins - 1},
+                      CAST(floor((x.x - mm.mn) / ((mm.mx - mm.mn) / $GQsBins.0))
+                        AS INTEGER))
+                    ELSE 0 END AS bin,
                count(*) AS cnt
         FROM x JOIN mm ON x.g = mm.g GROUP BY 1, 2
       ),
@@ -879,9 +973,11 @@ object ExtensionQueries5 {
              FROM x GROUP BY 1),
       b AS (
         SELECT x.g,
-               least(${GQsBins - 1},
-                 CAST(floor((x.x - mm.mn) / ((mm.mx - mm.mn) / $GQsBins.0))
-                   AS INTEGER)) AS bin,
+               CASE WHEN mm.mx > mm.mn
+                    THEN least(${GQsBins - 1},
+                      CAST(floor((x.x - mm.mn) / ((mm.mx - mm.mn) / $GQsBins.0))
+                        AS INTEGER))
+                    ELSE 0 END AS bin,
                count(*) AS cnt
         FROM x JOIN mm ON x.g = mm.g GROUP BY 1, 2
       ),
@@ -935,8 +1031,10 @@ object ExtensionQueries5 {
       ),
       p AS (
         SELECT term, cnt, rank,
-               CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
-               CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+               CAST(floor(${graft.functions.DetLn.detLnSql("rank")} * 1000000)
+                 AS BIGINT) AS x,
+               CAST(floor(${graft.functions.DetLn.detLnSql("cnt")} * 1000000)
+                 AS BIGINT) AS y
         FROM r
       ),
       s AS (
@@ -960,35 +1058,8 @@ object ExtensionQueries5 {
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
-      ),
-      coded AS (
-        SELECT vec_id, v,
-               CAST(list_sum(list_transform(range(1, 33),
-                 i -> CASE WHEN v[i] >= 0
-                   THEN CAST(floor(pow(2, i - 1)) AS BIGINT)
-                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code_lo,
-               CAST(list_sum(list_transform(range(33, 65),
-                 i -> CASE WHEN v[i] >= 0
-                   THEN CAST(floor(pow(2, i - 33)) AS BIGINT)
-                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code_hi
-        FROM e
-      ),
-      s1 AS (
-        SELECT q.vec_id AS query_id, c.vec_id,
-               CAST(bit_count(xor(q.code_lo, c.code_lo))
-                 + bit_count(xor(q.code_hi, c.code_hi)) AS INTEGER)
-                 AS hamming
-        FROM coded q JOIN coded c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id <= 2
-      ),
-      r1 AS (
-        SELECT query_id, vec_id, hamming,
-               CAST(row_number() OVER (PARTITION BY query_id
-                 ORDER BY hamming ASC, vec_id ASC) AS INTEGER)
-                 AS approx_rank
-        FROM s1
-      ),
-      surv AS (SELECT * FROM r1 WHERE approx_rank <= $RescoreC),
+      ),$binaryStageSql,
+      surv AS (SELECT * FROM r1b WHERE approx_rank <= $RescoreC),
       en AS (SELECT vec_id, v, sqrt(${ExtensionQueries.dotSql("v", "v")})
                AS nrm FROM e),
       s2 AS (
@@ -1031,44 +1102,12 @@ object ExtensionQueries5 {
         FROM bscored
       ),
       truth AS (SELECT query_id, vec_id FROM branked WHERE rank <= $KnnK),
-      qs AS (SELECT DISTINCT query_id FROM branked),
-      qz AS (
-        SELECT vec_id, v,
-               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
-                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
-                    ELSE 1.0 END AS scale
-        FROM e
-      ),
-      qq AS (
-        SELECT vec_id,
-               list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
-                 least(CAST(127 AS BIGINT),
-                   CAST(floor(x * scale + 0.5) AS BIGINT)))) AS qv
-        FROM qz
-      ),
-      qn AS (
-        SELECT vec_id, qv,
-               sqrt(CAST(${intDotSql("qv", "qv")} AS DOUBLE)) AS qn
-        FROM qq
-      ),
-      s1 AS (
-        SELECT q.vec_id AS query_id, c.vec_id,
-               CAST(${intDotSql("q.qv", "c.qv")} AS DOUBLE) / (q.qn * c.qn)
-                 AS approx_cos
-        FROM qn q JOIN qn c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id <= 2
-      ),
-      r1 AS (
-        SELECT query_id, vec_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY approx_cos DESC, vec_id ASC) AS approx_rank
-        FROM s1
-      ),
+      qs AS (SELECT DISTINCT query_id FROM branked),$int8StageSql,
       ionly AS (
         SELECT r.query_id,
                CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                  AS BIGINT) AS hits_int8_only
-        FROM (SELECT * FROM r1 WHERE approx_rank <= $KnnK) r
+        FROM (SELECT * FROM r1i WHERE approx_rank <= $KnnK) r
         LEFT JOIN truth t
           ON r.query_id = t.query_id AND r.vec_id = t.vec_id
         GROUP BY 1
@@ -1077,7 +1116,7 @@ object ExtensionQueries5 {
         SELECT r.query_id,
                CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                  AS BIGINT) AS hits_in_candidates
-        FROM (SELECT * FROM r1 WHERE approx_rank <= $RescoreC) r
+        FROM (SELECT * FROM r1i WHERE approx_rank <= $RescoreC) r
         LEFT JOIN truth t
           ON r.query_id = t.query_id AND r.vec_id = t.vec_id
         GROUP BY 1

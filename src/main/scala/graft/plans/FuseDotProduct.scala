@@ -77,17 +77,21 @@ object FuseDotProduct extends Rule[LogicalPlan] {
       // integer twin: same pattern over array<bigint> with a 0L seed ->
       // the codegen'd IntDotProduct. Long + and * are exactly associative
       // and commutative, so values never drift; overflow behavior is
-      // preserved too — IntDotProduct captures spark.sql.ansi.enabled
-      // (throw vs wrap) exactly like the Multiply/Add it replaces.
+      // preserved by BINDING the matched operators' evalMode (not the
+      // session conf at optimization time): ANSI folds keep throwing,
+      // LEGACY folds keep wrapping, and TRY folds (null on overflow — a
+      // semantics IntDotProduct does not implement) are left alone.
       case ArrayAggregate(
           ZipWith(a, b,
-            LambdaFunction(Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _), zipArgs, _)),
+            LambdaFunction(Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, mulMode), zipArgs, _)),
           Literal(0L, LongType),
-          LambdaFunction(Add(aa: NamedLambdaVariable, av: NamedLambdaVariable, _), mergeArgs, _),
+          LambdaFunction(Add(aa: NamedLambdaVariable, av: NamedLambdaVariable, addMode), mergeArgs, _),
           finish: LambdaFunction)
         if isIdentityLambda(finish) &&
           usesBothVars(mx, my, zipArgs) && usesBothVars(aa, av, mergeArgs) &&
-          isLongArray(a) && isLongArray(b) =>
-        IntDotProduct(a, b)
+          isLongArray(a) && isLongArray(b) &&
+          mulMode.evalMode == addMode.evalMode &&
+          mulMode.evalMode != EvalMode.TRY =>
+        IntDotProduct(a, b, failOnError = mulMode.evalMode == EvalMode.ANSI)
     }
 }

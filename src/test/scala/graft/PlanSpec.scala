@@ -23,6 +23,8 @@ class PlanSpec extends AnyFunSuite {
     assert(d03.contains("minhash_bands") && d03.contains("shingle_hashes"), d03)
     assert(plan("s01_knn_brute").contains("cosine_sim"))
     assert(plan("d06_embedding_neardup").contains("lsh_bucket"))
+    assert(plan("s17_knn_int8_rescore").contains("int_dot"))
+    assert(plan("s21_knn_binary_rescore").contains("sign_pack"))
   }
 
   test("flagship never plans a cartesian product") {

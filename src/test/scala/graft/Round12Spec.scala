@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DetLn, IntDotProduct, SignPack}
+import graft.plans.FuseDotProduct
+
+/** Round 12: the advisor-hardening and native-expression work —
+  * [[SignPack]] bit-identity with the interpreted fold it replaced,
+  * [[DetLn]]'s deterministic cross-engine log, the m08 empty-document and
+  * q85/q86 degenerate-group guards, and [[FuseDotProduct]] binding the
+  * matched fold's evalMode instead of the optimization-time session conf.
+  */
+class Round12Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- sign_pack ----
+
+  /** The portable spelling s21 used before the native expression: two
+    * 32-bit OR-folds over when(x >= 0) bits.
+    */
+  private def portableCode = {
+    def half(off: Int) = aggregate(
+      zip_with(slice(col("v"), off + 1, 32), sequence(lit(0), lit(31)),
+        (x, i) => when(x >= 0,
+          pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+    half(0).bitwiseOR(shiftleft(half(32), 32))
+  }
+
+  test("sign_pack is bit-identical to the interpreted fold on real embeddings") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        graft.operators.VectorOps.toDouble(col("embedding")).as("v"))
+    val rows = e.select(col("vec_id"), portableCode.as("p"),
+        SignPack.signPack(col("v")).as("n"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}"))
+  }
+
+  test("sign_pack edge semantics: -0.0 and NaN count as >= 0, null element unset, nulls/length") {
+    val df = Seq(
+      (0, Some(Seq(Some(1.0), Some(-2.0), Some(0.0), Some(-0.0), Some(Double.NaN)))),
+      (1, Some(Seq(Some(-1.0), None, Some(3.0)))), // null elem -> bit unset
+      (2, Some(Seq.empty[Option[Double]])),        // empty -> 0L
+      (3, Option.empty[Seq[Option[Double]]])       // null array -> null
+    ).toDF("idx", "v").repartition(2)
+    val got = df.select(col("idx"), SignPack.signPack(col("v")).as("c"))
+      .orderBy(col("idx")).collect()
+    // row 0: bits 0 (1.0), 2 (0.0), 3 (-0.0 >= 0), 4 (NaN, Spark's largest)
+    assert(got(0).getLong(1) == ((1L << 0) | (1L << 2) | (1L << 3) | (1L << 4)))
+    assert(got(1).getLong(1) == (1L << 2)) // only 3.0's bit
+    assert(got(2).getLong(1) == 0L)
+    assert(got(3).isNullAt(1))
+    // Spark comparison parity: when(x >= 0) agrees on the non-empty rows
+    // (the empty row is excluded — sequence(0, size-1) DESCENDS for size 0,
+    // the exact trap the m08 guard closes)
+    val whenForm = df.filter(col("v").isNotNull && size(col("v")) > 0)
+      .select(col("idx"), aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => when(x >= 0,
+            pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc.bitwiseOR(b)).as("c"))
+      .orderBy(col("idx")).collect()
+    got.take(2).zip(whenForm).foreach { case (n, p) =>
+      assert(n.getLong(1) == p.getLong(1), s"idx ${n.getInt(0)}")
+    }
+  }
+
+  // ---- DetLn ----
+
+  test("DetLn: Column form is bit-identical to the Scala reference and ~libm-accurate") {
+    val ns: Seq[Long] = (1L to 200L) ++
+      Seq(255L, 256L, 1000003L, 26000000L, (1L << 40) - 1, 1L << 40, (1L << 62) + 5)
+    val got = ns.toDF("n").select(col("n"), DetLn.detLn(col("n")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ns.foreach { n =>
+      val ref = DetLn.detLnScala(n)
+      assert(java.lang.Double.doubleToRawLongBits(got(n)) ==
+        java.lang.Double.doubleToRawLongBits(ref), s"n=$n spark=${got(n)} ref=$ref")
+      assert(math.abs(ref - math.log(n.toDouble)) <= 4e-16 * math.max(1.0, math.log(n.toDouble)),
+        s"n=$n ref=$ref ln=${math.log(n.toDouble)}")
+    }
+  }
+
+  // ---- m08 empty-document guard ----
+
+  test("frameSet yields no frames for an empty document (no phantom md5(''))") {
+    val docs = Seq((1L, ""), (2L, "x" * 65), (3L, "abc")).toDF("doc_id", "text")
+    val frames = ExtensionQueries5.frameSet(docs)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!frames.contains(1L), "empty doc must contribute zero frames")
+    assert(frames(2L) == 2L) // 65 chars -> 2 frames of width 64
+    assert(frames(3L) == 1L)
+  }
+
+  // ---- q85/q86 degenerate-group guard ----
+
+  test("groupedHistogram pins a constant-valued group to bin 0 instead of 0/0") {
+    val li = Seq(("const", 5.0), ("const", 5.0), ("spread", 1.0), ("spread", 9.0))
+      .toDF("g", "x")
+    val (mm, cum) = ExtensionQueries5.groupedHistogram(li)
+    val constBins = cum.filter(col("g") === "const").collect()
+    assert(constBins.length == 1 && constBins.head.getAs[Int]("bin") == 0)
+    assert(constBins.head.getAs[Long]("cnt") == 2L)
+    assert(mm.filter(col("g") === "const").count() == 1)
+    mm.unpersist(); cum.unpersist()
+  }
+
+  // ---- FuseDotProduct evalMode binding ----
+
+  private def withRule[A](body: => A): A = {
+    spark.experimental.extraOptimizations ++= Seq(FuseDotProduct)
+    try body
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == FuseDotProduct)
+  }
+
+  test("integer fusion binds the fold's evalMode, not the optimization-time conf") {
+    val df = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b").repartition(2)
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      // analyze under ANSI OFF -> the fold's Multiply/Add carry LEGACY
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val q = df.selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS d")
+      q.queryExecution.assertAnalyzed()
+      // flip the session conf BEFORE optimization: the old rule read
+      // SQLConf at rewrite time and would bind failOnError = true here
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val fused = withRule {
+        q.queryExecution.optimizedPlan.expressions
+          .flatMap(_.collect { case d: IntDotProduct => d })
+      }
+      assert(fused.nonEmpty, "rule did not fire")
+      assert(fused.forall(!_.failOnError),
+        "failOnError must come from the matched LEGACY operators, not the ANSI conf")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
+
+  test("TRY-mode folds are left alone (null-on-overflow has no IntDotProduct twin)") {
+    val df = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b").repartition(2)
+    val cases = Seq(
+      "aggregate(zip_with(a, b, (x, y) -> try_multiply(x, y)), 0L, (acc, v) -> try_add(acc, v))",
+      // mixed modes: zip multiplies plainly, merge is TRY
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> try_add(acc, v))")
+    withRule {
+      cases.foreach { e =>
+        val plan = df.selectExpr(s"$e AS d").queryExecution.optimizedPlan.toString
+        assert(!plan.contains("int_dot"), s"rule wrongly fired on: $e\n$plan")
+      }
+    }
+  }
+}
