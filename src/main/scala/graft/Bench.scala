@@ -25,7 +25,8 @@ object Bench {
     "d01_dedup_exact", "d03_lsh_candidates", "d07_dedup_clusters",
     "d16_bloom_decontaminate", "d17_incremental_dedup",
     "s01_knn_brute", "s05_knn_ivf_learned", "s11_knn_ivfpq", "s13_knn_graph",
-    "s17_knn_int8_rescore", "e11_session_window",
+    "s17_knn_int8_rescore", "s22_ann_method_metrics",
+    "e11_session_window", "e13_session_attribution",
     "t01_token_stats", "t13_bpe_merges", "t17_substring_dedup",
     "t19_doc_similarity",
     "e03_sessionize", "m03_binary_source", "g01_pagerank")

@@ -111,6 +111,45 @@ class Round12Spec extends AnyFunSuite {
     mm.unpersist(); cum.unpersist()
   }
 
+  // ---- s22: whole-family graded metrics ----
+
+  test("s22 covers the whole ANN family and each rescored method dominates its stage 1") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = ExtensionQueries6.all("s22_ann_method_metrics")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Double]("ndcg"), r.getAs[Double]("recall")))
+      .toMap
+    val methods = rows.keySet.map(_._1)
+    assert(methods == Set("ivf_label", "ivf_learned", "pq", "ivfpq",
+      "int8_stage1", "int8_rescore", "binary_stage1", "binary_rescore"))
+    assert(rows.size == methods.size * 3) // one row per (method, query)
+    for (q <- 0L to 2L; fam <- Seq("int8", "binary")) {
+      val (n2, r2) = rows((s"${fam}_rescore", q))
+      val (n1, r1) = rows((s"${fam}_stage1", q))
+      assert(n2 >= n1, s"$fam q$q: rescored nDCG $n2 < stage-1 $n1")
+      assert(r2 >= r1, s"$fam q$q: rescored recall $r2 < stage-1 $r1")
+    }
+    // the rescore stage must be worth something somewhere: strict gain on
+    // at least one (family, query)
+    assert((0L to 2L).exists(q =>
+      rows(("binary_rescore", q))._1 > rows(("binary_stage1", q))._1))
+  }
+
+  // ---- e13: session attribution ----
+
+  test("e13 attributes every purchase to exactly one containing session") {
+    val dir = "/root/testdata/sf0.001"
+    val out = ExtensionQueries6.all("e13_session_attribution")(spark, dir)
+    val events = graft.sources.Tables.load(spark, dir, "events")
+    val nPurchases = events.filter(col("event_type") === "purchase").count()
+    assert(out.count() == nPurchases, "every purchase lands in one session")
+    assert(out.select(col("event_id")).distinct().count() == nPurchases,
+      "no purchase is attributed twice")
+    assert(out.filter(col("us_into_session") < 0).count() == 0)
+    assert(out.filter(col("session_events") < 1).count() == 0)
+  }
+
   // ---- FuseDotProduct evalMode binding ----
 
   private def withRule[A](body: => A): A = {
