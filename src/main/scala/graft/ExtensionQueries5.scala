@@ -497,25 +497,9 @@ object ExtensionQueries5 {
     // one pass, no self-join). Scale shape: one shuffle on user_id, two
     // ordered window passes inside the partition, then a keyed aggregate;
     // state never exceeds the partition.
-    "e12_value_streaks" -> ((s, dir) => {
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val running = byUser.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      t(s, dir, "events")
-        .withColumn("__prev", lag(col("value"), 1).over(byUser))
-        .withColumn("__brk",
-          when(col("__prev").isNull || col("value") <= col("__prev"), 1L)
-            .otherwise(0L))
-        .withColumn("__streak", sum(col("__brk")).over(running))
-        .groupBy(col("user_id"), col("__streak"))
-        .agg(count(lit(1)).as("len"))
-        .groupBy(col("user_id"))
-        .agg(max(col("len")).as("longest_streak"),
-          count(lit(1)).as("n_streaks"),
-          sum(col("len")).as("n_events"))
-        .orderBy(col("user_id"))
-    }),
+    "e12_value_streaks" -> ((s, dir) =>
+      graft.streaming.EventStreams.valueStreaksBatch(t(s, dir, "events"))
+        .orderBy(col("user_id"))),
 
     // Asymmetric containment scoring (t27): for d04's LSH candidate pairs,
     // |A∩B|/|A| and |A∩B|/|B| over the same word-shingle sets — the metric

@@ -117,6 +117,74 @@ object EventStreams {
       }
   }
 
+  case class StreakState(lastValue: Double, curLen: Long, longest: Long,
+      nStreaks: Long, nEvents: Long)
+
+  case class StreakUpdate(user_id: Long, longest_streak: Long, n_streaks: Long,
+      n_events: Long)
+
+  /** Batch form of the value-streak (gaps-and-islands over a VALUE
+    * predicate) detection — e12's registered body: per user, the longest
+    * run of consecutive events (event-time order) with STRICTLY INCREASING
+    * value. A break (first event or non-increase) starts a new island via
+    * a cumulative sum over break flags — one shuffle on user_id, two
+    * ordered window passes inside the partition, then a keyed aggregate.
+    */
+  def valueStreaksBatch(events: DataFrame): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .withColumn("__prev", lag(col("value"), 1).over(byUser))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("value") <= col("__prev"), 1L)
+          .otherwise(0L))
+      .withColumn("__streak", sum(col("__brk")).over(running))
+      .groupBy(col("user_id"), col("__streak"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_events"))
+  }
+
+  /** Streaming twin of [[valueStreaksBatch]] (the d17 pattern: one
+    * semantics, two execution modes, hash-equal outputs — StreamingSpec):
+    * flatMapGroupsWithState keeps ONE bounded record per user (last value,
+    * current/longest run, totals) and emits the user's updated totals each
+    * batch, so state never grows with history — the 100 TB shape for a
+    * continuous engagement-momentum feed. Same contract as [[sessionize]]:
+    * events must arrive in event-time order per user across batches
+    * (within a batch they are sorted here).
+    */
+  def valueStreaks(events: Dataset[Event]): Dataset[StreakUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreakState, StreakUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (userId, evts, state: GroupState[StreakState]) =>
+          val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(StreakState(0.0, 0L, 0L, 0L, 0L))
+          sorted.foreach { e =>
+            st =
+              if (st.nEvents == 0L || e.value <= st.lastValue)
+                // break: first event ever, or a non-increase
+                StreakState(e.value, 1L, math.max(st.longest, 1L),
+                  st.nStreaks + 1L, st.nEvents + 1L)
+              else {
+                val len = st.curLen + 1L
+                StreakState(e.value, len, math.max(st.longest, len),
+                  st.nStreaks, st.nEvents + 1L)
+              }
+          }
+          state.update(st)
+          Iterator(StreakUpdate(userId, st.longest, st.nStreaks, st.nEvents))
+      }
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each `idCols`
     * combination, with state bounded by the watermark (duplicates arriving
     * later than `watermark` after the original may pass — the standard

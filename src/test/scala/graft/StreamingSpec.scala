@@ -117,6 +117,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((9L, 1L, 0.0, false)))   // the open one
   }
 
+  test("streaming value streaks match the batch form across a mid-streak batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+      Event(2L, ts("2024-01-01 00:01:00"), 1L, "view", 2.0),
+      Event(3L, ts("2024-01-01 00:02:00"), 1L, "view", 3.0),
+      Event(4L, ts("2024-01-01 00:00:00"), 2L, "view", 5.0),
+      Event(5L, ts("2024-01-01 00:01:00"), 2L, "view", 5.0)) // tie = break
+    val batch2 = Seq(
+      // user 1's streak CONTINUES across the batch boundary (3.0 -> 4.0)...
+      Event(6L, ts("2024-01-01 00:03:00"), 1L, "view", 4.0),
+      // ...then breaks and restarts
+      Event(7L, ts("2024-01-01 00:04:00"), 1L, "view", 1.0),
+      Event(8L, ts("2024-01-01 00:05:00"), 1L, "view", 2.5),
+      // user 2's second streak extends across the boundary (5.0 -> 6.0)
+      Event(9L, ts("2024-01-01 00:02:00"), 2L, "view", 6.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.valueStreaks(stream.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("value_streaks").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // totals are monotone, so each user's final update is its max-n_events row
+    val streamed = spark.table("value_streaks")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("longest_streak"), col("n_streaks")))
+        .as("s"))
+      .select(col("user_id"), col("s.longest_streak"), col("s.n_streaks"),
+        col("s.n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val batch = EventStreams.valueStreaksBatch((batch1 ++ batch2).toDF())
+      .select(col("user_id"), col("longest_streak"), col("n_streaks"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    assert(streamed == batch)
+    assert(batch == Set((1L, 4L, 2L, 6L), (2L, 2L, 2L, 3L)))
+  }
+
   test("streaming dedup drops in-watermark duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
