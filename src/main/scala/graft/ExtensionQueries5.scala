@@ -582,8 +582,13 @@ object ExtensionQueries5 {
     * integer dot over quantized norms, top `c` kept. Returns
     * (query_id, vec_id, approx_rank).
     */
-  private[graft] def int8Ranked(s: SparkSession, dir: String, c: Int): DataFrame = {
-    val e = ExtensionQueries.embeddingsD(s, dir)
+  private[graft] def int8Ranked(s: SparkSession, dir: String, c: Int): DataFrame =
+    int8RankedFrom(ExtensionQueries.embeddingsD(s, dir), c)
+
+  /** Corpus-parametric form of [[int8Ranked]] (PropertySpec drives it over
+    * generated corpora): `e` is any (vec_id, v: array<double>) frame.
+    */
+  private[graft] def int8RankedFrom(e: DataFrame, c: Int): DataFrame = {
     val mxAbs = array_max(transform(col("v"), x => abs(x)))
     val quant = e
       .withColumn("__scale",

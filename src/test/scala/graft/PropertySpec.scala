@@ -65,6 +65,91 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("int8-quantized cosine stays within the analytic angular error bound") {
+    // qa = sa*a + e with |e|inf <= 0.5 (floor(x+0.5) rounding; the +-127
+    // clamp never bites because |sa*a_i| <= 127 by construction), so
+    // |e|2 <= 0.5*sqrt(d) and the angle moved is <= arcsin(|e|/|sa*a|)
+    // <= (pi/2)*|e|/|sa*a|; |cos| moves at most the sum of both angles.
+    val dim = 16
+    val vec = Gen.listOfN(dim, Gen.choose(-10.0, 10.0))
+      .suchThat(v => v.exists(_ != 0.0))
+    val pairs = samples(Gen.zip(vec, vec), 520)
+    val df = pairs.toDF("a", "b")
+    def quant(c: org.apache.spark.sql.Column) = {
+      val mx = array_max(transform(c, x => abs(x)))
+      val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(1.0))
+      transform(c, x => greatest(lit(-127L), least(lit(127L),
+        floor(x * scale + 0.5).cast("long"))))
+    }
+    val rows = df
+      .withColumn("qa", quant($"a")).withColumn("qb", quant($"b"))
+      .select(
+        (graft.functions.IntDotProduct.intDot($"qa", $"qb").cast("double") /
+          (sqrt(graft.functions.IntDotProduct.intDot($"qa", $"qa").cast("double")) *
+           sqrt(graft.functions.IntDotProduct.intDot($"qb", $"qb").cast("double"))))
+          .as("approx"),
+        (VectorOps.dot($"a", $"b") /
+          (sqrt(VectorOps.dot($"a", $"a")) * sqrt(VectorOps.dot($"b", $"b"))))
+          .as("exact"),
+        sqrt(graft.functions.IntDotProduct.intDot($"qa", $"qa").cast("double")).as("na"),
+        sqrt(graft.functions.IntDotProduct.intDot($"qb", $"qb").cast("double")).as("nb"))
+      .collect()
+    assert(rows.length == pairs.length)
+    val e2 = 0.5 * math.sqrt(dim)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getDouble(0), r.getDouble(1))
+      // |q| >= |sa*a| - |e| , so |e|/|sa*a| <= e2 / (|q| - e2)
+      val bound = (math.Pi / 2) *
+        (e2 / (r.getDouble(2) - e2) + e2 / (r.getDouble(3) - e2))
+      assert(math.abs(approx - exact) <= bound,
+        s"approx=$approx exact=$exact bound=$bound")
+    }
+  }
+
+  test("int8 rescore: candidates recover what stage 1 drops; rescored = exact over candidates") {
+    // end-to-end over a GENERATED corpus through the real stage-1 plan
+    // (int8RankedFrom): for every query, (a) stage-1-top-k true hits are a
+    // subset of the candidate set's true hits (the s20 claim), and (b) the
+    // rescored top-k is exactly the brute-force ranking restricted to the
+    // candidate set.
+    val dim = 12
+    val k = 5
+    val c = 20
+    val vec = Gen.listOfN(dim, Gen.choose(-5.0, 5.0))
+      .suchThat(v => v.map(x => x * x).sum > 1e-6)
+    val corpus = samples(vec, 80).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val e = corpus.toDF("vec_id", "v")
+    val stage1 = ExtensionQueries5.int8RankedFrom(e, c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // exact cosines in Scala (double fold, same values as VectorOps.dot)
+    val byId = corpus.toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val queries = corpus.map(_._1).filter(_ <= 2)
+    queries.foreach { q =>
+      val cand = stage1.filter(_._1 == q).sortBy(_._3).map(_._2).toSeq
+      assert(cand.size == c)
+      val stage1TopK = cand.take(k).toSet
+      val truth = corpus.map(_._1).filter(_ != q)
+        .sortBy(id => (-cos(byId(q), byId(id)), id)).take(k).toSet
+      // (a) the candidate margin only ever ADDS true hits (s20's
+      // recall_in_candidates >= recall_int8_only, per query)
+      assert((stage1TopK & truth).subsetOf(cand.toSet & truth))
+      // (b) every truth member that made it into the candidates SURVIVES
+      // the exact rescore cut: a true top-k neighbor beats every non-truth
+      // candidate on exact cosine, so the rescored top-k cannot drop it
+      val rescored = cand.sortBy(id => (-cos(byId(q), byId(id)), id)).take(k)
+      assert(rescored.size == k)
+      assert((cand.toSet & truth).subsetOf(rescored.toSet),
+        s"q=$q dropped a true neighbor present in the candidates")
+      // recall is therefore monotone across the three stages
+      assert((stage1TopK & truth).size <= (rescored.toSet & truth).size)
+    }
+  }
+
   test("argmax-join ≡ window row_number when the max is unique per key") {
     val gen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 1000)))
     for (raw <- samples(gen, 5) if raw.nonEmpty) {
