@@ -185,14 +185,14 @@ object ExtensionQueries3 {
     * oracle-replayable because "the k smallest distinct hashes" is a pure
     * function of the value set (see [[Kmv]]).
     */
-  private val KmvK = 256
+  private[graft] val KmvK = 256
 
   /** Portable 48-bit uniform hash: the first 12 hex digits of
     * md5(decimal-rendered value) — wide enough that birthday collisions
     * are negligible at fixture scale, and identical in both engines
     * (collisions included).
     */
-  private def md5Hash48(v: Column): Column =
+  private[graft] def md5Hash48(v: Column): Column =
     conv(substring(md5(v.cast("string")), 1, 12), 16, 10).cast("long")
 
   /** s12 semantic-dedup near-duplicate threshold on ROUNDED cosine — the

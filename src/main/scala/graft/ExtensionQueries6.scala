@@ -1,8 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.{Agg, VectorOps}
 import graft.sources.Tables
 
 /** Round-12 LLM-pipeline extensions (continues [[ExtensionQueries5]], split
@@ -37,6 +39,89 @@ object ExtensionQueries6 {
       "binary_rescore" -> ExtensionQueries5.all("s21_knn_binary_rescore")(s, dir))
   }
 
+  /** s23 fixed-point scale for the per-element squared reconstruction
+    * error: err² ≤ ~1e-4 on unit-ish embeddings, so floor(err²·1e15) keeps
+    * ~11 significant digits per element and the corpus sum stays far below
+    * 2^63. Integer sums are order-independent — the one part of the MSE a
+    * distributed aggregation could otherwise not reproduce bit-for-bit.
+    */
+  val MseFp = 1e15
+
+  /** Reconstruct each vector under per-VECTOR symmetric int8 quantization
+    * (s07/s17's scheme): scale = 127/max|x|, code = clamp(round(x·scale)),
+    * x̂ = code·(max|x|/127). Op order fixed and mirrored in the oracle.
+    */
+  private def symRecon(e: DataFrame): DataFrame = {
+    val mxAbs = array_max(transform(col("v"), x => abs(x)))
+    e.withColumn("__m", when(mxAbs > 0, mxAbs).otherwise(lit(1.0)))
+      .withColumn("rv", transform(col("v"), x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x * (lit(127.0) / col("__m")) + 0.5))).cast("double")
+          * (col("__m") / lit(127.0))))
+      .select(col("vec_id"), col("v"), col("rv"))
+  }
+
+  /** Reconstruct each vector under per-DIMENSION asymmetric uint8
+    * quantization: per-dim corpus min/max (one map-side-combinable pass,
+    * 64-row aggregate broadcast back), w_d = (mx−mn)/255, code =
+    * clamp(round((x−mn)/w)), x̂ = mn + code·w. Degenerate dims (mx == mn)
+    * pin w to 1 so the divide cannot 0/0 (the q85 rule).
+    */
+  private def asymRecon(e: DataFrame): DataFrame = {
+    val stats = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val statsArr = stats
+      .select(struct(col("d"), col("mn"), col("mx")).as("st"))
+      .agg(array_sort(collect_list(col("st"))).as("ss"))
+      .select(transform(col("ss"), t => t.getField("mn")).as("mns"),
+        transform(col("ss"), t => t.getField("mx")).as("mxs"))
+    e.crossJoin(broadcast(statsArr))
+      .withColumn("rv", transform(col("v"), (x, i) => {
+        val mn = element_at(col("mns"), (i + 1).cast("int"))
+        val mx = element_at(col("mxs"), (i + 1).cast("int"))
+        val w = when(mx > mn, (mx - mn) / lit(255.0)).otherwise(lit(1.0))
+        mn + greatest(lit(0L), least(lit(255L),
+          floor((x - mn) / w + 0.5))).cast("double") * w
+      }))
+      .select(col("vec_id"), col("v"), col("rv"))
+  }
+
+  /** One decision-table row for a quantization scheme: recall@k of the
+    * reconstructed-space exact top-k against the full-precision truth,
+    * plus the corpus fixed-point sum of squared reconstruction error.
+    * All three inputs are 1-row aggregates, so the joins are trivial.
+    */
+  private def schemeRow(scheme: String, recon: DataFrame, truth: DataFrame,
+      k: Int): DataFrame = {
+    val withN = recon
+      .withColumn("nrm", sqrt(VectorOps.dot(col("rv"), col("rv"))))
+      .filter(col("nrm") > 0)
+    val q = withN.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("rv").as("qrv"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val ranked = withN.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorOps.cosineFast(col("qrv"), col("rv")))
+      .withColumn("rank", row_number().over(w1))
+      .filter(col("rank") <= k)
+    val hits = ranked
+      .join(truth.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"))
+      .agg(count(lit(1)).as("total_hits"))
+    val sse = recon.agg(count(lit(1)).as("n_vec"),
+      sum(aggregate(
+        zip_with(col("rv"), col("v"),
+          (r, x) => floor((r - x) * (r - x) * lit(MseFp))),
+        lit(0L), (acc, y) => acc + y)).as("sse_fp"))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    hits.crossJoin(broadcast(sse)).crossJoin(broadcast(nq))
+      .select(lit(scheme).as("scheme"), col("n_vec"), col("sse_fp"),
+        col("n_queries"), col("total_hits"),
+        Agg.roundAt(col("total_hits").cast("double")
+          / (col("n_queries") * k).cast("double"), 6).as("recall"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Whole-family graded retrieval metrics (s22): recall@k, MRR and nDCG@k
@@ -60,6 +145,27 @@ object ExtensionQueries6 {
         }
         .reduce(_.unionAll(_))
         .orderBy(col("method"), col("query_id"))
+    }),
+
+    // Quantization-scheme comparison (s23): the measured case for CHOOSING
+    // a quantization scheme — per-vector symmetric int8 (s07/s17's) beside
+    // per-dimension asymmetric uint8, each reported as (recall@k of the
+    // reconstructed-space top-k vs full-precision truth, fixed-point corpus
+    // SSE). Per-dim asymmetric codes are the standard prescription for
+    // ANISOTROPIC embeddings (per-dim ranges differ → a shared 255-level
+    // grid per dim wastes nothing); this fixture's dims are iid (per-dim
+    // std 0.118-0.135), so the per-vector scheme's tighter dynamic range
+    // wins SSE and both saturate recall — exactly the call this table
+    // exists to make (Round12Spec pins the measured ordering). Scale
+    // shape: per-dim stats are ONE map-side-combinable pass emitting 64
+    // rows broadcast back; each scheme's ranking is the s01 broadcast-query
+    // scan; SSE is an integer sum, order-independent by construction.
+    "s23_quant_scheme_eval" -> ((s, dir) => {
+      val e = ExtensionQueries.embeddingsD(s, dir).select(col("vec_id"), col("v"))
+      val truth = ExtensionQueries.knnBruteRanked(s, dir, KnnK)
+      schemeRow("asym_uint8", asymRecon(e), truth, KnnK)
+        .unionAll(schemeRow("sym_int8", symRecon(e), truth, KnnK))
+        .orderBy(col("scheme"))
     }),
 
     // Session attribution (e13): join each purchase event to the session
@@ -88,6 +194,77 @@ object ExtensionQueries6 {
             .as("us_into_session"),
           col("value"))
         .orderBy(col("event_id"))
+    }),
+
+    // Sketch set operations (q87): estimated distinct-user UNION,
+    // INTERSECTION and Jaccard between two event segments from their KMV
+    // bottom-k summaries alone — the theta-sketch algebra (Dasgupta et al.,
+    // "Theta sketch framework") over q77's sketches. At 100 TB this is THE
+    // audience-overlap primitive: each segment folds to a 256-long summary
+    // (map-side combine, one bounded row out), and every set operation is
+    // arithmetic on the two summaries — no re-scan, no distinct shuffle,
+    // composable across any number of segments. θ = min(θ_a, θ_b); both
+    // samples re-trimmed below θ; est = |sample| · 2^48 / θ (exact regime:
+    // θ = 2^48 and the estimates ARE the exact counts). Deterministic for
+    // the same reason q77 is: bottom-k is a pure function of the distinct
+    // hash set, so even the approximate regime hash-matches the oracle.
+    "q87_sketch_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val k = ExtensionQueries3.KmvK
+      val th48 = math.pow(2, 48)
+      def seg(tpe: String) =
+        t(s, dir, "events").filter(col("event_type") === tpe)
+          .select(ExtensionQueries3.md5Hash48(col("user_id")).as("h")).as[Long]
+          .select(graft.operators.Kmv.keep(k).toColumn)
+      val a = seg("view").toDF("ha")
+      val b = seg("purchase").toDF("hb")
+      val thA = when(size(col("ha")) >= k, element_at(col("ha"), k))
+        .otherwise(lit(1L << 48))
+      val thB = when(size(col("hb")) >= k, element_at(col("hb"), k))
+        .otherwise(lit(1L << 48))
+      a.crossJoin(broadcast(b))
+        .withColumn("theta", least(thA, thB))
+        .withColumn("sa", filter(col("ha"), h => h < col("theta")))
+        .withColumn("sb", filter(col("hb"), h => h < col("theta")))
+        .withColumn("n_union",
+          size(array_union(col("sa"), col("sb"))).cast("long"))
+        .withColumn("n_inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .select(lit(k).as("k"),
+          size(col("ha")).cast("long").as("n_kept_a"),
+          size(col("hb")).cast("long").as("n_kept_b"),
+          col("theta"), col("n_union"), col("n_inter"),
+          Agg.roundAt(col("n_union").cast("double") * lit(th48)
+            / col("theta").cast("double"), 4).as("est_union"),
+          Agg.roundAt(col("n_inter").cast("double") * lit(th48)
+            / col("theta").cast("double"), 4).as("est_inter"),
+          when(col("n_union") > 0,
+            Agg.roundAt(col("n_inter").cast("double")
+              / col("n_union").cast("double"), 6))
+            .otherwise(lit(0.0)).as("jaccard"))
+    }),
+
+    // Event-type transition matrix (e14): P(next event type | current) per
+    // user journey — the Markov view of e03/e04's sequences (funnels check
+    // ONE path; the transition matrix prices every path at once, and is
+    // the standard input to journey clustering and next-action models).
+    // Scale shape: ONE shuffle keyed on user_id for the ordered lead
+    // window, then an aggregation to at most |types|² rows; the
+    // probability normalization windows over that tiny aggregate, never
+    // the raw events.
+    "e14_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val fw = Window.partitionBy(col("from_type"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .withColumn("p", Agg.roundAt(col("n_transitions").cast("double")
+          / sum(col("n_transitions")).over(fw).cast("double"), 6))
+        .orderBy(col("from_type"), col("to_type"))
     })
   )
 
@@ -154,7 +331,113 @@ object ExtensionQueries6 {
       "binary_rescore" -> sub(ExtensionQueries5.oracles("s21_knn_binary_rescore")))
   }
 
+  /** s23 per-scheme oracle blocks over a reconstruction CTE
+    * `r_<name>(vec_id, v, rv)`: zero-norm filter + norms, reconstructed-
+    * space ranking (s01's shape), hit count vs truth, fixed-point SSE.
+    */
+  private def schemeBlockSql(name: String): String = {
+    val dot = ExtensionQueries.dotSql("q.rv", "c.rv")
+    val selfDot = ExtensionQueries.dotSql("rv", "rv")
+    s"""
+      n_$name AS (
+        SELECT vec_id, rv, sqrt($selfDot) AS nrm
+        FROM r_$name WHERE $selfDot > 0
+      ),
+      s_$name AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               $dot / (q.nrm * c.nrm) AS cos
+        FROM n_$name q JOIN n_$name c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 2
+      ),
+      rk_$name AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM s_$name
+      ),
+      h_$name AS (
+        SELECT count(*) AS total_hits
+        FROM (SELECT * FROM rk_$name WHERE rank <= $KnnK) a
+        JOIN truth t ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+      ),
+      m_$name AS (
+        SELECT count(*) AS n_vec, CAST(sum(errfp) AS BIGINT) AS sse_fp
+        FROM (
+          SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1,65), i ->
+              CAST(floor((rv[i] - v[i]) * (rv[i] - v[i]) * 1e15) AS BIGINT))),
+            (acc, x) -> acc + x) AS errfp
+          FROM r_$name
+        )
+      )"""
+  }
+
+  private def schemeArmSql(scheme: String, name: String): String = s"""
+        SELECT '$scheme' AS scheme, m.n_vec, m.sse_fp, nq.n_queries,
+               h.total_hits,
+               floor(h.total_hits / CAST(nq.n_queries * $KnnK AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS recall
+        FROM h_$name h, m_$name m, nq"""
+
   val oracles: Map[String, String] = Map(
+
+    // Scheme-comparison replay: s07's symmetric quantize/dequantize
+    // arithmetic and the per-dim min/max grid, reconstructed in the same
+    // op order as the engine; ranking is the s01 cosine chain over the
+    // reconstructed vectors; SSE is the same per-element fixed-point
+    // integer sum (order-independent in both engines by construction).
+    "s23_quant_scheme_eval" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      truth AS (
+        SELECT query_id, vec_id
+        FROM (${ExtensionQueries.oracles("s01_knn_brute")}) b
+      ),
+      nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM truth),
+      symm AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN list_max(list_transform(v, x -> abs(x)))
+                    ELSE 1.0 END AS m
+        FROM e
+      ),
+      r_sym AS (
+        SELECT vec_id, v,
+               list_transform(v, x ->
+                 greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                   CAST(floor(x * (127.0 / m) + 0.5) AS BIGINT)))
+                 * (m / 127.0)) AS rv
+        FROM symm
+      ),
+      dstats AS (
+        SELECT i AS d, min(v[i]) AS mn, max(v[i]) AS mx
+        FROM e, range(1, 65) t(i) GROUP BY 1
+      ),
+      darr AS (
+        SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+        FROM dstats
+      ),
+      r_asym AS (
+        SELECT vec_id, v,
+               list_transform(range(1, 65), i ->
+                 mns[i] + greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT),
+                   CAST(floor((v[i] - mns[i]) /
+                     (CASE WHEN mxs[i] > mns[i]
+                           THEN (mxs[i] - mns[i]) / 255.0 ELSE 1.0 END)
+                     + 0.5) AS BIGINT)))
+                 * (CASE WHEN mxs[i] > mns[i]
+                         THEN (mxs[i] - mns[i]) / 255.0 ELSE 1.0 END)) AS rv
+        FROM e, darr
+      ),
+      ${schemeBlockSql("sym")},
+      ${schemeBlockSql("asym")}
+      SELECT scheme, n_vec, sse_fp, n_queries, total_hits, recall FROM (
+        ${schemeArmSql("asym_uint8", "asym")}
+        UNION ALL
+        ${schemeArmSql("sym_int8", "sym")}
+      ) u ORDER BY scheme""",
 
     // Metrics replay: the exact-truth CTE is the s01 oracle; every method's
     // ranked set is that method's own (individually hash-verified) oracle
@@ -210,6 +493,66 @@ object ExtensionQueries6 {
       FROM (SELECT * FROM e WHERE event_type = 'purchase') p
       JOIN sess ON p.user_id = sess.user_id
         AND p.us >= sess.start_us AND p.us < sess.end_us
-      ORDER BY p.event_id"""
+      ORDER BY p.event_id""",
+
+    // Sketch set-ops replay: the q77 rule per segment (distinct portable
+    // hashes, ORDER BY, LIMIT k — "the k smallest" needs no aggregator to
+    // mirror), then the same θ-trim and counting arithmetic. 2^48 =
+    // 281474976710656 exactly in both engines.
+    "q87_sketch_set_ops" -> {
+      val k = ExtensionQueries3.KmvK
+      def segCte(name: String, tpe: String) = s"""
+      $name AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        FROM events WHERE event_type = '$tpe' ORDER BY h LIMIT $k
+      )"""
+      s"""
+      WITH ${segCte("ha", "view")},
+      ${segCte("hb", "purchase")},
+      ta AS (SELECT CASE WHEN count(*) >= $k THEN max(h)
+                    ELSE CAST(281474976710656 AS BIGINT) END AS th,
+                    count(*) AS n FROM ha),
+      tb AS (SELECT CASE WHEN count(*) >= $k THEN max(h)
+                    ELSE CAST(281474976710656 AS BIGINT) END AS th,
+                    count(*) AS n FROM hb),
+      th AS (SELECT least(ta.th, tb.th) AS theta,
+                    ta.n AS n_kept_a, tb.n AS n_kept_b FROM ta, tb),
+      su AS (SELECT count(*) AS n_union
+             FROM (SELECT h FROM ha UNION SELECT h FROM hb) u, th
+             WHERE h < theta),
+      si AS (SELECT count(*) AS n_inter
+             FROM (SELECT h FROM ha INTERSECT SELECT h FROM hb) i, th
+             WHERE h < theta)
+      SELECT $k AS k, n_kept_a, n_kept_b, theta, n_union, n_inter,
+             floor(CAST(n_union AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+               / CAST(theta AS DOUBLE) * 10000 + 0.5) / 10000 AS est_union,
+             floor(CAST(n_inter AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+               / CAST(theta AS DOUBLE) * 10000 + 0.5) / 10000 AS est_inter,
+             CASE WHEN n_union > 0
+                  THEN floor(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+                    * 1000000 + 0.5) / 1000000
+                  ELSE 0.0 END AS jaccard
+      FROM th, su, si"""
+    },
+
+    // Transition-matrix replay: the same per-user lead window (ties broken
+    // by event_id), counts per ordered type pair, normalization over the
+    // per-from_type window.
+    "e14_event_transitions" -> s"""
+      WITH p AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        FROM events
+      ),
+      c AS (
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+      )
+      SELECT from_type, to_type, n_transitions,
+             floor(n_transitions
+               / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS p
+      FROM c ORDER BY 1, 2"""
   )
 }

@@ -62,4 +62,21 @@ object Kmv {
   }
 
   def sketch(k: Int): KmvSketch = new KmvSketch(k)
+
+  /** The same bottom-k summary, finishing to the kept hash list itself —
+    * for sketch SET OPERATIONS (q87), which need the sample, not just
+    * (count, theta). Same buffer, same merge, so the determinism argument
+    * above carries over verbatim.
+    */
+  class KmvKeep(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    private val inner = new KmvSketch(k)
+    override def zero: Seq[Long] = inner.zero
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] = inner.reduce(b, h)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = inner.merge(a, b)
+    override def finish(b: Seq[Long]): Seq[Long] = b
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  def keep(k: Int): KmvKeep = new KmvKeep(k)
 }

@@ -138,6 +138,28 @@ class Round12Spec extends AnyFunSuite {
 
   // ---- e13: session attribution ----
 
+  test("s23 measures the quantization-scheme trade-off both ways") {
+    val rows = ExtensionQueries6.all("s23_quant_scheme_eval")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.keySet == Set("asym_uint8", "sym_int8"))
+    val (symN, symSse, _, symRec) = rows("sym_int8")
+    val (asymN, asymSse, _, asymRec) = rows("asym_uint8")
+    // every vector reconstructed under both schemes
+    assert(symN == asymN && symN > 0)
+    // the fixture's dims are iid (isotropic), so the per-vector symmetric
+    // scheme's tighter dynamic range wins reconstruction error — the
+    // measured call this table exists to make (per-dim asymmetric wins on
+    // ANISOTROPIC spectra, which this fixture deliberately is not)
+    assert(symSse < asymSse, s"sym=$symSse asym=$asymSse")
+    assert(symSse > 0)
+    // and both schemes preserve the exact top-k almost perfectly at 8 bits
+    assert(symRec >= 0.9 && asymRec >= 0.9, s"sym=$symRec asym=$asymRec")
+    assert(asymRec >= symRec,
+      "corpus-global grid errors correlate across vectors; ranking survives")
+  }
+
   test("e13 attributes every purchase to exactly one containing session") {
     val dir = "/root/testdata/sf0.001"
     val out = ExtensionQueries6.all("e13_session_attribution")(spark, dir)
@@ -157,6 +179,50 @@ class Round12Spec extends AnyFunSuite {
     try body
     finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == FuseDotProduct)
+  }
+
+  test("q87 sketch set-ops agree with exact set algebra in the exact regime") {
+    val dir = "/root/testdata/sf0.001"
+    val row = ExtensionQueries6.all("q87_sketch_set_ops")(spark, dir).collect()(0)
+    val k = row.getInt(0)
+    val (nA, nB) = (row.getLong(1), row.getLong(2))
+    val theta = row.getLong(3)
+    val (nU, nI) = (row.getLong(4), row.getLong(5))
+    val (estU, estI, jac) = (row.getDouble(6), row.getDouble(7), row.getDouble(8))
+    assert(nI <= nU && estI <= estU)
+    assert(jac >= 0.0 && jac <= 1.0)
+    def users(tpe: String): Set[Long] =
+      graft.sources.Tables.load(spark, dir, "events")
+        .filter(col("event_type") === tpe).select(col("user_id"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    val (va, vb) = (users("view"), users("purchase"))
+    if (nA < k && nB < k) {
+      // exact regime: θ = 2^48 and the "estimates" are exact counts
+      assert(theta == (1L << 48))
+      assert(estU == (va ++ vb).size.toDouble, s"estU=$estU")
+      assert(estI == va.intersect(vb).size.toDouble, s"estI=$estI")
+    } else {
+      // saturated: within the ~1/sqrt(k-2) KMV error band (generous 5x)
+      val tol = 5.0 / math.sqrt((k - 2).toDouble)
+      assert(math.abs(estU - (va ++ vb).size) <= tol * (va ++ vb).size)
+    }
+  }
+
+  test("e14 transition rows conserve event counts and normalize per from_type") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.load(spark, dir, "events")
+    val rows = ExtensionQueries6.all("e14_event_transitions")(spark, dir).collect()
+    val types = events.select(col("event_type")).distinct().count()
+    assert(rows.nonEmpty && rows.length <= types * types)
+    // each user with n events contributes exactly n-1 transitions
+    val totalEvents = events.count()
+    val nUsers = events.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == totalEvents - nUsers)
+    // probabilities normalize within rounding per from_type
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"$from sums to $p")
+    }
   }
 
   test("integer fusion binds the fold's evalMode, not the optimization-time conf") {
