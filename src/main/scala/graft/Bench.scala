@@ -65,10 +65,16 @@ object Bench {
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
     }
+    // Optional local-tuning filter (regex over query names) — the driver
+    // never sets it, so driver benches always cover the full registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    def keep(name: String): Boolean =
+      only.forall(_.pattern.matcher(name).matches())
     // sorted order: deterministic run sequence, comparable round-over-round
-    val results = SparkEntry.queries.toVector.sortBy(_._1).map { case (name, fn) =>
-      name -> sample(fn)
-    }.toMap
+    val results = SparkEntry.queries.toVector.filter(kv => keep(kv._1))
+      .sortBy(_._1).map { case (name, fn) =>
+        name -> sample(fn)
+      }.toMap
     val failed = results.collect { case (n, None) => n }.toVector.sorted
     // Full per-query map on stderr for local tuning (never on stdout — the
     // driver tails stdout and the full map would blow the 2000-char budget).
@@ -89,7 +95,7 @@ object Bench {
     // A pass that throws contributes NO sample: a query failing on pass 2
     // keeps its pass-1 time, one failing on both passes is simply absent
     // from `queries` and listed under `failed`.
-    val second = headline.flatMap { h =>
+    val second = headline.filter(keep).flatMap { h =>
       SparkEntry.queries.get(h).flatMap(sample).map(h -> _)
     }.toMap
     val qs = headline.flatMap { h =>
