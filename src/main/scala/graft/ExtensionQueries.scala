@@ -268,9 +268,9 @@ object ExtensionQueries {
   private[graft] def kmTrainingCtes(k: Int, iters: Int): String = {
     val seeds = s"""
       seeds AS (
-        SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS INTEGER) AS cell, v
+        SELECT CAST(row_number() OVER (ORDER BY ((vec_id % 1000003) * 427799) % 1000003, vec_id) - 1 AS INTEGER) AS cell, v
         FROM e
-        QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) <= $k
+        QUALIFY row_number() OVER (ORDER BY ((vec_id % 1000003) * 427799) % 1000003, vec_id) <= $k
       ),
       c0 AS (SELECT cell, v AS cv FROM seeds)"""
     val rounds = (1 to iters).map { r =>

@@ -58,9 +58,9 @@ object ExtensionQueries2 {
   private def kmCtesN(p: String, src: String, k: Int, iters: Int, dims: Int): String = {
     val seeds = s"""
       ${p}seeds AS (
-        SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) - 1 AS INTEGER) AS cell, v
+        SELECT CAST(row_number() OVER (ORDER BY ((vec_id % 1000003) * 427799) % 1000003, vec_id) - 1 AS INTEGER) AS cell, v
         FROM $src
-        QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 1000003, vec_id) <= $k
+        QUALIFY row_number() OVER (ORDER BY ((vec_id % 1000003) * 427799) % 1000003, vec_id) <= $k
       ),
       ${p}c0 AS (SELECT cell, v AS cv FROM ${p}seeds)"""
     val rounds = (1 to iters).map { r =>

@@ -265,7 +265,9 @@ ORDER BY a.root_key
     "q55_stratified_sample" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      val h = (col("c_custkey") * 2654435761L) % 1000003L
+      // modular form, value-identical to (key * 2654435761) % 1000003 but
+      // overflow-free for 64-bit keys (Kmeans.seedCentroids has the story)
+      val h = ((col("c_custkey") % 1000003L) * 427799L) % 1000003L
       val rate = when(col("n_regionkey") <= 1, 100000L).otherwise(50000L)
       c.filter(h < rate)
         .select(col("c_custkey"), col("c_nationkey"), col("n_regionkey"),
@@ -401,7 +403,7 @@ ORDER BY a.root_key
     "q55_stratified_sample" -> """
       SELECT c_custkey, c_nationkey, n_regionkey, c_acctbal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
-      WHERE (c_custkey * 2654435761) % 1000003 <
+      WHERE ((c_custkey % 1000003) * 427799) % 1000003 <
             CASE WHEN n_regionkey <= 1 THEN 100000 ELSE 50000 END
       ORDER BY c_custkey""",
 

@@ -28,11 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object Kmeans {
 
-  /** Hash-ranked deterministic seeds: cell ids 0..k-1 in hash order. */
+  /** Hash-ranked deterministic seeds: cell ids 0..k-1 in hash order.
+    * The rank hash is the modular form ((id mod 1000003) * 427799) mod
+    * 1000003 — value-identical to (id * 2654435761) mod 1000003 (427799 =
+    * 2654435761 mod 1000003) but overflow-free for 64-bit ids: the direct
+    * product overflows Long beyond id ~3.4e9, which ANSI mode turns into a
+    * runtime error (found by the 10x scale-up run, whose shifted key
+    * spaces exceed that; any production snowflake-style id would too).
+    */
   def seedCentroids(e: DataFrame, k: Int): DataFrame = {
     val w = Window.orderBy(col("hrank"), col("vec_id"))
     e.select(col("vec_id"), col("v"))
-      .withColumn("hrank", pmod(col("vec_id") * lit(2654435761L), lit(1000003L)))
+      .withColumn("hrank", pmod(pmod(col("vec_id"), lit(1000003L)) * lit(427799L), lit(1000003L)))
       .orderBy(col("hrank"), col("vec_id")).limit(k)
       // window over exactly k rows — the limit ran distributed (top-k), so
       // this single-partition numbering touches k vectors, not the corpus
@@ -74,7 +81,7 @@ object Kmeans {
   def seedCentroidsGrouped(e: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("grp")).orderBy(col("hrank"), col("vec_id"))
     e.select(col("grp"), col("vec_id"), col("v"))
-      .withColumn("hrank", pmod(col("vec_id") * lit(2654435761L), lit(1000003L)))
+      .withColumn("hrank", pmod(pmod(col("vec_id"), lit(1000003L)) * lit(427799L), lit(1000003L)))
       .withColumn("cell", (row_number().over(w) - 1).cast("int"))
       .filter(col("cell") < k)
       .select(col("grp"), col("cell"), col("v").as("cv"))
