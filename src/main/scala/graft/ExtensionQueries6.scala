@@ -248,19 +248,20 @@ object ExtensionQueries6 {
     // user journey — the Markov view of e03/e04's sequences (funnels check
     // ONE path; the transition matrix prices every path at once, and is
     // the standard input to journey clustering and next-action models).
-    // Scale shape: ONE shuffle keyed on user_id for the ordered lead
-    // window, then an aggregation to at most |types|² rows; the
-    // probability normalization windows over that tiny aggregate, never
-    // the raw events.
+    // The pair extraction is EventStreams.transitionsBatch — the same
+    // definition the streaming twin (EventStreams.transitions) keeps
+    // continuously current with one event-type string of state per user.
+    // Scale shape: ONE shuffle keyed on user_id for the ordered window,
+    // then an aggregation to at most |types|² rows; the probability
+    // normalization windows over that tiny aggregate, never the raw
+    // events.
     "e14_event_transitions" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
       val fw = Window.partitionBy(col("from_type"))
-      t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("to_type", lead(col("event_type"), 1).over(w))
-        .filter(col("to_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"), col("to_type"))
+      graft.streaming.EventStreams.transitionsBatch(
+          t(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type")))
+        .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n_transitions"))
         .withColumn("p", Agg.roundAt(col("n_transitions").cast("double")
           / sum(col("n_transitions")).over(fw).cast("double"), 6))

@@ -185,6 +185,54 @@ object EventStreams {
       }
   }
 
+  case class TransState(lastType: String, hasLast: Boolean)
+
+  case class Transition(user_id: Long, event_id: Long, from_type: String,
+      to_type: String)
+
+  /** Batch form of the per-user event-type transition extraction — e14's
+    * pre-aggregation body: each event after a user's first yields
+    * (from = previous type, to = its type) in (ts, event_id) order. One
+    * shuffle on user_id; the downstream matrix aggregation is at most
+    * |types|² rows.
+    */
+  def transitionsBatch(events: DataFrame): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("from_type"),
+        col("event_type").as("to_type"))
+  }
+
+  /** Streaming twin of [[transitionsBatch]] (the d17/e12 pattern: one
+    * semantics, two execution modes, equal outputs — StreamingSpec): ONE
+    * event-type string of state per user, each arriving event emitting its
+    * (from, to) transition — so a downstream streaming `groupBy(from, to)`
+    * count keeps e14's Markov matrix continuously current. State never
+    * grows with history; same in-order-arrival contract as [[sessionize]].
+    */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId, evts, state: GroupState[TransState]) =>
+          val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(TransState("", hasLast = false))
+          val out = Vector.newBuilder[Transition]
+          sorted.foreach { e =>
+            if (st.hasLast)
+              out += Transition(userId, e.event_id, st.lastType, e.event_type)
+            st = TransState(e.event_type, hasLast = true)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each `idCols`
     * combination, with state bounded by the watermark (duplicates arriving
     * later than `watermark` after the original may pass — the standard

@@ -163,6 +163,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set((1L, 4L, 2L, 6L), (2L, 2L, 2L, 3L)))
   }
 
+  test("streaming transitions match the batch form across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+      Event(2L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+      Event(3L, ts("2024-01-01 00:00:00"), 2L, "view", 1.0))
+    val batch2 = Seq(
+      // user 1's transition SPANS the batch boundary (click -> purchase)
+      Event(4L, ts("2024-01-01 00:02:00"), 1L, "purchase", 9.0),
+      Event(5L, ts("2024-01-01 00:01:00"), 2L, "view", 1.0),
+      Event(6L, ts("2024-01-01 00:02:00"), 2L, "click", 1.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.transitions(stream.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("transitions").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def tuples(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_id"), col("from_type"), col("to_type"))
+      .as[(Long, Long, String, String)].collect().toSet
+    val streamed = tuples(spark.table("transitions"))
+    val batch = tuples(EventStreams.transitionsBatch((batch1 ++ batch2).toDF()))
+    assert(streamed == batch)
+    assert(batch == Set(
+      (1L, 2L, "view", "click"), (1L, 4L, "click", "purchase"),
+      (2L, 5L, "view", "view"), (2L, 6L, "view", "click")))
+  }
+
   test("streaming dedup drops in-watermark duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
