@@ -75,8 +75,19 @@ object ScaleUp {
       "documents" -> rep(src("documents")) { (df, i) =>
         val shifted = shiftKeys("doc_id")(df, i)
         if (i == 0) shifted
+        // Tag every 4th word with the copy index (phase-shifted per copy):
+        // ~3/4 of a copy's word 3-shingles differ from every other copy's
+        // (cross-copy Jaccard ~0.14, below near-dup thresholds), so the
+        // scaled corpus carries 10x the fixture's PLANTED dup rate instead
+        // of a synthetic 10-way near-dup clique per document — a plain
+        // suffix leaves shingles ~identical and explodes candidate pairs
+        // quadratically in the copy count, which no real corpus growth
+        // does. Tagging 1/4 of positions also keeps vocabulary growth
+        // sublinear (Heaps-ish), not 10x.
         else shifted.withColumn("text",
-          concat(col("text"), lit(s" copy$i")))
+          array_join(transform(split(col("text"), " "), (w, j) =>
+            when((j + lit(i)) % 4 === 0, concat(w, lit(i.toString)))
+              .otherwise(w)), " "))
       },
       "embeddings" -> rep(src("embeddings")) { (df, i) =>
         val shifted = shiftKeys("vec_id")(df, i)
