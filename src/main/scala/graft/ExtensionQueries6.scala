@@ -244,6 +244,49 @@ object ExtensionQueries6 {
             .otherwise(lit(0.0)).as("jaccard"))
     }),
 
+    // Stored ANN index (s24): the SERVING pattern — the IVF index (k-means
+    // centroids + cell assignments) is built ONCE, persisted as two
+    // parquet tables, and the query path probes the STORED index without
+    // touching the trainer. At 100 TB index build and query are different
+    // jobs on different cadences (build daily, probe per request); this
+    // query pins that the round trip through storage changes NOTHING: its
+    // oracle is s05's oracle verbatim, and Round12Spec asserts row-exact
+    // equality with the live-index probe (doubles round-trip parquet
+    // bit-exactly). Scale shape: build = s05's (one broadcast + one
+    // keyed shuffle per iteration); the probe reads the assignments table
+    // pruned to the nprobe broadcast cells and never rescans raw corpus.
+    "s24_knn_stored_index" -> ((s, dir) => {
+      import ExtensionQueries.{IvfCells, IvfIters, IvfProbe}
+      val e = ExtensionQueries.embeddingsD(s, dir)
+      val (cent, assigned) = graft.operators.Kmeans.fit(
+        e.select(col("vec_id"), col("v")), k = IvfCells, iters = IvfIters)
+      val sink = graft.sources.Scratch.fresh(s,
+        s"ivf_index_${new java.io.File(dir).getName}")
+      cent.write.mode("overwrite").parquet(s"$sink/centroids")
+      assigned.write.mode("overwrite").parquet(s"$sink/assignments")
+      val centS = s.read.parquet(s"$sink/centroids")
+      val asgS = s.read.parquet(s"$sink/assignments")
+      val q = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cell").asc)
+      val cells = q.crossJoin(broadcast(centS))
+        .withColumn("ccos", VectorOps.cosineFast(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= IvfProbe)
+        .select(col("query_id"), col("qv"), col("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      asgS.join(broadcast(cells), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", VectorOps.cosineFast(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("cell"), col("vec_id"),
+          Agg.roundAt(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Event-type transition matrix (e14): P(next event type | current) per
     // user journey — the Markov view of e03/e04's sequences (funnels check
     // ONE path; the transition matrix prices every path at once, and is
@@ -535,6 +578,11 @@ object ExtensionQueries6 {
                   ELSE 0.0 END AS jaccard
       FROM th, su, si"""
     },
+
+    // Stored-index replay: s05's oracle VERBATIM — the index's storage
+    // round trip must change nothing, so the same training + probe math
+    // over the raw tables is exactly what the stored path must reproduce.
+    "s24_knn_stored_index" -> ExtensionQueries.oracles("s05_knn_ivf_learned"),
 
     // Transition-matrix replay: the same per-user lead window (ties broken
     // by event_id), counts per ordered type pair, normalization over the

@@ -181,6 +181,16 @@ class Round12Spec extends AnyFunSuite {
       spark.experimental.extraOptimizations.filterNot(_ == FuseDotProduct)
   }
 
+  test("s24 stored-index probe returns exactly s05's live-index results") {
+    val dir = "/root/testdata/sf0.001"
+    val live = ExtensionQueries.all("s05_knn_ivf_learned")(spark, dir)
+      .collect().toSeq
+    val stored = ExtensionQueries6.all("s24_knn_stored_index")(spark, dir)
+      .collect().toSeq
+    assert(live.nonEmpty)
+    assert(stored == live)
+  }
+
   test("q87 sketch set-ops agree with exact set algebra in the exact regime") {
     val dir = "/root/testdata/sf0.001"
     val row = ExtensionQueries6.all("q87_sketch_set_ops")(spark, dir).collect()(0)
