@@ -120,7 +120,7 @@ object ExtensionQueries {
   /** Generates the unrolled label-propagation CTE chain l1..ln (DuckDB
     * mirror of [[Dedup.labelClusters]], one CTE per round).
     */
-  private def labelPropCtes(rounds: Int): String =
+  private[graft] def labelPropCtes(rounds: Int): String =
     (1 to rounds).map { r =>
       s"""l$r AS (
         SELECT id, min(label) AS label

@@ -28,7 +28,7 @@ object SparkEntry {
     ) ++ RelationalQueries.all ++ RelationalQueries2.all ++
       RelationalQueries3.all ++ RelationalQueries4.all ++ ExtensionQueries.all ++
       ExtensionQueries2.all ++ ExtensionQueries3.all ++ ExtensionQueries4.all ++
-      ExtensionQueries5.all ++ ExtensionQueries6.all
+      ExtensionQueries5.all ++ ExtensionQueries6.all ++ ExtensionQueries7.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,7 +40,8 @@ object SparkEntry {
       RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
       ExtensionQueries.oracles ++ ExtensionQueries2.oracles ++
       ExtensionQueries3.oracles ++ ExtensionQueries4.oracles ++
-      ExtensionQueries5.oracles ++ ExtensionQueries6.oracles
+      ExtensionQueries5.oracles ++ ExtensionQueries6.oracles ++
+      ExtensionQueries7.oracles
 }
 
 /** DuckDB mirror of [[LocationSummary.build]] — same CTE structure, fixed

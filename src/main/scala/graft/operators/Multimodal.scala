@@ -479,6 +479,49 @@ object Multimodal {
   case class SceneFeatures(doc_id: Long, n_frames: Int, n_cuts: Int,
       total_diff: Long, max_diff: Long)
 
+  /** One representative keyframe per clip: the frame AFTER the largest
+    * inter-frame SAD transition (ties → lowest frame index — "first frame
+    * strictly greater" in the fold below, row_number in the oracle). This
+    * is the step a curation pipeline runs right after [[sceneDetect]]:
+    * shot boundaries say WHERE content changes, the keyframe is the still
+    * that represents the clip in previews, dedup indexes, and
+    * vision-encoder sampling. kf_md5 hashes the frame's RAW gray bytes, so
+    * the gate catches a one-byte drift anywhere in parse→diff→argmax→
+    * extract. Scale shape: identical to sceneDetect — embarrassingly
+    * parallel partition-local decode, zero shuffle before the output sort.
+    */
+  case class KeyframeRecord(doc_id: Long, kf_frame: Int, kf_sad: Long,
+      kf_md5: String)
+
+  def keyframes(media: Dataset[MediaRecord]): Dataset[KeyframeRecord] = {
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "video").mapPartitions { records =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      records.map { r =>
+        val clip = Vid.parse(r.payload)
+        val fb = clip.w * clip.h
+        var bestF = 1; var bestSad = -1L
+        var f = 1
+        while (f < clip.nFrames) {
+          var sad = 0L
+          var i = 0
+          while (i < fb) {
+            sad += math.abs((clip.frames(f * fb + i) & 0xff) -
+              (clip.frames((f - 1) * fb + i) & 0xff))
+            i += 1
+          }
+          if (sad > bestSad) { bestSad = sad; bestF = f }
+          f += 1
+        }
+        md.reset()
+        val dig = md.digest(java.util.Arrays.copyOfRange(
+          clip.frames, bestF * fb, (bestF + 1) * fb))
+        KeyframeRecord(r.doc_id, bestF, bestSad,
+          dig.map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
   def sceneDetect(media: Dataset[MediaRecord], cutThr: Long): Dataset[SceneFeatures] = {
     import media.sparkSession.implicits._
     media.filter(col("media_type") === "video").mapPartitions { records =>
