@@ -100,6 +100,38 @@ object ExtensionQueries7 {
       .orderBy(col("source"))
   }
 
+  /** s26 probe-depth sweep bound: recall/cost rows for nprobe = 1..4 of
+    * [[ExtensionQueries.IvfCells]] cells.
+    */
+  val MaxProbe = 4
+
+  /** q89 HyperLogLog geometry: p = 6 → m = 64 registers over the top 6
+    * bits of the 48-bit portable hash; the remaining [[HllRemBits]] = 42
+    * bits feed the leading-zero rank, so register values lie in [1, 43]
+    * and the 2^43-scaled harmonic-mean denominator Σ 2^(43−reg) is an
+    * EXACT integer (≤ 64·2^43 < 2^50) — the one part of an HLL estimate a
+    * distributed merge could otherwise not reproduce bit-for-bit.
+    * [[HllAlphaNum]] pre-multiplies α_64·m²·2^43 in one double so both
+    * engines divide the same numerator by the same integer.
+    */
+  val HllP = 6
+  val HllM = 64
+  val HllRemBits = 42
+  val HllRemMod = 1L << HllRemBits
+  val HllAlphaNum: Double = 0.709 * (64.0 * 64.0) * (1L << 43).toDouble
+
+  /** Small-range (linear-counting) correction table: when the raw
+    * harmonic estimate is ≤ 2.5·m and V registers are still empty, the
+    * unbiased estimate is m·ln(m/V) (Flajolet et al.'s HLL rule — the raw
+    * estimator is known-biased when n ≪ m; measured 52 vs true 15 on the
+    * sf0.001 events segment). V has only [[HllM]] possible values, so the
+    * logs are precomputed HERE once and spliced into BOTH engines as
+    * integer 1e6 fixed-point literals — no cross-engine libm bets (the
+    * t28/DetLn rule). Index V ∈ [1, m].
+    */
+  val HllLcFp: IndexedSeq[Long] = (1 to HllM).map(v =>
+    math.floor(HllM * math.log(HllM.toDouble / v) * 1e6).toLong)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Nearest-centroid label audit (s25): per-label mean embedding
@@ -245,6 +277,111 @@ object ExtensionQueries7 {
           Agg.roundAt(col("credit_fp").cast("double") / lit(1e6), 4)
             .as("credit"))
         .orderBy(col("touch_type"))
+    }),
+
+    // IVF probe-depth tuning curve (s26): recall@k and candidate-scan cost
+    // of the learned-IVF index at nprobe = 1..4 — the table an operator
+    // reads to SET nprobe (s05 hard-codes 2; this measures what that
+    // choice buys and what the next probe would cost). One pass computes
+    // all four depths: each scored candidate carries its cell's probe rank
+    // and replicates only to the depths that include it, so the corpus
+    // side is scanned ONCE at the deepest setting — the query-side explode
+    // is |Q|·c rows, never data-scale. Monotonicity (recall and scan cost
+    // both non-decreasing in nprobe) is Round12bSpec's invariant.
+    "s26_ivf_nprobe_curve" -> ((s, dir) => {
+      import ExtensionQueries.{IvfCells, IvfIters}
+      val e = ExtensionQueries.embeddingsD(s, dir)
+      val (cent, assigned) = graft.operators.Kmeans.fit(
+        e.select(col("vec_id"), col("v")), k = IvfCells, iters = IvfIters)
+      val q = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cell").asc)
+      val cells = q.crossJoin(broadcast(cent))
+        .withColumn("ccos", VectorOps.cosineFast(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= MaxProbe)
+        .select(col("query_id"), col("qv"), col("cell"), col("prn"))
+      val scored = assigned.join(broadcast(cells), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", VectorOps.cosineFast(col("qv"), col("v")))
+        .select(col("query_id"), col("prn"), col("vec_id"), col("cos"))
+      val expl = scored.withColumn("nprobe",
+        explode(sequence(col("prn"), lit(MaxProbe))))
+      val w = Window.partitionBy(col("query_id"), col("nprobe"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val truth = ExtensionQueries.knnBruteRanked(s, dir, 5)
+        .select(col("query_id"), col("vec_id"))
+      val scanned = expl.groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_scanned"))
+      val hits = expl.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .join(truth, Seq("query_id", "vec_id"))
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("total_hits"))
+      val nq = truth.select(col("query_id")).distinct()
+        .agg(count(lit(1)).as("n_queries"))
+      scanned.join(hits, Seq("nprobe"), "left")
+        .crossJoin(broadcast(nq))
+        .select(col("nprobe"), col("n_scanned"),
+          coalesce(col("total_hits"), lit(0L)).as("total_hits"),
+          col("n_queries"),
+          Agg.roundAt(coalesce(col("total_hits"), lit(0L)).cast("double")
+            / (col("n_queries") * 5).cast("double"), 6).as("recall"))
+        .orderBy(col("nprobe"))
+    }),
+
+    // HyperLogLog distinct-count sketch (q89): per-segment distinct users
+    // from m = 64 fixed registers — bucket = top 6 hash bits, register =
+    // max leading-zero rank of the remaining 42 bits. The third distinct-
+    // count shape beside exact groupBy and q77's KMV: HLL state is
+    // CONSTANT (m small integers, vs KMV's k hashes), merge is element-
+    // wise max (union-only, any order), and register maxes are a pure
+    // function of the value set — so like q77, even the approximate
+    // estimate is oracle-replayable bit-for-bit. The harmonic-mean
+    // denominator is kept as the exact integer Σ 2^(43−reg) (absent
+    // buckets contribute 2^43 each — never materialized), and the single
+    // double division happens once at output. true_distinct sits beside
+    // the estimate, making this the accuracy report a team reads before
+    // trading exactness for constant state. Scale shape: one map-side-
+    // combinable pass to ≤ |segments|·m rows, then |segments|-row
+    // arithmetic.
+    "q89_hll_sketch" -> ((s, dir) => {
+      val h = ExtensionQueries3.md5Hash48(col("user_id"))
+      val regs = t(s, dir, "events")
+        .select(col("event_type"), h.as("h"))
+        .withColumn("bucket", expr(s"h DIV $HllRemMod"))
+        .withColumn("w", col("h") % HllRemMod)
+        .withColumn("rho", when(col("w") === 0, lit(HllRemBits + 1))
+          .otherwise(lit(HllRemBits + 1) - length(bin(col("w")))))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("reg"))
+      val sketch = regs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr(s"shiftleft(cast(1 as bigint), ${HllRemBits + 1} - reg)"))
+            .as("present_fp"))
+        .select(col("event_type"), col("n_present"),
+          (col("present_fp") + (lit(HllM.toLong) - col("n_present"))
+            * lit(1L << (HllRemBits + 1))).as("sum_fp"))
+      val exact = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("true_distinct"))
+      val lcArr = array(HllLcFp.map(lit): _*)
+      sketch.join(exact, Seq("event_type"))
+        .withColumn("v_empty", lit(HllM.toLong) - col("n_present"))
+        .withColumn("raw_est", lit(HllAlphaNum) / col("sum_fp").cast("double"))
+        .withColumn("use_lc",
+          col("raw_est") <= lit(2.5 * HllM) && col("v_empty") > 0)
+        .withColumn("corrected", when(col("use_lc"),
+          element_at(lcArr, greatest(col("v_empty"), lit(1L)).cast("int"))
+            .cast("double") / lit(1e6))
+          .otherwise(col("raw_est")))
+        .select(col("event_type"), lit(HllM).as("m"), col("n_present"),
+          col("sum_fp"),
+          Agg.roundAt(col("raw_est"), 4).as("raw_est"),
+          Agg.roundAt(col("corrected"), 4).as("est_distinct"),
+          when(col("use_lc"), "linear").otherwise("raw").as("method"),
+          col("true_distinct"))
+        .orderBy(col("event_type"))
     }),
 
     // Keyframe extraction (m10): per clip, the frame after the largest
@@ -463,6 +600,119 @@ object ExtensionQueries7 {
              floor(CAST(sum(credit_fp) AS DOUBLE) / 1000000
                * 10000 + 0.5) / 10000 AS credit
       FROM c GROUP BY touch_type ORDER BY touch_type""",
+
+    // Probe-curve replay: s05's k-means training CTEs and probe-ranking
+    // form, candidates replicated to the depths that include them, the
+    // s01 oracle as graded truth — all four depths from one scored set.
+    "s26_ivf_nprobe_curve" -> {
+      import ExtensionQueries.{IvfCells, IvfIters, dotSql, kmTrainingCtes}
+      s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),${kmTrainingCtes(IvfCells, IvfIters)},
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),
+      pr AS (
+        SELECT query_id, qv, cell, prn FROM (
+          SELECT q.query_id, q.qv, c.cell,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   (${dotSql("q.qv", "c.cv")} / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("c.cv", "c.cv")}))) DESC,
+                   c.cell ASC) AS prn
+          FROM q CROSS JOIN c$IvfIters c
+        ) p WHERE prn <= $MaxProbe
+      ),
+      scored AS (
+        SELECT p.query_id, p.prn, a.vec_id,
+               ${dotSql("p.qv", "a.v")} / (sqrt(${dotSql("p.qv", "p.qv")}) * sqrt(${dotSql("a.v", "a.v")})) AS cos
+        FROM pr p JOIN a$IvfIters a ON p.cell = a.cell AND a.vec_id <> p.query_id
+      ),
+      expl AS (
+        SELECT s.query_id, s.vec_id, s.cos, CAST(np AS INTEGER) AS nprobe
+        FROM scored s, range(1, ${MaxProbe + 1}) t(np) WHERE s.prn <= np
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id, nprobe
+          ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM expl
+      ),
+      truth AS (
+        SELECT query_id, vec_id
+        FROM (${ExtensionQueries.oracles("s01_knn_brute")}) b
+      ),
+      nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM truth),
+      sc AS (SELECT nprobe, count(*) AS n_scanned FROM expl GROUP BY 1),
+      h AS (
+        SELECT r.nprobe, count(*) AS total_hits
+        FROM ranked r JOIN truth t
+          ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+        WHERE r.rank <= 5 GROUP BY 1
+      )
+      SELECT sc.nprobe, sc.n_scanned,
+             coalesce(h.total_hits, 0) AS total_hits, nq.n_queries,
+             floor(coalesce(h.total_hits, 0)
+               / CAST(nq.n_queries * 5 AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS recall
+      FROM sc LEFT JOIN h ON sc.nprobe = h.nprobe CROSS JOIN nq
+      ORDER BY sc.nprobe"""
+    },
+
+    // HLL replay: identical 48-bit hashes, identical top-6-bit bucketing
+    // and bin()-length leading-zero ranks, identical exact-integer
+    // harmonic denominator (absent buckets as 2^43), one shared double
+    // numerator.
+    "q89_hll_sketch" -> s"""
+      WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        FROM events
+      ),
+      r AS (
+        SELECT event_type, h // $HllRemMod AS bucket,
+               CASE WHEN h % $HllRemMod = 0 THEN ${HllRemBits + 1}
+                    ELSE ${HllRemBits + 1} - length(bin(h % $HllRemMod))
+               END AS rho
+        FROM h
+      ),
+      regs AS (
+        SELECT event_type, bucket, max(rho) AS reg
+        FROM r GROUP BY 1, 2
+      ),
+      sk AS (
+        SELECT event_type, count(*) AS n_present,
+               CAST(sum(CAST(1 AS BIGINT) << (${HllRemBits + 1} - reg))
+                 AS BIGINT)
+                 + ($HllM - count(*)) * (CAST(1 AS BIGINT) << ${HllRemBits + 1})
+                 AS sum_fp
+        FROM regs GROUP BY 1
+      ),
+      ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS true_distinct
+        FROM events GROUP BY 1
+      ),
+      est AS (
+        SELECT sk.event_type, sk.n_present, sk.sum_fp, ex.true_distinct,
+               ($HllM - sk.n_present) AS v_empty,
+               $HllAlphaNum / CAST(sk.sum_fp AS DOUBLE) AS raw_est
+        FROM sk JOIN ex ON sk.event_type = ex.event_type
+      ),
+      cor AS (
+        SELECT *,
+               (raw_est <= CAST(${2.5 * HllM} AS DOUBLE) AND v_empty > 0)
+                 AS use_lc,
+               CASE WHEN raw_est <= CAST(${2.5 * HllM} AS DOUBLE)
+                         AND v_empty > 0
+                    THEN CAST([${HllLcFp.mkString(",")}]
+                      [CAST(greatest(v_empty, 1) AS INTEGER)] AS DOUBLE)
+                      / 1000000.0
+                    ELSE raw_est END AS corrected
+        FROM est
+      )
+      SELECT event_type, $HllM AS m, n_present, sum_fp,
+             floor(raw_est * 10000 + 0.5) / 10000 AS raw_est,
+             floor(corrected * 10000 + 0.5) / 10000 AS est_distinct,
+             CASE WHEN use_lc THEN 'linear' ELSE 'raw' END AS method,
+             true_distinct
+      FROM cor ORDER BY event_type""",
 
     // Keyframe replay: m07's space-padded gray frames and integer SADs,
     // the same (sad desc, frame asc) argmax, md5 over the same frame
