@@ -58,13 +58,23 @@ object ExtensionQueries7 {
     * collisions → est == true for every probe) beside the production
     * collision regime.
     */
-  private[graft] def countMin(words: DataFrame, depth: Int, width: Long,
-      probes: Int): DataFrame = {
-    val counters = words
+  /** The CMS counter grid over a (term) relation — shared verbatim by the
+    * batch query and the streaming twin (a complete-mode streaming
+    * aggregation over the SAME bounded depth×width key space; Round12bSpec
+    * asserts batch/stream counter equality). This is the whole point of
+    * the sketch at 100 TB: state is the counter grid, not the vocabulary.
+    */
+  private[graft] def cmsCounters(words: DataFrame, depth: Int,
+      width: Long): DataFrame =
+    words
       .select(posexplode(array((0 until depth).map(i =>
         cmsBucket(i, width, col("term"))): _*)).as(Seq("row_i", "bucket")))
       .groupBy(col("row_i"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  private[graft] def countMin(words: DataFrame, depth: Int, width: Long,
+      probes: Int): DataFrame = {
+    val counters = cmsCounters(words, depth, width)
     val probeSet = words.groupBy(col("term"))
       .agg(count(lit(1)).as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("term").asc)

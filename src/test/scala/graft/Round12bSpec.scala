@@ -49,6 +49,30 @@ class Round12bSpec extends AnyFunSuite {
     }
   }
 
+  test("q88: streaming counter grid (complete mode) equals the batch grid") {
+    // The CMS pitch at 100 TB is that the counter grid IS the streaming
+    // state — bounded depth×width keys forever, any batch split. Feed the
+    // same terms through a MemoryStream in three batches and assert the
+    // complete-mode grid matches the batch build bit-for-bit.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val terms = (1 to 900).map(i => s"term${i % 37}")
+    val stream = MemoryStream[String]
+    terms.grouped(300).foreach(b => stream.addData(b: _*))
+    val grid = ExtensionQueries7.cmsCounters(
+      stream.toDS().toDF("term"), depth = 3, width = 16L)
+    val got = graft.streaming.EventStreams.runToMemory(
+        grid, "cms_stream", OutputMode.Complete())
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = ExtensionQueries7.cmsCounters(
+        terms.toDF("term"), depth = 3, width = 16L)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(batch.toSeq.map(_._3).sum == 3 * 900L) // every term in every row
+  }
+
   // ---- d18 leakage-safe split ----
 
   test("d18: no LSH candidate pair straddles a split boundary") {
