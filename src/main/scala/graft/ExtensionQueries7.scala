@@ -142,6 +142,42 @@ object ExtensionQueries7 {
   val HllLcFp: IndexedSeq[Long] = (1 to HllM).map(v =>
     math.floor(HllM * math.log(HllM.toDouble / v) * 1e6).toLong)
 
+  /** HLL registers (seg, bucket, reg) from a (seg, h) relation — the
+    * shared state-build for q89's per-segment sketches and q90's merged
+    * unions. One map-side-combinable groupBy-max; ≤ |segs|·m rows out.
+    */
+  private[graft] def hllRegs(segHash: DataFrame): DataFrame =
+    segHash
+      .withColumn("bucket", expr(s"h DIV $HllRemMod"))
+      .withColumn("w", col("h") % HllRemMod)
+      .withColumn("rho", when(col("w") === 0, lit(HllRemBits + 1))
+        .otherwise(lit(HllRemBits + 1) - length(bin(col("w")))))
+      .groupBy(col("seg"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+
+  /** Per-seg estimate columns (n_present, sum_fp, v_empty, raw_est,
+    * use_lc, corrected) from a registers relation — q89's arithmetic,
+    * shared with q90 so merged registers price identically.
+    */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame = {
+    val lcArr = array(HllLcFp.map(lit): _*)
+    regs.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(cast(1 as bigint), ${HllRemBits + 1} - reg)"))
+          .as("present_fp"))
+      .select(col("seg"), col("n_present"),
+        (col("present_fp") + (lit(HllM.toLong) - col("n_present"))
+          * lit(1L << (HllRemBits + 1))).as("sum_fp"))
+      .withColumn("v_empty", lit(HllM.toLong) - col("n_present"))
+      .withColumn("raw_est", lit(HllAlphaNum) / col("sum_fp").cast("double"))
+      .withColumn("use_lc",
+        col("raw_est") <= lit(2.5 * HllM) && col("v_empty") > 0)
+      .withColumn("corrected", when(col("use_lc"),
+        element_at(lcArr, greatest(col("v_empty"), lit(1L)).cast("int"))
+          .cast("double") / lit(1e6))
+        .otherwise(col("raw_est")))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Nearest-centroid label audit (s25): per-label mean embedding
@@ -357,41 +393,68 @@ object ExtensionQueries7 {
     // arithmetic.
     "q89_hll_sketch" -> ((s, dir) => {
       val h = ExtensionQueries3.md5Hash48(col("user_id"))
-      val regs = t(s, dir, "events")
-        .select(col("event_type"), h.as("h"))
-        .withColumn("bucket", expr(s"h DIV $HllRemMod"))
-        .withColumn("w", col("h") % HllRemMod)
-        .withColumn("rho", when(col("w") === 0, lit(HllRemBits + 1))
-          .otherwise(lit(HllRemBits + 1) - length(bin(col("w")))))
-        .groupBy(col("event_type"), col("bucket"))
-        .agg(max(col("rho")).as("reg"))
-      val sketch = regs.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_present"),
-          sum(expr(s"shiftleft(cast(1 as bigint), ${HllRemBits + 1} - reg)"))
-            .as("present_fp"))
-        .select(col("event_type"), col("n_present"),
-          (col("present_fp") + (lit(HllM.toLong) - col("n_present"))
-            * lit(1L << (HllRemBits + 1))).as("sum_fp"))
+      val est = hllEstimate(hllRegs(
+        t(s, dir, "events").select(col("event_type").as("seg"), h.as("h"))))
       val exact = t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("true_distinct"))
-      val lcArr = array(HllLcFp.map(lit): _*)
-      sketch.join(exact, Seq("event_type"))
-        .withColumn("v_empty", lit(HllM.toLong) - col("n_present"))
-        .withColumn("raw_est", lit(HllAlphaNum) / col("sum_fp").cast("double"))
-        .withColumn("use_lc",
-          col("raw_est") <= lit(2.5 * HllM) && col("v_empty") > 0)
-        .withColumn("corrected", when(col("use_lc"),
-          element_at(lcArr, greatest(col("v_empty"), lit(1L)).cast("int"))
-            .cast("double") / lit(1e6))
-          .otherwise(col("raw_est")))
-        .select(col("event_type"), lit(HllM).as("m"), col("n_present"),
-          col("sum_fp"),
+        .select(col("event_type").as("seg"), col("true_distinct"))
+      est.join(exact, Seq("seg"))
+        .select(col("seg").as("event_type"), lit(HllM).as("m"),
+          col("n_present"), col("sum_fp"),
           Agg.roundAt(col("raw_est"), 4).as("raw_est"),
           Agg.roundAt(col("corrected"), 4).as("est_distinct"),
           when(col("use_lc"), "linear").otherwise("raw").as("method"),
           col("true_distinct"))
         .orderBy(col("event_type"))
+    }),
+
+    // HLL register-merge set algebra (q90): the distinct-user UNION of two
+    // event segments priced from their register vectors alone — merge =
+    // element-wise max, the HLL twin of q87's KMV θ-algebra (and the
+    // reason HLL is THE warehouse distinct sketch: unions compose across
+    // any partitioning of the data with no rescan and no intersection-
+    // hash bookkeeping). The intersection row prices |A∩B| by inclusion-
+    // exclusion over the three corrected estimates — the standard HLL
+    // overlap recipe, biased where KMV's θ-intersection (q87) is not:
+    // having both sketches side by side is exactly how a team picks one.
+    // Scale shape: one events scan to ≤ 2·m register rows, all algebra on
+    // ≤ 3·m rows after; exact counts (eval-only columns) are their own
+    // aggregates.
+    "q90_hll_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val h = ExtensionQueries3.md5Hash48(col("user_id"))
+      val filtered = ev.filter(col("event_type").isin("view", "purchase"))
+      val regs0 = hllRegs(filtered.select(col("event_type").as("seg"), h.as("h")))
+      val regsU = regs0.groupBy(col("bucket"))
+        .agg(max(col("reg")).as("reg"))
+        .select(lit("union").as("seg"), col("bucket"), col("reg"))
+      val est = hllEstimate(regs0.unionByName(regsU))
+      val truSeg = filtered.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("true_distinct"))
+        .select(col("event_type").as("seg"), col("true_distinct"))
+      val truU = filtered.agg(countDistinct(col("user_id")).as("true_distinct"))
+        .select(lit("union").as("seg"), col("true_distinct"))
+      val segRows = est.join(truSeg.unionByName(truU), Seq("seg"))
+        .select(col("seg"), col("n_present"), col("sum_fp"),
+          Agg.roundAt(col("corrected"), 4).as("est_distinct"),
+          when(col("use_lc"), "linear").otherwise("raw").as("method"),
+          col("true_distinct"))
+      val wide = est.agg(
+        max(when(col("seg") === "view", col("corrected"))).as("ea"),
+        max(when(col("seg") === "purchase", col("corrected"))).as("eb"),
+        max(when(col("seg") === "union", col("corrected"))).as("eu"))
+      val truI = filtered.groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("nt"))
+        .filter(col("nt") === 2)
+        .agg(count(lit(1)).as("true_distinct"))
+      val interRow = wide.crossJoin(broadcast(truI))
+        .select(lit("intersection").as("seg"),
+          lit(null).cast("long").as("n_present"),
+          lit(null).cast("long").as("sum_fp"),
+          Agg.roundAt(col("ea") + col("eb") - col("eu"), 4).as("est_distinct"),
+          lit("incl-excl").as("method"), col("true_distinct"))
+      segRows.unionByName(interRow).orderBy(col("seg"))
     }),
 
     // Keyframe extraction (m10): per clip, the frame after the largest
@@ -723,6 +786,92 @@ object ExtensionQueries7 {
              CASE WHEN use_lc THEN 'linear' ELSE 'raw' END AS method,
              true_distinct
       FROM cor ORDER BY event_type""",
+
+    // Register-algebra replay: same tagged register build, the union arm
+    // as a per-bucket max over both segments, q89's correction arithmetic
+    // over all three, inclusion-exclusion on the unrounded corrected
+    // estimates.
+    "q90_hll_union" -> s"""
+      WITH h AS (
+        SELECT event_type AS seg,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h,
+               user_id
+        FROM events WHERE event_type IN ('view', 'purchase')
+      ),
+      r AS (
+        SELECT seg, h // $HllRemMod AS bucket,
+               CASE WHEN h % $HllRemMod = 0 THEN ${HllRemBits + 1}
+                    ELSE ${HllRemBits + 1} - length(bin(h % $HllRemMod))
+               END AS rho
+        FROM h
+      ),
+      regs0 AS (
+        SELECT seg, bucket, max(rho) AS reg FROM r GROUP BY 1, 2
+      ),
+      regs AS (
+        SELECT * FROM regs0
+        UNION ALL
+        SELECT 'union' AS seg, bucket, max(reg) AS reg
+        FROM regs0 GROUP BY bucket
+      ),
+      sk AS (
+        SELECT seg, count(*) AS n_present,
+               CAST(sum(CAST(1 AS BIGINT) << (${HllRemBits + 1} - reg))
+                 AS BIGINT)
+                 + ($HllM - count(*)) * (CAST(1 AS BIGINT) << ${HllRemBits + 1})
+                 AS sum_fp
+        FROM regs GROUP BY 1
+      ),
+      est AS (
+        SELECT seg, n_present, sum_fp, ($HllM - n_present) AS v_empty,
+               $HllAlphaNum / CAST(sum_fp AS DOUBLE) AS raw_est
+        FROM sk
+      ),
+      cor AS (
+        SELECT *,
+               (raw_est <= CAST(${2.5 * HllM} AS DOUBLE) AND v_empty > 0)
+                 AS use_lc,
+               CASE WHEN raw_est <= CAST(${2.5 * HllM} AS DOUBLE)
+                         AND v_empty > 0
+                    THEN CAST([${HllLcFp.mkString(",")}]
+                      [CAST(greatest(v_empty, 1) AS INTEGER)] AS DOUBLE)
+                      / 1000000.0
+                    ELSE raw_est END AS corrected
+        FROM est
+      ),
+      tru AS (
+        SELECT seg, count(DISTINCT user_id) AS true_distinct
+        FROM h GROUP BY 1
+        UNION ALL
+        SELECT 'union' AS seg, count(DISTINCT user_id) AS true_distinct
+        FROM h
+      ),
+      ti AS (
+        SELECT count(*) AS true_distinct FROM (
+          SELECT user_id FROM h GROUP BY user_id
+          HAVING count(DISTINCT seg) = 2
+        ) both_types
+      ),
+      wide AS (
+        SELECT max(CASE WHEN seg = 'view' THEN corrected END) AS ea,
+               max(CASE WHEN seg = 'purchase' THEN corrected END) AS eb,
+               max(CASE WHEN seg = 'union' THEN corrected END) AS eu
+        FROM cor
+      )
+      SELECT seg, n_present, sum_fp, est_distinct, method, true_distinct
+      FROM (
+        SELECT c.seg, c.n_present, c.sum_fp,
+               floor(c.corrected * 10000 + 0.5) / 10000 AS est_distinct,
+               CASE WHEN c.use_lc THEN 'linear' ELSE 'raw' END AS method,
+               t.true_distinct
+        FROM cor c JOIN tru t ON c.seg = t.seg
+        UNION ALL
+        SELECT 'intersection' AS seg, NULL AS n_present, NULL AS sum_fp,
+               floor((w.ea + w.eb - w.eu) * 10000 + 0.5) / 10000
+                 AS est_distinct,
+               'incl-excl' AS method, ti.true_distinct
+        FROM wide w CROSS JOIN ti
+      ) u ORDER BY seg""",
 
     // Keyframe replay: m07's space-padded gray frames and integer SADs,
     // the same (sad desc, frame asc) argmax, md5 over the same frame

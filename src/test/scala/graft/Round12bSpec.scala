@@ -284,6 +284,36 @@ class Round12bSpec extends AnyFunSuite {
     assert(re == base, s"register state changed under repartition: $re vs $base")
   }
 
+  test("q90: register-merge algebra prices a constructed partial overlap") {
+    // The fixture's behavioural segments fully overlap (every user does
+    // everything), so the discriminating case is constructed: A = users
+    // 1..200, B = 101..300 → |A∪B| = 300, |A∩B| = 100. Everything below
+    // is deterministic (fixed hash), so windows can be tight.
+    import spark.implicits._
+    val df = ((1 to 200).map(i => ("a", i.toLong)) ++
+        (101 to 300).map(i => ("b", i.toLong)))
+      .toDF("seg", "uid")
+      .select(col("seg"), ExtensionQueries3.md5Hash48(col("uid")).as("h"))
+    val regs0 = ExtensionQueries7.hllRegs(df)
+    val regsU = regs0.groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+      .select(lit("union").as("seg"), col("bucket"), col("reg"))
+    // merged registers dominate each segment's pointwise
+    val dominated = regs0.join(regsU.select(col("bucket"), col("reg").as("ureg")),
+        Seq("bucket"))
+      .filter(col("reg") > col("ureg")).count()
+    assert(dominated == 0L)
+    val est = ExtensionQueries7.hllEstimate(regs0.unionByName(regsU))
+      .select(col("seg"), col("corrected")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bound = 3.0 * 1.04 / math.sqrt(ExtensionQueries7.HllM.toDouble)
+    assert(math.abs(est("a") - 200) / 200 <= bound)
+    assert(math.abs(est("b") - 200) / 200 <= bound)
+    assert(math.abs(est("union") - 300) / 300 <= bound)
+    assert(est("union") >= math.max(est("a"), est("b")))
+    val inter = est("a") + est("b") - est("union")
+    assert(inter > 80 && inter < 160, s"incl-excl intersection $inter vs true 100")
+  }
+
   // ---- s25 centroid classification ----
 
   test("s25: every vector assigned to exactly one centroid (confusion mass == corpus)") {
