@@ -376,6 +376,54 @@ object ExtensionQueries7 {
         .orderBy(col("nprobe"))
     }),
 
+    // Index + delta serving (s27): top-k over a corpus whose newest tenth
+    // has NOT been indexed yet — the IVF index probes the indexed 90%,
+    // the fresh-ingest sidecar is brute-scanned in full, and one rank
+    // fuses both candidate sets. This is how every production vector
+    // store absorbs streaming ingest between index rebuilds (build daily,
+    // serve continuously): the sidecar is small BY CONSTRUCTION (it only
+    // holds what arrived since the last build), so its full scan is
+    // bounded, and any true neighbor living in the delta is GUARANTEED
+    // into the fused top-k (it is scanned exactly; Round12bSpec pins
+    // this). Scale shape: the indexed side is s05's probe-pruned plan;
+    // the delta side is one broadcast-query scan of a bounded sidecar;
+    // fusion is a WindowGroupLimit-prunable rank over c·|Q| + |delta|·|Q|
+    // rows.
+    "s27_knn_index_delta" -> ((s, dir) => {
+      import ExtensionQueries.{IvfCells, IvfIters, IvfProbe}
+      val e = ExtensionQueries.embeddingsD(s, dir)
+      val indexed = e.filter(col("vec_id") % 10 =!= 0)
+      val delta = e.filter(col("vec_id") % 10 === 0)
+      val (cent, assigned) = graft.operators.Kmeans.fit(
+        indexed.select(col("vec_id"), col("v")), k = IvfCells, iters = IvfIters)
+      val q = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cell").asc)
+      val cells = q.crossJoin(broadcast(cent))
+        .withColumn("ccos", VectorOps.cosineFast(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= IvfProbe)
+        .select(col("query_id"), col("qv"), col("cell"))
+      val candIdx = assigned.join(broadcast(cells), Seq("cell"))
+        .select(col("query_id"), col("qv"), col("vec_id"), col("v"),
+          lit("indexed").as("src"))
+      val candDelta = delta.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(q))
+        .select(col("query_id"), col("qv"), col("vec_id"), col("v"),
+          lit("delta").as("src"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      candIdx.unionByName(candDelta)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", VectorOps.cosineFast(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("src"),
+          Agg.roundAt(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // HyperLogLog distinct-count sketch (q89): per-segment distinct users
     // from m = 64 fixed registers — bucket = top 6 hash bits, register =
     // max leading-zero rank of the remaining 42 bits. The third distinct-
@@ -786,6 +834,52 @@ object ExtensionQueries7 {
              CASE WHEN use_lc THEN 'linear' ELSE 'raw' END AS method,
              true_distinct
       FROM cor ORDER BY event_type""",
+
+    // Index+delta replay: the k-means training CTEs run over the INDEXED
+    // subset (kmTrainingCtes reads CTE `e`, so `e` here IS the subset),
+    // the sidecar cross-joins the query set, one shared rank fuses both.
+    "s27_knn_index_delta" -> {
+      import ExtensionQueries.{IvfCells, IvfIters, IvfProbe, dotSql, kmTrainingCtes}
+      s"""
+      WITH full_e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      e AS (SELECT * FROM full_e WHERE vec_id % 10 <> 0),
+      delta AS (SELECT * FROM full_e WHERE vec_id % 10 = 0),${kmTrainingCtes(IvfCells, IvfIters)},
+      q AS (SELECT vec_id AS query_id, v AS qv FROM full_e WHERE vec_id <= 2),
+      probe AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.query_id, q.qv, c.cell,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   (${dotSql("q.qv", "c.cv")} / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("c.cv", "c.cv")}))) DESC,
+                   c.cell ASC) AS prn
+          FROM q CROSS JOIN c$IvfIters c
+        ) p WHERE prn <= $IvfProbe
+      ),
+      cand AS (
+        SELECT p.query_id, p.qv, a.vec_id, a.v, 'indexed' AS src
+        FROM probe p JOIN a$IvfIters a ON p.cell = a.cell
+        UNION ALL
+        SELECT q.query_id, q.qv, d.vec_id, d.v, 'delta' AS src
+        FROM q CROSS JOIN delta d
+      ),
+      scored AS (
+        SELECT query_id, vec_id, src,
+               ${dotSql("qv", "v")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")})) AS cos
+        FROM cand WHERE vec_id <> query_id
+      ),
+      ranked AS (
+        SELECT query_id, vec_id, src, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored
+      )
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, src,
+             floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""
+    },
 
     // Register-algebra replay: same tagged register build, the union arm
     // as a per-bucket max over both segments, q89's correction arithmetic

@@ -314,6 +314,27 @@ class Round12bSpec extends AnyFunSuite {
     assert(inter > 80 && inter < 160, s"incl-excl intersection $inter vs true 100")
   }
 
+  // ---- s27 index + delta ----
+
+  test("s27: every true top-5 neighbor living in the delta reaches the fused top-5") {
+    // The serving guarantee of the sidecar: delta vectors are scanned
+    // exactly, so a delta vector in the TRUE top-5 can be displaced only
+    // by better candidates — of which there are at most 4 — and must
+    // therefore appear in the fused top-5.
+    val fused = ExtensionQueries7.all("s27_knn_index_delta")(spark, sf)
+      .select(col("query_id"), col("vec_id"), col("src"))
+    val truthDelta = ExtensionQueries.knnBruteRanked(spark, sf, 5)
+      .select(col("query_id"), col("vec_id"))
+      .filter(col("vec_id") % 10 === 0)
+    val missed = truthDelta
+      .join(fused, Seq("query_id", "vec_id"), "left_anti").count()
+    assert(missed == 0L, s"$missed true delta neighbors missing from fusion")
+    // and the fixture actually exercises the claim: the delta side
+    // contributes at least one fused row
+    assert(fused.filter(col("src") === "delta").count() > 0,
+      "no delta candidates in the fused top-5 — split stopped discriminating")
+  }
+
   // ---- s25 centroid classification ----
 
   test("s25: every vector assigned to exactly one centroid (confusion mass == corpus)") {
