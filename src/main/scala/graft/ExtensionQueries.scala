@@ -67,7 +67,7 @@ object ExtensionQueries {
   /** [[bandSql]] generalized to `rows` minhashes per band (mirror of
     * [[TextOps.bandHash]] / the compiled MinhashBands combine).
     */
-  private def bandSqlRows(b: Int, rows: Int): String = {
+  private[graft] def bandSqlRows(b: Int, rows: Int): String = {
     val m = (0 until rows).map(r => mhSql(b * rows + r))
     m.tail.foldLeft(s"(${m.head})")((acc, x) => s"(($acc) * 31 + ($x)) % $P")
   }

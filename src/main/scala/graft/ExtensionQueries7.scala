@@ -178,7 +178,93 @@ object ExtensionQueries7 {
         .otherwise(col("raw_est")))
   }
 
+  /** d19 signature length: 16 per-position minhashes. The signature uses
+    * its OWN permutation family with LARGE multipliers a_j =
+    * (2654435761 mod P)·(2j+1) mod P — NOT the banding family's tiny
+    * a = 2j+1. Measured on this fixture's LSH candidates, the banding
+    * family is badly non-min-wise-independent: its small multipliers
+    * nearly preserve order near 0, so any two docs sharing one globally-
+    * small-hash shingle agree on most positions regardless of true
+    * Jaccard (est bias +0.53 at 16 positions; +0.77 when additionally
+    * reusing the band permutations a candidate collided on BY
+    * construction). Large multipliers restore the estimator (measured
+    * bias −0.007, MAE 0.045). Banding is unaffected as a CANDIDATE
+    * generator — d04's exact-Jaccard verify gates what it emits — but an
+    * agreement-fraction ESTIMATE must come from a mixing family; h·a
+    * stays below 2^60 (h, a < P ≈ 2^30), so the modular form is
+    * overflow-safe for ANSI (the Kmeans rank-hash rule).
+    */
+  val SigPositions = 16
+  private val SigBigMult = 2654435761L % graft.operators.TextOps.P
+
+  /** Signature minhash at position j — the large-multiplier affine
+    * permutation over a `features` hash array. Interpreted higher-order
+    * lambda by design: d19 is an accuracy REPORT, not a serving path; at
+    * 100 TB the family would join MinhashBands' compiled expression.
+    */
+  private def sigMinhash(j: Int): org.apache.spark.sql.Column = {
+    val p = graft.operators.TextOps.P
+    val a = (SigBigMult * (2L * j + 1)) % p
+    val b = 7919L * j + 13
+    array_min(transform(col("features"), h => (h * a + b) % p))
+  }
+
+  /** DuckDB mirror of [[sigMinhash]] — same computed literals. */
+  private def sigMinhashSql(j: Int): String = {
+    val p = graft.operators.TextOps.P
+    val a = (SigBigMult * (2L * j + 1)) % p
+    val b = 7919L * j + 13
+    s"list_min(list_transform(features, h -> (h*$a + $b) % $p))"
+  }
+
+  /** d19's body, signature-length-parameterized: per LSH candidate pair,
+    * the fraction of agreeing minhash positions (the classic unbiased
+    * Jaccard estimator E[agree/positions] = J) beside the exact Jaccard.
+    */
+  private[graft] def minhashAccuracy(s: SparkSession, dir: String,
+      positions: Int): DataFrame = {
+    val feats = ExtensionQueries.docFeatures(s, dir)
+    val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+    val sig = feats.select(col("id"),
+      posexplode(array((0 until positions).map(sigMinhash): _*))
+        .as(Seq("band_idx", "bh")))
+    // fully-renamed sides: sa/sb derive from the same `sig` Dataset, and
+    // shared attribute ids would otherwise trip AMBIGUOUS_SELF_JOIN
+    val sa = sig.select(col("id").as("a_id"), col("band_idx").as("pos_a"),
+      col("bh").as("ha"))
+    val sb = sig.select(col("id").as("b_id"), col("band_idx").as("pos_b"),
+      col("bh").as("hb"))
+    val agree = pairs.select(col("doc_a"), col("doc_b"))
+      .join(sa, col("doc_a") === col("a_id"))
+      .join(sb, col("doc_b") === col("b_id") && col("pos_a") === col("pos_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("n_agree"))
+    val exact = Dedup.jaccardOnPairs(pairs, feats)
+      .select(col("doc_a").as("ja"), col("doc_b").as("jb"), col("jaccard"))
+    agree.join(exact,
+        col("doc_a") === col("ja") && col("doc_b") === col("jb"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        Agg.roundAt(col("n_agree").cast("double") / lit(positions), 6)
+          .as("est_jaccard"),
+        Agg.roundAt(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MinHash signature accuracy report (d19): for every LSH candidate
+    // pair, the signature-estimated Jaccard (fraction of agreeing minhash
+    // positions — the textbook unbiased estimator) BESIDE the exact
+    // shingle-set Jaccard. d02/d03 spend signatures on bucketing; this is
+    // the measured basis for SIZING them — how much estimator error a
+    // 16-position signature actually leaves on this corpus, and (spec)
+    // how much a 4-position one leaves. At 100 TB the exact column is the
+    // expensive one (set intersection per pair); the report quantifies
+    // exactly what skipping it costs. Scale shape: pairs are the banded
+    // candidates (never all-pairs); the signature join adds ×positions
+    // rows per PAIR, all keyed equi-joins.
+    "d19_minhash_accuracy" -> ((s, dir) =>
+      minhashAccuracy(s, dir, SigPositions)),
 
     // Nearest-centroid label audit (s25): per-label mean embedding
     // (fixed-point exact), then every vector re-assigned to its nearest
@@ -529,6 +615,55 @@ object ExtensionQueries7 {
     s"CAST(('0x' || substr(md5($i || ':' || $term), 1, 12)) AS BIGINT) % $CmsWidth"
 
   val oracles: Map[String, String] = Map(
+
+    // Signature-accuracy replay: d04's banded candidate pairs, a
+    // 16-position signature table over the large-multiplier family (one
+    // arm per position, same computed literals as the engine), agreement
+    // counts, and d04's exact-Jaccard expression.
+    "d19_minhash_accuracy" -> {
+      val sigArms = (0 until SigPositions).map { p =>
+        if (p == 0)
+          s"SELECT doc_id, 0 AS pos, ${sigMinhashSql(0)} AS sh FROM doc_feat"
+        else
+          s"UNION ALL SELECT doc_id, $p, ${sigMinhashSql(p)} FROM doc_feat"
+      }.mkString("\n        ")
+      s"""
+      WITH ${ExtensionQueries.featuresCte},
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${ExtensionQueries.bandSql(0)} AS bh FROM doc_feat
+        UNION ALL SELECT doc_id, 1, ${ExtensionQueries.bandSql(1)} FROM doc_feat
+        UNION ALL SELECT doc_id, 2, ${ExtensionQueries.bandSql(2)} FROM doc_feat
+        UNION ALL SELECT doc_id, 3, ${ExtensionQueries.bandSql(3)} FROM doc_feat
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      sig AS (
+        $sigArms
+      ),
+      agree AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(sum(CASE WHEN sa.sh = sb.sh THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_agree
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b AND sb.pos = sa.pos
+        GROUP BY 1, 2
+      )
+      SELECT a.doc_a, a.doc_b, a.n_agree,
+             floor(CAST(a.n_agree AS DOUBLE) / $SigPositions * 1000000 + 0.5)
+               / 1000000 AS est_jaccard,
+             floor((CAST(len(list_intersect(fa.features, fb.features)) AS DOUBLE)
+                    / len(list_distinct(list_concat(fa.features, fb.features))))
+               * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM agree a
+      JOIN doc_feat fa ON a.doc_a = fa.doc_id
+      JOIN doc_feat fb ON a.doc_b = fb.doc_id
+      ORDER BY a.doc_a, a.doc_b"""
+    },
 
     // Centroid replay: same fixed-point per-(label, dim) sums, same
     // two-step double division, centroid lists assembled in dim order,

@@ -314,6 +314,51 @@ class Round12bSpec extends AnyFunSuite {
     assert(inter > 80 && inter < 160, s"incl-excl intersection $inter vs true 100")
   }
 
+  // ---- d19 minhash signature accuracy ----
+
+  test("d19: the signature estimator is accurate and longer signatures do better") {
+    def stats(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(avg(abs(col("est_jaccard") - col("jaccard"))).as("mae"),
+        avg(col("est_jaccard") - col("jaccard")).as("bias")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (mae16, bias16) = stats(ExtensionQueries7.minhashAccuracy(spark, sf, 16))
+    val (mae4, _) = stats(ExtensionQueries7.minhashAccuracy(spark, sf, 4))
+    assert(mae16 < 0.1, s"16-position MAE $mae16")
+    assert(math.abs(bias16) < 0.05, s"16-position bias $bias16")
+    assert(mae16 <= mae4, s"more positions must not hurt: $mae16 vs $mae4")
+  }
+
+  test("d19: the banding family's small multipliers are NOT min-wise independent — the gap d19's family closes") {
+    // The motivating contrast (like d18's d12-contrast): estimate from the
+    // banding family's own permutations (a = 2j+1 — nearly order-
+    // preserving near 0) and the bias explodes, because candidates
+    // sharing one globally-small-hash shingle agree on most positions
+    // regardless of true Jaccard. If this ever stops holding, the d19
+    // family comment overstates its case.
+    val feats = ExtensionQueries.docFeatures(spark, sf)
+    val pairs = graft.operators.Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+    val sig = graft.operators.Dedup
+      .bandFingerprints(feats, bands = 16, rows = 1)
+    val sa = sig.select(col("id").as("a_id"), col("band_idx").as("pos_a"),
+      col("bh").as("ha"))
+    val sb = sig.select(col("id").as("b_id"), col("band_idx").as("pos_b"),
+      col("bh").as("hb"))
+    val est = pairs.select(col("doc_a"), col("doc_b"))
+      .join(sa, col("doc_a") === col("a_id"))
+      .join(sb, col("doc_b") === col("b_id") && col("pos_a") === col("pos_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((sum(when(col("ha") === col("hb"), 1L).otherwise(0L)) / 16.0)
+        .as("est"))
+    val exact = graft.operators.Dedup.jaccardOnPairs(pairs, feats)
+      .select(col("doc_a").as("ja"), col("doc_b").as("jb"), col("jaccard"))
+    val bias = est.join(exact,
+        col("doc_a") === col("ja") && col("doc_b") === col("jb"))
+      .agg(avg(col("est") - col("jaccard"))).collect()(0).getDouble(0)
+    assert(bias > 0.3,
+      s"banding-family bias $bias no longer pathological; revisit d19 docs")
+  }
+
   // ---- s27 index + delta ----
 
   test("s27: every true top-5 neighbor living in the delta reaches the fused top-5") {
