@@ -53,11 +53,6 @@ object ExtensionQueries7 {
   private def cmsBucket(i: Int, width: Long, term: org.apache.spark.sql.Column) =
     ExtensionQueries3.md5Hash48(concat(lit(s"$i:"), term)) % width
 
-  /** q88's body over any (term) relation, geometry-parameterized so
-    * Round12bSpec can drive the exact regime (width ≥ vocabulary → zero
-    * collisions → est == true for every probe) beside the production
-    * collision regime.
-    */
   /** The CMS counter grid over a (term) relation — shared verbatim by the
     * batch query and the streaming twin (a complete-mode streaming
     * aggregation over the SAME bounded depth×width key space; Round12bSpec
@@ -72,6 +67,11 @@ object ExtensionQueries7 {
       .groupBy(col("row_i"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** q88's body over any (term) relation, geometry-parameterized so
+    * Round12bSpec can drive the exact regime (width ≥ vocabulary → zero
+    * collisions → est == true for every probe) beside the production
+    * collision regime.
+    */
   private[graft] def countMin(words: DataFrame, depth: Int, width: Long,
       probes: Int): DataFrame = {
     val counters = cmsCounters(words, depth, width)
@@ -108,6 +108,40 @@ object ExtensionQueries7 {
       .withColumn("oov_rate", Agg.roundAt(col("n_oov").cast("double")
         / col("n_tokens").cast("double"), 6))
       .orderBy(col("source"))
+  }
+
+  /** q91 join-size sketch geometry: wider than q88 (the inner-product
+    * error term is ‖A‖₁·‖B‖₁/width, so width buys accuracy linearly).
+    */
+  val JoinSkWidth = 64L
+
+  /** CMS inner-product join-size estimate: est = min over rows of
+    * Σ_bucket cntA·cntB (Cormode–Muthukrishnan; the AMS-style cardinality
+    * the CBO side of a planner wants before committing a join strategy).
+    * Overestimate-only, like the point estimates: colliding keys only add
+    * cross terms. Inputs are single-column (term) relations.
+    */
+  private[graft] def cmsJoinSize(a: DataFrame, b: DataFrame, depth: Int,
+      width: Long): DataFrame = {
+    val ga = cmsCounters(a, depth, width)
+      .select(col("row_i"), col("bucket"), col("cnt").as("ca"))
+    val gb = cmsCounters(b, depth, width)
+      .select(col("row_i").as("ri_b"), col("bucket").as("bu_b"),
+        col("cnt").as("cb"))
+    val est = ga.join(gb,
+        col("row_i") === col("ri_b") && col("bucket") === col("bu_b"))
+      .groupBy(col("row_i")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join"))
+    val cntA = a.groupBy(col("term")).agg(count(lit(1)).as("na"))
+    val cntB = b.groupBy(col("term")).agg(count(lit(1)).as("nb"))
+      .withColumnRenamed("term", "term_b")
+    val truth = cntA.join(cntB, col("term") === col("term_b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("true_join"))
+    val sizes = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+    sizes.crossJoin(broadcast(truth)).crossJoin(broadcast(est))
+      .select(col("n_a"), col("n_b"), col("true_join"), col("est_join"),
+        (col("est_join") - col("true_join")).as("overcount"))
   }
 
   /** s26 probe-depth sweep bound: recall/cost rows for nprobe = 1..4 of
@@ -323,6 +357,25 @@ object ExtensionQueries7 {
       countMin(t(s, dir, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("term")),
         CmsDepth, CmsWidth, CmsProbes)),
+
+    // CMS join-size estimation (q91): |view events ⋈ purchase events ON
+    // user_id| — the (view, purchase) pair count attribution joins
+    // produce — estimated from the two segments' counter grids alone via
+    // the Cormode–Muthukrishnan inner product, beside the exact size.
+    // This is the OTHER thing a frequency sketch buys at 100 TB: join
+    // cardinality estimation for plan selection (broadcast vs shuffle vs
+    // pre-aggregate) from O(depth·width) state per relation, no key-space
+    // scan, grids mergeable and reusable across planning decisions.
+    // Overestimate-only (nonnegative cross terms), the q88 guarantee.
+    // Scale shape: each grid is one map-side-combinable pass; the
+    // estimate is arithmetic on depth·width rows; the exact column (an
+    // eval-only term) is the keyed aggregate join the sketch avoids.
+    "q91_cms_join_size" -> ((s, dir) => {
+      def seg(tpe: String) = t(s, dir, "events")
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").cast("string").as("term"))
+      cmsJoinSize(seg("view"), seg("purchase"), CmsDepth, JoinSkWidth)
+    }),
 
     // Leakage-safe train/validation/test split (d18): d12 hashes CONTENT
     // so exact duplicates land together, but NEAR-duplicates hash apart —
@@ -611,8 +664,9 @@ object ExtensionQueries7 {
   /** q88's bucket in DuckDB — the md5Hash48 rendering with the row seed
     * prepended, mod width. `i` must be a BIGINT column or literal.
     */
-  private def cmsBucketSql(i: String, term: String): String =
-    s"CAST(('0x' || substr(md5($i || ':' || $term), 1, 12)) AS BIGINT) % $CmsWidth"
+  private def cmsBucketSql(i: String, term: String,
+      width: Long = CmsWidth): String =
+    s"CAST(('0x' || substr(md5($i || ':' || $term), 1, 12)) AS BIGINT) % $width"
 
   val oracles: Map[String, String] = Map(
 
@@ -745,6 +799,42 @@ object ExtensionQueries7 {
              CAST(est_cnt AS BIGINT) AS est_cnt,
              CAST(est_cnt - true_cnt AS BIGINT) AS overcount
       FROM est ORDER BY term""",
+
+    // Join-size replay: identical seeded buckets per side, identical
+    // per-row inner products, identical min — beside the exact keyed
+    // aggregate join.
+    "q91_cms_join_size" -> {
+      def gridCte(name: String, tpe: String) = s"""
+      ${name}_s AS (
+        SELECT CAST(user_id AS VARCHAR) AS term FROM events
+        WHERE event_type = '$tpe'
+      ),
+      $name AS (
+        SELECT i AS row_i, ${cmsBucketSql("i", "term", JoinSkWidth)} AS bucket,
+               count(*) AS cnt
+        FROM ${name}_s, range(0, $CmsDepth) t(i) GROUP BY 1, 2
+      )"""
+      s"""
+      WITH ${gridCte("ga", "view")},
+      ${gridCte("gb", "purchase")},
+      ip AS (
+        SELECT ga.row_i, CAST(sum(ga.cnt * gb.cnt) AS BIGINT) AS ip
+        FROM ga JOIN gb ON ga.row_i = gb.row_i AND ga.bucket = gb.bucket
+        GROUP BY 1
+      ),
+      est AS (SELECT min(ip) AS est_join FROM ip),
+      tj AS (
+        SELECT CAST(coalesce(sum(ca.n * cb.n), 0) AS BIGINT) AS true_join
+        FROM (SELECT term, count(*) AS n FROM ga_s GROUP BY 1) ca
+        JOIN (SELECT term, count(*) AS n FROM gb_s GROUP BY 1) cb
+          ON ca.term = cb.term
+      ),
+      na AS (SELECT count(*) AS n_a FROM ga_s),
+      nb AS (SELECT count(*) AS n_b FROM gb_s)
+      SELECT na.n_a, nb.n_b, tj.true_join, est.est_join,
+             CAST(est.est_join - tj.true_join AS BIGINT) AS overcount
+      FROM na CROSS JOIN nb CROSS JOIN tj CROSS JOIN est"""
+    },
 
     // Cluster-split replay: d07's banded candidate pairs + unrolled label
     // propagation verbatim, then the d12 hex-bucket rule applied to the

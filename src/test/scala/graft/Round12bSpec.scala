@@ -73,6 +73,22 @@ class Round12bSpec extends AnyFunSuite {
     assert(batch.toSeq.map(_._3).sum == 3 * 900L) // every term in every row
   }
 
+  test("q91: join-size estimate never undercounts and width buys accuracy") {
+    def seg(tpe: String) = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").cast("string").as("term"))
+    def run(w: Long) = ExtensionQueries7
+      .cmsJoinSize(seg("view"), seg("purchase"), depth = 3, width = w)
+      .collect()(0)
+    val narrow = run(64L)
+    val wide = run(4096L)
+    assert(narrow.getAs[Long]("overcount") >= 0L)
+    assert(wide.getAs[Long]("overcount") >= 0L)
+    assert(wide.getAs[Long]("overcount") <= narrow.getAs[Long]("overcount"),
+      "wider grid must not estimate worse")
+    assert(narrow.getAs[Long]("true_join") == wide.getAs[Long]("true_join"))
+  }
+
   // ---- d18 leakage-safe split ----
 
   test("d18: no LSH candidate pair straddles a split boundary") {
