@@ -144,6 +144,43 @@ object ExtensionQueries7 {
         (col("est_join") - col("true_join")).as("overcount"))
   }
 
+  /** g03 k-core parameters: K = 3 on the d07 candidate graph (mean degree
+    * ~6.6 at sf0.01, so the 3-core is a proper nonempty subset), peeled
+    * for [[CoreRounds]] fixed rounds — Round12bSpec asserts the fixture
+    * reaches the fixed point (round R+1 changes nothing), the d07
+    * ClusterRounds pattern.
+    */
+  val CoreK = 3
+  val CoreRounds = 5
+
+  /** Fixed-round k-core peeling over a directed-both-ways edge set: each
+    * round keeps edges whose BOTH endpoints currently have degree ≥ k.
+    * The edge set is localCheckpoint'd per round — iterative-plan hygiene
+    * (the d07/g01 rule: each round references the previous edge set
+    * twice, once for degrees and once as the base, so an unpersisted
+    * chain doubles the plan per round). Returns the final surviving edge
+    * set.
+    */
+  private[graft] def kcoreEdges(pairs: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      val okSrc = deg.select(col("src").as("ok_s"))
+      val okDst = deg.select(col("src").as("ok_d"))
+      edges = edges
+        .join(okSrc, col("src") === col("ok_s"))
+        .join(okDst, col("dst") === col("ok_d"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+    }
+    edges
+  }
+
   /** s26 probe-depth sweep bound: recall/cost rows for nprobe = 1..4 of
     * [[ExtensionQueries.IvfCells]] cells.
     */
@@ -642,6 +679,32 @@ object ExtensionQueries7 {
           Agg.roundAt(col("ea") + col("eb") - col("eu"), 4).as("est_distinct"),
           lit("incl-excl").as("method"), col("true_distinct"))
       segRows.unionByName(interRow).orderBy(col("seg"))
+    }),
+
+    // k-core decomposition (g03): the dense backbone of the near-dup
+    // candidate graph — nodes surviving iterated removal of degree-< K
+    // endpoints. PageRank (g01) finds globally central docs and triangles
+    // (g02) count local closure; the k-core is the standard third lens:
+    // template/boilerplate FAMILIES sit in high cores (every member near-
+    // dups many others) while incidental LSH collisions peel away in the
+    // first rounds — the graph-curation primitive behind spam-farm and
+    // mirror-site detection. Fixed-round peeling with per-round
+    // checkpointed edges (the d07/g01 iterative-hygiene rule); the
+    // fixture reaches the fixed point inside CoreRounds (spec-pinned).
+    // Scale shape: each round is one degree aggregation + two keyed
+    // semi-join-shaped filters over the EDGE set — linear per round,
+    // never all-pairs, no driver state.
+    "g03_kcore" -> ((s, dir) => {
+      val feats = ExtensionQueries.docFeatures(s, dir)
+      val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+      val core = kcoreEdges(pairs, CoreK, CoreRounds)
+        .groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(core, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+          col("core_degree").isNotNull.as("in_core"))
+        .orderBy(col("doc_id"))
     }),
 
     // Keyframe extraction (m10): per clip, the frame after the largest
@@ -1191,6 +1254,48 @@ object ExtensionQueries7 {
                'incl-excl' AS method, ti.true_distinct
         FROM wide w CROSS JOIN ti
       ) u ORDER BY seg""",
+
+    // k-core replay: d07's banded candidate pairs, the peeling unrolled
+    // one (degree, filter) CTE pair per round, final core degrees left-
+    // joined onto the full corpus.
+    "g03_kcore" -> {
+      val peel = (1 to CoreRounds).map { r =>
+        s"""d$r AS (SELECT src, count(*) AS deg FROM e${r - 1} GROUP BY 1),
+      e$r AS (
+        SELECT e.src, e.dst FROM e${r - 1} e
+        JOIN d$r a ON e.src = a.src
+        JOIN d$r b ON e.dst = b.src
+        WHERE a.deg >= $CoreK AND b.deg >= $CoreK
+      )"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ${ExtensionQueries.featuresCte},
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${ExtensionQueries.bandSql(0)} AS bh FROM doc_feat
+        UNION ALL SELECT doc_id, 1, ${ExtensionQueries.bandSql(1)} FROM doc_feat
+        UNION ALL SELECT doc_id, 2, ${ExtensionQueries.bandSql(2)} FROM doc_feat
+        UNION ALL SELECT doc_id, 3, ${ExtensionQueries.bandSql(3)} FROM doc_feat
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      e0 AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+      ),
+      $peel,
+      core AS (
+        SELECT src, count(*) AS core_degree FROM e$CoreRounds GROUP BY 1
+      )
+      SELECT d.doc_id,
+             CAST(coalesce(c.core_degree, 0) AS BIGINT) AS core_degree,
+             (c.core_degree IS NOT NULL) AS in_core
+      FROM documents d LEFT JOIN core c ON d.doc_id = c.src
+      ORDER BY d.doc_id"""
+    },
 
     // Keyframe replay: m07's space-padded gray frames and integer SADs,
     // the same (sad desc, frame asc) argmax, md5 over the same frame

@@ -396,6 +396,28 @@ class Round12bSpec extends AnyFunSuite {
       "no delta candidates in the fused top-5 — split stopped discriminating")
   }
 
+  // ---- g03 k-core ----
+
+  test("g03: peeling reaches its fixed point within CoreRounds and the core is proper") {
+    val feats = ExtensionQueries.docFeatures(spark, sf)
+    val pairs = graft.operators.Dedup
+      .lshCandidatePairs(feats, bands = 4, rows = 3)
+    val atR = ExtensionQueries7
+      .kcoreEdges(pairs, ExtensionQueries7.CoreK, ExtensionQueries7.CoreRounds)
+    val atR1 = ExtensionQueries7
+      .kcoreEdges(pairs, ExtensionQueries7.CoreK, ExtensionQueries7.CoreRounds + 1)
+    assert(atR.count() == atR1.count(),
+      "one more round still peeled edges — CoreRounds no longer converges")
+    // k-core definition: every surviving node keeps degree >= K
+    val minDeg = atR.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(min(col("d"))).collect()(0).getLong(0)
+    assert(minDeg >= ExtensionQueries7.CoreK)
+    // and the result discriminates: nonempty core, nonempty complement
+    val res = ExtensionQueries7.all("g03_kcore")(spark, sf)
+    val inCore = res.filter(col("in_core")).count()
+    assert(inCore > 0 && inCore < res.count())
+  }
+
   // ---- s25 centroid classification ----
 
   test("s25: every vector assigned to exactly one centroid (confusion mass == corpus)") {
