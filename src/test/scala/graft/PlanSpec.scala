@@ -12,6 +12,33 @@ class PlanSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  test("round-12b sketches and keyframes keep their narrow shapes") {
+    // sketch builds: bounded-key-space aggregations, no cartesian terms
+    for (q <- Seq("q88_countmin", "q89_hll_sketch", "q90_hll_union",
+        "q91_cms_join_size")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // keyframe extraction is decode-only: at most the output-sort exchange
+    val pm = plan("m10_keyframe_extract")
+    val ex = "(?<!Reused)Exchange".r.findAllIn(pm).size
+    assert(ex <= 1, s"m10: expected only the final sort exchange, got $ex:\n$pm")
+  }
+
+  test("round-12b ANN serving paths broadcast query sides and prune ranks") {
+    for (q <- Seq("s26_ivf_nprobe_curve", "s27_knn_index_delta",
+        "s25_centroid_classify")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost its broadcast structure:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // the one-pass multi-depth sweep must keep rank-limit pushdown
+    assert(plan("s26_ivf_nprobe_curve").contains("WindowGroupLimit"),
+      "s26 lost WindowGroupLimit pruning")
+  }
+
   test("filter and projection reach the parquet scan") {
     val p = plan("q10_projection_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(p_size), LessThan(p_size,20)]"), p)
