@@ -144,6 +144,16 @@ object ExtensionQueries7 {
         (col("est_join") - col("true_join")).as("overcount"))
   }
 
+  /** s28 power-iteration depth. Three matrix-free iterations from the
+    * fixed start vector (1/8, …, 1/8) — exactly representable in binary —
+    * are the standard budget for a DOMINANT direction (like the IVF
+    * trainers, the diagnostic needs the direction, not convergence).
+    * Every iteration's per-dim corpus sums are 1e9 fixed-point longs, so
+    * the direction is bit-identical however the corpus is partitioned;
+    * normalization divides by a 64-term fold in fixed order.
+    */
+  val PowerIters = 3
+
   /** g03 k-core parameters: K = 3 on the d07 candidate graph (mean degree
     * ~6.6 at sf0.01, so the 3-core is a proper nonempty subset), peeled
     * for [[CoreRounds]] fixed rounds — Round12bSpec asserts the fixture
@@ -679,6 +689,88 @@ object ExtensionQueries7 {
           Agg.roundAt(col("ea") + col("eb") - col("eu"), 4).as("est_distinct"),
           lit("incl-excl").as("method"), col("true_distinct"))
       segRows.unionByName(interRow).orderBy(col("seg"))
+    }),
+
+    // Dominant principal direction (s28): the top eigenvector of the
+    // centered embedding covariance by matrix-free power iteration —
+    // y ← Σᵢ x′ᵢ (x′ᵢ·v), v ← y/‖y‖ — the embedding-space health
+    // diagnostic behind anisotropy reports ("all-but-the-top" common-
+    // direction removal, whitening decisions; s23's per-dim spreads are
+    // the diagonal view, this is the off-diagonal one). No matrix is ever
+    // materialized: each iteration is one broadcast of the 64-value
+    // current direction against the corpus, per-vector dot products, and
+    // a 64-row fixed-point aggregate — the canonical distributed power
+    // step, linear per iteration. Per-iteration 1e9 fixed-point sums make
+    // the direction partition-invariant; yfp in the output is the final
+    // iteration's EXACT integer image of the unnormalized direction.
+    "s28_dominant_direction" -> ((s, dir) => {
+      val e = ExtensionQueries.embeddingsD(s, dir).select(col("v"))
+      val mu = e.select(posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(sum(floor(col("x") * lit(CentFp)).cast("long")).as("sfp"),
+          count(lit(1)).as("n"))
+        .select(struct(col("d"),
+          (col("sfp").cast("double") / col("n").cast("double") / lit(CentFp))
+            .as("m")).as("st"))
+        .agg(array_sort(collect_list(col("st"))).as("ss"))
+        .select(transform(col("ss"), x => x.getField("m")).as("mu"))
+      val centered = e.crossJoin(broadcast(mu))
+        .select(transform(col("v"),
+          (x, i) => x - element_at(col("mu"), (i + 1).cast("int"))).as("cv"))
+        .persist()
+      var vcur = centered.sparkSession.range(1)
+        .select(array(Seq.fill(64)(lit(0.125)): _*).as("vv"))
+      for (_ <- 1 to PowerIters) {
+        val y = centered.crossJoin(broadcast(vcur))
+          .withColumn("s", VectorOps.dot(col("cv"), col("vv")))
+          .select(col("s"), posexplode(col("cv")).as(Seq("d", "x")))
+          .groupBy(col("d"))
+          .agg(sum(floor(col("x") * col("s") * lit(CentFp)).cast("long"))
+            .as("yfp"))
+          .select(struct(col("d"), col("yfp")).as("st"))
+          .agg(array_sort(collect_list(col("st"))).as("ss"))
+          .select(transform(col("ss"),
+            x => x.getField("yfp").cast("double")).as("y"),
+            transform(col("ss"), x => x.getField("yfp")).as("yfp"))
+        vcur = y.select(col("yfp"), transform(col("y"),
+          el => el / sqrt(VectorOps.dot(col("y"), col("y")))).as("vv"))
+      }
+      vcur
+        .select(posexplode(arrays_zip(col("yfp"), col("vv")))
+          .as(Seq("d", "z")))
+        .select(col("d"), col("z.yfp").as("yfp"),
+          Agg.roundAt(col("z.vv"), 6).as("loading"))
+        .orderBy(col("d"))
+    }),
+
+    // Time-to-conversion distribution (e16): per user, the latency from
+    // FIRST view to the first purchase at-or-after it, bucketed into
+    // hours — the funnel-latency histogram that sits beside e04's step
+    // counts (how MANY convert) and e08/e15's credit assignment (WHO gets
+    // credit): how LONG conversion takes, the input to attribution-window
+    // and retargeting-delay choices. Integer micros end-to-end; users who
+    // never convert appear as bucket −1 so the histogram partitions the
+    // user base. Scale shape: one shuffle keyed on user_id for the two
+    // firsts, then an aggregation to ≤ |buckets| rows.
+    "e16_conversion_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val latency = firstView
+        .join(purch, col("p_user") === col("user_id") &&
+          col("p_ts") >= col("first_view"), "left")
+        .groupBy(col("user_id"), col("first_view"))
+        .agg(min(col("p_ts")).as("first_purchase"))
+        .select(col("user_id"),
+          when(col("first_purchase").isNull, lit(-1L))
+            .otherwise(expr("(unix_micros(first_purchase)" +
+              " - unix_micros(first_view)) DIV 3600000000"))
+            .as("latency_hours"))
+      latency.groupBy(col("latency_hours"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("latency_hours"))
     }),
 
     // k-core decomposition (g03): the dense backbone of the near-dup
@@ -1254,6 +1346,88 @@ object ExtensionQueries7 {
                'incl-excl' AS method, ti.true_distinct
         FROM wide w CROSS JOIN ti
       ) u ORDER BY seg""",
+
+    // Power-iteration replay: same fixed-point mean/centering, the three
+    // iterations unrolled (each: per-vector dot with the current 1-row
+    // direction, per-dim fixed-point sums, normalize by the same 64-term
+    // fold), final loadings and exact integer yfp per dim.
+    "s28_dominant_direction" -> {
+      val dot = (a: String, b: String) => ExtensionQueries.dotSql(a, b)
+      val iters = (1 to PowerIters).map { r =>
+        val prev = if (r == 1) "v0" else s"v${r - 1}"
+        s"""s$r AS (SELECT ${dot("cv", "vv")} AS s, cv FROM ct, $prev),
+      y${r}s AS (
+        SELECT i - 1 AS d,
+               CAST(sum(CAST(floor(cv[i] * s * ${CentFp}) AS BIGINT))
+                 AS BIGINT) AS yfp
+        FROM s$r, range(1, 65) t(i) GROUP BY 1
+      ),
+      y$r AS (
+        SELECT list(CAST(yfp AS DOUBLE) ORDER BY d) AS y,
+               list(yfp ORDER BY d) AS yfp
+        FROM y${r}s
+      ),
+      v$r AS (
+        SELECT yfp, list_transform(y, el -> el / sqrt(${dot("y", "y")})) AS vv
+        FROM y$r
+      )"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      st AS (
+        SELECT i - 1 AS d,
+               CAST(sum(CAST(floor(v[i] * ${CentFp}) AS BIGINT)) AS BIGINT)
+                 AS sfp,
+               count(*) AS n
+        FROM e, range(1, 65) t(i) GROUP BY 1
+      ),
+      muv AS (
+        SELECT list(CAST(sfp AS DOUBLE) / CAST(n AS DOUBLE) / ${CentFp}
+          ORDER BY d) AS mu
+        FROM st
+      ),
+      ct AS (
+        SELECT list_transform(range(1, 65), i -> v[i] - mu[i]) AS cv
+        FROM e, muv
+      ),
+      v0 AS (
+        SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS vv
+      ),
+      $iters
+      SELECT CAST(t.i - 1 AS INTEGER) AS d, yfp[t.i] AS yfp,
+             floor(vv[t.i] * 1000000 + 0.5) / 1000000 AS loading
+      FROM v$PowerIters, range(1, 65) t(i) ORDER BY d"""
+    },
+
+    // Latency replay: same two firsts keyed on user_id, same integer-
+    // micros floor division (DIV / // both floor for nonnegative diffs),
+    // never-converted as bucket -1.
+    "e16_conversion_latency" -> s"""
+      WITH fv AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+      ),
+      fp AS (
+        SELECT fv.user_id, fv.first_view,
+               min(CAST(p.ts AS TIMESTAMP)) AS first_purchase
+        FROM fv LEFT JOIN events p
+          ON p.user_id = fv.user_id AND p.event_type = 'purchase'
+          AND CAST(p.ts AS TIMESTAMP) >= fv.first_view
+        GROUP BY 1, 2
+      ),
+      lat AS (
+        SELECT user_id,
+               CASE WHEN first_purchase IS NULL THEN CAST(-1 AS BIGINT)
+                    ELSE (epoch_us(first_purchase) - epoch_us(first_view))
+                      // 3600000000
+               END AS latency_hours
+        FROM fp
+      )
+      SELECT latency_hours, count(*) AS n_users
+      FROM lat GROUP BY 1 ORDER BY 1""",
 
     // k-core replay: d07's banded candidate pairs, the peeling unrolled
     // one (degree, filter) CTE pair per round, final core degrees left-

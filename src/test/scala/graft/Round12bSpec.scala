@@ -396,6 +396,44 @@ class Round12bSpec extends AnyFunSuite {
       "no delta candidates in the fused top-5 — split stopped discriminating")
   }
 
+  // ---- s28 dominant direction ----
+
+  test("s28: the direction is unit-norm and dominates every single axis") {
+    val rows = ExtensionQueries7.all("s28_dominant_direction")(spark, sf)
+      .orderBy(col("d")).collect()
+    assert(rows.length == 64)
+    val v = rows.map(_.getAs[Double]("loading"))
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
+    // variance along the reported direction >= variance along any axis —
+    // the defining property of a (converged-enough) top eigenvector
+    val e = ExtensionQueries.embeddingsD(spark, sf)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val n = e.length
+    val mu = Array.tabulate(64)(d => e.map(_(d)).sum / n)
+    val centered = e.map(x => Array.tabulate(64)(d => x(d) - mu(d)))
+    def varAlong(dir: Array[Double]): Double =
+      centered.map(x => math.pow(x.zip(dir).map { case (a, b) => a * b }.sum, 2))
+        .sum / n
+    val alongV = varAlong(v)
+    val maxAxis = (0 until 64).map { d =>
+      val axis = Array.fill(64)(0.0); axis(d) = 1.0; varAlong(axis)
+    }.max
+    assert(alongV >= maxAxis,
+      s"direction variance $alongV below best single axis $maxAxis")
+  }
+
+  // ---- e16 conversion latency ----
+
+  test("e16: buckets partition the viewing user base") {
+    val rows = ExtensionQueries7.all("e16_conversion_latency")(spark, sf)
+    val total = rows.agg(sum(col("n_users"))).collect()(0).getLong(0)
+    val viewers = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(total == viewers, s"bucket mass $total != viewing users $viewers")
+    assert(rows.filter(col("latency_hours") < -1).count() == 0L)
+  }
+
   // ---- g03 k-core ----
 
   test("g03: peeling reaches its fixed point within CoreRounds and the core is proper") {
