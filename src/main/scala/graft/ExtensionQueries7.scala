@@ -306,20 +306,25 @@ object ExtensionQueries7 {
       positions: Int): DataFrame = {
     val feats = ExtensionQueries.docFeatures(s, dir)
     val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+    // PACKED signatures: one positions-element array per doc, compared
+    // element-wise per pair. The exploded (doc, pos) join shape measured
+    // 35× at 10× data (each pair became ×positions shuffled rows through
+    // two (doc, pos)-keyed joins); packing makes the joins doc-keyed with
+    // ONE row per side and the agreement a per-pair 16-element fold —
+    // pair-count-linear, the candidate-verify shape d04 already has.
     val sig = feats.select(col("id"),
-      posexplode(array((0 until positions).map(sigMinhash): _*))
-        .as(Seq("band_idx", "bh")))
+      array((0 until positions).map(sigMinhash): _*).as("sig"))
     // fully-renamed sides: sa/sb derive from the same `sig` Dataset, and
     // shared attribute ids would otherwise trip AMBIGUOUS_SELF_JOIN
-    val sa = sig.select(col("id").as("a_id"), col("band_idx").as("pos_a"),
-      col("bh").as("ha"))
-    val sb = sig.select(col("id").as("b_id"), col("band_idx").as("pos_b"),
-      col("bh").as("hb"))
+    val sa = sig.select(col("id").as("a_id"), col("sig").as("sa"))
+    val sb = sig.select(col("id").as("b_id"), col("sig").as("sb"))
     val agree = pairs.select(col("doc_a"), col("doc_b"))
       .join(sa, col("doc_a") === col("a_id"))
-      .join(sb, col("doc_b") === col("b_id") && col("pos_a") === col("pos_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("n_agree"))
+      .join(sb, col("doc_b") === col("b_id"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_agree"))
     val exact = Dedup.jaccardOnPairs(pairs, feats)
       .select(col("doc_a").as("ja"), col("doc_b").as("jb"), col("jaccard"))
     agree.join(exact,
@@ -830,12 +835,7 @@ object ExtensionQueries7 {
     // arm per position, same computed literals as the engine), agreement
     // counts, and d04's exact-Jaccard expression.
     "d19_minhash_accuracy" -> {
-      val sigArms = (0 until SigPositions).map { p =>
-        if (p == 0)
-          s"SELECT doc_id, 0 AS pos, ${sigMinhashSql(0)} AS sh FROM doc_feat"
-        else
-          s"UNION ALL SELECT doc_id, $p, ${sigMinhashSql(p)} FROM doc_feat"
-      }.mkString("\n        ")
+      val sigList = (0 until SigPositions).map(sigMinhashSql).mkString(",\n          ")
       s"""
       WITH ${ExtensionQueries.featuresCte},
       banded AS (
@@ -851,16 +851,17 @@ object ExtensionQueries7 {
         GROUP BY 1, 2
       ),
       sig AS (
-        $sigArms
+        SELECT doc_id, [$sigList] AS sig
+        FROM doc_feat
       ),
       agree AS (
         SELECT p.doc_a, p.doc_b,
-               CAST(sum(CASE WHEN sa.sh = sb.sh THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_agree
+               CAST(list_sum(list_transform(range(1, ${SigPositions + 1}),
+                 i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                 AS BIGINT) AS n_agree
         FROM pairs p
         JOIN sig sa ON sa.doc_id = p.doc_a
-        JOIN sig sb ON sb.doc_id = p.doc_b AND sb.pos = sa.pos
-        GROUP BY 1, 2
+        JOIN sig sb ON sb.doc_id = p.doc_b
       )
       SELECT a.doc_a, a.doc_b, a.n_agree,
              floor(CAST(a.n_agree AS DOUBLE) / $SigPositions * 1000000 + 0.5)
