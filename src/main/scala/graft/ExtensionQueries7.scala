@@ -154,6 +154,47 @@ object ExtensionQueries7 {
     */
   val PowerIters = 3
 
+  /** Shared s28/s29 state: (centered corpus (cv), final 1-row direction
+    * (vv array + exact yfp image)) — the power iteration described at
+    * [[PowerIters]]. The centered frame is persisted (three iteration
+    * passes plus any downstream consumer read it).
+    */
+  private[graft] def dominantDir(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val e = ExtensionQueries.embeddingsD(s, dir).select(col("v"))
+    val mu = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(sum(floor(col("x") * lit(CentFp)).cast("long")).as("sfp"),
+        count(lit(1)).as("n"))
+      .select(struct(col("d"),
+        (col("sfp").cast("double") / col("n").cast("double") / lit(CentFp))
+          .as("m")).as("st"))
+      .agg(array_sort(collect_list(col("st"))).as("ss"))
+      .select(transform(col("ss"), x => x.getField("m")).as("mu"))
+    val centered = e.crossJoin(broadcast(mu))
+      .select(transform(col("v"),
+        (x, i) => x - element_at(col("mu"), (i + 1).cast("int"))).as("cv"))
+      .persist()
+    var vcur = centered.sparkSession.range(1)
+      .select(array(Seq.fill(64)(lit(0.125)): _*).as("vv"))
+    for (_ <- 1 to PowerIters) {
+      val y = centered.crossJoin(broadcast(vcur))
+        .withColumn("s", VectorOps.dot(col("cv"), col("vv")))
+        .select(col("s"), posexplode(col("cv")).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(sum(floor(col("x") * col("s") * lit(CentFp)).cast("long"))
+          .as("yfp"))
+        .select(struct(col("d"), col("yfp")).as("st"))
+        .agg(array_sort(collect_list(col("st"))).as("ss"))
+        .select(transform(col("ss"),
+          x => x.getField("yfp").cast("double")).as("y"),
+          transform(col("ss"), x => x.getField("yfp")).as("yfp"))
+      vcur = y.select(col("yfp"), transform(col("y"),
+        el => el / sqrt(VectorOps.dot(col("y"), col("y")))).as("vv"))
+    }
+    (centered, vcur)
+  }
+
   /** g03 k-core parameters: K = 3 on the d07 candidate graph (mean degree
     * ~6.6 at sf0.01, so the 3-core is a proper nonempty subset), peeled
     * for [[CoreRounds]] fixed rounds — Round12bSpec asserts the fixture
@@ -709,43 +750,46 @@ object ExtensionQueries7 {
     // the direction partition-invariant; yfp in the output is the final
     // iteration's EXACT integer image of the unnormalized direction.
     "s28_dominant_direction" -> ((s, dir) => {
-      val e = ExtensionQueries.embeddingsD(s, dir).select(col("v"))
-      val mu = e.select(posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("d"))
-        .agg(sum(floor(col("x") * lit(CentFp)).cast("long")).as("sfp"),
-          count(lit(1)).as("n"))
-        .select(struct(col("d"),
-          (col("sfp").cast("double") / col("n").cast("double") / lit(CentFp))
-            .as("m")).as("st"))
-        .agg(array_sort(collect_list(col("st"))).as("ss"))
-        .select(transform(col("ss"), x => x.getField("m")).as("mu"))
-      val centered = e.crossJoin(broadcast(mu))
-        .select(transform(col("v"),
-          (x, i) => x - element_at(col("mu"), (i + 1).cast("int"))).as("cv"))
-        .persist()
-      var vcur = centered.sparkSession.range(1)
-        .select(array(Seq.fill(64)(lit(0.125)): _*).as("vv"))
-      for (_ <- 1 to PowerIters) {
-        val y = centered.crossJoin(broadcast(vcur))
-          .withColumn("s", VectorOps.dot(col("cv"), col("vv")))
-          .select(col("s"), posexplode(col("cv")).as(Seq("d", "x")))
-          .groupBy(col("d"))
-          .agg(sum(floor(col("x") * col("s") * lit(CentFp)).cast("long"))
-            .as("yfp"))
-          .select(struct(col("d"), col("yfp")).as("st"))
-          .agg(array_sort(collect_list(col("st"))).as("ss"))
-          .select(transform(col("ss"),
-            x => x.getField("yfp").cast("double")).as("y"),
-            transform(col("ss"), x => x.getField("yfp")).as("yfp"))
-        vcur = y.select(col("yfp"), transform(col("y"),
-          el => el / sqrt(VectorOps.dot(col("y"), col("y")))).as("vv"))
-      }
+      val (_, vcur) = dominantDir(s, dir)
       vcur
         .select(posexplode(arrays_zip(col("yfp"), col("vv")))
           .as(Seq("d", "z")))
         .select(col("d"), col("z.yfp").as("yfp"),
           Agg.roundAt(col("z.vv"), 6).as("loading"))
         .orderBy(col("d"))
+    }),
+
+    // Common-direction removal (s29): s28's detection turned into the
+    // REPAIR (the t17→t23 / m06→m09 pattern): project every centered
+    // vector off the dominant direction — x″ = x′ − (x′·v)v, the
+    // "all-but-the-top" anisotropy fix — and report the before/after
+    // variance budget. The two rows ARE the decision evidence: variance
+    // along v collapses (~0 after) while total variance drops by exactly
+    // that amount (Pythagoras, spec-pinned within fixed-point slop) — how
+    // much of the space was one direction, and what removing it costs.
+    // Scale shape: s28's iteration cost plus ONE more broadcast pass for
+    // the projection and a 2-row fixed-point aggregate.
+    "s29_common_direction_removal" -> ((s, dir) => {
+      val (centered, vcur) = dominantDir(s, dir)
+      def stats(df: DataFrame, stage: String) = df
+        .crossJoin(broadcast(vcur.select(col("vv"))))
+        .withColumn("s", VectorOps.dot(col("cv"), col("vv")))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("s") * col("s") * lit(CentFp)).cast("long"))
+            .as("along_fp"),
+          sum(floor(VectorOps.dot(col("cv"), col("cv")) * lit(CentFp))
+            .cast("long")).as("total_fp"))
+        .select(lit(stage).as("stage"), col("n"), col("along_fp"),
+          col("total_fp"),
+          Agg.roundAt(col("along_fp").cast("double")
+            / col("total_fp").cast("double"), 6).as("frac_along"))
+      val removed = centered
+        .crossJoin(broadcast(vcur.select(col("vv"))))
+        .withColumn("s", VectorOps.dot(col("cv"), col("vv")))
+        .select(transform(col("cv"), (x, i) =>
+          x - col("s") * element_at(col("vv"), (i + 1).cast("int"))).as("cv"))
+      stats(centered, "before").unionByName(stats(removed, "after"))
+        .orderBy(col("stage"))
     }),
 
     // Time-to-conversion distribution (e16): per user, the latency from
@@ -827,6 +871,59 @@ object ExtensionQueries7 {
   private def cmsBucketSql(i: String, term: String,
       width: Long = CmsWidth): String =
     s"CAST(('0x' || substr(md5($i || ':' || $term), 1, 12)) AS BIGINT) % $width"
+
+  /** Shared s28/s29 oracle prefix (no WITH keyword): fixed-point
+    * centering plus the power iterations unrolled through
+    * `v$PowerIters` — each iteration a per-vector dot with the 1-row
+    * current direction, per-dim fixed-point sums, and a 64-term-fold
+    * normalization.
+    */
+  private def powerCtesSql: String = {
+    val dot = (a: String, b: String) => ExtensionQueries.dotSql(a, b)
+    val iters = (1 to PowerIters).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""s$r AS (SELECT ${dot("cv", "vv")} AS s, cv FROM ct, $prev),
+      y${r}s AS (
+        SELECT i - 1 AS d,
+               CAST(sum(CAST(floor(cv[i] * s * ${CentFp}) AS BIGINT))
+                 AS BIGINT) AS yfp
+        FROM s$r, range(1, 65) t(i) GROUP BY 1
+      ),
+      y$r AS (
+        SELECT list(CAST(yfp AS DOUBLE) ORDER BY d) AS y,
+               list(yfp ORDER BY d) AS yfp
+        FROM y${r}s
+      ),
+      v$r AS (
+        SELECT yfp, list_transform(y, el -> el / sqrt(${dot("y", "y")})) AS vv
+        FROM y$r
+      )"""
+    }.mkString(",\n      ")
+    s"""e AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      st AS (
+        SELECT i - 1 AS d,
+               CAST(sum(CAST(floor(v[i] * ${CentFp}) AS BIGINT)) AS BIGINT)
+                 AS sfp,
+               count(*) AS n
+        FROM e, range(1, 65) t(i) GROUP BY 1
+      ),
+      muv AS (
+        SELECT list(CAST(sfp AS DOUBLE) / CAST(n AS DOUBLE) / ${CentFp}
+          ORDER BY d) AS mu
+        FROM st
+      ),
+      ct AS (
+        SELECT list_transform(range(1, 65), i -> v[i] - mu[i]) AS cv
+        FROM e, muv
+      ),
+      v0 AS (
+        SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS vv
+      ),
+      $iters"""
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -1352,55 +1449,40 @@ object ExtensionQueries7 {
     // iterations unrolled (each: per-vector dot with the current 1-row
     // direction, per-dim fixed-point sums, normalize by the same 64-term
     // fold), final loadings and exact integer yfp per dim.
-    "s28_dominant_direction" -> {
-      val dot = (a: String, b: String) => ExtensionQueries.dotSql(a, b)
-      val iters = (1 to PowerIters).map { r =>
-        val prev = if (r == 1) "v0" else s"v${r - 1}"
-        s"""s$r AS (SELECT ${dot("cv", "vv")} AS s, cv FROM ct, $prev),
-      y${r}s AS (
-        SELECT i - 1 AS d,
-               CAST(sum(CAST(floor(cv[i] * s * ${CentFp}) AS BIGINT))
-                 AS BIGINT) AS yfp
-        FROM s$r, range(1, 65) t(i) GROUP BY 1
-      ),
-      y$r AS (
-        SELECT list(CAST(yfp AS DOUBLE) ORDER BY d) AS y,
-               list(yfp ORDER BY d) AS yfp
-        FROM y${r}s
-      ),
-      v$r AS (
-        SELECT yfp, list_transform(y, el -> el / sqrt(${dot("y", "y")})) AS vv
-        FROM y$r
-      )"""
-      }.mkString(",\n      ")
-      s"""
-      WITH e AS (
-        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-      ),
-      st AS (
-        SELECT i - 1 AS d,
-               CAST(sum(CAST(floor(v[i] * ${CentFp}) AS BIGINT)) AS BIGINT)
-                 AS sfp,
-               count(*) AS n
-        FROM e, range(1, 65) t(i) GROUP BY 1
-      ),
-      muv AS (
-        SELECT list(CAST(sfp AS DOUBLE) / CAST(n AS DOUBLE) / ${CentFp}
-          ORDER BY d) AS mu
-        FROM st
-      ),
-      ct AS (
-        SELECT list_transform(range(1, 65), i -> v[i] - mu[i]) AS cv
-        FROM e, muv
-      ),
-      v0 AS (
-        SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS vv
-      ),
-      $iters
+    "s28_dominant_direction" -> s"""
+      WITH $powerCtesSql
       SELECT CAST(t.i - 1 AS INTEGER) AS d, yfp[t.i] AS yfp,
              floor(vv[t.i] * 1000000 + 0.5) / 1000000 AS loading
-      FROM v$PowerIters, range(1, 65) t(i) ORDER BY d"""
+      FROM v$PowerIters, range(1, 65) t(i) ORDER BY d""",
+
+    // Removal replay: the s28 chain, one projection pass off v3, the
+    // same fixed-point variance budget per stage.
+    "s29_common_direction_removal" -> {
+      val dot = (a: String, b: String) => ExtensionQueries.dotSql(a, b)
+      def statsArm(src: String, stage: String) = s"""
+        SELECT '$stage' AS stage, count(*) AS n,
+               CAST(sum(CAST(floor(s * s * ${CentFp}) AS BIGINT)) AS BIGINT)
+                 AS along_fp,
+               CAST(sum(CAST(floor(${dot("cv", "cv")} * ${CentFp}) AS BIGINT))
+                 AS BIGINT) AS total_fp
+        FROM $src"""
+      s"""
+      WITH $powerCtesSql,
+      pb AS (SELECT cv, ${dot("cv", "vv")} AS s FROM ct, v$PowerIters),
+      rm0 AS (
+        SELECT list_transform(range(1, 65), i -> cv[i] - s * vv[i]) AS cv
+        FROM pb, v$PowerIters
+      ),
+      pa AS (SELECT cv, ${dot("cv", "vv")} AS s FROM rm0, v$PowerIters),
+      u AS (
+        ${statsArm("pb", "before")}
+        UNION ALL
+        ${statsArm("pa", "after")}
+      )
+      SELECT stage, n, along_fp, total_fp,
+             floor(CAST(along_fp AS DOUBLE) / CAST(total_fp AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS frac_along
+      FROM u ORDER BY stage"""
     },
 
     // Latency replay: same two firsts keyed on user_id, same integer-

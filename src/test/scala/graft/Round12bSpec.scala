@@ -422,6 +422,24 @@ class Round12bSpec extends AnyFunSuite {
       s"direction variance $alongV below best single axis $maxAxis")
   }
 
+  test("s29: removal zeroes the dominant direction and conserves the variance budget") {
+    val rows = ExtensionQueries7
+      .all("s29_common_direction_removal")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (before, after) = (rows("before"), rows("after"))
+    val n = before.getAs[Long]("n")
+    val bAlong = before.getAs[Long]("along_fp")
+    assert(bAlong > 0L)
+    assert(after.getAs[Long]("along_fp") <= bAlong / 1000,
+      "projection left dominant-direction variance behind")
+    // Pythagoras: total(after) == total(before) - along(before), within
+    // the per-row double-floor slop (each stage floors twice per row)
+    val expected = before.getAs[Long]("total_fp") - bAlong
+    val got = after.getAs[Long]("total_fp")
+    assert(math.abs(got - expected) <= 4 * n,
+      s"variance budget broke: got $got expected ~$expected")
+  }
+
   // ---- e16 conversion latency ----
 
   test("e16: buckets partition the viewing user base") {
