@@ -470,6 +470,48 @@ object ExtensionQueries7 {
       cmsJoinSize(seg("view"), seg("purchase"), CmsDepth, JoinSkWidth)
     }),
 
+    // Declarative data-quality constraint suite (q92): the Deequ-shaped
+    // expectation report — primary-key uniqueness, null rate, value
+    // range, referential integrity, accepted values, and a business rule
+    // — each evaluated as ONE aggregate (the FK check as one anti-join)
+    // and emitted as (constraint, checked, violations, passed). This is
+    // the ingest gate a 100 TB lake runs per batch-arrival before data
+    // becomes visible; q32 profiles columns, this asserts CONTRACTS. The
+    // non_negative_acctbal row fails on this fixture (122 negative
+    // balances) — the report must discriminate, not rubber-stamp. Scale
+    // shape: per-constraint single-pass aggregates (map-side combinable),
+    // one keyed anti-join for the FK; output is |constraints| rows.
+    "q92_constraint_suite" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      def arm(name: String, df: DataFrame, viol: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("checked"), viol.as("violations"))
+          .select(lit(name).as("check_name"), col("checked"),
+            col("violations"))
+      val pk = arm("pk_unique_customer", cust,
+        count(lit(1)) - countDistinct(col("c_custkey")))
+      val nn = arm("not_null_shipdate", t(s, dir, "lineitem"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)))
+      val rng = arm("range_part_size", t(s, dir, "part"),
+        sum(when(col("p_size") < 1 || col("p_size") > 50, 1L).otherwise(0L)))
+      val acc = arm("accepted_region_names", t(s, dir, "region"),
+        sum(when(!col("r_name").isin("AFRICA", "AMERICA", "ASIA", "EUROPE",
+          "MIDDLE EAST"), 1L).otherwise(0L)))
+      val bal = arm("non_negative_acctbal", cust,
+        sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)))
+      val orders = t(s, dir, "orders")
+      val fk = orders.agg(count(lit(1)).as("checked"))
+        .crossJoin(broadcast(orders
+          .join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))))
+        .select(lit("fk_orders_customer").as("check_name"), col("checked"),
+          col("violations"))
+      pk.unionByName(nn).unionByName(rng).unionByName(acc)
+        .unionByName(bal).unionByName(fk)
+        .withColumn("passed", col("violations") === 0)
+        .orderBy(col("check_name"))
+    }),
+
     // Leakage-safe train/validation/test split (d18): d12 hashes CONTENT
     // so exact duplicates land together, but NEAR-duplicates hash apart —
     // a near-copy of a training doc in the test set is exactly the
@@ -1088,6 +1130,40 @@ object ExtensionQueries7 {
              CAST(est.est_join - tj.true_join AS BIGINT) AS overcount
       FROM na CROSS JOIN nb CROSS JOIN tj CROSS JOIN est"""
     },
+
+    // Constraint-suite replay: each arm the identical single aggregate,
+    // the FK arm the identical anti-join count.
+    "q92_constraint_suite" -> s"""
+      SELECT check_name, checked, violations, (violations = 0) AS passed
+      FROM (
+        SELECT 'pk_unique_customer' AS check_name, count(*) AS checked,
+               CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS violations
+        FROM customer
+        UNION ALL
+        SELECT 'not_null_shipdate', count(*),
+               CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'range_part_size', count(*),
+               CAST(sum(CASE WHEN p_size < 1 OR p_size > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM part
+        UNION ALL
+        SELECT 'accepted_region_names', count(*),
+               CAST(sum(CASE WHEN r_name NOT IN
+                 ('AFRICA','AMERICA','ASIA','EUROPE','MIDDLE EAST')
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM region
+        UNION ALL
+        SELECT 'non_negative_acctbal', count(*),
+               CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'fk_orders_customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_custkey IS NULL)
+      ) u ORDER BY check_name""",
 
     // Cluster-split replay: d07's banded candidate pairs + unrolled label
     // propagation verbatim, then the d12 hex-bucket rule applied to the

@@ -89,6 +89,21 @@ class Round12bSpec extends AnyFunSuite {
     assert(narrow.getAs[Long]("true_join") == wide.getAs[Long]("true_join"))
   }
 
+  test("q92: the constraint suite discriminates — exactly the acctbal rule fails") {
+    val rows = ExtensionQueries7.all("q92_constraint_suite")(spark, sf)
+      .collect().map(r => r.getAs[String]("check_name") -> r).toMap
+    assert(rows.size == 6)
+    val failing = rows.values.filterNot(_.getAs[Boolean]("passed"))
+      .map(_.getString(0)).toSet
+    assert(failing == Set("non_negative_acctbal"),
+      s"unexpected failing set $failing")
+    val direct = graft.sources.Tables.load(spark, sf, "customer")
+      .filter(col("c_acctbal") < 0).count()
+    assert(rows("non_negative_acctbal").getAs[Long]("violations") == direct)
+    rows.values.foreach(r =>
+      assert(r.getAs[Long]("checked") > 0, s"${r.getString(0)} checked 0 rows"))
+  }
+
   // ---- d18 leakage-safe split ----
 
   test("d18: no LSH candidate pair straddles a split boundary") {
