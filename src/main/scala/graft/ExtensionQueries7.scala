@@ -470,6 +470,62 @@ object ExtensionQueries7 {
       cmsJoinSize(seg("view"), seg("purchase"), CmsDepth, JoinSkWidth)
     }),
 
+    // Corpus datasheet (t31): the one-page summary a dataset ships with
+    // ("Datasheets for Datasets", Gebru et al.) — sizes, vocabulary,
+    // duplication exposure, language mix, length and OOV statistics, each
+    // as one (metric, value) row. Every number is an exact-integer or
+    // fixed-point aggregate, so the datasheet is reproducible down to the
+    // hash. Scale shape: two corpus passes (token stats + the banded
+    // candidate count) plus tiny aggregates — every term map-side
+    // combinable; the near-dup exposure number reuses the d04-geometry
+    // bucketed pair count, never all-pairs.
+    "t31_corpus_datasheet" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs.select(explode(TextOps.tokens(col("text"))).as("term"))
+      val vocab = words.groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(VocabSize)
+        .select(col("term").as("vterm"))
+      val tokenStats = words.join(broadcast(vocab),
+          col("term") === col("vterm"), "left")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("n_distinct_terms"),
+          sum(when(col("vterm").isNull, 1L).otherwise(0L)).as("n_oov"))
+      val docStats = docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        sum(col("n_chars")).as("sum_chars"))
+      val pairsCnt = Dedup
+        .lshCandidatePairs(ExtensionQueries.docFeatures(s, dir),
+          bands = 4, rows = 3)
+        .agg(count(lit(1)).as("n_pairs"))
+      val langCnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      def metric(name: String, v: org.apache.spark.sql.Column) =
+        (name, v)
+      val wide = docStats.crossJoin(broadcast(tokenStats))
+        .crossJoin(broadcast(pairsCnt))
+      val base = Seq(
+        metric("n_docs", col("n_docs").cast("double")),
+        metric("n_tokens", col("n_tokens").cast("double")),
+        metric("n_distinct_terms", col("n_distinct_terms").cast("double")),
+        metric("n_exact_dup_docs",
+          (col("n_docs") - col("n_distinct_texts")).cast("double")),
+        metric("n_neardup_candidate_pairs", col("n_pairs").cast("double")),
+        metric("mean_doc_chars", Agg.roundAt(col("sum_chars").cast("double")
+          / col("n_docs").cast("double"), 6)),
+        metric(s"oov_rate_top$VocabSize",
+          Agg.roundAt(col("n_oov").cast("double")
+            / col("n_tokens").cast("double"), 6)))
+      val baseRows = base.map { case (n, v) =>
+        wide.select(lit(n).as("metric"), v.as("value"))
+      }.reduce(_.unionByName(_))
+      val langRows = langCnt.crossJoin(broadcast(docStats.select(col("n_docs"))))
+        .select(concat(lit("share_lang_"), col("lang")).as("metric"),
+          Agg.roundAt(col("n").cast("double") / col("n_docs").cast("double"), 6)
+            .as("value"))
+      baseRows.unionByName(langRows).orderBy(col("metric"))
+    }),
+
     // Declarative data-quality constraint suite (q92): the Deequ-shaped
     // expectation report — primary-key uniqueness, null rate, value
     // range, referential integrity, accepted values, and a business rule
@@ -1130,6 +1186,74 @@ object ExtensionQueries7 {
              CAST(est.est_join - tj.true_join AS BIGINT) AS overcount
       FROM na CROSS JOIN nb CROSS JOIN tj CROSS JOIN est"""
     },
+
+    // Datasheet replay: identical aggregates, the near-dup exposure from
+    // the same banded pair count, identical rounding.
+    "t31_corpus_datasheet" -> s"""
+      WITH ${ExtensionQueries.featuresCte},
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${ExtensionQueries.bandSql(0)} AS bh FROM doc_feat
+        UNION ALL SELECT doc_id, 1, ${ExtensionQueries.bandSql(1)} FROM doc_feat
+        UNION ALL SELECT doc_id, 2, ${ExtensionQueries.bandSql(2)} FROM doc_feat
+        UNION ALL SELECT doc_id, 3, ${ExtensionQueries.bandSql(3)} FROM doc_feat
+      ),
+      pc AS (
+        SELECT count(*) AS n_pairs FROM (
+          SELECT a.doc_id, b.doc_id
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ) p
+      ),
+      words AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+      ),
+      vocab AS (
+        SELECT term FROM words GROUP BY term
+        ORDER BY count(*) DESC, term ASC LIMIT $VocabSize
+      ),
+      ts AS (
+        SELECT count(*) AS n_tokens,
+               count(DISTINCT w.term) AS n_distinct_terms,
+               CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov
+        FROM words w LEFT JOIN vocab v ON w.term = v.term
+      ),
+      ds AS (
+        SELECT count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_distinct_texts,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+      )
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM ds
+        UNION ALL
+        SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM ts
+        UNION ALL
+        SELECT 'n_distinct_terms', CAST(n_distinct_terms AS DOUBLE) FROM ts
+        UNION ALL
+        SELECT 'n_exact_dup_docs', CAST(n_docs - n_distinct_texts AS DOUBLE)
+        FROM ds
+        UNION ALL
+        SELECT 'n_neardup_candidate_pairs', CAST(n_pairs AS DOUBLE) FROM pc
+        UNION ALL
+        SELECT 'mean_doc_chars',
+               floor(CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000
+        FROM ds
+        UNION ALL
+        SELECT 'oov_rate_top$VocabSize',
+               floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000
+        FROM ts
+        UNION ALL
+        SELECT 'share_lang_' || lang,
+               floor(CAST(count(*) AS DOUBLE)
+                 / CAST((SELECT n_docs FROM ds) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000
+        FROM documents GROUP BY lang
+      ) u ORDER BY metric""",
 
     // Constraint-suite replay: each arm the identical single aggregate,
     // the FK arm the identical anti-join count.

@@ -104,6 +104,19 @@ class Round12bSpec extends AnyFunSuite {
       assert(r.getAs[Long]("checked") > 0, s"${r.getString(0)} checked 0 rows"))
   }
 
+  test("t31: the datasheet is self-consistent") {
+    val m = ExtensionQueries7.all("t31_corpus_datasheet")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // language shares partition the corpus
+    val shares = m.filter(_._1.startsWith("share_lang_")).values.sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"lang shares sum $shares")
+    // counts agree with direct recomputation
+    assert(m("n_docs") == docs.count().toDouble)
+    assert(m("n_tokens") == words.count().toDouble)
+    assert(m("oov_rate_top16") > 0 && m("oov_rate_top16") < 1)
+    assert(m("n_neardup_candidate_pairs") > 0)
+  }
+
   // ---- d18 leakage-safe split ----
 
   test("d18: no LSH candidate pair straddles a split boundary") {
