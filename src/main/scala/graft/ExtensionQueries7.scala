@@ -160,8 +160,17 @@ object ExtensionQueries7 {
     * passes plus any downstream consumer read it).
     */
   private[graft] def dominantDir(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    dominantDirOf(ExtensionQueries.embeddingsD(s, dir).select(col("v")))
+
+  /** [[dominantDir]] over an arbitrary (v) relation — lets Round12bSpec
+    * assert the direction is a pure function of the vector SET
+    * (partitioning-invariant), the property the per-iteration fixed-point
+    * sums exist to guarantee.
+    */
+  private[graft] def dominantDirOf(input: DataFrame)
       : (DataFrame, DataFrame) = {
-    val e = ExtensionQueries.embeddingsD(s, dir).select(col("v"))
+    val e = input
     val mu = e.select(posexplode(col("v")).as(Seq("d", "x")))
       .groupBy(col("d"))
       .agg(sum(floor(col("x") * lit(CentFp)).cast("long")).as("sfp"),

@@ -468,6 +468,21 @@ class Round12bSpec extends AnyFunSuite {
       s"variance budget broke: got $got expected ~$expected")
   }
 
+  test("s28: the direction is a pure function of the vector set (partitioning-invariant)") {
+    // Same claim as q89's register test, for the most numerically delicate
+    // new operator: per-iteration fixed-point sums make yfp — and hence
+    // the normalized direction — identical under any physical layout.
+    val base = ExtensionQueries7
+      .dominantDir(spark, sf)._2
+      .select(col("yfp")).collect()(0).getSeq[Long](0)
+    val reparted = graft.sources.Tables.load(spark, sf, "embeddings")
+      .repartition(13)
+      .select(graft.operators.VectorOps.toDouble(col("embedding")).as("v"))
+    val re = ExtensionQueries7.dominantDirOf(reparted)._2
+      .select(col("yfp")).collect()(0).getSeq[Long](0)
+    assert(re == base, "direction drifted under repartition")
+  }
+
   // ---- e16 conversion latency ----
 
   test("e16: buckets partition the viewing user base") {
