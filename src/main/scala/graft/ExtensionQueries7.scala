@@ -479,6 +479,25 @@ object ExtensionQueries7 {
       cmsJoinSize(seg("view"), seg("purchase"), CmsDepth, JoinSkWidth)
     }),
 
+    // Anonymity audit (q93): k-anonymity and l-diversity over the
+    // quasi-identifier groups of the customer table — the privacy release
+    // gate that complements t07's PII redaction (redaction hides direct
+    // identifiers; this measures re-identification risk from the columns
+    // that REMAIN). Per (nation, segment) group: population n, distinct
+    // sensitive-value buckets l, and the release decision n ≥ 5 ∧ l ≥ 3
+    // (the standard k/l thresholds). At the smoke SF many groups fail —
+    // the audit discriminates (spec-pinned); at 100 TB this is one
+    // map-side-combinable groupBy emitting |QI-groups| rows.
+    "q93_anonymity_audit" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(floor(col("c_acctbal") / 1000).cast("long")).as("l"))
+        .withColumn("k_anonymous", col("n") >= 5)
+        .withColumn("l_diverse", col("l") >= 3)
+        .withColumn("releasable", col("k_anonymous") && col("l_diverse"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
     // Corpus datasheet (t31): the one-page summary a dataset ships with
     // ("Datasheets for Datasets", Gebru et al.) — sizes, vocabulary,
     // duplication exposure, language mix, length and OOV statistics, each
@@ -904,9 +923,11 @@ object ExtensionQueries7 {
     // hours — the funnel-latency histogram that sits beside e04's step
     // counts (how MANY convert) and e08/e15's credit assignment (WHO gets
     // credit): how LONG conversion takes, the input to attribution-window
-    // and retargeting-delay choices. Integer micros end-to-end; users who
-    // never convert appear as bucket −1 so the histogram partitions the
-    // user base. Scale shape: one shuffle keyed on user_id for the two
+    // and retargeting-delay choices. Integer micros end-to-end; viewers
+    // who never convert appear as bucket −1, so the histogram partitions
+    // the VIEWING user base (users with purchases but no view are outside
+    // the funnel by definition and excluded — Round12bSpec pins the
+    // partition). Scale shape: one shuffle keyed on user_id for the two
     // firsts, then an aggregation to ≤ |buckets| rows.
     "e16_conversion_latency" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1195,6 +1216,18 @@ object ExtensionQueries7 {
              CAST(est.est_join - tj.true_join AS BIGINT) AS overcount
       FROM na CROSS JOIN nb CROSS JOIN tj CROSS JOIN est"""
     },
+
+    // Anonymity replay: identical grouping, identical sensitive bucketing
+    // (floor toward −inf on both engines), identical thresholds.
+    "q93_anonymity_audit" -> """
+      SELECT c_nationkey, c_mktsegment, n, l,
+             (n >= 5) AS k_anonymous, (l >= 3) AS l_diverse,
+             (n >= 5 AND l >= 3) AS releasable
+      FROM (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n,
+               count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+        FROM customer GROUP BY 1, 2
+      ) g ORDER BY c_nationkey, c_mktsegment""",
 
     // Datasheet replay: identical aggregates, the near-dup exposure from
     // the same banded pair count, identical rounding.

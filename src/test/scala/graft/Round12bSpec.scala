@@ -117,6 +117,19 @@ class Round12bSpec extends AnyFunSuite {
     assert(m("n_neardup_candidate_pairs") > 0)
   }
 
+  test("q93: the anonymity audit discriminates and matches a direct recount") {
+    val rows = ExtensionQueries7.all("q93_anonymity_audit")(spark, sf)
+    val releasable = rows.filter(col("releasable")).count()
+    val total = rows.count()
+    assert(releasable > 0 && releasable < total,
+      s"audit degenerated: $releasable of $total releasable")
+    // k-anonymity flags agree with a direct group-size recount
+    val under = graft.sources.Tables.load(spark, sf, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).count()
+      .filter(col("count") < 5).count()
+    assert(rows.filter(!col("k_anonymous")).count() == under)
+  }
+
   // ---- d18 leakage-safe split ----
 
   test("d18: no LSH candidate pair straddles a split boundary") {
