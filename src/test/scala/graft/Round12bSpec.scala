@@ -5,11 +5,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Multimodal, TextOps}
 
-/** Round 12, second batch: invariants for the q88 Count-Min sketch (CMS
-  * guarantee + exact regime), d18's leakage-safe split (zero candidate
-  * pairs straddle splits), e15's credit conservation, m10↔m07 keyframe
-  * consistency, t30's vocabulary saturation, and s25's exactly-once
-  * assignment.
+/** Round 12, second batch: invariants for the sketch family (q88 CMS
+  * guarantee/exact regime/streaming parity, q89 HLL accuracy +
+  * partitioning invariance, q90 register algebra, q91 join-size
+  * guarantee), the split/audit surface (d18 zero-straddlers + d12
+  * contrast, q92 failing-set, q93 discrimination, t31 self-consistency),
+  * the ANN/embedding diagnostics (s25 exactly-once, s26 monotonicity,
+  * s27 delta guarantee, s28 dominance + partitioning invariance, s29
+  * variance budget, d19 estimator accuracy + the pathological-family
+  * contrast), and the event/media additions (e15 credit conservation,
+  * e16 user-base partition, m10 keyframe consistency, g03 fixed point).
   */
 class Round12bSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
