@@ -187,4 +187,44 @@ class PropertySpec extends AnyFunSuite {
       assert(h1.forall(h => h >= 0 && h < TextOps.P))
     }
   }
+
+  test("count-min: est >= true on arbitrary multisets; exact when width covers the keys") {
+    val gen = for {
+      n <- Gen.choose(30, 300)
+      keys <- Gen.listOfN(n, Gen.choose(0, 39).map(i => s"k$i"))
+    } yield keys
+    for (keys <- samples(gen, 6) if keys.nonEmpty) {
+      val words = keys.toDF("term")
+      val distinct = keys.distinct.size
+      // collision regime: every estimate still bounded below by truth
+      val tight = ExtensionQueries7
+        .countMin(words, depth = 3, width = 8L, probes = distinct).collect()
+      assert(tight.nonEmpty)
+      tight.foreach(r => assert(r.getAs[Long]("overcount") >= 0L))
+      // exact regime: a wide-enough grid reproduces every count
+      val wide = ExtensionQueries7
+        .countMin(words, depth = 3, width = 8192L, probes = distinct).collect()
+      wide.foreach(r => assert(r.getAs[Long]("overcount") == 0L,
+        s"${r.getString(0)} overcounted in a collision-free grid"))
+    }
+  }
+
+  test("hll: corrected estimate lands within a generous bound on arbitrary id sets") {
+    // m = 64 → 1σ ≈ 13%; the linear-counting crossover is the worst
+    // region, so the accepted envelope is 45% relative. Fixed seeds keep
+    // this deterministic.
+    val gen = for {
+      n <- Gen.choose(10, 2000)
+      ids <- Gen.listOfN(n, Gen.choose(1L, 1000000L))
+    } yield ids
+    for (ids <- samples(gen, 6) if ids.nonEmpty) {
+      val truth = ids.distinct.size.toDouble
+      val est = ExtensionQueries7.hllEstimate(ExtensionQueries7.hllRegs(
+          ids.toDF("uid").select(lit("x").as("seg"),
+            graft.ExtensionQueries3.md5Hash48(col("uid")).as("h"))))
+        .select(col("corrected")).collect()(0).getDouble(0)
+      assert(math.abs(est - truth) / truth <= 0.45,
+        s"n=$truth est=$est exceeds the 45% envelope")
+    }
+  }
 }

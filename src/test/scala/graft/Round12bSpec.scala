@@ -78,6 +78,29 @@ class Round12bSpec extends AnyFunSuite {
     assert(batch.toSeq.map(_._3).sum == 3 * 900L) // every term in every row
   }
 
+  test("q89: streaming register state (complete mode) equals the batch registers") {
+    // Like the CMS twin: HLL registers are a max-aggregation over a
+    // bounded key space, so the register table IS the streaming state.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val uids = (1L to 600L)
+    val stream = MemoryStream[Long]
+    uids.grouped(200).foreach(b => stream.addData(b.toSeq: _*))
+    def regsOf(df: org.apache.spark.sql.DataFrame) =
+      ExtensionQueries7.hllRegs(df.select(lit("x").as("seg"),
+        ExtensionQueries3.md5Hash48(col("uid")).as("h")))
+    val got = graft.streaming.EventStreams.runToMemory(
+        regsOf(stream.toDS().toDF("uid")), "hll_stream",
+        OutputMode.Complete())
+      .as[(String, Long, Int)].collect().toSet
+    val batch = regsOf(uids.toDF("uid")).as[(String, Long, Int)]
+      .collect().toSet
+    assert(got == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("q91: join-size estimate never undercounts and width buys accuracy") {
     def seg(tpe: String) = graft.sources.Tables.load(spark, sf, "events")
       .filter(col("event_type") === tpe)
