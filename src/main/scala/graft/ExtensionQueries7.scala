@@ -223,22 +223,27 @@ object ExtensionQueries7 {
     */
   private[graft] def kcoreEdges(pairs: DataFrame, k: Int,
       rounds: Int): DataFrame = {
-    var edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+    // Peel on the UNDIRECTED pair set (half the mirrored size — the knob
+    // the first scale-up run flagged: each round checkpoints and joins
+    // the working set, so halving it halves every round's materialization
+    // and shuffle). Node degree = appearances on either endpoint, one
+    // unioned scan of the checkpointed pairs; mirroring happens ONCE at
+    // the end for consumers that want (src, dst) edges.
+    var p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val deg = p.select(col("doc_a").as("n"))
+        .unionByName(p.select(col("doc_b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-      val okSrc = deg.select(col("src").as("ok_s"))
-      val okDst = deg.select(col("src").as("ok_d"))
-      edges = edges
-        .join(okSrc, col("src") === col("ok_s"))
-        .join(okDst, col("dst") === col("ok_d"))
-        .select(col("src"), col("dst"))
+      val okA = deg.select(col("n").as("ok_a"))
+      val okB = deg.select(col("n").as("ok_b"))
+      p = p.join(okA, col("doc_a") === col("ok_a"))
+        .join(okB, col("doc_b") === col("ok_b"))
+        .select(col("doc_a"), col("doc_b"))
         .localCheckpoint(true)
     }
-    edges
+    p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
   }
 
   /** s26 probe-depth sweep bound: recall/cost rows for nprobe = 1..4 of

@@ -92,6 +92,13 @@ ORDER BY a.root_key
 
     "q59_recursive_hierarchy" -> ((s, dir) => {
       Tables.createTempViews(s, dir)
+      // Spark's recursive-CTE safety valve defaults to 1M TOTAL rows —
+      // a per-query guard, not a scale ceiling. The chain here is
+      // |customer|·log10(maxkey) rows (exact, known a priori), which
+      // crosses 1M at the 10× scale-up fixture; raise the valve so the
+      // row bound is the DATA's, with the level limit (100 ≫ log10 depth)
+      // still guarding runaway recursion.
+      s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
       s.sql(recursiveHierarchySql("DIV"))
     }),
 
