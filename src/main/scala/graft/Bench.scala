@@ -29,7 +29,11 @@ object Bench {
     "e11_session_window", "e13_session_attribution",
     "t01_token_stats", "t13_bpe_merges", "t17_substring_dedup",
     "t19_doc_similarity",
-    "e03_sessionize", "m03_binary_source", "g01_pagerank")
+    "e03_sessionize", "m03_binary_source", "g01_pagerank",
+    // round-12b representatives (appended — existing entries unchanged
+    // so round-over-round comparability holds)
+    "q88_countmin", "q89_hll_sketch", "d18_cluster_split",
+    "s26_ivf_nprobe_curve", "s28_dominant_direction", "g03_kcore")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 
