@@ -583,15 +583,30 @@ object ExtensionQueries5 {
     * (query_id, vec_id, approx_rank).
     */
   private[graft] def int8Ranked(s: SparkSession, dir: String, c: Int): DataFrame =
-    int8RankedFrom(ExtensionQueries.embeddingsD(s, dir), c)
+    int8RankedQuant(int8Codes(s, dir), c)
 
-  /** Corpus-parametric form of [[int8Ranked]] (PropertySpec drives it over
-    * generated corpora): `e` is any (vec_id, v: array<double>) frame.
+  /** Session-scoped persisted int8 code table — the SERVING ARTIFACT of the
+    * quantized-ANN family. Every consumer (s17's stage 1, s20's recall
+    * replay, s22's method metrics, s23 indirectly through s17) reads the
+    * same cached (vec_id, qv, qn) relation instead of requantizing: the
+    * round-12 form requantized inline, and AQE ran that interpreted
+    * `transform` quantization INSIDE single-task broadcast builds — two
+    * ~0.5–1.2 s one-core stages per s17 call (profiled r13, PLANS.md).
+    * Production shape at 100 TB: codes are computed once at index-build
+    * time and persisted columnar (4× smaller than the floats); queries scan
+    * codes, never the float corpus.
     */
-  private[graft] def int8RankedFrom(e: DataFrame, c: Int): DataFrame = {
+  private[graft] def int8Codes(s: SparkSession, dir: String): DataFrame =
+    int8Quantize(ExtensionQueries.embeddingsD(s, dir)).persist()
+
+  /** Per-vector symmetric int8 quantization (s07's scheme) of any
+    * (vec_id, v: array<double>) frame → (vec_id, qv, qn). Zero-norm vectors
+    * are dropped: they carry no angle, and 0/0 throws under ANSI where
+    * DuckDB yields NaN (mirrored in the s17/s20 oracles).
+    */
+  private[graft] def int8Quantize(e: DataFrame): DataFrame = {
     val mxAbs = array_max(transform(col("v"), x => abs(x)))
-    val quant = e
-      .withColumn("__scale",
+    e.withColumn("__scale",
         when(mxAbs > 0, lit(127.0) / mxAbs).otherwise(lit(1.0)))
       .withColumn("qv", transform(col("v"), x =>
         greatest(lit(-127L), least(lit(127L),
@@ -599,11 +614,18 @@ object ExtensionQueries5 {
       .withColumn("qn",
         sqrt(graft.functions.IntDotProduct.intDot(col("qv"), col("qv"))
           .cast("double")))
-      // a zero vector has qn = 0, and 0/0 throws under ANSI where DuckDB
-      // yields NaN — zero-norm vectors carry no angle, drop them from both
-      // sides (mirrored in the s17/s20 oracles)
       .filter(col("qn") > 0)
       .select(col("vec_id"), col("qv"), col("qn"))
+  }
+
+  /** Corpus-parametric form of [[int8Ranked]] (PropertySpec drives it over
+    * generated corpora): `e` is any (vec_id, v: array<double>) frame.
+    */
+  private[graft] def int8RankedFrom(e: DataFrame, c: Int): DataFrame =
+    int8RankedQuant(int8Quantize(e), c)
+
+  /** Stage-1 ranking over an already-quantized (vec_id, qv, qn) frame. */
+  private def int8RankedQuant(quant: DataFrame, c: Int): DataFrame = {
     val q = quant.filter(col("vec_id") <= 2)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("qn").as("qqn"))

@@ -23,9 +23,37 @@ object Profile {
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val t1 = System.nanoTime()
-      val n = df.count()
+      df.queryExecution.optimizedPlan // forces analysis + cache lookup + optimize
       val t2 = System.nanoTime()
-      println(f"PROFILE $name build=${(t1 - t0) / 1e9}%.2fs action=${(t2 - t1) / 1e9}%.2fs rows=$n")
+      df.queryExecution.executedPlan // physical planning
+      val t3 = System.nanoTime()
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val stages = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(js.jobId, js.time)
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobs.computeIfPresent(je.jobId, (_, st) => je.time - st)
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield c - s
+          stages.put(si.stageId,
+            s"stage${si.stageId}[${si.name.takeWhile(_ != ' ')}] tasks=${si.numTasks} wall=${wall.getOrElse(-1L)}ms run=${si.taskMetrics.executorRunTime}ms deser=${si.taskMetrics.executorDeserializeTime}ms")
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val n = df.count()
+      val t4 = System.nanoTime()
+      Thread.sleep(300) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val jsum = jobs.asScala.toVector.sortBy(_._1)
+        .map { case (id, ms) => s"j$id=${ms}ms" }.mkString(" ")
+      println(f"PROFILE $name build=${(t1 - t0) / 1e9}%.2fs optimize=${(t2 - t1) / 1e9}%.2fs plan=${(t3 - t2) / 1e9}%.2fs exec=${(t4 - t3) / 1e9}%.2fs rows=$n jobs[$jsum]")
+      stages.asScala.toVector.sortBy(_._1).foreach(s => println("  " + s._2))
     }
     spark.stop()
   }
