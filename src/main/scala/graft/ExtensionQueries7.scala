@@ -115,6 +115,14 @@ object ExtensionQueries7 {
     */
   val JoinSkWidth = 64L
 
+  /** q95 production CMS geometry: depth 5 × width 2048 — point-estimate
+    * error ≤ e·N/width ≈ 0.13%·N with failure probability e^-5 (q88's
+    * 3×16 demonstrates the collision algebra; this is the grid a lake
+    * persists). 10240 counters per shard — still trivially bounded state.
+    */
+  val CmsLakeDepth = 5
+  val CmsLakeWidth = 2048L
+
   /** CMS inner-product join-size estimate: est = min over rows of
     * Σ_bucket cntA·cntB (Cormode–Muthukrishnan; the AMS-style cardinality
     * the CBO side of a planner wants before committing a join strategy).
@@ -205,24 +213,38 @@ object ExtensionQueries7 {
   }
 
   /** g03 k-core parameters: K = 3 on the d07 candidate graph (mean degree
-    * ~6.6 at sf0.01, so the 3-core is a proper nonempty subset), peeled
-    * for [[CoreRounds]] fixed rounds — Round12bSpec asserts the fixture
-    * reaches the fixed point (round R+1 changes nothing), the d07
-    * ClusterRounds pattern.
+    * ~6.6 at sf0.01, so the 3-core is a proper nonempty subset).
+    * [[CoreRounds]] is the ORACLE's unrolled peel depth — the Spark side
+    * peels until the exact fixed point (capped at [[CoreMaxRounds]]), and
+    * extra unrolled rounds past the fixed point are no-ops, so the two
+    * agree whenever CoreRounds ≥ the true peel depth (Round12bSpec pins
+    * fixture convergence well inside it; 8 carries margin over the
+    * measured ≤ 4). [[CoreMaxRounds]] is the runaway guard: peeling a
+    * path graph takes O(n) rounds, so a hard cap bounds the job count —
+    * if it ever hits, the result is a conservative SUPERGRAPH of the
+    * k-core (peeling only removes edges), never an under-approximation.
     */
   val CoreK = 3
-  val CoreRounds = 5
+  val CoreRounds = 8
+  val CoreMaxRounds = 64
 
-  /** Fixed-round k-core peeling over a directed-both-ways edge set: each
-    * round keeps edges whose BOTH endpoints currently have degree ≥ k.
-    * The edge set is localCheckpoint'd per round — iterative-plan hygiene
+  /** Until-convergence k-core peeling over an undirected pair set: each
+    * round keeps edges whose BOTH endpoints currently have degree ≥ k,
+    * until a round removes nothing (edge count is monotone decreasing, so
+    * equal consecutive counts ⇔ fixed point — the convergence poll is the
+    * count of the just-checkpointed working set, a cache-local job). The
+    * edge set is localCheckpoint'd per round — iterative-plan hygiene
     * (the d07/g01 rule: each round references the previous edge set
     * twice, once for degrees and once as the base, so an unpersisted
-    * chain doubles the plan per round). Returns the final surviving edge
-    * set.
+    * chain doubles the plan per round; the checkpoint also keeps plan
+    * depth linear in EXECUTED rounds). Returns the final surviving edge
+    * set, mirrored to directed-both-ways form.
     */
   private[graft] def kcoreEdges(pairs: DataFrame, k: Int,
-      rounds: Int): DataFrame = {
+      maxRounds: Int): DataFrame = kcoreEdgesWithRounds(pairs, k, maxRounds)._1
+
+  private[graft] def kcoreEdgesWithRounds(pairs: DataFrame, k: Int,
+      maxRounds: Int): (DataFrame, Int) = {
     // Peel on the UNDIRECTED pair set (half the mirrored size — the knob
     // the first scale-up run flagged: each round checkpoints and joins
     // the working set, so halving it halves every round's materialization
@@ -230,7 +252,10 @@ object ExtensionQueries7 {
     // unioned scan of the checkpointed pairs; mirroring happens ONCE at
     // the end for consumers that want (src, dst) edges.
     var p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var prevCount = p.count()
+    var executed = 0
+    var stable = false
+    while (!stable && executed < maxRounds) {
       val deg = p.select(col("doc_a").as("n"))
         .unionByName(p.select(col("doc_b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -241,9 +266,14 @@ object ExtensionQueries7 {
         .join(okB, col("doc_b") === col("ok_b"))
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint(true)
+      executed += 1
+      val c = p.count()
+      stable = c == prevCount
+      prevCount = c
     }
-    p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    (p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      executed)
   }
 
   /** s26 probe-depth sweep bound: recall/cost rows for nprobe = 1..4 of
@@ -278,36 +308,71 @@ object ExtensionQueries7 {
   val HllLcFp: IndexedSeq[Long] = (1 to HllM).map(v =>
     math.floor(HllM * math.log(HllM.toDouble / v) * 1e6).toLong)
 
-  /** HLL registers (seg, bucket, reg) from a (seg, h) relation — the
-    * shared state-build for q89's per-segment sketches and q90's merged
-    * unions. One map-side-combinable groupBy-max; ≤ |segs|·m rows out.
+  /** PRODUCTION HLL geometry (q94): p = 12 → m = 4096 registers — the
+    * standard-error 1.04/√m ≈ 1.6% regime a warehouse actually deploys
+    * (q89's p = 6 / m = 64 demonstrates the algebra at ~13% error). Top
+    * 12 of the 48 hash bits pick the bucket; the remaining 36 feed the
+    * rank, so registers lie in [1, 37] and the 2^37-scaled denominator
+    * Σ 2^(37−reg) is an exact integer ≤ 4096·2^37 < 2^50. α for m ≥ 128
+    * is 0.7213/(1 + 1.079/m); the linear-counting table has 4096 entries,
+    * precomputed here and spliced into both engines as 1e6 fixed-point
+    * literals (the q89 rule — no cross-engine libm bets).
     */
-  private[graft] def hllRegs(segHash: DataFrame): DataFrame =
+  val HllP12 = 12
+  val HllM12 = 4096
+  val HllRemBits12 = 36
+  val HllRemMod12 = 1L << HllRemBits12
+  val HllAlphaNum12: Double =
+    0.7213 / (1 + 1.079 / HllM12) * (HllM12.toDouble * HllM12) *
+      (1L << (HllRemBits12 + 1)).toDouble
+  val HllLcFp12: IndexedSeq[Long] = (1 to HllM12).map(v =>
+    math.floor(HllM12 * math.log(HllM12.toDouble / v) * 1e6).toLong)
+
+  /** Shards for the persisted-sketch lake tables (q94/q95): models the
+    * lake's data partitioning — each shard sketches only ITS rows, the
+    * reader merges sketch state, never raw data.
+    */
+  val SketchShards = 8
+
+  /** HLL registers (seg, bucket, reg) from a (seg, h) relation — the
+    * shared state-build for q89's per-segment sketches, q90's merged
+    * unions, and (at the p=12 geometry) q94's persisted register table.
+    * One map-side-combinable groupBy-max; ≤ |segs|·m rows out.
+    */
+  private[graft] def hllRegs(segHash: DataFrame,
+      remBits: Int = HllRemBits): DataFrame = {
+    val remMod = 1L << remBits
     segHash
-      .withColumn("bucket", expr(s"h DIV $HllRemMod"))
-      .withColumn("w", col("h") % HllRemMod)
-      .withColumn("rho", when(col("w") === 0, lit(HllRemBits + 1))
-        .otherwise(lit(HllRemBits + 1) - length(bin(col("w")))))
+      .withColumn("bucket", expr(s"h DIV $remMod"))
+      .withColumn("w", col("h") % remMod)
+      .withColumn("rho", when(col("w") === 0, lit(remBits + 1))
+        .otherwise(lit(remBits + 1) - length(bin(col("w")))))
       .groupBy(col("seg"), col("bucket"))
       .agg(max(col("rho")).as("reg"))
+  }
 
   /** Per-seg estimate columns (n_present, sum_fp, v_empty, raw_est,
     * use_lc, corrected) from a registers relation — q89's arithmetic,
-    * shared with q90 so merged registers price identically.
+    * shared with q90 so merged registers price identically, and
+    * geometry-parameterized for q94's production p=12 registers.
     */
-  private[graft] def hllEstimate(regs: DataFrame): DataFrame = {
-    val lcArr = array(HllLcFp.map(lit): _*)
+  private[graft] def hllEstimate(regs: DataFrame, m: Int = HllM,
+      remBits: Int = HllRemBits, alphaNum: Double = HllAlphaNum,
+      lcFp: IndexedSeq[Long] = HllLcFp): DataFrame = {
+    // single array literal (not array(m lits) — at m = 4096 per-element
+    // literals would bloat the generated code)
+    val lcArr = typedLit(lcFp.toArray)
     regs.groupBy(col("seg"))
       .agg(count(lit(1)).as("n_present"),
-        sum(expr(s"shiftleft(cast(1 as bigint), ${HllRemBits + 1} - reg)"))
+        sum(expr(s"shiftleft(cast(1 as bigint), ${remBits + 1} - reg)"))
           .as("present_fp"))
       .select(col("seg"), col("n_present"),
-        (col("present_fp") + (lit(HllM.toLong) - col("n_present"))
-          * lit(1L << (HllRemBits + 1))).as("sum_fp"))
-      .withColumn("v_empty", lit(HllM.toLong) - col("n_present"))
-      .withColumn("raw_est", lit(HllAlphaNum) / col("sum_fp").cast("double"))
+        (col("present_fp") + (lit(m.toLong) - col("n_present"))
+          * lit(1L << (remBits + 1))).as("sum_fp"))
+      .withColumn("v_empty", lit(m.toLong) - col("n_present"))
+      .withColumn("raw_est", lit(alphaNum) / col("sum_fp").cast("double"))
       .withColumn("use_lc",
-        col("raw_est") <= lit(2.5 * HllM) && col("v_empty") > 0)
+        col("raw_est") <= lit(2.5 * m) && col("v_empty") > 0)
       .withColumn("corrected", when(col("use_lc"),
         element_at(lcArr, greatest(col("v_empty"), lit(1L)).cast("int"))
           .cast("double") / lit(1e6))
@@ -608,15 +673,15 @@ object ExtensionQueries7 {
     // dedup CLUSTER (hash the cluster id, not the doc), so every member of
     // a near-dup clique lands in the same split and no LSH candidate pair
     // ever straddles a split boundary (Round12bSpec asserts zero
-    // straddlers). Scale shape: d07's fixed-round label propagation (one
-    // keyed join + aggregate per round) plus a row-local hash — nothing
-    // beyond what dedup already paid.
+    // straddlers). Scale shape: d07's until-convergence label propagation
+    // (one keyed join + aggregate per round) plus a row-local hash —
+    // nothing beyond what dedup already paid.
     "d18_cluster_split" -> ((s, dir) => {
       val feats = ExtensionQueries.docFeatures(s, dir)
       val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
       val clusters = Dedup
         .labelClusters(feats.select("id"), pairs,
-          rounds = ExtensionQueries.ClusterRounds)
+          maxRounds = ExtensionQueries.ClusterMaxRounds)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       val hexDigit = substring(md5(col("cluster_id").cast("string")), 1, 1)
       val bucket = (array_position(
@@ -868,6 +933,99 @@ object ExtensionQueries7 {
       segRows.unionByName(interRow).orderBy(col("seg"))
     }),
 
+    // Persisted production-geometry HLL register LAKE TABLE (q94): the
+    // shape a 100 TB deployment actually runs — p = 12 / m = 4096
+    // registers (≈1.6% standard error) built PER SHARD (each lake
+    // partition sketches only its own rows), WRITTEN to a
+    // shard-partitioned parquet table (the q84/s24 stored-artifact
+    // pattern), then MERGED ON READ by register-max. The reader never
+    // touches raw events: the merge scans ≤ shards·|segs|·m register
+    // rows, so a snapshot's distinct counts (and any union across
+    // partitions, days, or snapshots — q90's algebra) cost sketch-state
+    // I/O, not a corpus rescan; a new ingest appends ONLY its own shard's
+    // registers. true_distinct sits beside the estimate as the accuracy
+    // report. Scale shape: one map-side-combinable events pass per shard
+    // build; everything after reads the bounded register table.
+    "q94_hll_register_lake" -> ((s, dir) => {
+      val h = ExtensionQueries3.md5Hash48(col("user_id"))
+      val segHash = t(s, dir, "events")
+        .select(col("event_type").as("seg"), h.as("h"))
+      // shard = low 3 hash bits: ANY row partitioning works (register-max
+      // is partition-agnostic); bucket uses the TOP 12 bits, so shard and
+      // bucket touch disjoint bits
+      val shardRegs = segHash
+        .withColumn("shard", pmod(col("h"), lit(SketchShards.toLong)).cast("int"))
+        .withColumn("bucket", expr(s"h DIV $HllRemMod12"))
+        .withColumn("w", col("h") % HllRemMod12)
+        .withColumn("rho", when(col("w") === 0, lit(HllRemBits12 + 1))
+          .otherwise(lit(HllRemBits12 + 1) - length(bin(col("w")))))
+        .groupBy(col("shard"), col("seg"), col("bucket"))
+        .agg(max(col("rho")).as("reg"))
+      val sink = graft.sources.Scratch.fresh(s,
+        s"hll_registers_${new java.io.File(dir).getName}")
+      shardRegs.write.mode("overwrite").partitionBy("shard").parquet(sink)
+      // merge-on-read: register-max across shards — ONLY register rows
+      val merged = s.read.parquet(sink)
+        .groupBy(col("seg"), col("bucket")).agg(max(col("reg")).as("reg"))
+      val est = hllEstimate(merged, HllM12, HllRemBits12, HllAlphaNum12,
+        HllLcFp12)
+      val exact = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("true_distinct"))
+        .select(col("event_type").as("seg"), col("true_distinct"))
+      est.join(exact, Seq("seg"))
+        .select(col("seg").as("event_type"), lit(HllM12).as("m"),
+          lit(SketchShards).as("n_shards"),
+          col("n_present"), col("sum_fp"),
+          Agg.roundAt(col("raw_est"), 4).as("raw_est"),
+          Agg.roundAt(col("corrected"), 4).as("est_distinct"),
+          when(col("use_lc"), "linear").otherwise("raw").as("method"),
+          col("true_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Persisted CMS counter LAKE TABLE (q95): q88's grid at production
+    // geometry (depth 5 × width 2048), built per DOC shard, written
+    // shard-partitioned (the q94 pattern), merged on read by element-wise
+    // ADDITION — the additive twin of q94's register-max. The persisted
+    // grid is what makes CMS operational at 100 TB: per-partition grids
+    // are built once at ingest, any term's frequency (or q91's join-size
+    // inner product) is answered from ≤ shards·depth·width counter rows,
+    // and retention/compaction can re-merge grids without the vocabulary
+    // ever existing as state. Probes report the exact top terms beside
+    // their estimates (overestimate-only — the q88 guarantee survives the
+    // merge because addition commutes with it).
+    "q95_cms_counter_lake" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val shardGrids = words
+        .withColumn("shard", pmod(col("doc_id"), lit(SketchShards.toLong)).cast("int"))
+        .select(col("shard"), posexplode(array((0 until CmsLakeDepth).map(i =>
+          cmsBucket(i, CmsLakeWidth, col("term"))): _*)).as(Seq("row_i", "bucket")))
+        .groupBy(col("shard"), col("row_i"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val sink = graft.sources.Scratch.fresh(s,
+        s"cms_counters_${new java.io.File(dir).getName}")
+      shardGrids.write.mode("overwrite").partitionBy("shard").parquet(sink)
+      val merged = s.read.parquet(sink)
+        .groupBy(col("row_i"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      val probeSet = words.groupBy(col("term"))
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("term").asc)
+        .limit(CmsProbes)
+      probeSet
+        .select(col("term"), col("true_cnt"),
+          posexplode(array((0 until CmsLakeDepth).map(i =>
+            cmsBucket(i, CmsLakeWidth, col("term"))): _*)).as(Seq("row_i", "bucket")))
+        .join(broadcast(merged), Seq("row_i", "bucket"))
+        .groupBy(col("term"), col("true_cnt"))
+        .agg(min(col("cnt")).as("est_cnt"))
+        .select(col("term"), lit(SketchShards).as("n_shards"),
+          col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).as("overcount"))
+        .orderBy(col("term"))
+    }),
+
     // Dominant principal direction (s28): the top eigenvector of the
     // centered embedding covariance by matrix-free power iteration —
     // y ← Σᵢ x′ᵢ (x′ᵢ·v), v ← y/‖y‖ — the embedding-space health
@@ -962,16 +1120,17 @@ object ExtensionQueries7 {
     // template/boilerplate FAMILIES sit in high cores (every member near-
     // dups many others) while incidental LSH collisions peel away in the
     // first rounds — the graph-curation primitive behind spam-farm and
-    // mirror-site detection. Fixed-round peeling with per-round
+    // mirror-site detection. Until-convergence peeling with per-round
     // checkpointed edges (the d07/g01 iterative-hygiene rule); the
-    // fixture reaches the fixed point inside CoreRounds (spec-pinned).
+    // oracle unrolls CoreRounds peels, ≥ the measured fixture depth with
+    // margin (extra rounds past the fixed point are no-ops).
     // Scale shape: each round is one degree aggregation + two keyed
     // semi-join-shaped filters over the EDGE set — linear per round,
     // never all-pairs, no driver state.
     "g03_kcore" -> ((s, dir) => {
       val feats = ExtensionQueries.docFeatures(s, dir)
       val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
-      val core = kcoreEdges(pairs, CoreK, CoreRounds)
+      val core = kcoreEdges(pairs, CoreK, CoreMaxRounds)
         .groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
       t(s, dir, "documents").select(col("doc_id"))
         .join(core, col("doc_id") === col("src"), "left")
@@ -1560,6 +1719,103 @@ object ExtensionQueries7 {
              true_distinct
       FROM cor ORDER BY event_type""",
 
+    // Lake-register replay (q94): the shard layer is algebraically
+    // transparent — per-shard register maxes merged by max equal the
+    // direct global max per (seg, bucket) — so the oracle computes the
+    // p=12 sketch END-TO-END from the raw events; Spark's answer must be
+    // unchanged by its write → partition → merge-on-read round trip.
+    "q94_hll_register_lake" -> s"""
+      WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h,
+               user_id
+        FROM events
+      ),
+      r AS (
+        SELECT event_type, h // $HllRemMod12 AS bucket,
+               CASE WHEN h % $HllRemMod12 = 0 THEN ${HllRemBits12 + 1}
+                    ELSE ${HllRemBits12 + 1} - length(bin(h % $HllRemMod12))
+               END AS rho
+        FROM h
+      ),
+      regs AS (
+        SELECT event_type, bucket, max(rho) AS reg
+        FROM r GROUP BY 1, 2
+      ),
+      sk AS (
+        SELECT event_type, count(*) AS n_present,
+               CAST(sum(CAST(1 AS BIGINT) << (${HllRemBits12 + 1} - reg))
+                 AS BIGINT)
+                 + ($HllM12 - count(*)) * (CAST(1 AS BIGINT) << ${HllRemBits12 + 1})
+                 AS sum_fp
+        FROM regs GROUP BY 1
+      ),
+      ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS true_distinct
+        FROM events GROUP BY 1
+      ),
+      est AS (
+        SELECT sk.event_type, sk.n_present, sk.sum_fp, ex.true_distinct,
+               ($HllM12 - sk.n_present) AS v_empty,
+               $HllAlphaNum12 / CAST(sk.sum_fp AS DOUBLE) AS raw_est
+        FROM sk JOIN ex ON sk.event_type = ex.event_type
+      ),
+      cor AS (
+        SELECT *,
+               (raw_est <= CAST(${2.5 * HllM12} AS DOUBLE) AND v_empty > 0)
+                 AS use_lc,
+               CASE WHEN raw_est <= CAST(${2.5 * HllM12} AS DOUBLE)
+                         AND v_empty > 0
+                    THEN CAST([${HllLcFp12.mkString(",")}]
+                      [CAST(greatest(v_empty, 1) AS INTEGER)] AS DOUBLE)
+                      / 1000000.0
+                    ELSE raw_est END AS corrected
+        FROM est
+      )
+      SELECT event_type, $HllM12 AS m, $SketchShards AS n_shards,
+             n_present, sum_fp,
+             floor(raw_est * 10000 + 0.5) / 10000 AS raw_est,
+             floor(corrected * 10000 + 0.5) / 10000 AS est_distinct,
+             CASE WHEN use_lc THEN 'linear' ELSE 'raw' END AS method,
+             true_distinct
+      FROM cor ORDER BY event_type""",
+
+    // Lake-counter replay (q95): per-shard counts merged by addition equal
+    // the direct global counts, so the oracle runs q88's replay at the
+    // production geometry with no shard layer; the Spark side's
+    // write/merge round trip must change nothing.
+    "q95_cms_counter_lake" -> s"""
+      WITH words AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+      ),
+      hashed AS (
+        SELECT i AS row_i, ${cmsBucketSql("i", "term", CmsLakeWidth)} AS bucket
+        FROM words, range(0, $CmsLakeDepth) t(i)
+      ),
+      counters AS (
+        SELECT row_i, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2
+      ),
+      probes AS (
+        SELECT term, count(*) AS true_cnt FROM words GROUP BY 1
+        ORDER BY true_cnt DESC, term ASC LIMIT $CmsProbes
+      ),
+      pb AS (
+        SELECT p.term, p.true_cnt, i AS row_i,
+               ${cmsBucketSql("i", "p.term", CmsLakeWidth)} AS bucket
+        FROM probes p, range(0, $CmsLakeDepth) t(i)
+      ),
+      est AS (
+        SELECT pb.term, pb.true_cnt, min(c.cnt) AS est_cnt
+        FROM pb JOIN counters c ON pb.row_i = c.row_i AND pb.bucket = c.bucket
+        GROUP BY 1, 2
+      )
+      SELECT term, CAST($SketchShards AS INTEGER) AS n_shards,
+             CAST(true_cnt AS BIGINT) AS true_cnt,
+             CAST(est_cnt AS BIGINT) AS est_cnt,
+             CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+      FROM est ORDER BY term""",
+
     // Index+delta replay: the k-means training CTEs run over the INDEXED
     // subset (kmTrainingCtes reads CTE `e`, so `e` here IS the subset),
     // the sidecar cross-joins the query set, one shared rank fuses both.
@@ -1763,9 +2019,14 @@ object ExtensionQueries7 {
     // one (degree, filter) CTE pair per round, final core degrees left-
     // joined onto the full corpus.
     "g03_kcore" -> {
+      // MATERIALIZED per round: each e_r references e_{r-1} twice (degree
+      // agg + join base), so an inlined chain doubles the plan per round —
+      // 2^rounds leaf scans blew the process file-handle budget at 8
+      // rounds. Materializing is DuckDB's spelling of the Spark side's
+      // per-round checkpoint hygiene: linear plan growth.
       val peel = (1 to CoreRounds).map { r =>
-        s"""d$r AS (SELECT src, count(*) AS deg FROM e${r - 1} GROUP BY 1),
-      e$r AS (
+        s"""d$r AS MATERIALIZED (SELECT src, count(*) AS deg FROM e${r - 1} GROUP BY 1),
+      e$r AS MATERIALIZED (
         SELECT e.src, e.dst FROM e${r - 1} e
         JOIN d$r a ON e.src = a.src
         JOIN d$r b ON e.dst = b.src

@@ -97,9 +97,20 @@ ORDER BY a.root_key
       // |customer|·log10(maxkey) rows (exact, known a priori), which
       // crosses 1M at the 10× scale-up fixture; raise the valve so the
       // row bound is the DATA's, with the level limit (100 ≫ log10 depth)
-      // still guarding runaway recursion.
-      s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
-      s.sql(recursiveHierarchySql("DIV"))
+      // still guarding runaway recursion. The override must NOT leak to
+      // the shared session (it would disable the valve for every later
+      // recursive query), and the conf is read at EXECUTION time, so the
+      // query is materialized eagerly (localCheckpoint) inside the
+      // save/restore window — the result is bounded (|customer|·depth
+      // rows), and the checkpoint also truncates the recursion lineage.
+      val key = "spark.sql.cteRecursionRowLimit"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "2000000000")
+      try s.sql(recursiveHierarchySql("DIV")).localCheckpoint()
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }),
 
     // SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN expr): the engine's

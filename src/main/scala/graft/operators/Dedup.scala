@@ -83,40 +83,101 @@ object Dedup {
       .unionAll(matches(nb, col("doc_new") < col("doc_matched"), vsExisting = false))
   }
 
-  /** Resolve candidate pairs into duplicate clusters: min-label propagation
-    * over the pair graph for a FIXED number of rounds (deterministic plan,
-    * no driver-side convergence polling — after r rounds every doc carries
-    * the min id within r hops, which labels real dedup clusters whose
-    * diameter is small; singletons keep their own id). Each round is one
-    * join + one aggregate — shuffle-parallel, r = O(log n) in practice.
-    */
   /** Session-scoped memo for [[labelClusters]] results. The Kmeans
     * trainers share materializations through CacheManager's
     * canonical-plan dedup alone, but labelClusters localCheckpoints its
     * edge set — a per-call RDD identity that defeats plan-level dedup, so
     * every consumer of the SAME cluster assignment (d07, d08, d18) was
     * re-running the full propagation (measured ~2 s each at sf0.1, ~12 s
-    * at sf1). Keyed by (session, analyzed-plan semantic hashes, rounds,
-    * checkpoint dir) — distinct fixtures/graphs/configs stay distinct;
-    * entries are per-JVM-session like every other operator cache here.
+    * at sf1). Keyed by (session, analyzed-plan semantic hashes, maxRounds,
+    * checkpoint dir) — distinct fixtures/graphs/configs stay distinct.
+    * The 32-bit semantic hashes are the LOOKUP key only: each entry also
+    * carries the canonicalized plans, and a hit must pass full plan
+    * equality — a hash collision falls through to recompute instead of
+    * silently returning the wrong clusters. Entries whose session has been
+    * stopped are evicted on the next call (their cached blocks died with
+    * the session), so the memo cannot pin stopped-session state across a
+    * long-running driver's session churn.
     */
+  private final case class ClusterMemoEntry(
+      docsPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      pairsPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      result: DataFrame)
   private val clusterMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, Int, Int, Int, Option[String]),
-    DataFrame]()
+    ClusterMemoEntry]()
 
-  def labelClusters(docs: DataFrame, pairs: DataFrame, rounds: Int,
+  /** Resolve candidate pairs into duplicate clusters: min-label propagation
+    * over the pair graph UNTIL CONVERGENCE (exact fixed-point detection),
+    * capped at `maxRounds` as a runaway guard. After convergence every doc
+    * carries the min id in its connected component; singletons keep their
+    * own id. Each round is one join + one aggregate — shuffle-parallel —
+    * and rounds-to-converge equals the cluster diameter (O(log n) for the
+    * near-clique clusters LSH banding produces, but a 100 TB candidate
+    * graph can contain longer chains, and a fixed round count silently
+    * UNDER-MERGES them — the round-13 convergence spec pins that failure
+    * mode on a 12-hop chain).
+    *
+    * Convergence detection is exact and cheap: with self-loop edges the
+    * per-id label is monotonically non-increasing, so the per-round
+    * aggregate SUM(label) (exact DECIMAL(38,0) arithmetic — no float
+    * rounding, no 64-bit overflow below 10^38) strictly decreases until
+    * the fixed point; two equal consecutive sums ⇔ no label changed ⇔
+    * done. One 1-row aggregate job per round on the already-checkpointed
+    * labels — no extra join, no driver-side data.
+    */
+  /** Drop (and unpersist) this session's memoized cluster assignments.
+    * Bench calls it between timing passes so the d07 headline measures the
+    * PROPAGATION, not a memo hit — without this, pass 2's sample is a
+    * cache read and the min2warm headline would permanently hide
+    * regressions in the propagation itself.
+    */
+  private[graft] def clearClusterMemo(s: org.apache.spark.sql.SparkSession): Unit =
+    clusterMemo.entrySet().removeIf { e =>
+      val matches = e.getKey._1 eq s
+      if (matches) e.getValue.result.unpersist()
+      matches
+    }
+
+  def labelClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int,
       reliableCheckpointDir: Option[String] = None): DataFrame = {
-    val key = (docs.sparkSession,
-      docs.queryExecution.analyzed.semanticHash(),
-      pairs.queryExecution.analyzed.semanticHash(),
-      rounds, reliableCheckpointDir)
-    clusterMemo.computeIfAbsent(key, _ =>
-      labelClustersUncached(docs, pairs, rounds, reliableCheckpointDir)
-        .persist())
+    // evict entries from stopped sessions (their cache blocks are gone;
+    // nothing to unpersist — the context that owned the blocks is dead)
+    clusterMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    val docsPlan = docs.queryExecution.analyzed.canonicalized
+    val pairsPlan = pairs.queryExecution.analyzed.canonicalized
+    val key = (docs.sparkSession, docsPlan.semanticHash(),
+      pairsPlan.semanticHash(), maxRounds, reliableCheckpointDir)
+    val hit = Option(clusterMemo.get(key))
+      .filter(e => e.docsPlan == docsPlan && e.pairsPlan == pairsPlan)
+    hit.map(_.result).getOrElse {
+      // compute OUTSIDE any ConcurrentHashMap lock (propagation runs
+      // multi-second Spark jobs; computeIfAbsent would serialize unrelated
+      // first-callers on the bin lock) — a concurrent duplicate compute is
+      // benign: the loser unpersists its copy and adopts the winner's.
+      val computed = labelClustersUncached(docs, pairs, maxRounds,
+        reliableCheckpointDir)._1.persist()
+      val entry = ClusterMemoEntry(docsPlan, pairsPlan, computed)
+      val prev = clusterMemo.putIfAbsent(key, entry)
+      if (prev == null) computed
+      else if (prev.docsPlan == docsPlan && prev.pairsPlan == pairsPlan) {
+        computed.unpersist(); prev.result
+      } else {
+        // 32-bit hash collision with a DIFFERENT plan: replace (the old
+        // entry is unreachable through equality-checked lookups anyway)
+        clusterMemo.put(key, entry)
+        prev.result.unpersist()
+        computed
+      }
+    }
   }
 
-  private def labelClustersUncached(docs: DataFrame, pairs: DataFrame,
-      rounds: Int, reliableCheckpointDir: Option[String]): DataFrame = {
+  /** [[labelClusters]] body, uncached; also returns the number of
+    * propagation rounds actually executed (specs and scale audits read it).
+    */
+  private[graft] def labelClustersUncached(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int, reliableCheckpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
     // Iterative-algorithm hygiene: the naive round
     // `labels.union(propagated(labels))` references `labels` TWICE, so the
     // logical plan doubles every iteration (2^rounds leaf copies — measured
@@ -150,14 +211,35 @@ object Dedup {
     }
     var labels = docs.select(col(docs.columns.head).as("id"),
       col(docs.columns.head).as("label"))
-    for (_ <- 1 to rounds) {
+    // Adaptive loop: each round is checkpointed (eager — the convergence
+    // poll needs the round materialized anyway, and the checkpoint keeps
+    // plan growth LINEAR in executed rounds: every round's plan reads the
+    // previous round's truncated RDD, never the whole chain), then one
+    // 1-row DECIMAL(38,0) sum probes for the fixed point. Rounds run only
+    // until the graph actually converges, so a shallow graph pays 2-3
+    // rounds where the old fixed-5 form always paid 5 — and a deep one
+    // pays its true diameter instead of silently under-merging.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] = Option(
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s")).head().getDecimal(0))
+    var prevSum = labelSum(labels)
+    var executed = 0
+    var converged = false
+    while (!converged && executed < maxRounds) {
       labels = edges
         .join(labels.withColumnRenamed("id", "__src"), col("src") === col("__src"))
         .groupBy(col("dst"))
         .agg(min("label").as("label"))
         .select(col("dst").as("id"), col("label"))
+        .localCheckpoint()
+      executed += 1
+      val s = labelSum(labels)
+      converged = (s, prevSum) match {
+        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case (a, b) => a == b // both None: empty graph, trivially stable
+      }
+      prevSum = s
     }
-    labels
+    (labels, executed)
   }
 
   /** Exact Jaccard similarity on candidate pairs (the verify step after LSH

@@ -19,12 +19,12 @@ class IndependentSemanticsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("labelClusters(ClusterRounds) equals union-find components on the fixture") {
+  test("labelClusters equals union-find components on the fixture") {
     val feats = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id").as("id"), TextHash.shingleHashes(col("text"), 2).as("features"))
     val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
     val got = Dedup.labelClusters(feats.select("id"), pairs,
-        rounds = ExtensionQueries.ClusterRounds)
+        maxRounds = ExtensionQueries.ClusterMaxRounds)
       .as[(Long, Long)].collect().toMap
 
     // independent union-find over the same pairs
@@ -49,16 +49,19 @@ class IndependentSemanticsSpec extends AnyFunSuite {
     assert(got == expected) // also proves ClusterRounds fully converged here
   }
 
-  test("labelClusters converges by ClusterRounds at the driver-verified scale") {
+  test("labelClusters converges inside the oracle's unroll depth at the driver-verified scale") {
+    // The adaptive engine iterates to the exact fixed point; the DuckDB
+    // oracle unrolls ClusterRounds CTEs. They agree iff the true
+    // convergence depth ≤ ClusterRounds at the compared scale — pin that
+    // margin here (sf0.01 is the driver's oracle-compare scale).
     val feats = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
       .select(col("doc_id").as("id"), TextHash.shingleHashes(col("text"), 2).as("features"))
     val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3).persist()
-    val atN = Dedup.labelClusters(feats.select("id"), pairs,
-      rounds = ExtensionQueries.ClusterRounds).as[(Long, Long)].collect().toMap
-    val atN3 = Dedup.labelClusters(feats.select("id"), pairs,
-      rounds = ExtensionQueries.ClusterRounds + 3).as[(Long, Long)].collect().toMap
+    val (_, executed) = Dedup.labelClustersUncached(feats.select("id"), pairs,
+      maxRounds = ExtensionQueries.ClusterMaxRounds)
     pairs.unpersist()
-    assert(atN == atN3)
+    assert(executed >= 1 && executed <= ExtensionQueries.ClusterRounds,
+      s"propagation took $executed rounds; oracle unrolls only ${ExtensionQueries.ClusterRounds}")
   }
 
   test("reliable-checkpoint labelClusters equals the localCheckpoint default") {
@@ -67,9 +70,9 @@ class IndependentSemanticsSpec extends AnyFunSuite {
     val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val default = Dedup.labelClusters(feats.select("id"), pairs,
-      rounds = ExtensionQueries.ClusterRounds).as[(Long, Long)].collect().toMap
+      maxRounds = ExtensionQueries.ClusterMaxRounds).as[(Long, Long)].collect().toMap
     val reliable = Dedup.labelClusters(feats.select("id"), pairs,
-        rounds = ExtensionQueries.ClusterRounds, reliableCheckpointDir = Some(ckpt))
+        maxRounds = ExtensionQueries.ClusterMaxRounds, reliableCheckpointDir = Some(ckpt))
       .as[(Long, Long)].collect().toMap
     assert(reliable == default)
     // the edge set really landed on storage (what survives executor loss)

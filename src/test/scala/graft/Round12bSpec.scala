@@ -538,16 +538,16 @@ class Round12bSpec extends AnyFunSuite {
 
   // ---- g03 k-core ----
 
-  test("g03: peeling reaches its fixed point within CoreRounds and the core is proper") {
+  test("g03: peeling converges inside the oracle's CoreRounds unroll and the core is proper") {
     val feats = ExtensionQueries.docFeatures(spark, sf)
     val pairs = graft.operators.Dedup
       .lshCandidatePairs(feats, bands = 4, rows = 3)
-    val atR = ExtensionQueries7
-      .kcoreEdges(pairs, ExtensionQueries7.CoreK, ExtensionQueries7.CoreRounds)
-    val atR1 = ExtensionQueries7
-      .kcoreEdges(pairs, ExtensionQueries7.CoreK, ExtensionQueries7.CoreRounds + 1)
-    assert(atR.count() == atR1.count(),
-      "one more round still peeled edges — CoreRounds no longer converges")
+    val (atR, executed) = ExtensionQueries7.kcoreEdgesWithRounds(
+      pairs, ExtensionQueries7.CoreK, ExtensionQueries7.CoreMaxRounds)
+    // the DuckDB oracle unrolls CoreRounds peels: equality needs the true
+    // peel depth ≤ that unroll at the compared scale — pin the margin
+    assert(executed <= ExtensionQueries7.CoreRounds,
+      s"peeling took $executed rounds; oracle unrolls only ${ExtensionQueries7.CoreRounds}")
     // k-core definition: every surviving node keeps degree >= K
     val minDeg = atR.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .agg(min(col("d"))).collect()(0).getLong(0)
