@@ -334,6 +334,38 @@ object ExtensionQueries7 {
     */
   val SketchShards = 8
 
+  /** Per-shard HLL registers (shard, seg, bucket, reg) from a (seg, h)
+    * relation — q94's lake-table build. shard = low 3 hash bits (bucket
+    * uses the TOP p bits, so the two touch disjoint bits), but ANY row
+    * partitioning works: register-max is partition-agnostic, which is the
+    * property SketchSpec pins (shard-merged == direct).
+    */
+  private[graft] def hllShardRegs(segHash: DataFrame, remBits: Int,
+      shards: Int): DataFrame = {
+    val remMod = 1L << remBits
+    segHash
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("int"))
+      .withColumn("bucket", expr(s"h DIV $remMod"))
+      .withColumn("w", col("h") % remMod)
+      .withColumn("rho", when(col("w") === 0, lit(remBits + 1))
+        .otherwise(lit(remBits + 1) - length(bin(col("w")))))
+      .groupBy(col("shard"), col("seg"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Per-shard CMS grids (shard, row_i, bucket, cnt) from a
+    * (doc_id, term) relation — q95's lake-table build; counts are
+    * additive, so shard grids merged by sum equal the direct grid.
+    */
+  private[graft] def cmsShardGrids(words: DataFrame, depth: Int,
+      width: Long, shards: Int): DataFrame =
+    words
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)).cast("int"))
+      .select(col("shard"), posexplode(array((0 until depth).map(i =>
+        cmsBucket(i, width, col("term"))): _*)).as(Seq("row_i", "bucket")))
+      .groupBy(col("shard"), col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** HLL registers (seg, bucket, reg) from a (seg, h) relation — the
     * shared state-build for q89's per-segment sketches, q90's merged
     * unions, and (at the p=12 geometry) q94's persisted register table.
@@ -950,17 +982,7 @@ object ExtensionQueries7 {
       val h = ExtensionQueries3.md5Hash48(col("user_id"))
       val segHash = t(s, dir, "events")
         .select(col("event_type").as("seg"), h.as("h"))
-      // shard = low 3 hash bits: ANY row partitioning works (register-max
-      // is partition-agnostic); bucket uses the TOP 12 bits, so shard and
-      // bucket touch disjoint bits
-      val shardRegs = segHash
-        .withColumn("shard", pmod(col("h"), lit(SketchShards.toLong)).cast("int"))
-        .withColumn("bucket", expr(s"h DIV $HllRemMod12"))
-        .withColumn("w", col("h") % HllRemMod12)
-        .withColumn("rho", when(col("w") === 0, lit(HllRemBits12 + 1))
-          .otherwise(lit(HllRemBits12 + 1) - length(bin(col("w")))))
-        .groupBy(col("shard"), col("seg"), col("bucket"))
-        .agg(max(col("rho")).as("reg"))
+      val shardRegs = hllShardRegs(segHash, HllRemBits12, SketchShards)
       val sink = graft.sources.Scratch.fresh(s,
         s"hll_registers_${new java.io.File(dir).getName}")
       shardRegs.write.mode("overwrite").partitionBy("shard").parquet(sink)
@@ -998,12 +1020,8 @@ object ExtensionQueries7 {
     "q95_cms_counter_lake" -> ((s, dir) => {
       val words = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      val shardGrids = words
-        .withColumn("shard", pmod(col("doc_id"), lit(SketchShards.toLong)).cast("int"))
-        .select(col("shard"), posexplode(array((0 until CmsLakeDepth).map(i =>
-          cmsBucket(i, CmsLakeWidth, col("term"))): _*)).as(Seq("row_i", "bucket")))
-        .groupBy(col("shard"), col("row_i"), col("bucket"))
-        .agg(count(lit(1)).as("cnt"))
+      val shardGrids = cmsShardGrids(words, CmsLakeDepth, CmsLakeWidth,
+        SketchShards)
       val sink = graft.sources.Scratch.fresh(s,
         s"cms_counters_${new java.io.File(dir).getName}")
       shardGrids.write.mode("overwrite").partitionBy("shard").parquet(sink)

@@ -100,6 +100,56 @@ class Round13Spec extends AnyFunSuite {
     assert(rounds <= 3, s"pendant path peels in 2 rounds + 1 observe, ran $rounds")
   }
 
+  // ---- persisted production-geometry sketches (q94/q95) ----
+
+  test("p=12 HLL tracks exact counts across three cardinality decades") {
+    // 10^2 (linear-counting regime), 10^4 (near the 2.5m boundary),
+    // 10^6 (raw harmonic regime) — m = 4096 gives 1.04/sqrt(m) ~ 1.6%
+    // standard error; 0.06 is a ~4-sigma acceptance band
+    for (n <- Seq(100L, 10000L, 1000000L)) {
+      val ids = spark.range(n).select(lit("all").as("seg"),
+        ExtensionQueries3.md5Hash48(concat(lit("user"), col("id"))).as("h"))
+      val est = ExtensionQueries7.hllEstimate(
+        ExtensionQueries7.hllRegs(ids, ExtensionQueries7.HllRemBits12),
+        ExtensionQueries7.HllM12, ExtensionQueries7.HllRemBits12,
+        ExtensionQueries7.HllAlphaNum12, ExtensionQueries7.HllLcFp12)
+        .select(col("corrected")).head().getDouble(0)
+      val relErr = math.abs(est - n) / n
+      assert(relErr <= 0.06, s"n=$n: estimate $est, relative error $relErr")
+    }
+  }
+
+  test("q94: shard registers merged by max equal the directly-built registers") {
+    val segHash = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type").as("seg"),
+        ExtensionQueries3.md5Hash48(col("user_id")).as("h"))
+    val direct = ExtensionQueries7.hllRegs(segHash, ExtensionQueries7.HllRemBits12)
+      .as[(String, Long, Int)].collect().toSet
+    val merged = ExtensionQueries7
+      .hllShardRegs(segHash, ExtensionQueries7.HllRemBits12,
+        ExtensionQueries7.SketchShards)
+      .groupBy(col("seg"), col("bucket")).agg(max(col("reg")).as("reg"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(merged == direct)
+  }
+
+  test("q95: shard grids merged by addition equal the direct grid; estimates never undercount") {
+    val words = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
+    val direct = ExtensionQueries7.cmsCounters(words.select(col("term")),
+        ExtensionQueries7.CmsLakeDepth, ExtensionQueries7.CmsLakeWidth)
+      .as[(Int, Long, Long)].collect().toSet
+    val merged = ExtensionQueries7.cmsShardGrids(words,
+        ExtensionQueries7.CmsLakeDepth, ExtensionQueries7.CmsLakeWidth,
+        ExtensionQueries7.SketchShards)
+      .groupBy(col("row_i"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == direct)
+    val res = ExtensionQueries7.all("q95_cms_counter_lake")(spark, "/root/testdata/sf0.001")
+    assert(res.filter(col("overcount") < 0).count() == 0L)
+  }
+
   // ---- memo integrity (the ADVICE items) ----
 
   test("labelClusters memo hit requires full plan equality, not just the hash") {
