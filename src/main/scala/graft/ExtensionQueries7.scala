@@ -334,6 +334,65 @@ object ExtensionQueries7 {
     */
   val SketchShards = 8
 
+  /** s30's stored-table build: train the IVF index on the corpus' indexed
+    * 90% (s27's split), commit assignments and the un-indexed sidecar as
+    * versioned [[graft.sources.Snapshots]] tables under `root`, centroids
+    * as plain parquet (bounded, rewritten whole on retrain).
+    */
+  private[graft] def buildIvfLakeTables(s: SparkSession, dir: String,
+      root: String): Unit = {
+    import ExtensionQueries.{IvfCells, IvfIters}
+    val e = ExtensionQueries.embeddingsD(s, dir)
+    val indexed = e.filter(col("vec_id") % 10 =!= 0)
+    val delta = e.filter(col("vec_id") % 10 === 0).select(col("vec_id"), col("v"))
+    val (cent, assigned) = graft.operators.Kmeans.fit(
+      indexed.select(col("vec_id"), col("v")), k = IvfCells, iters = IvfIters)
+    cent.write.mode("overwrite").parquet(s"$root/centroids")
+    graft.sources.Snapshots.commit(s, s"$root/assignments", assigned)
+    graft.sources.Snapshots.commit(s, s"$root/sidecar", delta)
+  }
+
+  /** Fold the sidecar into the stored index: nearest-existing-centroid
+    * assignment (no retrain) committed to the assignments table, then the
+    * sidecar commitReplace'd to empty. Both are manifest commits — the
+    * pre-compaction versions stay time-travelable.
+    */
+  private[graft] def compactIvfIndex(s: SparkSession, root: String): Unit = {
+    val cent = s.read.parquet(s"$root/centroids")
+    val side = graft.sources.Snapshots.readLatest(s, s"$root/sidecar")
+    val folded = graft.operators.Kmeans.assign(side, cent)
+    graft.sources.Snapshots.commit(s, s"$root/assignments", folded)
+    graft.sources.Snapshots.commitReplace(s, s"$root/sidecar", side.limit(0))
+  }
+
+  /** The s27 serving path over STORED tables: probe-pruned candidates from
+    * the assignments table fused with a brute scan of the sidecar (empty
+    * after compaction — the plan is unchanged, the arm just yields no
+    * rows). Returns the un-projected ranked rows.
+    */
+  private[graft] def storedIvfServe(q: DataFrame, cent: DataFrame,
+      asg: DataFrame, side: DataFrame, probe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val cells = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", VectorOps.cosineFast(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= probe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val candIdx = asg.join(broadcast(cells), Seq("cell"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+    val candSide = side.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    candIdx.unionByName(candSide)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorOps.cosineFast(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
   /** Per-shard HLL registers (shard, seg, bucket, reg) from a (seg, h)
     * relation — q94's lake-table build. shard = low 3 hash bits (bucket
     * uses the TOP p bits, so the two touch disjoint bits), but ANY row
@@ -880,6 +939,41 @@ object ExtensionQueries7 {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("vec_id"), col("src"),
+          Agg.roundAt(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Delta-into-index COMPACTION (s30): the maintenance loop that keeps
+    // s27's sidecar bounded. The stored artifacts are versioned Snapshots
+    // tables (q84's commit shape): assignments v1 = the trained index,
+    // sidecar v1 = the un-indexed ingest. Compaction assigns each sidecar
+    // vector to its nearest EXISTING centroid (Kmeans.assign — no
+    // retrain, the standard IVF insert), commits those rows to the
+    // assignments table, and commitReplace's the sidecar to empty — two
+    // atomic manifest commits, time travel to the pre-compaction version
+    // intact. Serving afterwards is the UNCHANGED s27 path over the
+    // stored tables; its delta arm scans an empty relation. Round13Spec
+    // pins the contract: the sidecar is empty post-compaction and the
+    // served top-k is row-identical before/after (a folded vector is
+    // findable through the probe because it sits in the cell nearest to
+    // itself — the same metric the probe ranks by). At 100 TB this runs
+    // on the index-rebuild cadence and is what bounds the brute-scanned
+    // sidecar between rebuilds.
+    "s30_index_compaction" -> ((s, dir) => {
+      import ExtensionQueries.IvfProbe
+      val root = graft.sources.Scratch.fresh(s,
+        s"ivf_compact_${new java.io.File(dir).getName}")
+      buildIvfLakeTables(s, dir, root)
+      compactIvfIndex(s, root)
+      val e = ExtensionQueries.embeddingsD(s, dir)
+      val q = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      storedIvfServe(q, s.read.parquet(s"$root/centroids"),
+          graft.sources.Snapshots.readLatest(s, s"$root/assignments"),
+          graft.sources.Snapshots.readLatest(s, s"$root/sidecar"), IvfProbe)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          when(col("vec_id") % 10 === 0, "compacted")
+            .otherwise("indexed").as("src"),
           Agg.roundAt(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1875,6 +1969,64 @@ object ExtensionQueries7 {
         FROM scored
       )
       SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, src,
+             floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""
+    },
+
+    // Compaction replay (s30): the post-compaction assignments are the
+    // trained-on-indexed assignments UNION the delta rows assigned to
+    // their nearest trained centroid (the same argmax Kmeans.assign
+    // runs); serving probes that merged table with NO sidecar arm. The
+    // Snapshots write/commit round trip on the Spark side must change
+    // nothing.
+    "s30_index_compaction" -> {
+      import ExtensionQueries.{IvfCells, IvfIters, IvfProbe, dotSql, kmTrainingCtes}
+      s"""
+      WITH full_e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      e AS (SELECT * FROM full_e WHERE vec_id % 10 <> 0),
+      delta AS (SELECT * FROM full_e WHERE vec_id % 10 = 0),${kmTrainingCtes(IvfCells, IvfIters)},
+      dasg AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT d.vec_id, d.v, c.cell,
+                 row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                   (${dotSql("d.v", "c.cv")} / (sqrt(${dotSql("d.v", "d.v")}) * sqrt(${dotSql("c.cv", "c.cv")}))) DESC,
+                   c.cell ASC) AS rn
+          FROM delta d CROSS JOIN c$IvfIters c
+        ) x WHERE rn = 1
+      ),
+      asg AS (
+        SELECT cell, vec_id, v FROM a$IvfIters
+        UNION ALL SELECT cell, vec_id, v FROM dasg
+      ),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM full_e WHERE vec_id <= 2),
+      probe AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.query_id, q.qv, c.cell,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   (${dotSql("q.qv", "c.cv")} / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("c.cv", "c.cv")}))) DESC,
+                   c.cell ASC) AS prn
+          FROM q CROSS JOIN c$IvfIters c
+        ) p WHERE prn <= $IvfProbe
+      ),
+      scored AS (
+        SELECT p.query_id, a.vec_id,
+               ${dotSql("p.qv", "a.v")} / (sqrt(${dotSql("p.qv", "p.qv")}) * sqrt(${dotSql("a.v", "a.v")})) AS cos
+        FROM probe p JOIN asg a ON p.cell = a.cell
+        WHERE a.vec_id <> p.query_id
+      ),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored
+      )
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+             CASE WHEN vec_id % 10 = 0 THEN 'compacted'
+                  ELSE 'indexed' END AS src,
              floor(cos * 1000000 + 0.5) / 1000000 AS cos
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""

@@ -150,6 +150,39 @@ class Round13Spec extends AnyFunSuite {
     assert(res.filter(col("overcount") < 0).count() == 0L)
   }
 
+  // ---- delta-into-index compaction (s30) ----
+
+  test("s30: compaction empties the sidecar and leaves served results unchanged") {
+    val sf = "/root/testdata/sf0.001"
+    val root = graft.sources.Scratch.fresh(spark, "spec_ivf_compact")
+    ExtensionQueries7.buildIvfLakeTables(spark, sf, root)
+    val e = ExtensionQueries.embeddingsD(spark, sf)
+    val q = e.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def serve() = ExtensionQueries7.storedIvfServe(q,
+        spark.read.parquet(s"$root/centroids"),
+        graft.sources.Snapshots.readLatest(spark, s"$root/assignments"),
+        graft.sources.Snapshots.readLatest(spark, s"$root/sidecar"),
+        ExtensionQueries.IvfProbe)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        graft.operators.Agg.roundAt(col("cos"), 6).as("cos"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val before = serve() // sidecar is brute-scanned (s27's serving)
+    assert(graft.sources.Snapshots
+      .readLatest(spark, s"$root/sidecar").count() > 0)
+    ExtensionQueries7.compactIvfIndex(spark, root)
+    // contract 1: the sidecar is EMPTY after compaction (bounded growth)
+    assert(graft.sources.Snapshots
+      .readLatest(spark, s"$root/sidecar").count() == 0L)
+    // contract 2: the served top-k is row-identical through the fold
+    val after = serve()
+    assert(after == before)
+    // and the pre-compaction state is still time-travelable (q84's shape)
+    val vs = graft.sources.Snapshots.versions(spark, s"$root/sidecar")
+    assert(graft.sources.Snapshots
+      .readAsOf(spark, s"$root/sidecar", vs.dropRight(1).last).count() > 0)
+  }
+
   // ---- memo integrity (the ADVICE items) ----
 
   test("labelClusters memo hit requires full plan equality, not just the hash") {
