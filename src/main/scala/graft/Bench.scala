@@ -35,7 +35,9 @@ object Bench {
     // real propagation again — the memo is cleared between passes — so
     // its r12 memo-hit number (0.149 s) is not a comparable baseline)
     "q88_countmin", "q89_hll_sketch", "d18_cluster_split",
-    "s26_ivf_nprobe_curve", "s28_dominant_direction", "g03_kcore")
+    "s26_ivf_nprobe_curve", "s28_dominant_direction", "g03_kcore",
+    // round-13 representatives (appended)
+    "q94_hll_register_lake", "s30_index_compaction", "s31_knn_graph_capped")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

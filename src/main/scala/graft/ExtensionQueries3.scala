@@ -35,7 +35,20 @@ object ExtensionQueries3 {
     * size); ranks order by the ROUNDED cosine so both engines break ties
     * identically.
     */
-  private[graft] def knnGraph(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  /** s31's posting-list occupancy cap: each cell keeps its [[GraphCapR]]
+    * members NEAREST THE CELL CENTROID (deterministic: cosine desc, vec_id
+    * asc). With the cap, candidate pairs are nprobe·n·R — LINEAR in the
+    * corpus — where the uncapped graph's nprobe·Σcell² term grows
+    * quadratically at fixed cell count (the builder-flagged 13× sf0.1→sf1
+    * slope). The recall cost is priced in s22's metrics table
+    * (graph_full vs graph_capped rows). 32 binds at every fixture scale
+    * including the sf0.01 oracle-compare scale (cells average ~62 there),
+    * so the compared artifact genuinely exercises the cap.
+    */
+  val GraphCapR = 32
+
+  private[graft] def knnGraph(s: SparkSession, dir: String, nprobe: Int,
+      capR: Option[Int] = None): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"),
       VectorOps.toDouble(col("embedding")).as("v"))
     val (cent, assigned) = Kmeans.fit(e,
@@ -48,8 +61,23 @@ object ExtensionQueries3 {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("vec_a"), col("va"), col("cell"))
-    val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-      col("cell").as("cell_b"))
+    val posting0 = assigned.select(col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("cell").as("cell_b"))
+    val b = capR match {
+      case Some(r) =>
+        // occupancy cap: rank members within their cell by proximity to
+        // the centroid, keep top R — posting lists become bounded state
+        val wCap = Window.partitionBy(col("cell_b"))
+          .orderBy(col("bcos").desc, col("vec_b").asc)
+        posting0
+          .join(broadcast(cent.select(col("cell").as("cell_b"), col("cv"))),
+            Seq("cell_b"))
+          .withColumn("bcos", VectorOps.cosineFast(col("vb"), col("cv")))
+          .withColumn("brn", row_number().over(wCap))
+          .filter(col("brn") <= r)
+          .select(col("vec_b"), col("vb"), col("cell_b"))
+      case None => posting0
+    }
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cos").desc, col("vec_b").asc)
     probes.join(b, col("cell") === col("cell_b") && col("vec_a") =!= col("vec_b"))
@@ -60,6 +88,66 @@ object ExtensionQueries3 {
       .select(col("vec_a").as("vec_id"), col("rank"), col("vec_b").as("neighbor"),
         col("cell_b").as("cell"), col("cos"))
       .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** DuckDB replay of [[knnGraph]], cap-parameterized — shared by the s13
+    * and s31 oracles so the two texts cannot drift.
+    */
+  private[graft] def knnGraphSql(cap: Option[Int]): String = {
+    val iters = ExtensionQueries.IvfIters
+    val postingCte = cap match {
+      case Some(r) => s"""
+      posting AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT b.vec_id, b.v, b.cell,
+                 row_number() OVER (PARTITION BY b.cell ORDER BY
+                   (${ExtensionQueries.dotSql("b.v", "c.cv")} /
+                    (sqrt(${ExtensionQueries.dotSql("b.v", "b.v")}) *
+                     sqrt(${ExtensionQueries.dotSql("c.cv", "c.cv")}))) DESC,
+                   b.vec_id ASC) AS brn
+          FROM a$iters b JOIN c$iters c ON b.cell = c.cell
+        ) x WHERE brn <= $r
+      ),"""
+      case None => s"""
+      posting AS (SELECT vec_id, v, cell FROM a$iters),"""
+    }
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),${ExtensionQueries.kmTrainingCtes(
+        ExtensionQueries.IvfCells, iters)},$postingCte
+      probes AS (
+        SELECT vec_a, va, cell FROM (
+          SELECT e.vec_id AS vec_a, e.v AS va, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   (${ExtensionQueries.dotSql("e.v", "c.cv")} /
+                    (sqrt(${ExtensionQueries.dotSql("e.v", "e.v")}) *
+                     sqrt(${ExtensionQueries.dotSql("c.cv", "c.cv")}))) DESC,
+                   c.cell ASC) AS prn
+          FROM e CROSS JOIN c$iters c
+        ) p WHERE prn <= ${ExtensionQueries.IvfProbe}
+      ),
+      scored AS (
+        SELECT p.vec_a, b.vec_id AS vec_b, b.cell,
+               floor((${ExtensionQueries.dotSql("p.va", "b.v")} /
+                 (sqrt(${ExtensionQueries.dotSql("p.va", "p.va")}) *
+                  sqrt(${ExtensionQueries.dotSql("b.v", "b.v")}))) * 1000000 + 0.5)
+                 / 1000000 AS cos
+        FROM probes p
+        JOIN posting b
+          ON p.cell = b.cell AND p.vec_a <> b.vec_id
+      ),
+      ranked AS (
+        SELECT vec_a, vec_b, cell, cos,
+               row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC)
+                 AS rank
+        FROM scored
+      )
+      SELECT vec_a AS vec_id, CAST(rank AS INTEGER) AS rank, vec_b AS neighbor,
+             cell, cos
+      FROM ranked WHERE rank <= 3
+      ORDER BY vec_id, rank"""
   }
 
   /** Portable 16-bit uniform hash: the first four hex digits of md5(text)
@@ -562,6 +650,21 @@ object ExtensionQueries3 {
     // whole GRAPH). Multi-probe (nprobe=2) since r10 — see [[knnGraph]].
     "s13_knn_graph" -> ((s, dir) =>
       knnGraph(s, dir, nprobe = ExtensionQueries.IvfProbe)),
+
+    // Occupancy-capped kNN graph (s31): s13 with every posting list
+    // truncated to its [[GraphCapR]] most-central members before the
+    // candidate join. This bounds the graph build's pair term to
+    // nprobe·n·R — linear in the corpus — where s13's Σcell² term is the
+    // one slope the sf1 sweeps flagged as super-linear (13× at 10× data).
+    // The price is recall on off-center vectors, deliberately made
+    // measurable: s22's metrics table carries graph_full beside
+    // graph_capped, so the cap's cost is a read-off, not a guess. At
+    // 100 TB this is the difference between a kNN-graph build that
+    // scales with the corpus and one that scales with the square of the
+    // densest cell.
+    "s31_knn_graph_capped" -> ((s, dir) =>
+      knnGraph(s, dir, nprobe = ExtensionQueries.IvfProbe,
+        capR = Some(GraphCapR))),
 
     // Per-language adaptive quality cutoffs (the CCNet pattern): a single
     // global quality bar systematically starves whichever languages the
@@ -1269,43 +1372,11 @@ object ExtensionQueries3 {
     // applied to EVERY vector (nprobe=2 against the final centroids),
     // then probe-cell × posting-list pairwise + per-vector rank — the s12
     // pair construction with ranking instead of a drop rule.
-    "s13_knn_graph" -> s"""
-      WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-      ),${ExtensionQueries.kmTrainingCtes(
-        ExtensionQueries.IvfCells, ExtensionQueries.IvfIters)},
-      probes AS (
-        SELECT vec_a, va, cell FROM (
-          SELECT e.vec_id AS vec_a, e.v AS va, c.cell,
-                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   (${ExtensionQueries.dotSql("e.v", "c.cv")} /
-                    (sqrt(${ExtensionQueries.dotSql("e.v", "e.v")}) *
-                     sqrt(${ExtensionQueries.dotSql("c.cv", "c.cv")}))) DESC,
-                   c.cell ASC) AS prn
-          FROM e CROSS JOIN c${ExtensionQueries.IvfIters} c
-        ) p WHERE prn <= ${ExtensionQueries.IvfProbe}
-      ),
-      scored AS (
-        SELECT p.vec_a, b.vec_id AS vec_b, b.cell,
-               floor((${ExtensionQueries.dotSql("p.va", "b.v")} /
-                 (sqrt(${ExtensionQueries.dotSql("p.va", "p.va")}) *
-                  sqrt(${ExtensionQueries.dotSql("b.v", "b.v")}))) * 1000000 + 0.5)
-                 / 1000000 AS cos
-        FROM probes p
-        JOIN a${ExtensionQueries.IvfIters} b
-          ON p.cell = b.cell AND p.vec_a <> b.vec_id
-      ),
-      ranked AS (
-        SELECT vec_a, vec_b, cell, cos,
-               row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC)
-                 AS rank
-        FROM scored
-      )
-      SELECT vec_a AS vec_id, CAST(rank AS INTEGER) AS rank, vec_b AS neighbor,
-             cell, cos
-      FROM ranked WHERE rank <= 3
-      ORDER BY vec_id, rank""",
+    "s13_knn_graph" -> knnGraphSql(cap = None),
+
+    // Capped replay: identical, with the posting side truncated to the
+    // GraphCapR most-centroid-proximate members per cell first.
+    "s31_knn_graph_capped" -> knnGraphSql(cap = Some(GraphCapR)),
 
     // Adaptive-cutoff replay: same margin, same buckets, same per-lang
     // cumulated histogram median, same strictly-above keep rule.

@@ -28,6 +28,12 @@ object ExtensionQueries6 {
     */
   private def annMethods(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
     def rk(df: DataFrame) = df.withColumnRenamed("approx_rank", "rank")
+    // the kNN graph restricted to the query vectors IS a retriever
+    // (top-3 per vector) — graph_full vs graph_capped prices s31's
+    // occupancy cap in the same graded table as every other index
+    def graphRank(df: DataFrame) = df.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("neighbor").as("vec_id"),
+        col("rank"))
     Seq(
       "ivf_label" -> ExtensionQueries.all("s04_knn_ivf")(s, dir),
       "ivf_learned" -> ExtensionQueries.all("s05_knn_ivf_learned")(s, dir),
@@ -36,7 +42,12 @@ object ExtensionQueries6 {
       "int8_stage1" -> rk(ExtensionQueries5.int8Ranked(s, dir, KnnK)),
       "int8_rescore" -> ExtensionQueries5.all("s17_knn_int8_rescore")(s, dir),
       "binary_stage1" -> rk(ExtensionQueries5.binaryRanked(s, dir, KnnK)),
-      "binary_rescore" -> ExtensionQueries5.all("s21_knn_binary_rescore")(s, dir))
+      "binary_rescore" -> ExtensionQueries5.all("s21_knn_binary_rescore")(s, dir),
+      "graph_full" -> graphRank(
+        ExtensionQueries3.knnGraph(s, dir, ExtensionQueries.IvfProbe)),
+      "graph_capped" -> graphRank(
+        ExtensionQueries3.knnGraph(s, dir, ExtensionQueries.IvfProbe,
+          Some(ExtensionQueries3.GraphCapR))))
   }
 
   /** s23 fixed-point scale for the per-element squared reconstruction
@@ -372,8 +383,19 @@ object ExtensionQueries6 {
       "int8_stage1" -> stage1(ExtensionQueries5.int8StageSql, "r1i"),
       "int8_rescore" -> sub(ExtensionQueries5.oracles("s17_knn_int8_rescore")),
       "binary_stage1" -> stage1(ExtensionQueries5.binaryStageSql, "r1b"),
-      "binary_rescore" -> sub(ExtensionQueries5.oracles("s21_knn_binary_rescore")))
+      "binary_rescore" -> sub(ExtensionQueries5.oracles("s21_knn_binary_rescore")),
+      "graph_full" -> graphSub(ExtensionQueries3.knnGraphSql(cap = None)),
+      "graph_capped" -> graphSub(ExtensionQueries3.knnGraphSql(
+        cap = Some(ExtensionQueries3.GraphCapR))))
   }
+
+  /** The graph oracles emit (vec_id, rank, neighbor, …); restrict to the
+    * query vectors and rename to the retriever contract.
+    */
+  private def graphSub(oracle: String): String =
+    s"""(SELECT query_id, vec_id, rank FROM (
+      SELECT g.vec_id AS query_id, g.neighbor AS vec_id, g.rank
+      FROM ($oracle) g WHERE g.vec_id <= 2) x)"""
 
   /** s23 per-scheme oracle blocks over a reconstruction CTE
     * `r_<name>(vec_id, v, rv)`: zero-norm filter + norms, reconstructed-

@@ -150,6 +150,29 @@ class Round13Spec extends AnyFunSuite {
     assert(res.filter(col("overcount") < 0).count() == 0L)
   }
 
+  // ---- occupancy-capped kNN graph (s31) ----
+
+  test("s31: the cap binds, keeps full vector coverage, and retains most edges") {
+    val sf = "/root/testdata/sf0.01" // cells average ~62 members > GraphCapR
+    val full = ExtensionQueries3.knnGraph(spark, sf, ExtensionQueries.IvfProbe)
+      .select(col("vec_id"), col("neighbor"))
+      .as[(Long, Long)].collect().toSet
+    val capped = ExtensionQueries3.knnGraph(spark, sf, ExtensionQueries.IvfProbe,
+        Some(ExtensionQueries3.GraphCapR))
+      .select(col("vec_id"), col("neighbor"))
+      .as[(Long, Long)].collect().toSet
+    // the cap genuinely binds at this scale (otherwise the compared
+    // artifact would not exercise the bounded path)
+    assert(capped != full)
+    // every vector still gets neighbors: the cap prunes posting lists,
+    // not probing vectors
+    assert(capped.map(_._1) == full.map(_._1))
+    // and the pruned graph keeps the bulk of the true edges — the exact
+    // recall price is read off s22's graph_full vs graph_capped rows
+    val overlap = (capped intersect full).size.toDouble / full.size
+    assert(overlap >= 0.5, s"edge overlap $overlap")
+  }
+
   // ---- delta-into-index compaction (s30) ----
 
   test("s30: compaction empties the sidecar and leaves served results unchanged") {
