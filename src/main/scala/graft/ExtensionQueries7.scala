@@ -67,6 +67,41 @@ object ExtensionQueries7 {
       .groupBy(col("row_i"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Windowed, WATERMARKED CMS grid over a (ts, term) relation — the form
+    * a continuous pipeline actually persists (one bounded grid per event-
+    * time window; state for expired windows is evicted, and a row arriving
+    * behind the watermark is DROPPED, never resurrecting an emitted
+    * window). StreamingSpec pins the drop semantics: the streamed grid
+    * equals the batch grid over the ON-TIME rows only.
+    */
+  private[graft] def cmsCountersWindowed(terms: DataFrame, depth: Int,
+      width: Long, windowDur: String, watermark: String): DataFrame =
+    terms.withWatermark("ts", watermark)
+      .select(col("ts"), posexplode(array((0 until depth).map(i =>
+        cmsBucket(i, width, col("term"))): _*)).as(Seq("row_i", "bucket")))
+      .groupBy(window(col("ts"), windowDur), col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("row_i"),
+        col("bucket"), col("cnt"))
+
+  /** Windowed, watermarked HLL registers over a (ts, seg, h) relation —
+    * the q94 register build per event-time window, same late-row drop
+    * contract as [[cmsCountersWindowed]].
+    */
+  private[graft] def hllRegsWindowed(segHash: DataFrame, windowDur: String,
+      watermark: String, remBits: Int = HllRemBits): DataFrame = {
+    val remMod = 1L << remBits
+    segHash.withWatermark("ts", watermark)
+      .withColumn("bucket", expr(s"h DIV $remMod"))
+      .withColumn("w", col("h") % remMod)
+      .withColumn("rho", when(col("w") === 0, lit(remBits + 1))
+        .otherwise(lit(remBits + 1) - length(bin(col("w")))))
+      .groupBy(window(col("ts"), windowDur), col("seg"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+      .select(col("window.start").as("window_start"), col("seg"),
+        col("bucket"), col("reg"))
+  }
+
   /** q88's body over any (term) relation, geometry-parameterized so
     * Round12bSpec can drive the exact regime (width ≥ vocabulary → zero
     * collisions → est == true for every probe) beside the production

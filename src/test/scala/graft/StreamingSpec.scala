@@ -73,6 +73,121 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 7L).map(_._4) === Seq(3L))
   }
 
+  test("session window: a row behind the watermark is dropped; batch twin over on-time rows matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val onTime = Seq(
+      Event(1L, ts("2024-01-01 00:00:00"), 7L, "view", 1.0),
+      Event(2L, ts("2024-01-01 00:10:00"), 7L, "view", 2.0))
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionWindowed(stream.toDF(), gapSec = 1800)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_sessions").start()
+    stream.addData(onTime: _*)
+    q.processAllAvailable()
+    // sentinel advances the watermark far past user 7's session -> emitted
+    stream.addData(Event(8L, ts("2024-01-01 12:00:00"), 9L, "view", 0.0))
+    q.processAllAvailable()
+    // LATE: would extend the already-emitted session, but sits hours
+    // behind the watermark -> must be dropped, not re-open the session
+    val late = Event(3L, ts("2024-01-01 00:20:00"), 7L, "view", 4.0)
+    stream.addData(late)
+    q.processAllAvailable()
+    stream.addData(Event(9L, ts("2024-01-01 13:00:00"), 9L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_sessions")
+      .filter($"user_id" === 7L)
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    // equals the batch twin with the EQUIVALENT filter (on-time rows only)
+    val batchOnTime = EventStreams.sessionWindowed(onTime.toDF(), gapSec = 1800)
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    assert(got == batchOnTime)
+    // and differs from the batch over ALL rows — the late row really
+    // carried information the stream dropped
+    val batchAll = EventStreams
+      .sessionWindowed((onTime :+ late).toDF(), gapSec = 1800)
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    assert(got != batchAll)
+  }
+
+  test("windowed CMS grid drops late rows; batch twin over on-time terms matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val onTime = Seq(
+      (ts("2024-01-01 00:05:00"), "alpha"),
+      (ts("2024-01-01 00:10:00"), "beta"),
+      (ts("2024-01-01 00:15:00"), "alpha"))
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = ExtensionQueries7.cmsCountersWindowed(
+        stream.toDS().toDF("ts", "term"), depth = 3, width = 16L,
+        windowDur = "1 hour", watermark = "30 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_cms").start()
+    stream.addData(onTime: _*)
+    q.processAllAvailable()
+    stream.addData((ts("2024-01-01 12:00:00"), "sentinel"))
+    q.processAllAvailable()
+    // late 'alpha' behind the watermark: must not mutate the emitted grid
+    stream.addData((ts("2024-01-01 00:20:00"), "alpha"))
+    q.processAllAvailable()
+    stream.addData((ts("2024-01-01 13:00:00"), "sentinel"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_cms")
+      .filter($"window_start" === ts("2024-01-01 00:00:00"))
+      .select("row_i", "bucket", "cnt")
+      .as[(Int, Long, Long)].collect().toSet
+    val batchOnTime = ExtensionQueries7.cmsCounters(
+        onTime.map(_._2).toDF("term"), depth = 3, width = 16L)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == batchOnTime)
+    // the late row would have bumped alpha's counters — prove the drop
+    val batchAll = ExtensionQueries7.cmsCounters(
+        (onTime.map(_._2) :+ "alpha").toDF("term"), depth = 3, width = 16L)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got != batchAll)
+  }
+
+  test("windowed HLL registers drop late rows; batch twin over on-time ids matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def regsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("ts"), lit("x").as("seg"),
+        ExtensionQueries3.md5Hash48(col("uid")).as("h"))
+    val onTime = (1L to 40L).map(i => (ts("2024-01-01 00:05:00"), i))
+    val stream = MemoryStream[(Timestamp, Long)]
+    val q = ExtensionQueries7.hllRegsWindowed(
+        regsOf(stream.toDS().toDF("ts", "uid")),
+        windowDur = "1 hour", watermark = "30 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_hll").start()
+    stream.addData(onTime: _*)
+    q.processAllAvailable()
+    stream.addData((ts("2024-01-01 12:00:00"), 999L))
+    q.processAllAvailable()
+    // late id behind the watermark (would add a new register row)
+    stream.addData((ts("2024-01-01 00:06:00"), 4242L))
+    q.processAllAvailable()
+    stream.addData((ts("2024-01-01 13:00:00"), 998L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_hll")
+      .filter($"window_start" === ts("2024-01-01 00:00:00"))
+      .select("seg", "bucket", "reg")
+      .as[(String, Long, Int)].collect().toSet
+    val batchOnTime = ExtensionQueries7.hllRegs(
+        onTime.map(_._2).toDF("uid")
+          .select(lit("x").as("seg"), ExtensionQueries3.md5Hash48(col("uid")).as("h")))
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == batchOnTime)
+    val batchAll = ExtensionQueries7.hllRegs(
+        (onTime.map(_._2) :+ 4242L).toDF("uid")
+          .select(lit("x").as("seg"), ExtensionQueries3.md5Hash48(col("uid")).as("h")))
+      .as[(String, Long, Int)].collect().toSet
+    assert(got != batchAll)
+  }
+
   test("stateful sessionization tracks per-user sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
