@@ -602,21 +602,18 @@ object ExtensionQueries5 {
   /** Per-vector symmetric int8 quantization (s07's scheme) of any
     * (vec_id, v: array<double>) frame → (vec_id, qv, qn). Zero-norm vectors
     * are dropped: they carry no angle, and 0/0 throws under ANSI where
-    * DuckDB yields NaN (mirrored in the s17/s20 oracles).
+    * DuckDB yields NaN (mirrored in the s17/s20 oracles). The codes come
+    * from the native codegen'd [[graft.functions.Int8Quantize]] — the
+    * corpus-build hot path; bit-identity with the portable
+    * ArrayTransform chain is pinned in Round13Spec.
     */
-  private[graft] def int8Quantize(e: DataFrame): DataFrame = {
-    val mxAbs = array_max(transform(col("v"), x => abs(x)))
-    e.withColumn("__scale",
-        when(mxAbs > 0, lit(127.0) / mxAbs).otherwise(lit(1.0)))
-      .withColumn("qv", transform(col("v"), x =>
-        greatest(lit(-127L), least(lit(127L),
-          floor(x * col("__scale") + 0.5).cast("long")))))
+  private[graft] def int8Quantize(e: DataFrame): DataFrame =
+    e.withColumn("qv", graft.functions.Int8Quantize.int8Quantize(col("v")))
       .withColumn("qn",
         sqrt(graft.functions.IntDotProduct.intDot(col("qv"), col("qv"))
           .cast("double")))
       .filter(col("qn") > 0)
       .select(col("vec_id"), col("qv"), col("qn"))
-  }
 
   /** Corpus-parametric form of [[int8Ranked]] (PropertySpec drives it over
     * generated corpora): `e` is any (vec_id, v: array<double>) frame.

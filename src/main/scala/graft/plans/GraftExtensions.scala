@@ -41,6 +41,8 @@ object GraftExtensions {
       e => graft.functions.DotProduct(e(0), e(1))),
     simple("int_dot", classOf[graft.functions.IntDotProduct].getName, 2,
       e => graft.functions.IntDotProduct(e(0), e(1))),
+    simple("int8_quantize", classOf[graft.functions.Int8Quantize].getName, 1,
+      e => graft.functions.Int8Quantize(e(0))),
     simple("nfc_normalize", classOf[graft.functions.UnicodeNormalizeNFC].getName, 1,
       e => graft.functions.UnicodeNormalizeNFC(e(0))),
     // text-hash family: geometry parameters (shingle width, band counts,

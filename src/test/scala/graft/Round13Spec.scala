@@ -206,6 +206,51 @@ class Round13Spec extends AnyFunSuite {
       .readAsOf(spark, s"$root/sidecar", vs.dropRight(1).last).count() > 0)
   }
 
+  // ---- native int8 quantizer ----
+
+  test("Int8Quantize is bit-identical to the portable ArrayTransform chain") {
+    // fixture vectors plus constructed edges: negatives, a zero vector, a
+    // constant vector, a single element at the clamp boundary
+    val fixture = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(graft.operators.VectorOps.toDouble(col("embedding")).as("v"))
+    val edges = Seq(
+      Seq(0.0, 0.0, 0.0),
+      Seq(-1.0, 1.0, 0.5),
+      Seq(3.25, 3.25, 3.25),
+      Seq(1e-300, -1e-300, 0.0),
+      Seq(-0.004, 127.0, -127.0)).toDF("v")
+    for (df <- Seq(fixture, edges)) {
+      val mxAbs = array_max(transform(col("v"), x => abs(x)))
+      val portable = df
+        .withColumn("__scale",
+          when(mxAbs > 0, lit(127.0) / mxAbs).otherwise(lit(1.0)))
+        .select(col("v"), transform(col("v"), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x * col("__scale") + 0.5).cast("long")))).as("q"))
+        .select(col("q")).as[Seq[Long]].collect().toSeq
+      val native = df
+        .select(graft.functions.Int8Quantize.int8Quantize(col("v")).as("q"))
+        .select(col("q")).as[Seq[Long]].collect().toSeq
+      assert(native == portable)
+    }
+    // SQL registration round-trips through the extension point
+    graft.plans.GraftExtensions.registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val sql = spark.sql("SELECT int8_quantize(array(CAST(-1.0 AS DOUBLE), " +
+      "CAST(0.25 AS DOUBLE), CAST(1.0 AS DOUBLE)))").collect()(0).getSeq[Long](0)
+    assert(sql == Seq(-127L, 32L, 127L))
+  }
+
+  test("Int8Quantize plan is native (no ArrayTransform lambda in the codes build)") {
+    val plan = ExtensionQueries5
+      .int8Codes(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("int8_quantize"))
+    assert(!plan.toLowerCase.contains("lambdafunction"))
+  }
+
   // ---- memo integrity (the ADVICE items) ----
 
   test("labelClusters memo hit requires full plan equality, not just the hash") {
