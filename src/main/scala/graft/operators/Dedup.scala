@@ -211,27 +211,69 @@ object Dedup {
     }
     var labels = docs.select(col(docs.columns.head).as("id"),
       col(docs.columns.head).as("label"))
-    // Adaptive loop: each round is checkpointed (eager — the convergence
-    // poll needs the round materialized anyway, and the checkpoint keeps
-    // plan growth LINEAR in executed rounds: every round's plan reads the
-    // previous round's truncated RDD, never the whole chain), then one
-    // 1-row DECIMAL(38,0) sum probes for the fixed point. Rounds run only
-    // until the graph actually converges, so a shallow graph pays 2-3
-    // rounds where the old fixed-5 form always paid 5 — and a deep one
-    // pays its true diameter instead of silently under-merging.
+    // Adaptive loop, three ingredients (each measured in r13):
+    //
+    // 1. LAZY edge rounds between polls: each round references the
+    //    previous labels once, so the chained plan grows linearly and a
+    //    whole inter-poll span evaluates as one pipelined query — the
+    //    property that made the old fixed-5 form cheap (a first-cut
+    //    per-round-checkpoint loop measured 7.1 s vs the old ~2 s at
+    //    sf0.1 from per-round job+materialization overhead).
+    // 2. POINTER DOUBLING at each poll (the Hash-to-Min / pointer-
+    //    jumping CC trick): on the just-checkpointed labels, one cheap
+    //    doc-keyed self-join rewrites label(id) ← label(label(id)),
+    //    roughly squaring every label's reach. Edge rounds alone need
+    //    diameter rounds; with a jump per poll the combined loop
+    //    converges in O(log diameter) — at sf0.1 the LSH candidate
+    //    graph's real diameter is ~10 (the fixed-5 form was silently
+    //    under-merging it; 123 jobs / 18 s without jumps), and at
+    //    100 TB a long chain costs log, not linear, passes. Jump
+    //    preserves the invariants the proof needs: label(id) is always
+    //    the id of a component member and only ever decreases.
+    // 3. A DOUBLING poll schedule (4, 6, 10, 18, …, capped): each poll
+    //    checkpoints the chain, jumps, checkpoints the jump, and runs a
+    //    1-row DECIMAL(38,0) label sum. Equal sums at consecutive polls
+    //    ⇒ nothing (edge rounds OR jump) changed in the span — the sum
+    //    strictly decreases whenever any label moves ⇒ the labels are
+    //    edge-stable, and edge-stable labels are constant on components
+    //    (mirrored edges) and equal to the component min. O(log)
+    //    materializations, bounded overshoot.
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] = Option(
       df.agg(sum(col("label").cast("decimal(38,0)")).as("s")).head().getDecimal(0))
+    // AQE stays ON for the loop's actions — measured both ways at sf0.1:
+    // with AQE the loop runs many small per-stage jobs but coalesces the
+    // tiny label-side shuffles (9.4 s); statically planned it runs 32
+    // near-empty sort tasks per stage and costs 2× more (20 s). Runtime
+    // coalescing is exactly what these skewed-size iterations need.
     var prevSum = labelSum(labels)
     var executed = 0
     var converged = false
-    while (!converged && executed < maxRounds) {
-      labels = edges
-        .join(labels.withColumnRenamed("id", "__src"), col("src") === col("__src"))
-        .groupBy(col("dst"))
-        .agg(min("label").as("label"))
-        .select(col("dst").as("id"), col("label"))
+    val it = pollSchedule(maxRounds).iterator
+    while (!converged && it.hasNext) {
+      val target = it.next()
+      while (executed < target) {
+        labels = edges
+          .join(labels.withColumnRenamed("id", "__src"), col("src") === col("__src"))
+          .groupBy(col("dst"))
+          .agg(min("label").as("label"))
+          .select(col("dst").as("id"), col("label"))
+        executed += 1
+      }
+      val chained = labels.localCheckpoint()
+      // one pointer jump on the materialized labels: rewrite
+      // label(id) ← label(label(id)) — on a monotone pointer chain this
+      // doubles every label's reach for one cheap doc-keyed self-join.
+      // (A full path-compression inner loop was measured SLOWER on the
+      // real LSH graph — its pointer trees are shallow, so extra jump
+      // iterations only added job overhead: 10.8 s vs 9.5 s at sf0.1.)
+      // Both join sides read the same checkpointed RDD, so the self-join
+      // cannot re-derive the edge chain (the plan-doubling trap the
+      // self-loop trick exists for).
+      val jumpTo = chained.select(col("id").as("__jid"),
+        col("label").as("__jlabel"))
+      labels = chained.join(jumpTo, col("label") === col("__jid"))
+        .select(col("id"), col("__jlabel").as("label"))
         .localCheckpoint()
-      executed += 1
       val s = labelSum(labels)
       converged = (s, prevSum) match {
         case (Some(a), Some(b)) => a.compareTo(b) == 0
@@ -240,6 +282,22 @@ object Dedup {
       prevSum = s
     }
     (labels, executed)
+  }
+
+  /** Cumulative poll rounds for the adaptive loop: 4, then doubling
+    * increments (+2, +4, +8, …), clamped to the cap — O(log cap) polls.
+    */
+  private[graft] def pollSchedule(maxRounds: Int): Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    var cur = math.min(4, maxRounds)
+    var step = 2
+    b += cur
+    while (cur < maxRounds) {
+      cur = math.min(cur + step, maxRounds)
+      step *= 2
+      b += cur
+    }
+    b.result()
   }
 
   /** Exact Jaccard similarity on candidate pairs (the verify step after LSH

@@ -20,9 +20,27 @@ object Profile {
     try graft.SparkEntry.queries("q01_dim_decode_join")(spark, sfDir).count()
     catch { case _: Throwable => () }
     names.foreach { name =>
+      val buildJobs = new java.util.concurrent.atomic.AtomicInteger()
+      val buildListener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          buildJobs.incrementAndGet(); ()
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
+          if (wall.exists(_ > 300))
+            System.err.println(s"BUILD_STAGE ${si.stageId} tasks=${si.numTasks} " +
+              s"wall=${wall.getOrElse(-1L)}ms run=${si.taskMetrics.executorRunTime}ms")
+        }
+      }
+      spark.sparkContext.addSparkListener(buildListener)
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val t1 = System.nanoTime()
+      Thread.sleep(200)
+      spark.sparkContext.removeSparkListener(buildListener)
+      System.err.println(s"BUILD_JOBS $name ${buildJobs.get()}")
       df.queryExecution.optimizedPlan // forces analysis + cache lookup + optimize
       val t2 = System.nanoTime()
       df.queryExecution.executedPlan // physical planning
