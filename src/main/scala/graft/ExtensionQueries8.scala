@@ -1,0 +1,313 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Agg, Kmeans}
+import graft.sources.Tables
+
+/** Round-13 additions: the convergence discipline applied to index
+  * training (s32), ahead-of-the-petabyte LSH banding design (d20), and a
+  * persisted inverted-index lake table with term-pruned serving (t32) —
+  * the stored-artifact pattern (q84/s24/q94/q95) extended to lexical
+  * retrieval. Same contract as every extension file: deterministic
+  * results (fixed-point or all-integer aggregates, canonical ORDER BY),
+  * each query carrying a DuckDB oracle.
+  */
+object ExtensionQueries8 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** s32 training budget: [[ExtensionQueries.IvfCells]] cells (so the
+    * oracle shares s05's training-CTE generator), cap 40 — a pure runaway
+    * guard, far above the measured convergence depth (see
+    * [[KmConvOracleUnroll]]).
+    */
+  val KmConvMaxIters = 40
+
+  /** The oracle's fixed Lloyd unroll. Must be ≥ the measured convergence
+    * depth at BOTH oracle scales (sf0.001 / sf0.01) — past the fixed
+    * point every extra unrolled round is a no-op (assignment is a pure
+    * function of centroids, recompute of an unchanged assignment returns
+    * the same centroids), so the unrolled oracle equals the converged
+    * engine. Measured depths (graft.tools.KmDepth): 13 at sf0.001, 25 at
+    * sf0.01 (30 at sf0.1, engine-only scale) — hence 30 here: ≥ +5
+    * margin at both oracle scales. Round13bSpec pins engine-converged ==
+    * engine-fixed(unroll) on the fixture, which is exactly that
+    * idempotence margin.
+    */
+  val KmConvOracleUnroll = 30
+
+  /** d20's signature budget: the 12 minhash slots d14 already computes —
+    * the tuning table prices every (bands × rows) factorization of the
+    * SAME signature a deployment has already paid for.
+    */
+  val LshSigSize = 12
+  private[graft] val BandGrid: Seq[(Int, Int)] =
+    Seq(1 -> 12, 2 -> 6, 3 -> 4, 4 -> 3, 6 -> 2, 12 -> 1)
+
+  /** Collision S-curve threshold (1/b)^(1/r) for a (b, r) scheme,
+    * computed ONCE driver-side and spliced into both engines as the same
+    * literal — fractional pow is the one piece of this math whose last
+    * ulp is not guaranteed identical across libms, so neither engine
+    * computes it.
+    */
+  private def sStar(b: Int, r: Int): Double = math.pow(1.0 / b, 1.0 / r)
+
+  /** The collision probability 1 − (1 − s^r)^b as an EXPLICIT
+    * left-associated product expression over a column named `s` — integer
+    * exponents unrolled to repeated IEEE multiplication, which both
+    * engines evaluate bit-identically (no pow(), no libm).
+    */
+  private def pCollideSql(b: Int, r: Int): String = {
+    val sr = "(" + Seq.fill(r)("s").mkString(" * ") + ")"
+    val miss = s"(1.0 - $sr)"
+    val missB = "(" + Seq.fill(b)(miss).mkString(" * ") + ")"
+    s"(1.0 - $missB)"
+  }
+
+  /** t32 lake geometry: postings partitioned by a term-hash bucket so a
+    * query's terms prune to their buckets' directories at the scan.
+    */
+  val IndexBuckets = 8
+
+  /** Driver-side mirror of [[ExtensionQueries3.md5Hash48]] for literal
+    * terms (first 48 md5 bits as a long) — lets the serving query compute
+    * its probe buckets at PLAN time, so partition pruning needs no
+    * engine-side hash of the probe set.
+    */
+  private[graft] def md5Hash48Lit(v: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Until-convergence k-means (s32): the round-13 convergence
+    // discipline — "a fixed iteration budget silently ships the wrong
+    // answer once the data outgrows it" — applied to INDEX TRAINING.
+    // s05 trains its IVF router with a fixed 2-iteration budget (fine
+    // for routing); this operator runs Lloyd to the actual fixed point
+    // (recompute∘assign idempotent), detected exactly from the k
+    // collected centroid rows, capped at [[KmConvMaxIters]] as a runaway
+    // guard. Scale shape: every iteration is the same constant-size plan
+    // — corpus × broadcast(k literal centroids) + one explode/agg
+    // shuffle — because the k·64 centroid doubles are re-emitted as a
+    // literal each round (bounded, planner-side; never a data-scale
+    // collect), so lineage cannot grow however deep convergence runs.
+    // The oracle replays a FIXED [[KmConvOracleUnroll]]-round training
+    // run ≥ the measured depth: past the fixed point extra rounds are
+    // no-ops, so both engines land on identical centroids — the same
+    // unroll-vs-adaptive argument d07's oracle uses.
+    "s32_kmeans_converged" -> ((s, dir) => {
+      val e = ExtensionQueries.embeddingsD(s, dir)
+        .select(col("vec_id"), col("v"))
+      val (cent, assigned, _) = Kmeans.fitConverged(e,
+        k = ExtensionQueries.IvfCells, maxIters = KmConvMaxIters)
+      val sizes = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"))
+      cent.select(col("cell"), posexplode(col("cv")).as(Seq("dim", "val")))
+        .join(sizes, Seq("cell"))
+        .select(col("cell"), col("n_members"), col("dim"),
+          Agg.roundAt(col("val"), 6).as("centroid"))
+        .orderBy(col("cell"), col("dim"))
+    }),
+
+    // LSH banding design table (d20): for every (bands × rows)
+    // factorization of the signature budget, the expected behavior of
+    // the banding scheme over the OBSERVED pair-similarity distribution
+    // (d14's signature-estimated Jaccard, the table a deployment tunes
+    // from when the exact join is unaffordable): collision threshold
+    // s* = (1/b)^(1/r), expected candidate volume Σ p(s), expected
+    // missed true dups Σ_{dup}(1−p), expected false candidates
+    // Σ_{non-dup} p. This is the decision a 100 TB dedup run makes
+    // BEFORE it runs — candidate volume is the join cost, missed dups
+    // the quality cost — priced here from sketch state alone. Float
+    // discipline: p is unrolled IEEE multiplication (no pow), s* a
+    // driver-side literal, per-pair p fixed-pointed to 1e6 BEFORE the
+    // integer sums, so partitioning can never reorder double adds.
+    // Scale shape: one bounded (b,r)-branch union over the candidate
+    // table; each branch is a stateless projection + one 6-group
+    // aggregate. (The pair population is the surfaced candidate set —
+    // at 100 TB substitute a uniform pair sample for the unconditioned
+    // curve; the arithmetic is identical.)
+    "d20_lsh_band_tuning" -> ((s, dir) => {
+      val pairs = ExtensionQueries.all("d14_minhash_estimate")(s, dir)
+        .select(col("est_jaccard").as("s"), col("jaccard"))
+      val branches = BandGrid.map { case (b, r) =>
+        pairs.select(
+          lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(sStar(b, r)).as("s_star_raw"),
+          floor(expr(pCollideSql(b, r)) * 1e6).cast("long").as("p_fp"),
+          col("jaccard"))
+      }
+      branches.reduce(_ unionByName _)
+        .groupBy(col("bands"), col("rows_per_band"), col("s_star_raw"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("p_fp")).as("cand_fp"),
+          sum(when(col("jaccard") >= 0.5, lit(1000000L) - col("p_fp"))
+            .otherwise(0L)).as("missed_fp"),
+          sum(when(col("jaccard") < 0.5, col("p_fp"))
+            .otherwise(0L)).as("false_fp"))
+        .select(col("bands"), col("rows_per_band"),
+          Agg.roundAt(col("s_star_raw"), 6).as("s_star"),
+          col("n_pairs"),
+          (col("cand_fp").cast("double") / 1e6).as("exp_candidates"),
+          (col("missed_fp").cast("double") / 1e6).as("exp_missed_dups"),
+          (col("false_fp").cast("double") / 1e6).as("exp_false_candidates"))
+        .orderBy(col("rows_per_band"))
+    }),
+
+    // Persisted inverted-index lake table + term-pruned BM25 serving
+    // (t32): t25 recomputes corpus statistics per query — the right
+    // correctness baseline, the wrong operational shape. This builds the
+    // index ONCE as lake artifacts (the q94/q95 pattern, lexical twin):
+    // postings (term, doc_id, tf, dl) partitioned by a term-hash bucket,
+    // per-term document frequencies, and the 1-row corpus stats — then
+    // SERVES the query reading only index state: the postings scan is
+    // pruned to the probe terms' hash-bucket partitions (bucket literals
+    // computed at plan time) with the term filter pushed to parquet, df
+    // and corpus stats broadcast from their own artifacts. At 100 TB the
+    // build is one tokenize+aggregate ingest pass, and a query's cost is
+    // the probe terms' posting rows — never a corpus rescan. Postings
+    // carry dl (impact-style denormalization) so scoring joins nothing
+    // doc-sized. Scoring math is t25's bit-for-bit (same fixed-point
+    // idf/tf discipline), so the round trip build → partition → prune →
+    // serve provably changes nothing: the oracle is t25's, computed
+    // end-to-end from raw documents.
+    "t32_inverted_index_lake" -> ((s, dir) => {
+      import ExtensionQueries4.{Bm25Terms, Bm25K}
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          explode(col("tk")).as("term"))
+      val postings = base
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("pbucket",
+          (ExtensionQueries3.md5Hash48(col("term")) % IndexBuckets).cast("int"))
+      val termStats = postings.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val corpus = docs.select(size(toks).cast("long").as("dl"))
+        .agg(sum(col("dl")).as("S"), count(lit(1)).as("N"))
+      val root = graft.sources.Scratch.fresh(s,
+        s"inv_index_${new java.io.File(dir).getName}")
+      postings.write.mode("overwrite").partitionBy("pbucket")
+        .parquet(s"$root/postings")
+      termStats.write.mode("overwrite").parquet(s"$root/terms")
+      corpus.write.mode("overwrite").parquet(s"$root/corpus")
+      // ---- serving: reads ONLY the index artifacts ----
+      val probeBuckets = Bm25Terms
+        .map(tm => (md5Hash48Lit(tm) % IndexBuckets).toInt).distinct
+      val post = s.read.parquet(s"$root/postings")
+        .filter(col("pbucket").isInCollection(probeBuckets) &&
+          col("term").isInCollection(Bm25Terms))
+      val dfs = broadcast(s.read.parquet(s"$root/terms")
+        .filter(col("term").isInCollection(Bm25Terms)))
+      val st = broadcast(s.read.parquet(s"$root/corpus"))
+      post.join(dfs, Seq("term")).crossJoin(st)
+        .withColumn("idf_fp",
+          floor(log((col("N") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * 1e9).cast("long"))
+        .withColumn("num", lit(44L) * col("tf") * col("S"))
+        .withColumn("den", lit(20L) * col("tf") * col("S") +
+          lit(6L) * col("S") + lit(18L) * col("dl") * col("N"))
+        .withColumn("term_fp",
+          floor(col("idf_fp").cast("double") / 1e9 *
+            (col("num").cast("double") / col("den").cast("double")) * 1e6)
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_fp")).as("score_fp"), count(lit(1)).as("n_hits"))
+        .orderBy(col("score_fp").desc, col("doc_id").asc)
+        .limit(Bm25K)
+        .select(col("doc_id"), col("n_hits"), col("score_fp"),
+          (col("score_fp").cast("double") / 1e6).as("score"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // Replays a fixed [[KmConvOracleUnroll]]-round training run — as a
+    // RECURSIVE CTE, not an unrolled chain: the recursion's working table
+    // materializes each round's k centroids, so execution is linear in
+    // rounds (the s05-style unrolled CTE chain at this depth planned to a
+    // 30× inlined expression tree DuckDB spent >10 min on; the recursive
+    // form runs in ~1 s). The assignment's rank window becomes a
+    // min(struct(−cos, cell)) — lexicographic struct comparison IS the
+    // (ccos desc, cell asc) total order — because a window over the
+    // recursive table is not expressible there; the cosine expression and
+    // the per-(cell,dim) DECIMAL recompute are s05's oracle verbatim, so
+    // round r's centroids are bit-identical to the engine's round r.
+    "s32_kmeans_converged" -> {
+      import ExtensionQueries.dotSql
+      val cos = s"((${dotSql("e.v", "t.cv")}) / " +
+        s"(sqrt(${dotSql("e.v", "e.v")}) * sqrt(${dotSql("t.cv", "t.cv")})))"
+      s"""
+      WITH RECURSIVE
+      e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY ((vec_id % 1000003) * 427799) % 1000003, vec_id) - 1 AS INTEGER) AS cell, v
+        FROM e
+        QUALIFY row_number() OVER (ORDER BY ((vec_id % 1000003) * 427799) % 1000003, vec_id) <= ${ExtensionQueries.IvfCells}
+      ),
+      cent(iter, cell, cv, n_members) AS (
+        SELECT 0, cell, v, CAST(0 AS BIGINT) FROM seeds
+        UNION ALL
+        SELECT iter, cell, list(c ORDER BY dim) AS cv, min(cnt) AS n_members
+        FROM (
+          SELECT a.iter, a.cell, CAST(i AS INTEGER) AS dim,
+                 CAST(sum(CAST(a.v[i+1] AS DECIMAL(30,6))) AS DOUBLE) / count(a.v[i+1]) AS c,
+                 count(a.v[i+1]) AS cnt
+          FROM (
+            SELECT t.iter + 1 AS iter, e.vec_id, e.v,
+                   (min(struct_pack(nc := -$cos, cl := t.cell))).cl AS cell
+            FROM e CROSS JOIN cent t
+            WHERE t.iter < $KmConvOracleUnroll
+            GROUP BY 1, 2, 3
+          ) a CROSS JOIN range(0, 64) t2(i)
+          GROUP BY 1, 2, 3
+        ) r
+        GROUP BY iter, cell
+      )
+      SELECT c.cell, c.n_members, CAST(i AS INTEGER) AS dim,
+             floor(c.cv[i + 1] * 1000000 + 0.5) / 1000000 AS centroid
+      FROM cent c CROSS JOIN range(0, 64) t(i)
+      WHERE c.iter = $KmConvOracleUnroll
+      ORDER BY cell, dim"""
+    },
+
+    // Same unrolled-product collision math over the d14 estimate table.
+    "d20_lsh_band_tuning" -> s"""
+      WITH pairs AS (
+        SELECT est_jaccard AS s, jaccard
+        FROM (${ExtensionQueries.oracles("d14_minhash_estimate")})
+      ),
+      per AS (
+        ${BandGrid.map { case (b, r) =>
+          s"""SELECT $b AS bands, $r AS rows_per_band,
+             CAST(${sStar(b, r)} AS DOUBLE) AS s_star_raw,
+             CAST(floor(${pCollideSql(b, r)} * 1000000) AS BIGINT) AS p_fp, jaccard
+          FROM pairs"""
+        }.mkString("\n        UNION ALL\n        ")}
+      )
+      SELECT bands, rows_per_band,
+             floor(s_star_raw * 1000000 + 0.5) / 1000000 AS s_star,
+             count(*) AS n_pairs,
+             CAST(sum(p_fp) AS DOUBLE) / 1000000 AS exp_candidates,
+             CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1000000 - p_fp ELSE 0 END)
+               AS DOUBLE) / 1000000 AS exp_missed_dups,
+             CAST(sum(CASE WHEN jaccard < 0.5 THEN p_fp ELSE 0 END)
+               AS DOUBLE) / 1000000 AS exp_false_candidates
+      FROM per GROUP BY 1, 2, 3 ORDER BY rows_per_band""",
+
+    // The lake round trip is transparent by construction: serving must
+    // equal t25's end-to-end computation from raw documents.
+    "t32_inverted_index_lake" -> ExtensionQueries4.oracles("t25_bm25")
+  )
+}

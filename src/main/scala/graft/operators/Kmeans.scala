@@ -123,6 +123,55 @@ object Kmeans {
     (cent.persist(), assigned.persist())
   }
 
+  /** Until-convergence training (the round-13 convergence discipline,
+    * applied to index TRAINING): Lloyd iterations run until the centroid
+    * set reaches its fixed point — recompute(assign(c)) == c — capped at
+    * `maxIters` as a runaway guard. Returns (converged centroids, the
+    * assignment that produced them, iterations executed).
+    *
+    * Detection is exact and plan-bounded: after each recompute the k
+    * centroid rows (k·dim doubles — CONSTANT size, never data-scale) are
+    * collected and compared bit-for-bit against the previous iteration's;
+    * the collected values are then re-emitted as a literal LocalRelation
+    * for the next assign, so every iteration's plan is the same constant
+    * shape (corpus scan × broadcast literal + one explode/agg shuffle) —
+    * no lineage growth, no checkpoint files, however many rounds run.
+    * Because cosine is scale-invariant, argmax-cosine assignment against
+    * arithmetic-mean centroids IS spherical k-means (assignment can't
+    * distinguish the mean from the normalized mean), whose objective
+    * increases monotonically — so the loop terminates at a fixed point on
+    * real-valued data; the cap guards the theoretical equal-objective
+    * cycle. Past the fixed point every extra iteration is a no-op, which
+    * is what lets a DuckDB oracle replay a FIXED unroll ≥ the measured
+    * convergence depth and still hash-match the converged engine.
+    */
+  def fitConverged(e: DataFrame, k: Int, maxIters: Int): (DataFrame, DataFrame, Int) = {
+    require(maxIters >= 1, "need at least one Lloyd iteration")
+    val spark = e.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val centSchema = StructType(Seq(StructField("cell", IntegerType, nullable = false),
+      StructField("cv", ArrayType(DoubleType, containsNull = true), nullable = true)))
+    var cent = seedCentroids(e, k)
+    var assigned: DataFrame = null
+    var prev: Vector[(Int, Vector[Double])] = null
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      assigned = assign(e, cent)
+      val arr = recompute(assigned).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
+        .sortBy(_._1).toVector
+      iters += 1
+      converged = prev != null && arr == prev
+      prev = arr
+      import scala.jdk.CollectionConverters._
+      cent = spark.createDataFrame(
+        arr.map { case (c, v) => Row(c, v) }.asJava, centSchema)
+    }
+    (cent, assigned, iters)
+  }
+
   /** Fixed-iteration training: returns (final centroids, final assignment)
     * where the assignment is the one that PRODUCED the final centroids —
     * the IVF posting lists, with no extra assignment pass.

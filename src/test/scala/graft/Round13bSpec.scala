@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Kmeans
+
+/** Round-13 second batch: the until-convergence k-means contract (s32),
+  * the LSH banding-design table's S-curve invariants (d20), and the
+  * inverted-index lake round trip + partition pruning (t32).
+  */
+class Round13bSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = ExtensionQueries.embeddingsD(spark, dir)
+    .select(col("vec_id"), col("v"))
+
+  private def centList(cent: org.apache.spark.sql.DataFrame) =
+    cent.orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList)).toList
+
+  // ---- s32: until-convergence k-means ----
+
+  test("fitConverged stops under the cap and equals its own depth's fixed run") {
+    val (cent, _, iters) = Kmeans.fitConverged(emb, k = 8,
+      maxIters = ExtensionQueries8.KmConvMaxIters)
+    assert(iters < ExtensionQueries8.KmConvMaxIters,
+      s"cap hit at $iters — no convergence margin")
+    // the adaptive result IS a fixed-iteration run of its own depth
+    val (fixedAtDepth, _) = Kmeans.fit(emb, k = 8, iters = iters)
+    assert(centList(cent) == centList(fixedAtDepth))
+  }
+
+  test("past the fixed point extra Lloyd iterations are no-ops (the oracle's unroll argument)") {
+    val (cent, _, iters) = Kmeans.fitConverged(emb, k = 8,
+      maxIters = ExtensionQueries8.KmConvMaxIters)
+    val (overshoot, _) = Kmeans.fit(emb, k = 8, iters = iters + 3)
+    assert(centList(cent) == centList(overshoot),
+      "recompute∘assign must be idempotent at the fixed point")
+    assert(iters <= ExtensionQueries8.KmConvOracleUnroll,
+      s"oracle unroll ${ExtensionQueries8.KmConvOracleUnroll} is below the " +
+        s"measured depth $iters — the oracle would compare a pre-convergence round")
+  }
+
+  test("s05's fixed 2-iteration budget does NOT reach the fixed point here") {
+    // fine for IVF routing (centroids only need to partition space), but
+    // the distinction s32 exists for: the budgeted answer and the
+    // converged answer are DIFFERENT tables on this fixture (depth 13).
+    val (cent, _, iters) = Kmeans.fitConverged(emb, k = 8,
+      maxIters = ExtensionQueries8.KmConvMaxIters)
+    assert(iters > 2, s"fixture converged at $iters — pick a deeper fixture")
+    val (budget2, _) = Kmeans.fit(emb, k = 8, iters = 2)
+    assert(centList(cent) != centList(budget2))
+  }
+
+  // ---- d20: banding-design S-curve invariants ----
+
+  test("d20 rows are ordered by rows-per-band with monotone threshold and candidate volume") {
+    val rows = ExtensionQueries8.all("d20_lsh_band_tuning")(spark, dir)
+      .collect().toList.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length == ExtensionQueries8.BandGrid.size)
+    assert(rows.forall { case (b, r, _, _, _, _, _) =>
+      b * r == ExtensionQueries8.LshSigSize })
+    val nPairs = rows.map(_._4).distinct
+    assert(nPairs.size == 1, s"every scheme prices the same pair set: $nPairs")
+    // deeper bands (more rows per band) ⇒ higher collision threshold,
+    // fewer expected candidates, more expected missed dups — the S-curve
+    // tradeoff the table exists to price
+    val byR = rows.sortBy(_._2)
+    assert(byR.map(_._2) == rows.map(_._2), "output is ordered by rows_per_band")
+    assert(byR.map(_._3).sliding(2).forall(p => p.head < p.last),
+      "s* strictly increases with rows per band")
+    assert(byR.map(_._5).sliding(2).forall(p => p.head > p.last),
+      "expected candidates strictly decrease with rows per band")
+    assert(byR.map(_._6).sliding(2).forall(p => p.head <= p.last),
+      "expected missed dups cannot decrease with rows per band")
+    // probabilities stay probabilities after the fixed-point sums
+    assert(rows.forall { case (_, _, _, n, cand, _, fal) =>
+      cand >= 0 && cand <= n.toDouble && fal >= 0 && fal <= cand })
+  }
+
+  // ---- t32: inverted-index lake ----
+
+  test("index-serving BM25 equals t25's end-to-end computation") {
+    val served = ExtensionQueries8.all("t32_inverted_index_lake")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val direct = ExtensionQueries4.all("t25_bm25")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(served.toList == direct.toList)
+  }
+
+  test("the serving scan is pruned to the probe terms' hash-bucket partitions") {
+    val df = ExtensionQueries8.all("t32_inverted_index_lake")(spark, dir)
+    val probeBuckets = ExtensionQueries4.Bm25Terms
+      .map(t => (ExtensionQueries8.md5Hash48Lit(t) % ExtensionQueries8.IndexBuckets).toInt)
+      .toSet
+    assert(probeBuckets.size < ExtensionQueries8.IndexBuckets,
+      "fixture probe terms should not cover every bucket")
+    // inputFiles reports the UNPRUNED listing — inspect the physical scan's
+    // selected partitions instead (the PlanSpec partition-pruning pattern)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p.collectLeaves().flatMap {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case x => Seq(x)
+    }
+    val scans = leaves(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("/postings")) => f
+    }
+    assert(scans.nonEmpty, "serving must scan the postings artifact:\n" +
+      df.queryExecution.executedPlan.toString)
+    val touched = scans.flatMap(_.selectedPartitions.toPartitionArray.flatMap { pf =>
+      "pbucket=(\\d+)".r.findFirstMatchIn(pf.filePath.toString).map(_.group(1).toInt)
+    }).toSet
+    assert(touched.nonEmpty && touched.subsetOf(probeBuckets),
+      s"scan touched non-probe buckets: ${touched -- probeBuckets} (touched $touched)")
+  }
+
+  test("driver-side md5Hash48Lit mirrors the engine hash bit-for-bit") {
+    val terms = ExtensionQueries4.Bm25Terms ++ Seq("", "a", "Zürich", "the quick brown fox")
+    import spark.implicits._
+    val engine = terms.toDF("t")
+      .select(ExtensionQueries3.md5Hash48(col("t")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(engine == terms.map(ExtensionQueries8.md5Hash48Lit))
+  }
+}
