@@ -131,11 +131,12 @@ object Kmeans {
     *
     * Detection is exact and plan-bounded: after each recompute the k
     * centroid rows (k·dim doubles — CONSTANT size, never data-scale) are
-    * collected and compared bit-for-bit against the previous iteration's;
-    * the collected values are then re-emitted as a literal LocalRelation
-    * for the next assign, so every iteration's plan is the same constant
-    * shape (corpus scan × broadcast literal + one explode/agg shuffle) —
-    * no lineage growth, no checkpoint files, however many rounds run.
+    * collected and compared bit-for-bit against the iteration's input
+    * centroids; the collected values are then spliced into the next
+    * round's [[assignLiteral]] expressions, so every iteration is the
+    * same constant-shape ONE-job plan (cached corpus scan → row-local
+    * argmax projection → explode/agg recompute, a single shuffle) — no
+    * lineage growth, no checkpoint files, however many rounds run.
     * Because cosine is scale-invariant, argmax-cosine assignment against
     * arithmetic-mean centroids IS spherical k-means (assignment can't
     * distinguish the mean from the normalized mean), whose objective
@@ -145,6 +146,26 @@ object Kmeans {
     * is what lets a DuckDB oracle replay a FIXED unroll ≥ the measured
     * convergence depth and still hash-match the converged engine.
     */
+  /** Row-local assignment against LITERAL centroids: per-cell cosine
+    * columns folded with `greatest` over (cos, −cell) structs — Spark's
+    * lexicographic struct ordering IS the (ccos desc, cell asc) total
+    * order [[assign]] ranks by, over the same cosine arithmetic, so the
+    * two forms pick identical cells. No join, no window, no shuffle:
+    * with k literal centroids the whole assignment is a codegen'd
+    * projection, which is what makes an until-convergence loop
+    * affordable — each Lloyd iteration becomes ONE pipelined job (cached
+    * corpus scan → row-local argmax → explode/agg recompute).
+    */
+  def assignLiteral(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(cents.size >= 2, "need at least two centroids")
+    val best = greatest(cents.map { case (c, cv) =>
+      struct(VectorOps.cosineFast(col("v"), typedLit(cv)).as("cos"),
+        lit(-c).as("negcell"))
+    }: _*)
+    e.select(col("vec_id"), col("v"),
+      (-best.getField("negcell")).cast("int").as("cell"))
+  }
+
   def fitConverged(e: DataFrame, k: Int, maxIters: Int): (DataFrame, DataFrame, Int) = {
     require(maxIters >= 1, "need at least one Lloyd iteration")
     val spark = e.sparkSession
@@ -152,23 +173,26 @@ object Kmeans {
     import org.apache.spark.sql.types._
     val centSchema = StructType(Seq(StructField("cell", IntegerType, nullable = false),
       StructField("cv", ArrayType(DoubleType, containsNull = true), nullable = true)))
-    var cent = seedCentroids(e, k)
+    var cents = seedCentroids(e, k).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1).toVector
     var assigned: DataFrame = null
-    var prev: Vector[(Int, Vector[Double])] = null
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      assigned = assign(e, cent)
+      assigned = assignLiteral(e, cents)
       val arr = recompute(assigned).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
         .sortBy(_._1).toVector
       iters += 1
-      converged = prev != null && arr == prev
-      prev = arr
-      import scala.jdk.CollectionConverters._
-      cent = spark.createDataFrame(
-        arr.map { case (c, v) => Row(c, v) }.asJava, centSchema)
+      // the fixed-point test recompute(assign(c)) == c, exact on the
+      // collected doubles (k·dim values — constant, never data-scale)
+      converged = arr == cents
+      cents = arr
     }
+    import scala.jdk.CollectionConverters._
+    val cent = spark.createDataFrame(
+      cents.map { case (c, v) => Row(c, v) }.asJava, centSchema)
     (cent, assigned, iters)
   }
 
