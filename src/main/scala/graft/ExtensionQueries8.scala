@@ -32,12 +32,33 @@ object ExtensionQueries8 {
     * function of centroids, recompute of an unchanged assignment returns
     * the same centroids), so the unrolled oracle equals the converged
     * engine. Measured depths (graft.tools.KmDepth): 13 at sf0.001, 25 at
-    * sf0.01 (30 at sf0.1, engine-only scale) — hence 30 here: ≥ +5
-    * margin at both oracle scales. Round13bSpec pins engine-converged ==
+    * sf0.01 (30 at sf0.1 and 127 at sf1, engine-only scales — the growth
+    * that makes full-corpus exact convergence a per-scale cost and
+    * motivates s33's bounded-sample form) — hence 30 here: ≥ +5 margin
+    * at both oracle scales. Round13bSpec pins engine-converged ==
     * engine-fixed(unroll) on the fixture, which is exactly that
     * idempotence margin.
     */
   val KmConvOracleUnroll = 30
+
+  /** s33's fixed training-sample size: the top-[[KmSampleN]] vectors by
+    * the seed hash rank — a deterministic, scale-INDEPENDENT sample, so
+    * the Lloyd depth on it is bounded however big the corpus grows. This
+    * is the production answer to the depth growth s32's measurements
+    * exposed (13 → 25 → 30 → cap-trip at sf0.001 → 0.01 → 0.1 → sf1):
+    * exact full-corpus convergence is a per-scale cost, sample-trained
+    * convergence is a constant one.
+    */
+  val KmSampleN = 250
+
+  /** s33's oracle replay rounds — ≥ the measured SAMPLE convergence
+    * depths with margin (same idempotence argument as
+    * [[KmConvOracleUnroll]]). Measured sample depths (graft.tools.KmDepth
+    * with sample=250): 8 / 9 / 6 / 5 at sf0.001 / 0.01 / 0.1 / sf1 —
+    * bounded and FLAT across scales by construction (the sample size is
+    * fixed), vs the full corpus's growing 13 / 25 / 30 / 127.
+    */
+  val KmSampleOracleUnroll = 16
 
   /** d20's signature budget: the 12 minhash slots d14 already computes —
     * the tuning table prices every (bands × rows) factorization of the
@@ -108,6 +129,37 @@ object ExtensionQueries8 {
         k = ExtensionQueries.IvfCells, maxIters = KmConvMaxIters)
       val sizes = assigned.groupBy(col("cell"))
         .agg(count(lit(1)).as("n_members"))
+      cent.select(col("cell"), posexplode(col("cv")).as(Seq("dim", "val")))
+        .join(sizes, Seq("cell"))
+        .select(col("cell"), col("n_members"), col("dim"),
+          Agg.roundAt(col("val"), 6).as("centroid"))
+        .orderBy(col("cell"), col("dim"))
+    }),
+
+    // Sample-trained k-means (s33): s32's scale remedy. s32 proved exact
+    // full-corpus convergence depth GROWS with data (and trips any fixed
+    // cap eventually — measured at 10×); the production shape trains to
+    // the fixed point on a FIXED-SIZE deterministic sample (the seed
+    // hash-rank's top-[[KmSampleN]] prefix — the k seeds are therefore
+    // identical to s32's) where depth is bounded at any corpus scale,
+    // then assigns the FULL corpus in ONE row-local pass against the
+    // trained literals. Scale shape: training cost is constant in corpus
+    // size (sample rows × bounded depth); the only full-corpus work is
+    // one shuffle-free assignment projection + one count aggregate.
+    "s33_kmeans_sampled" -> ((s, dir) => {
+      val e = ExtensionQueries.embeddingsD(s, dir)
+        .select(col("vec_id"), col("v"))
+      val samp = e.withColumn("hrank",
+          pmod(pmod(col("vec_id"), lit(1000003L)) * lit(427799L), lit(1000003L)))
+        .orderBy(col("hrank"), col("vec_id")).limit(KmSampleN)
+        .select(col("vec_id"), col("v"))
+      val (cent, _, _) = Kmeans.fitConverged(samp,
+        k = ExtensionQueries.IvfCells, maxIters = KmConvMaxIters)
+      val cents = cent.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+      val sizes = Kmeans.assignLiteral(e, cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
       cent.select(col("cell"), posexplode(col("cv")).as(Seq("dim", "val")))
         .join(sizes, Seq("cell"))
         .select(col("cell"), col("n_members"), col("dim"),
@@ -228,32 +280,32 @@ object ExtensionQueries8 {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  /** The (ccos desc, cell asc) argmax as a lexicographic struct-min over
+    * the same cosine arithmetic s05's oracle uses.
+    */
+  private def argminCellSql(vec: String, cent: String, cell: String): String = {
+    import ExtensionQueries.dotSql
+    val cos = s"((${dotSql(vec, cent)}) / " +
+      s"(sqrt(${dotSql(vec, vec)}) * sqrt(${dotSql(cent, cent)})))"
+    s"(min(struct_pack(nc := -$cos, cl := $cell))).cl"
+  }
 
-    // Replays a fixed [[KmConvOracleUnroll]]-round training run — as a
-    // RECURSIVE CTE, not an unrolled chain: the recursion's working table
-    // materializes each round's k centroids, so execution is linear in
-    // rounds (the s05-style unrolled CTE chain at this depth planned to a
-    // 30× inlined expression tree DuckDB spent >10 min on; the recursive
-    // form runs in ~1 s). The assignment's rank window becomes a
-    // min(struct(−cos, cell)) — lexicographic struct comparison IS the
-    // (ccos desc, cell asc) total order — because a window over the
-    // recursive table is not expressible there; the cosine expression and
-    // the per-(cell,dim) DECIMAL recompute are s05's oracle verbatim, so
-    // round r's centroids are bit-identical to the engine's round r.
-    "s32_kmeans_converged" -> {
-      import ExtensionQueries.dotSql
-      val cos = s"((${dotSql("e.v", "t.cv")}) / " +
-        s"(sqrt(${dotSql("e.v", "e.v")}) * sqrt(${dotSql("t.cv", "t.cv")})))"
-      s"""
-      WITH RECURSIVE
-      e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-      ),
+  /** A `rounds`-round Lloyd training run over the rows of `src` (a CTE
+    * with (vec_id, v)) as RECURSIVE CTEs `seeds` + `cent(iter, cell, cv,
+    * n_members)` — the recursion's working table materializes each
+    * round's k centroids, so execution is linear in rounds (the
+    * s05-style unrolled CTE chain at depth 30 planned to a 30× inlined
+    * expression tree DuckDB spent >10 min on; this form runs in ~1 s).
+    * The assignment's rank window becomes [[argminCellSql]] because a
+    * window over the recursive table is not expressible there; the
+    * cosine expression and the per-(cell,dim) DECIMAL recompute are
+    * s05's oracle verbatim, so round r's centroids are bit-identical to
+    * the engine's round r.
+    */
+  private def kmRecursionCtes(src: String, rounds: Int): String = s"""
       seeds AS (
         SELECT CAST(row_number() OVER (ORDER BY ((vec_id % 1000003) * 427799) % 1000003, vec_id) - 1 AS INTEGER) AS cell, v
-        FROM e
+        FROM $src
         QUALIFY row_number() OVER (ORDER BY ((vec_id % 1000003) * 427799) % 1000003, vec_id) <= ${ExtensionQueries.IvfCells}
       ),
       cent(iter, cell, cv, n_members) AS (
@@ -265,22 +317,61 @@ object ExtensionQueries8 {
                  CAST(sum(CAST(a.v[i+1] AS DECIMAL(30,6))) AS DOUBLE) / count(a.v[i+1]) AS c,
                  count(a.v[i+1]) AS cnt
           FROM (
-            SELECT t.iter + 1 AS iter, e.vec_id, e.v,
-                   (min(struct_pack(nc := -$cos, cl := t.cell))).cl AS cell
-            FROM e CROSS JOIN cent t
-            WHERE t.iter < $KmConvOracleUnroll
+            SELECT t.iter + 1 AS iter, s.vec_id, s.v,
+                   ${argminCellSql("s.v", "t.cv", "t.cell")} AS cell
+            FROM $src s CROSS JOIN cent t
+            WHERE t.iter < $rounds
             GROUP BY 1, 2, 3
           ) a CROSS JOIN range(0, 64) t2(i)
           GROUP BY 1, 2, 3
         ) r
         GROUP BY iter, cell
-      )
+      )"""
+
+  val oracles: Map[String, String] = Map(
+
+    // Replays a fixed [[KmConvOracleUnroll]]-round training run over the
+    // full corpus — see [[kmRecursionCtes]] for why it is recursive.
+    "s32_kmeans_converged" -> s"""
+      WITH RECURSIVE
+      e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),${kmRecursionCtes("e", KmConvOracleUnroll)}
       SELECT c.cell, c.n_members, CAST(i AS INTEGER) AS dim,
              floor(c.cv[i + 1] * 1000000 + 0.5) / 1000000 AS centroid
       FROM cent c CROSS JOIN range(0, 64) t(i)
       WHERE c.iter = $KmConvOracleUnroll
-      ORDER BY cell, dim"""
-    },
+      ORDER BY cell, dim""",
+
+    // Trains over the hash-rank-prefix sample, then one full-corpus
+    // assignment + count — the engine's two phases replayed exactly.
+    "s33_kmeans_sampled" -> s"""
+      WITH RECURSIVE
+      e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      samp AS (
+        SELECT vec_id, v FROM e
+        QUALIFY row_number() OVER (ORDER BY ((vec_id % 1000003) * 427799) % 1000003, vec_id) <= $KmSampleN
+      ),${kmRecursionCtes("samp", KmSampleOracleUnroll)},
+      final AS (
+        SELECT cell, cv FROM cent WHERE iter = $KmSampleOracleUnroll
+      ),
+      assigned AS (
+        SELECT f.vec_id, ${argminCellSql("f.v", "c.cv", "c.cell")} AS cell
+        FROM e f CROSS JOIN final c
+        GROUP BY f.vec_id, f.v
+      ),
+      sizes AS (
+        SELECT cell, count(*) AS n_members FROM assigned GROUP BY cell
+      )
+      SELECT c.cell, s.n_members, CAST(i AS INTEGER) AS dim,
+             floor(c.cv[i + 1] * 1000000 + 0.5) / 1000000 AS centroid
+      FROM final c JOIN sizes s USING (cell)
+      CROSS JOIN range(0, 64) t(i)
+      ORDER BY cell, dim""",
 
     // Same unrolled-product collision math over the d14 estimate table.
     "d20_lsh_band_tuning" -> s"""

@@ -54,6 +54,34 @@ class Round13bSpec extends AnyFunSuite {
     assert(centList(cent) != centList(budget2))
   }
 
+  test("s33: the fixed-size sample bounds training depth below the full corpus's") {
+    // the scale motivation measured end-to-end: full-corpus depth GROWS
+    // with data (13/25/30/127 at sf0.001→sf1) while the hash-prefix
+    // sample's stays flat (8/9/6/5) — here both are re-derived live on
+    // the fixture rather than trusted from the notes
+    val samp = emb.withColumn("hrank",
+        pmod(pmod(col("vec_id"), lit(1000003L)) * lit(427799L), lit(1000003L)))
+      .orderBy(col("hrank"), col("vec_id")).limit(ExtensionQueries8.KmSampleN)
+      .select(col("vec_id"), col("v"))
+    val (_, _, sampIters) = Kmeans.fitConverged(samp, k = 8,
+      maxIters = ExtensionQueries8.KmConvMaxIters)
+    val (_, _, fullIters) = Kmeans.fitConverged(emb, k = 8,
+      maxIters = ExtensionQueries8.KmConvMaxIters)
+    assert(sampIters < fullIters,
+      s"sample depth $sampIters should undercut full depth $fullIters")
+    assert(sampIters <= ExtensionQueries8.KmSampleOracleUnroll,
+      s"s33 oracle unroll is below the sample depth $sampIters")
+  }
+
+  test("s33: full-corpus assignment covers every vector exactly once") {
+    val rows = ExtensionQueries8.all("s33_kmeans_sampled")(spark, dir)
+      .select(col("cell"), col("n_members")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val corpus = emb.count()
+    assert(rows.map(_._2).sum == corpus,
+      s"per-cell members ${rows.toList} must partition the $corpus-vector corpus")
+  }
+
   // ---- d20: banding-design S-curve invariants ----
 
   test("d20 rows are ordered by rows-per-band with monotone threshold and candidate volume") {
