@@ -300,4 +300,47 @@ object EventStreams {
     q.stop()
     df.sparkSession.table(name)
   }
+
+  /** Stream-STATIC enrichment join: each event picks up its user's
+    * dimension attributes from a static lookup table. This is the
+    * stateless third join shape beside the stream-stream interval join
+    * ([[clicksAfterViews]]) and the batch joins: the static side needs no
+    * watermark and holds no streaming state — it is (re-)resolved per
+    * micro-batch, which for a file-based dim means a slowly-changing
+    * lookup is picked up on the next batch, and for a small dim the join
+    * broadcasts. LEFT join: an event with no dim row flows through with
+    * nulls rather than silently dropping (ingest must never lose events
+    * to late dim arrival). `dim` must carry `user_id` plus the
+    * enrichment columns; identical code serves the batch twin —
+    * StreamingSpec pins stream ≡ batch on the same rows.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** One idempotently-committed micro-batch of the lake ingest: the
+    * batch lands in its OWN `batch=<id>` directory with overwrite mode,
+    * so a retried epoch (failure after write, before the checkpoint
+    * commit — the at-least-once window foreachBatch exposes) REPLACES
+    * its previous attempt instead of appending beside it. Idempotent
+    * per-batch writes + the checkpoint's exactly-once batch numbering
+    * are what turn foreachBatch's at-least-once delivery into an
+    * exactly-once lake table; readers see `dir` as an ordinary
+    * partitioned parquet table.
+    */
+  def writeBatchIdempotent(df: DataFrame, dir: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+
+  /** Continuous lake ingest via foreachBatch — the production
+    * streaming-to-lake sink shape (the streaming twin of the reference's
+    * append sink S2/q56): every micro-batch commits through
+    * [[writeBatchIdempotent]] under the query checkpoint.
+    */
+  def startLakeIngest(stream: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeBatchIdempotent(df.toDF(), dir, batchId)
+      }
+      .start()
 }

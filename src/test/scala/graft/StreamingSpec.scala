@@ -371,6 +371,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("stream-static enrichment join matches the batch join; dimension-less events keep nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1L, ts("2024-01-01 00:05:00"), 1L, "view", 1.0),
+      Event(2L, ts("2024-01-01 00:45:00"), 2L, "click", 2.0),
+      Event(3L, ts("2024-01-01 01:05:00"), 9L, "view", 4.0)) // no dim row
+    val dim = Seq((1L, "GOLD", 10), (2L, "SILVER", 20))
+      .toDF("user_id", "segment", "nation_id")
+
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val got = EventStreams.runToMemory(
+        EventStreams.enrichWithDim(stream.toDF(), dim),
+        "enriched", OutputMode.Append())
+      .select(col("event_id"), col("segment"), col("nation_id"))
+      .as[(Long, Option[String], Option[Int])].collect().toSet
+    // identical code is the batch twin
+    val batch = EventStreams.enrichWithDim(events.toDF(), dim)
+      .select(col("event_id"), col("segment"), col("nation_id"))
+      .as[(Long, Option[String], Option[Int])].collect().toSet
+    assert(got == batch)
+    assert(got == Set((1L, Some("GOLD"), Some(10)),
+      (2L, Some("SILVER"), Some(20)), (3L, None, None)),
+      "the left join must pass dimension-less events through with nulls")
+  }
+
+  test("foreachBatch lake ingest is exactly-once: a replayed epoch does not duplicate rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString + "/events"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+    val chunk1 = Seq(Event(1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+      Event(2L, ts("2024-01-01 00:01:00"), 2L, "click", 2.0))
+    val chunk2 = Seq(Event(3L, ts("2024-01-01 00:02:00"), 1L, "view", 4.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.startLakeIngest(stream.toDF(), dir, ckpt)
+    stream.addData(chunk1: _*)
+    q.processAllAvailable()
+    stream.addData(chunk2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def lake() = spark.read.parquet(dir)
+    assert(lake().select("event_id").as[Long].collect().toSeq.sorted == Seq(1L, 2L, 3L))
+
+    // Simulate the at-least-once window: epoch 0 is REPLAYED (failure
+    // after its write, before the checkpoint commit). The idempotent
+    // per-batch commit overwrites batch=0 instead of appending beside it.
+    EventStreams.writeBatchIdempotent(chunk1.toDF(), dir, batchId = 0L)
+    assert(lake().select("event_id").as[Long].collect().toSeq.sorted == Seq(1L, 2L, 3L),
+      "a replayed epoch must not duplicate rows")
+    // the replay really re-wrote batch 0 (fresh files), not a no-op
+    assert(lake().filter(col("batch") === 0).count() == 2)
+  }
+
   test("file-source streaming read ingests the events fixture") {
     // stage the fixture as a directory of event files (the source contract)
     val dir = java.nio.file.Files.createTempDirectory("graft_events")
