@@ -38,7 +38,8 @@ object Bench {
     "s26_ivf_nprobe_curve", "s28_dominant_direction", "g03_kcore",
     // round-13 representatives (appended)
     "q94_hll_register_lake", "s30_index_compaction", "s31_knn_graph_capped",
-    "s32_kmeans_converged", "s33_kmeans_sampled", "t32_inverted_index_lake")
+    "s32_kmeans_converged", "s33_kmeans_sampled", "d20_lsh_band_tuning",
+    "t32_inverted_index_lake")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 

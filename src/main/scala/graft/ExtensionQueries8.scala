@@ -180,22 +180,28 @@ object ExtensionQueries8 {
     // discipline: p is unrolled IEEE multiplication (no pow), s* a
     // driver-side literal, per-pair p fixed-pointed to 1e6 BEFORE the
     // integer sums, so partitioning can never reorder double adds.
-    // Scale shape: one bounded (b,r)-branch union over the candidate
-    // table; each branch is a stateless projection + one 6-group
-    // aggregate. (The pair population is the surfaced candidate set —
-    // at 100 TB substitute a uniform pair sample for the unconditioned
-    // curve; the arithmetic is identical.)
+    // Scale shape: ONE pass over the candidate table — each pair row
+    // explodes a literal 6-struct array (one per (b,r) scheme), so the
+    // d14 subtree executes once (the first form unioned six branch
+    // SELECTs and re-ran the whole estimate pipeline per scheme:
+    // measured 59 s at sf1 vs 11 s for d14 itself; this form is one
+    // d14 execution + a 6× row fan-out of 4-field structs into a
+    // 6-group aggregate). (The pair population is the surfaced
+    // candidate set — at 100 TB substitute a uniform pair sample for
+    // the unconditioned curve; the arithmetic is identical.)
     "d20_lsh_band_tuning" -> ((s, dir) => {
       val pairs = ExtensionQueries.all("d14_minhash_estimate")(s, dir)
         .select(col("est_jaccard").as("s"), col("jaccard"))
-      val branches = BandGrid.map { case (b, r) =>
-        pairs.select(
-          lit(b).as("bands"), lit(r).as("rows_per_band"),
+      val schemes = array(BandGrid.map { case (b, r) =>
+        struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
           lit(sStar(b, r)).as("s_star_raw"),
-          floor(expr(pCollideSql(b, r)) * 1e6).cast("long").as("p_fp"),
-          col("jaccard"))
-      }
-      branches.reduce(_ unionByName _)
+          floor(expr(pCollideSql(b, r)) * 1e6).cast("long").as("p_fp"))
+      }: _*)
+      pairs.select(explode(schemes).as("g"), col("jaccard"))
+        .select(col("g.bands").as("bands"),
+          col("g.rows_per_band").as("rows_per_band"),
+          col("g.s_star_raw").as("s_star_raw"),
+          col("g.p_fp").as("p_fp"), col("jaccard"))
         .groupBy(col("bands"), col("rows_per_band"), col("s_star_raw"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("p_fp")).as("cand_fp"),
