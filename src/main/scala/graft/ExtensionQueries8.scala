@@ -218,6 +218,75 @@ object ExtensionQueries8 {
         .orderBy(col("rows_per_band"))
     }),
 
+    // A/B experiment analysis (e17): per event type, a Welch z-test of
+    // the event-value mean between the two user-hash variants — the
+    // decision read-out every experimentation platform computes. Float
+    // discipline: n, Σv and Σv² are EXACT (count + DECIMAL(30,6) sums —
+    // v·v is one IEEE multiply, identical in both engines), so the mean
+    // / variance / z doubles derive deterministically from exact inputs
+    // through an op-for-op identical formula; z fixed-points at 1e6 and
+    // the significance flag compares the ROUNDED z, so both engines gate
+    // on identical values. Scale shape: one events scan → one 2·|types|-
+    // group partial-aggregated shuffle; everything after is a |types|-row
+    // self-merge.
+    "e17_ab_test" -> ((s, dir) => {
+      val perVariant = t(s, dir, "events")
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+        .groupBy(col("event_type"), col("variant"))
+        .agg(count(lit(1)).as("n"), Agg.decSum(col("value")).as("sv"),
+          Agg.decSum(col("value") * col("value")).as("svv"))
+        .withColumn("mean", col("sv") / col("n"))
+        .withColumn("variance",
+          (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+      val a = perVariant.filter(col("variant") === 0)
+        .select(col("event_type"), col("n").as("n_a"),
+          col("mean").as("mean_a"), col("variance").as("var_a"))
+      val b = perVariant.filter(col("variant") === 1)
+        .select(col("event_type"), col("n").as("n_b"),
+          col("mean").as("mean_b"), col("variance").as("var_b"))
+      a.join(b, Seq("event_type"))
+        .withColumn("z", Agg.roundAt(
+          (col("mean_b") - col("mean_a")) /
+            sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          Agg.roundAt(col("mean_a"), 6).as("mean_a"),
+          Agg.roundAt(col("mean_b"), 6).as("mean_b"),
+          col("z").as("z_score"),
+          (abs(col("z")) >= 1.959964).as("significant"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Dedup-weighted token budget (t33): raw vs EFFECTIVE token counts
+    // per source, where each document's tokens are down-weighted by its
+    // d07 duplicate-cluster size (a doc duplicated 5× contributes its
+    // tokens once, not five times). This is the number a training-data
+    // buyer actually wants — "how many unique tokens do I have" — and it
+    // composes two audited pipelines (d07's converged clusters, t01's
+    // tokenization) joined on doc_id. Exact integer arithmetic: the
+    // per-doc weight is (n_tokens · 1e6) DIV cluster_size, summed as
+    // longs, so partitioning can never reorder float adds. Scale shape:
+    // cluster sizes are one count over the (memoized) cluster table; the
+    // weighting is a row-local join + one |sources|-group aggregate.
+    "t33_dedup_weighted_tokens" -> ((s, dir) => {
+      val clusters = ExtensionQueries.all("d07_dedup_clusters")(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val sizes = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("csize"))
+      val tok = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      tok.join(clusters, Seq("doc_id")).join(sizes, Seq("cluster_id"))
+        .withColumn("eff_fp", expr("n_tokens * 1000000L DIV csize"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("raw_tokens"),
+          sum(col("eff_fp")).as("eff_fp"))
+        .select(col("source"), col("n_docs"), col("raw_tokens"),
+          (col("eff_fp").cast("double") / 1e6).as("effective_tokens"),
+          Agg.roundAt(col("eff_fp").cast("double") / 1e6 /
+            col("raw_tokens"), 6).as("unique_fraction"))
+        .orderBy(col("source"))
+    }),
+
     // Persisted inverted-index lake table + term-pruned BM25 serving
     // (t32): t25 recomputes corpus statistics per query — the right
     // correctness baseline, the wrong operational shape. This builds the
@@ -402,6 +471,60 @@ object ExtensionQueries8 {
              CAST(sum(CASE WHEN jaccard < 0.5 THEN p_fp ELSE 0 END)
                AS DOUBLE) / 1000000 AS exp_false_candidates
       FROM per GROUP BY 1, 2, 3 ORDER BY rows_per_band""",
+
+    // Exact n / Σv / Σv² per (type, variant); identical op-for-op mean /
+    // variance / z formula; significance gates on the ROUNDED z.
+    "e17_ab_test" -> s"""
+      WITH pv AS (
+        SELECT event_type, CAST(user_id % 2 AS INTEGER) AS variant,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sv,
+               CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS svv
+        FROM events GROUP BY 1, 2
+      ),
+      m AS (
+        SELECT event_type, variant, n, sv / n AS mean,
+               (svv - sv * sv / n) / (n - 1) AS variance
+        FROM pv
+      ),
+      j AS (
+        SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+               a.mean AS mean_a, b.mean AS mean_b,
+               floor((b.mean - a.mean) / sqrt(a.variance / a.n + b.variance / b.n)
+                 * 1000000 + 0.5) / 1000000 AS z_score
+        FROM m a JOIN m b ON a.event_type = b.event_type
+        WHERE a.variant = 0 AND b.variant = 1
+      )
+      SELECT event_type, n_a, n_b,
+             floor(mean_a * 1000000 + 0.5) / 1000000 AS mean_a,
+             floor(mean_b * 1000000 + 0.5) / 1000000 AS mean_b,
+             z_score, abs(z_score) >= 1.959964 AS significant
+      FROM j ORDER BY event_type""",
+
+    // d07's unrolled propagation + t01's tokenization, composed; the
+    // weighting is integer fixed-point so the sums are order-free.
+    "t33_dedup_weighted_tokens" -> s"""
+      WITH clusters AS (
+        SELECT doc_id, cluster_id FROM (${ExtensionQueries.oracles("d07_dedup_clusters")})
+      ),
+      sizes AS (
+        SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1
+      ),
+      tok AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+      ),
+      w AS (
+        SELECT t.source, t.n_tokens, (t.n_tokens * 1000000) // s.csize AS eff_fp
+        FROM tok t JOIN clusters c USING (doc_id) JOIN sizes s USING (cluster_id)
+      )
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+             CAST(sum(eff_fp) AS DOUBLE) / 1000000 AS effective_tokens,
+             floor(CAST(sum(eff_fp) AS DOUBLE) / 1000000
+               / CAST(sum(n_tokens) AS BIGINT) * 1000000 + 0.5) / 1000000 AS unique_fraction
+      FROM w GROUP BY source ORDER BY source""",
 
     // The lake round trip is transparent by construction: serving must
     // equal t25's end-to-end computation from raw documents.

@@ -109,6 +109,34 @@ class Round13bSpec extends AnyFunSuite {
       cand >= 0 && cand <= n.toDouble && fal >= 0 && fal <= cand })
   }
 
+  test("e17: variants partition every event and z's sign follows the mean gap") {
+    val rows = ExtensionQueries8.all("e17_ab_test")(spark, dir)
+      .collect().toList.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.load(spark, dir, "events").count()
+    assert(rows.map(r => r._2 + r._3).sum == total,
+      "the two variants must partition every event exactly once")
+    rows.foreach { case (tpe, _, _, ma, mb, z, sig) =>
+      assert((z > 0) == (mb > ma) || z == 0.0, s"$tpe: z=$z vs means $ma/$mb")
+      assert(sig == (math.abs(z) >= 1.959964), s"$tpe: flag disagrees with z=$z")
+    }
+  }
+
+  test("t33: the effective token budget never exceeds the raw one and sees the planted dups") {
+    val rows = ExtensionQueries8.all("t33_dedup_weighted_tokens")(spark, dir)
+      .collect().toList.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, raw, eff, frac) =>
+      assert(nDocs > 0 && raw > 0, src)
+      assert(eff > 0 && eff <= raw.toDouble, s"$src: effective $eff vs raw $raw")
+      assert(frac > 0 && frac <= 1.0, s"$src: fraction $frac")
+    }
+    assert(rows.exists(_._5 < 1.0),
+      "the fixture plants near-duplicates — some source must be discounted")
+  }
+
   // ---- t32: inverted-index lake ----
 
   test("index-serving BM25 equals t25's end-to-end computation") {
