@@ -81,7 +81,7 @@ object ExtensionQueries8 {
     * exponents unrolled to repeated IEEE multiplication, which both
     * engines evaluate bit-identically (no pow(), no libm).
     */
-  private def pCollideSql(b: Int, r: Int): String = {
+  private[graft] def pCollideSql(b: Int, r: Int): String = {
     val sr = "(" + Seq.fill(r)("s").mkString(" * ") + ")"
     val miss = s"(1.0 - $sr)"
     val missB = "(" + Seq.fill(b)(miss).mkString(" * ") + ")"
@@ -230,11 +230,7 @@ object ExtensionQueries8 {
     // group partial-aggregated shuffle; everything after is a |types|-row
     // self-merge.
     "e17_ab_test" -> ((s, dir) => {
-      val perVariant = t(s, dir, "events")
-        .withColumn("variant", (col("user_id") % 2).cast("int"))
-        .groupBy(col("event_type"), col("variant"))
-        .agg(count(lit(1)).as("n"), Agg.decSum(col("value")).as("sv"),
-          Agg.decSum(col("value") * col("value")).as("svv"))
+      val perVariant = abVariantMoments(t(s, dir, "events"))
         .withColumn("mean", col("sv") / col("n"))
         .withColumn("variance",
           (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
@@ -402,6 +398,21 @@ object ExtensionQueries8 {
         ) r
         GROUP BY iter, cell
       )"""
+
+  /** e17's exact per-(event_type, variant) moments — n, Σv, Σv² with
+    * decimal sums. Shared VERBATIM by the batch query and the streaming
+    * twin: the key space is 2·|event types| (bounded), so as a
+    * complete-mode streaming aggregation its state is the moments table
+    * itself — the experiment read-out updates continuously while the
+    * z-test join stays a tiny batch-side epilogue. StreamingSpec pins
+    * stream ≡ batch across a batch split.
+    */
+  private[graft] def abVariantMoments(events: DataFrame): DataFrame =
+    events
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n"), Agg.decSum(col("value")).as("sv"),
+        Agg.decSum(col("value") * col("value")).as("svv"))
 
   val oracles: Map[String, String] = Map(
 

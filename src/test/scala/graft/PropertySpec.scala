@@ -227,4 +227,24 @@ class PropertySpec extends AnyFunSuite {
         s"n=$truth est=$est exceeds the 45% envelope")
     }
   }
+
+  test("d20's unrolled collision products equal the pow S-curve on arbitrary similarities") {
+    // the engine never calls pow (libm last-ulp nondeterminism across
+    // engines); the unrolled left-assoc products must still BE the
+    // S-curve 1-(1-s^r)^b — equal to the pow form within float noise,
+    // and a probability exactly
+    for (ss <- samples(Gen.listOfN(40, Gen.choose(0.0, 1.0)), 4)) {
+      val s4 = ss.map(x => math.floor(x * 1e4 + 0.5) / 1e4) // d14's rounding regime
+      val df = s4.toDF("s")
+      ExtensionQueries8.BandGrid.foreach { case (b, r) =>
+        val got = df.select(expr(ExtensionQueries8.pCollideSql(b, r)).as("p"))
+          .as[Double].collect()
+        got.zip(s4).foreach { case (p, sv) =>
+          val want = 1.0 - math.pow(1.0 - math.pow(sv, r), b)
+          assert(p >= 0.0 && p <= 1.0, s"b=$b r=$r s=$sv p=$p")
+          assert(math.abs(p - want) <= 1e-12, s"b=$b r=$r s=$sv p=$p want=$want")
+        }
+      }
+    }
+  }
 }

@@ -371,6 +371,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("streaming A/B variant moments match the batch form across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val chunk1 = Seq(
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.5),   // variant 1
+      Event(2L, ts("2024-01-01 00:01:00"), 2L, "view", 2.25),  // variant 0
+      Event(3L, ts("2024-01-01 00:02:00"), 3L, "click", 4.0))  // variant 1
+    val chunk2 = Seq(
+      Event(4L, ts("2024-01-01 00:03:00"), 4L, "view", 8.5),   // variant 0
+      Event(5L, ts("2024-01-01 00:04:00"), 1L, "view", 16.75)) // variant 1
+
+    val stream = MemoryStream[Event]
+    val q = ExtensionQueries8.abVariantMoments(stream.toDF())
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ab_moments").start()
+    stream.addData(chunk1: _*)
+    q.processAllAvailable()
+    stream.addData(chunk2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "variant", "n", "sv", "svv")
+      .as[(String, Int, Long, Double, Double)].collect().toSet
+    val got = rows(spark.table("ab_moments"))
+    val batch = rows(ExtensionQueries8.abVariantMoments((chunk1 ++ chunk2).toDF()))
+    assert(got == batch)
+    assert(got.toSeq.map(_._3).sum == 5, "every event lands in exactly one moment cell")
+  }
+
   test("stream-static enrichment join matches the batch join; dimension-less events keep nulls") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
