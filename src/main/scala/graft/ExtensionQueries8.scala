@@ -88,6 +88,12 @@ object ExtensionQueries8 {
     s"(1.0 - $missB)"
   }
 
+  /** d21's verification-threshold grid — bounded, so the sweep's fan-out
+    * and its aggregation key space are constants.
+    */
+  private[graft] val DedupThresholds: Seq[Double] =
+    Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
   /** t32 lake geometry: postings partitioned by a term-hash bucket so a
     * query's terms prune to their buckets' directories at the scan.
     */
@@ -250,6 +256,75 @@ object ExtensionQueries8 {
           col("z").as("z_score"),
           (abs(col("z")) >= 1.959964).as("significant"))
         .orderBy(col("event_type"))
+    }),
+
+    // A/B conversion-rate test (e18): e17's binary-metric sibling — the
+    // two-proportion z-test on converted-user rates (a user converts if
+    // they have ≥1 HIGH-VALUE purchase — value > 90; a bare "any
+    // purchase" definition saturates this fixture at rate 1.0 for both
+    // variants, where the pooled variance is 0 and the z-statistic is
+    // undefined — ANSI mode correctly refuses the 0/0 rather than
+    // shipping a NaN verdict). All inputs are exact integers
+    // (distinct-user counts), the pooled-variance z derives through an
+    // op-for-op identical formula, significance gates on the ROUNDED z —
+    // together e17 (continuous metric) and e18 (binary metric) are the
+    // two read-outs every experimentation platform ships. Scale shape:
+    // one events scan → per-user conversion flags (one user-keyed
+    // partial-agg shuffle) → a 2-row variant aggregate.
+    "e18_ab_conversion" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 90, 1)
+          .otherwise(0)).as("converted"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      val pv = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+      val a = pv.filter(col("variant") === 0)
+        .select(col("n").as("n_a"), col("c").as("conv_a"))
+      val b = pv.filter(col("variant") === 1)
+        .select(col("n").as("n_b"), col("c").as("conv_b"))
+      a.crossJoin(b)
+        .withColumn("rate_a", col("conv_a").cast("double") / col("n_a"))
+        .withColumn("rate_b", col("conv_b").cast("double") / col("n_b"))
+        .withColumn("pool",
+          (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+        .withColumn("z", Agg.roundAt(
+          (col("rate_b") - col("rate_a")) /
+            sqrt(col("pool") * (lit(1.0) - col("pool")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+        .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          Agg.roundAt(col("rate_a"), 6).as("rate_a"),
+          Agg.roundAt(col("rate_b"), 6).as("rate_b"),
+          col("z").as("z_score"),
+          (abs(col("z")) >= 1.959964).as("significant"))
+    }),
+
+    // Near-dup threshold sweep (d21): d20 prices the CANDIDATE-GENERATION
+    // knob (bands × rows); this prices the VERIFICATION knob — for each
+    // Jaccard threshold on the exact pair similarities, how many pairs
+    // verify as duplicates and how many documents are touched. Together
+    // they are the two decisions a dedup run makes before the petabyte
+    // pass. One pass over the d04 verified pairs (the d20 explode
+    // pattern: each pair row fans out to the bounded threshold grid,
+    // then to its two doc sides), ONE aggregation per bounded threshold
+    // key: pair count recovered exactly as doc-rows DIV 2, doc exposure
+    // as a distinct count — never a collected array (a collect_list of
+    // pair ids would be an unbounded aggregation buffer at 100 TB).
+    "d21_dedup_threshold_sweep" -> ((s, dir) => {
+      val feats = ExtensionQueries.docFeatures(s, dir)
+      val pairs = graft.operators.Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+      val scored = graft.operators.Dedup.jaccardOnPairs(pairs, feats)
+        .select(col("doc_a"), col("doc_b"),
+          Agg.roundAt(col("jaccard"), 4).as("j"))
+      scored.select(col("doc_a"), col("doc_b"), col("j"),
+          explode(typedLit(DedupThresholds)).as("threshold"))
+        .filter(col("j") >= col("threshold"))
+        .select(col("threshold"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy(col("threshold"))
+        .agg(expr("count(1) DIV 2").as("n_dup_pairs"),
+          countDistinct(col("doc")).as("n_docs_touched"))
+        .orderBy(col("threshold"))
     }),
 
     // Dedup-weighted token budget (t33): raw vs EFFECTIVE token counts
@@ -511,6 +586,58 @@ object ExtensionQueries8 {
              floor(mean_b * 1000000 + 0.5) / 1000000 AS mean_b,
              z_score, abs(z_score) >= 1.959964 AS significant
       FROM j ORDER BY event_type""",
+
+    // Exact per-user conversion flags; identical pooled-variance z.
+    "e18_ab_conversion" -> s"""
+      WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+               max(CASE WHEN event_type = 'purchase' AND value > 90
+                 THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY 1
+      ),
+      pv AS (
+        SELECT variant, count(*) AS n, CAST(sum(converted) AS BIGINT) AS c
+        FROM pu GROUP BY 1
+      ),
+      j AS (
+        SELECT a.n AS n_a, b.n AS n_b, a.c AS conv_a, b.c AS conv_b,
+               CAST(a.c AS DOUBLE) / a.n AS rate_a,
+               CAST(b.c AS DOUBLE) / b.n AS rate_b,
+               CAST(a.c + b.c AS DOUBLE) / (a.n + b.n) AS pool
+        FROM pv a CROSS JOIN pv b
+        WHERE a.variant = 0 AND b.variant = 1
+      ),
+      z AS (
+        SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+               floor((rate_b - rate_a) / sqrt(pool * (1.0 - pool)
+                 * (1.0 / n_a + 1.0 / n_b)) * 1000000 + 0.5) / 1000000 AS z_score
+        FROM j
+      )
+      SELECT n_a, n_b, conv_a, conv_b,
+             floor(rate_a * 1000000 + 0.5) / 1000000 AS rate_a,
+             floor(rate_b * 1000000 + 0.5) / 1000000 AS rate_b,
+             z_score, abs(z_score) >= 1.959964 AS significant
+      FROM z""",
+
+    // d04's verified pairs swept over the same bounded threshold grid;
+    // pair count recovered exactly as doc-rows // 2.
+    "d21_dedup_threshold_sweep" -> s"""
+      WITH scored AS (
+        SELECT doc_a, doc_b, jaccard AS j
+        FROM (${ExtensionQueries.oracles("d04_jaccard_neardup")})
+      ),
+      pr AS (
+        SELECT CAST(t.threshold AS DOUBLE) AS threshold, s.doc_a, s.doc_b
+        FROM scored s
+        CROSS JOIN (SELECT unnest([${DedupThresholds.mkString(", ")}]) AS threshold) t
+        WHERE s.j >= CAST(t.threshold AS DOUBLE)
+      ),
+      d AS (
+        SELECT threshold, unnest([doc_a, doc_b]) AS doc FROM pr
+      )
+      SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_dup_pairs,
+             CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_touched
+      FROM d GROUP BY 1 ORDER BY 1""",
 
     // d07's unrolled propagation + t01's tokenization, composed; the
     // weighting is integer fixed-point so the sums are order-free.

@@ -137,6 +137,34 @@ class Round13bSpec extends AnyFunSuite {
       "the fixture plants near-duplicates — some source must be discounted")
   }
 
+  test("e18: users partition into variants and the flag follows the rounded z") {
+    val r = ExtensionQueries8.all("e18_ab_conversion")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (na, nb, ca, cb) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val users = graft.sources.Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(na + nb == users, "variants must partition the user base")
+    assert(ca <= na && cb <= nb)
+    assert(ca > 0 && ca < na, "conversion must be interior — a saturated rate has no variance")
+    val z = row.getDouble(6)
+    assert(row.getBoolean(7) == (math.abs(z) >= 1.959964))
+  }
+
+  test("d21: pair and doc exposure shrink monotonically as the threshold rises") {
+    val rows = ExtensionQueries8.all("d21_dedup_threshold_sweep")(spark, dir)
+      .collect().toList.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.map(_._1) == rows.map(_._1).sorted)
+    assert(rows.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      "dup pairs cannot grow with a stricter threshold")
+    assert(rows.map(_._3).sliding(2).forall(p => p.head >= p.last),
+      "doc exposure cannot grow with a stricter threshold")
+    rows.foreach { case (t, pairs, docs) =>
+      assert(docs <= 2 * pairs, s"t=$t: $docs docs from $pairs pairs")
+      assert(pairs == 0 || docs > 0)
+    }
+  }
+
   // ---- t32: inverted-index lake ----
 
   test("index-serving BM25 equals t25's end-to-end computation") {
