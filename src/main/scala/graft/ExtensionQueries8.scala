@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Agg, Kmeans}
@@ -108,6 +108,102 @@ object ExtensionQueries8 {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(v.getBytes("UTF-8"))
     java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+  }
+
+  /** t34's sampling budget: the total token draw the mixture designer is
+    * allocating across sources — a fixed literal so both engines price
+    * the same decision.
+    */
+  val MixTokenBudget = 1.0e7
+
+  /** e19's pre/post experiment boundary — 2024-01-16T00:00:00Z in epoch
+    * micros (events span January 2024, so this splits the fixture near
+    * its median). Compared as integer micros in both engines, so no
+    * session-timezone semantics can touch the split.
+    */
+  val CupedSplitUs = 1705363200000000L
+
+  /** q96's per-column audit spec: (column name, numeric view, string
+    * view, canonical string key). Exactly one of the two views is
+    * non-null per column; the canonical key is what NDV hashing and
+    * exact-distinct counting run on (for continuous doubles it is a
+    * fixed-point canonicalization, so both engines hash identical
+    * strings).
+    */
+  private[graft] type ColSpec = (String, Column, Column, Column)
+
+  /** The ANALYZE-TABLE build + serve shared by q96 and its spec: per
+    * shard, one pass computes row/null/min/max stats and p=12 HLL NDV
+    * registers per audited column; both are WRITTEN shard-partitioned
+    * (the q94/q95 stored-artifact pattern), then merged on read —
+    * stats by sum/min/max, registers by register-max — so a catalog
+    * refresh after a new ingest appends only that shard's rows and a
+    * reader never rescans the table. `ndv_true` (exact distinct of the
+    * canonical key) rides along as the fixture-scale accuracy report;
+    * a 100 TB deployment drops that column and keeps the sketch.
+    */
+  private[graft] def statsCatalog(s: SparkSession, rows: DataFrame,
+      shard: Column, specs: Seq[ColSpec], root: String): DataFrame = {
+    import ExtensionQueries7.{HllM12, HllRemBits12, HllAlphaNum12, HllLcFp12}
+    val longF = rows.select(shard.cast("int").as("shard"),
+        explode(array(specs.map { case (n, num, str, cv) =>
+          struct(lit(n).as("seg"), num.cast("double").as("nval"),
+            str.cast("string").as("sval"), cv.cast("string").as("cval"))
+        }: _*)).as("c"))
+      .select(col("shard"), col("c.seg").as("seg"), col("c.nval").as("nval"),
+        col("c.sval").as("sval"), col("c.cval").as("cval"))
+    val stats = longF.groupBy(col("shard"), col("seg"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cval").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("nval")).as("min_num"), max(col("nval")).as("max_num"),
+        min(col("sval")).as("min_str"), max(col("sval")).as("max_str"))
+    val remMod = 1L << HllRemBits12
+    val regs = longF.filter(col("cval").isNotNull)
+      .withColumn("h", ExtensionQueries3.md5Hash48(col("cval")))
+      .withColumn("bucket", expr(s"h DIV $remMod"))
+      .withColumn("w", col("h") % remMod)
+      .withColumn("rho", when(col("w") === 0, lit(HllRemBits12 + 1))
+        .otherwise(lit(HllRemBits12 + 1) - length(bin(col("w")))))
+      .groupBy(col("shard"), col("seg"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    stats.write.mode("overwrite").partitionBy("shard").parquet(s"$root/stats")
+    regs.write.mode("overwrite").partitionBy("shard").parquet(s"$root/ndv_regs")
+    // merge-on-read: only catalog rows, never the audited table
+    val mStats = s.read.parquet(s"$root/stats").groupBy(col("seg"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_null")).as("n_null"),
+        min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+        min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+    val mRegs = s.read.parquet(s"$root/ndv_regs")
+      .groupBy(col("seg"), col("bucket")).agg(max(col("reg")).as("reg"))
+    val est = ExtensionQueries7.hllEstimate(mRegs, HllM12, HllRemBits12,
+      HllAlphaNum12, HllLcFp12)
+    val ndvTrue = longF.groupBy(col("seg"))
+      .agg(countDistinct(col("cval")).as("ndv_true"))
+    mStats.join(est.select(col("seg"), col("corrected")), Seq("seg"))
+      .join(ndvTrue, Seq("seg"))
+      .select(col("seg").as("col_name"), col("n_rows"), col("n_null"),
+        Agg.roundAt(col("corrected"), 4).as("ndv_est"), col("ndv_true"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+      .orderBy(col("col_name"))
+  }
+
+  /** t33/t34's shared substrate: per source, exact doc/token counts and
+    * the dedup-weighted effective-token fixed point (each doc's tokens
+    * DIV its converged d07 cluster size, summed as longs).
+    */
+  private[graft] def effTokensPerSource(s: SparkSession, dir: String): DataFrame = {
+    val clusters = ExtensionQueries.all("d07_dedup_clusters")(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+    val tok = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    tok.join(clusters, Seq("doc_id")).join(sizes, Seq("cluster_id"))
+      .withColumn("eff_fp", expr("n_tokens * 1000000L DIV csize"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("eff_fp")).as("eff_fp"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -339,18 +435,7 @@ object ExtensionQueries8 {
     // cluster sizes are one count over the (memoized) cluster table; the
     // weighting is a row-local join + one |sources|-group aggregate.
     "t33_dedup_weighted_tokens" -> ((s, dir) => {
-      val clusters = ExtensionQueries.all("d07_dedup_clusters")(s, dir)
-        .select(col("doc_id"), col("cluster_id"))
-      val sizes = clusters.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("csize"))
-      val tok = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      tok.join(clusters, Seq("doc_id")).join(sizes, Seq("cluster_id"))
-        .withColumn("eff_fp", expr("n_tokens * 1000000L DIV csize"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("raw_tokens"),
-          sum(col("eff_fp")).as("eff_fp"))
+      effTokensPerSource(s, dir)
         .select(col("source"), col("n_docs"), col("raw_tokens"),
           (col("eff_fp").cast("double") / 1e6).as("effective_tokens"),
           Agg.roundAt(col("eff_fp").cast("double") / 1e6 /
@@ -423,6 +508,158 @@ object ExtensionQueries8 {
         .limit(Bm25K)
         .select(col("doc_id"), col("n_hits"), col("score_fp"),
           (col("score_fp").cast("double") / 1e6).as("score"))
+    }),
+
+    // PERSISTED column-statistics catalog (q96): the ANALYZE TABLE /
+    // CBO-metadata operator — per audited column of `orders`: row count,
+    // null count, min/max (typed: numeric and string lanes), and NDV
+    // estimated from a persisted p=12 HLL register table. Built per
+    // SHARD in one map-side-combinable pass each for stats and
+    // registers, written shard-partitioned (the q94/q95 stored-artifact
+    // pattern), merged on read by sum/min/max + register-max — so at
+    // 100 TB a catalog refresh after an ingest appends only the new
+    // shard's rows (≤ |cols|·(m + 1) rows per shard), the optimizer
+    // reads only catalog state, and NDV composes across partitions,
+    // days, and snapshots by the same register algebra q90 proved.
+    // Continuous doubles hash a fixed-point canonicalization (cents) so
+    // both engines hash identical strings. ndv_true rides along as the
+    // fixture-scale accuracy report (dropped at production scale).
+    "q96_column_stats_catalog" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val nullS = lit(null).cast("string")
+      val nullD = lit(null).cast("double")
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val specs: Seq[ColSpec] = Seq(
+        ("o_orderkey", col("o_orderkey"), nullS, col("o_orderkey")),
+        ("o_custkey", col("o_custkey"), nullS, col("o_custkey")),
+        ("o_orderstatus", nullD, col("o_orderstatus"), col("o_orderstatus")),
+        ("o_orderpriority", nullD, col("o_orderpriority"), col("o_orderpriority")),
+        ("o_totalprice", col("o_totalprice"), nullS, cents))
+      val root = graft.sources.Scratch.fresh(s,
+        s"stats_catalog_${new java.io.File(dir).getName}")
+      statsCatalog(s, o,
+        pmod(col("o_orderkey"), lit(ExtensionQueries7.SketchShards.toLong)),
+        specs, root)
+    }),
+
+    // Training-mixture design table (t34): the decision layer on top of
+    // t33's effective-token budget — for each temperature α in the
+    // closed-form grid {0.5, 1.0}, the per-source sampling weight
+    // wᵢ = nᵢ^α / Σ nⱼ^α over EFFECTIVE (dedup-weighted) tokens, the
+    // expected token draw under the fixed [[MixTokenBudget]], and the
+    // implied epochs over each source (the >1-epoch repetition warning a
+    // mixture designer checks). α = 1.0 is proportional sampling;
+    // α = 0.5 is the square-root temperature that upweights small
+    // sources — the Pile/mT5-style knob. Float discipline: n^0.5 is
+    // IEEE-correctly-rounded sqrt (no libm bet), fixed-pointed to 1e6
+    // BEFORE the per-α long sums so partitioning can never reorder
+    // double adds; every division happens once, in the same operand
+    // order in both engines. Scale shape: rides d07's memoized clusters
+    // + one |sources|-row aggregate; the α grid is a bounded literal
+    // fan-out of an already-bounded table.
+    "t34_mixture_weights" -> ((s, dir) => {
+      val eff = effTokensPerSource(s, dir).select(col("source"), col("eff_fp"))
+      val byAlpha = eff.select(col("source"), col("eff_fp"),
+          explode(array(
+            struct(lit(0.5).as("alpha"),
+              floor(sqrt(col("eff_fp").cast("double") / 1e6) * 1e6)
+                .cast("long").as("wfp")),
+            struct(lit(1.0).as("alpha"), col("eff_fp").as("wfp")))).as("a"))
+        .select(col("source"), col("eff_fp"),
+          col("a.alpha").as("alpha"), col("a.wfp").as("wfp"))
+      val totals = byAlpha.groupBy(col("alpha")).agg(sum(col("wfp")).as("wtot"))
+      byAlpha.join(broadcast(totals), Seq("alpha"))
+        .withColumn("w_raw", col("wfp").cast("double") / col("wtot").cast("double"))
+        .select(col("alpha"), col("source"),
+          (col("eff_fp").cast("double") / 1e6).as("effective_tokens"),
+          Agg.roundAt(col("w_raw"), 6).as("weight"),
+          Agg.roundAt(col("w_raw") * MixTokenBudget, 3).as("expected_tokens"),
+          Agg.roundAt(col("w_raw") * MixTokenBudget /
+            (col("eff_fp").cast("double") / 1e6), 6).as("epochs"))
+        .orderBy(col("alpha"), col("source"))
+    }),
+
+    // CUPED variance-reduced A/B analysis (e19): the third member of the
+    // experimentation family — e17 tests a continuous metric, e18 a
+    // conversion rate, e19 applies the industry-standard CUPED
+    // adjustment: each user's post-period metric Y is corrected by their
+    // PRE-period covariate X (ycup = y − θ(x − x̄), θ = cov(X,Y)/var(X)
+    // pooled), which provably never increases in-sample variance (the
+    // OLS residual property) and so shrinks the experiment's detectable
+    // effect size. Float discipline: per-user X/Y are exact decimal sums
+    // fixed-pointed to 1e6 longs; cross moments are exact big-integer
+    // products (decimal/HUGEINT) cast to double once; θ and the
+    // adjustment are the identical op-for-op expression in both engines;
+    // adjusted values re-fixed-pointed (floor + 0.5) BEFORE the final
+    // sums so no engine ever adds raw doubles in aggregate order. Scale
+    // shape: one events scan → per-user conditional sums (bounded state
+    // per user), a 1-row moment aggregate broadcast back (the q07 lazy
+    // scalar pattern), a row-local adjustment, and bounded finals.
+    "e19_cuped" -> ((s, dir) => {
+      // per-row micro-units BEFORE the sum: each row's value has a ≤6-dp
+      // decimal image, so summing the per-row longs equals fixed-pointing
+      // the decimal sum — and neither engine ever widens a decimal
+      // accumulator past its dialect's cap
+      def fpSum(cond: Column): Column =
+        sum((when(cond, col("value")).otherwise(0.0).cast("decimal(30,6)")
+          * 1000000).cast("long"))
+      val perUser = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(fpSum(col("us") < CupedSplitUs).as("x_fp"),
+          fpSum(col("us") >= CupedSplitUs).as("y_fp"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      def bigSq(a: Column, b: Column): Column =
+        a.cast("decimal(20,0)") * b.cast("decimal(20,0)")
+      val mom = perUser.agg(count(lit(1)).as("n"),
+          sum(col("x_fp")).as("sx"), sum(col("y_fp")).as("sy"),
+          sum(bigSq(col("x_fp"), col("y_fp"))).cast("double").as("sxy"),
+          sum(bigSq(col("x_fp"), col("x_fp"))).cast("double").as("sxx"))
+        .withColumn("theta",
+          (col("sxy") - col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+          (col("sxx") - col("sx").cast("double") * col("sx").cast("double") / col("n")))
+        .withColumn("mean_x", col("sx").cast("double") / col("n"))
+      val adj = perUser
+        .crossJoin(broadcast(mom.select(col("theta"), col("mean_x"))))
+        .withColumn("ycup_fp",
+          floor(col("y_fp").cast("double") -
+            col("theta") * (col("x_fp").cast("double") - col("mean_x")) + 0.5)
+            .cast("long"))
+      val byVar = adj.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_v"), sum(col("y_fp")).as("sy_v"),
+          sum(col("ycup_fp")).as("syc_v"))
+        .withColumn("mean_post", col("sy_v").cast("double") / 1e6 / col("n_v"))
+        .withColumn("mean_cuped", col("syc_v").cast("double") / 1e6 / col("n_v"))
+      val a = byVar.filter(col("variant") === 0)
+        .select(col("n_v").as("n_a"), col("mean_post").as("mpa"),
+          col("mean_cuped").as("mca"))
+      val b = byVar.filter(col("variant") === 1)
+        .select(col("n_v").as("n_b"), col("mean_post").as("mpb"),
+          col("mean_cuped").as("mcb"))
+      val varG = adj.agg(count(lit(1)).as("n"),
+          sum(col("y_fp")).as("sy"),
+          sum(bigSq(col("y_fp"), col("y_fp"))).cast("double").as("syy"),
+          sum(col("ycup_fp")).as("syc"),
+          sum(bigSq(col("ycup_fp"), col("ycup_fp"))).cast("double").as("sycc"))
+        .withColumn("var_post",
+          (col("syy") - col("sy").cast("double") * col("sy").cast("double") / col("n")) /
+            (col("n") - 1))
+        .withColumn("var_cuped",
+          (col("sycc") - col("syc").cast("double") * col("syc").cast("double") / col("n")) /
+            (col("n") - 1))
+        .withColumn("var_reduction", lit(1.0) - col("var_cuped") / col("var_post"))
+      a.crossJoin(b)
+        .crossJoin(broadcast(mom.select(col("theta"))))
+        .crossJoin(broadcast(varG.select(col("var_reduction"))))
+        .select(col("n_a"), col("n_b"),
+          Agg.roundAt(col("mpa"), 6).as("mean_post_a"),
+          Agg.roundAt(col("mpb"), 6).as("mean_post_b"),
+          Agg.roundAt(col("mca"), 6).as("mean_cuped_a"),
+          Agg.roundAt(col("mcb"), 6).as("mean_cuped_b"),
+          Agg.roundAt(col("mpb") - col("mpa"), 6).as("post_diff"),
+          Agg.roundAt(col("mcb") - col("mca"), 6).as("cuped_diff"),
+          Agg.roundAt(col("theta"), 6).as("theta"),
+          Agg.roundAt(col("var_reduction"), 6).as("var_reduction"))
     })
   )
 
@@ -666,6 +903,197 @@ object ExtensionQueries8 {
 
     // The lake round trip is transparent by construction: serving must
     // equal t25's end-to-end computation from raw documents.
-    "t32_inverted_index_lake" -> ExtensionQueries4.oracles("t25_bm25")
+    "t32_inverted_index_lake" -> ExtensionQueries4.oracles("t25_bm25"),
+
+    // Catalog replay (q96): the shard layer is algebraically transparent
+    // (per-shard counts/min/max merged by sum/min/max, register maxes by
+    // max, equal their direct global forms), so the oracle computes the
+    // whole catalog END-TO-END from raw orders at the same p=12
+    // geometry; Spark's write → partition → merge-on-read round trip
+    // must change nothing.
+    "q96_column_stats_catalog" -> s"""
+      WITH base AS (
+        SELECT 'o_orderkey' AS seg, CAST(o_orderkey AS DOUBLE) AS nval,
+               CAST(NULL AS VARCHAR) AS sval, CAST(o_orderkey AS VARCHAR) AS cval
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS DOUBLE), NULL,
+               CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', NULL, o_orderstatus, o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', NULL, o_orderpriority, o_orderpriority
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', o_totalprice, NULL,
+               CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+        FROM orders
+      ),
+      h AS (
+        SELECT seg, CAST(('0x' || substr(md5(cval), 1, 12)) AS BIGINT) AS h
+        FROM base WHERE cval IS NOT NULL
+      ),
+      r AS (
+        SELECT seg, h // ${ExtensionQueries7.HllRemMod12} AS bucket,
+               CASE WHEN h % ${ExtensionQueries7.HllRemMod12} = 0
+                    THEN ${ExtensionQueries7.HllRemBits12 + 1}
+                    ELSE ${ExtensionQueries7.HllRemBits12 + 1}
+                      - length(bin(h % ${ExtensionQueries7.HllRemMod12}))
+               END AS rho
+        FROM h
+      ),
+      regs AS (SELECT seg, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+      sk AS (
+        SELECT seg, count(*) AS n_present,
+               CAST(sum(CAST(1 AS BIGINT)
+                 << (${ExtensionQueries7.HllRemBits12 + 1} - reg)) AS BIGINT)
+                 + (${ExtensionQueries7.HllM12} - count(*))
+                 * (CAST(1 AS BIGINT) << ${ExtensionQueries7.HllRemBits12 + 1})
+                 AS sum_fp
+        FROM regs GROUP BY 1
+      ),
+      est AS (
+        SELECT seg, n_present,
+               (${ExtensionQueries7.HllM12} - n_present) AS v_empty,
+               ${ExtensionQueries7.HllAlphaNum12} / CAST(sum_fp AS DOUBLE)
+                 AS raw_est
+        FROM sk
+      ),
+      cor AS (
+        SELECT seg,
+               CASE WHEN raw_est <= CAST(${2.5 * ExtensionQueries7.HllM12}
+                         AS DOUBLE) AND v_empty > 0
+                    THEN CAST([${ExtensionQueries7.HllLcFp12.mkString(",")}]
+                      [CAST(greatest(v_empty, 1) AS INTEGER)] AS DOUBLE)
+                      / 1000000.0
+                    ELSE raw_est END AS corrected
+        FROM est
+      ),
+      stats AS (
+        SELECT seg, count(*) AS n_rows,
+               CAST(count(*) - count(cval) AS BIGINT) AS n_null,
+               min(nval) AS min_num, max(nval) AS max_num,
+               min(sval) AS min_str, max(sval) AS max_str,
+               CAST(count(DISTINCT cval) AS BIGINT) AS ndv_true
+        FROM base GROUP BY 1
+      )
+      SELECT s.seg AS col_name, s.n_rows, s.n_null,
+             floor(c.corrected * 10000 + 0.5) / 10000 AS ndv_est, s.ndv_true,
+             s.min_num, s.max_num, s.min_str, s.max_str
+      FROM stats s JOIN cor c ON s.seg = c.seg
+      ORDER BY col_name""",
+
+    // t33's substrate re-aggregated per source, then the identical
+    // op-for-op weight/draw/epoch arithmetic (sqrt is IEEE-correctly
+    // rounded in both engines; the per-α sums are exact longs).
+    "t34_mixture_weights" -> s"""
+      WITH clusters AS (
+        SELECT doc_id, cluster_id FROM (${ExtensionQueries.oracles("d07_dedup_clusters")})
+      ),
+      sizes AS (
+        SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1
+      ),
+      tok AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+      ),
+      eff AS (
+        SELECT t.source,
+               CAST(sum((t.n_tokens * 1000000) // s.csize) AS BIGINT) AS eff_fp
+        FROM tok t JOIN clusters c USING (doc_id) JOIN sizes s USING (cluster_id)
+        GROUP BY 1
+      ),
+      a AS (
+        SELECT source, eff_fp, CAST(0.5 AS DOUBLE) AS alpha,
+               CAST(floor(sqrt(CAST(eff_fp AS DOUBLE) / 1000000.0) * 1000000)
+                 AS BIGINT) AS wfp
+        FROM eff
+        UNION ALL
+        SELECT source, eff_fp, CAST(1.0 AS DOUBLE), eff_fp FROM eff
+      ),
+      tot AS (
+        SELECT alpha, CAST(sum(wfp) AS BIGINT) AS wtot FROM a GROUP BY 1
+      ),
+      j AS (
+        SELECT a.alpha, a.source, a.eff_fp,
+               CAST(a.wfp AS DOUBLE) / CAST(t.wtot AS DOUBLE) AS w_raw
+        FROM a JOIN tot t USING (alpha)
+      )
+      SELECT alpha, source,
+             CAST(eff_fp AS DOUBLE) / 1000000.0 AS effective_tokens,
+             floor(w_raw * 1000000 + 0.5) / 1000000 AS weight,
+             floor(w_raw * ${MixTokenBudget} * 1000 + 0.5) / 1000 AS expected_tokens,
+             floor(w_raw * ${MixTokenBudget}
+               / (CAST(eff_fp AS DOUBLE) / 1000000.0) * 1000000 + 0.5) / 1000000
+               AS epochs
+      FROM j ORDER BY alpha, source""",
+
+    // The identical op-for-op CUPED pipeline: per-user fixed-point X/Y,
+    // exact big-integer cross moments, one θ, row-local adjustment
+    // re-fixed-pointed before the final exact sums.
+    "e19_cuped" -> s"""
+      WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+               CAST(sum(CAST(CAST(CASE WHEN epoch_us(ts) < $CupedSplitUs
+                   THEN value ELSE 0 END AS DECIMAL(30,6)) * 1000000
+                 AS BIGINT)) AS BIGINT) AS x_fp,
+               CAST(sum(CAST(CAST(CASE WHEN epoch_us(ts) >= $CupedSplitUs
+                   THEN value ELSE 0 END AS DECIMAL(30,6)) * 1000000
+                 AS BIGINT)) AS BIGINT) AS y_fp
+        FROM events GROUP BY 1, 2
+      ),
+      mom AS (
+        SELECT count(*) AS n,
+               CAST(sum(x_fp) AS BIGINT) AS sx, CAST(sum(y_fp) AS BIGINT) AS sy,
+               CAST(sum(CAST(x_fp AS HUGEINT) * y_fp) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x_fp AS HUGEINT) * x_fp) AS DOUBLE) AS sxx
+        FROM pu
+      ),
+      th AS (
+        SELECT (sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+               (sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS theta,
+               CAST(sx AS DOUBLE) / n AS mean_x
+        FROM mom
+      ),
+      adj AS (
+        SELECT p.variant, p.y_fp,
+               CAST(floor(CAST(p.y_fp AS DOUBLE)
+                 - t.theta * (CAST(p.x_fp AS DOUBLE) - t.mean_x) + 0.5)
+                 AS BIGINT) AS ycup_fp
+        FROM pu p CROSS JOIN th t
+      ),
+      bv AS (
+        SELECT variant, count(*) AS n_v,
+               CAST(sum(y_fp) AS DOUBLE) / 1000000.0 / count(*) AS mean_post,
+               CAST(sum(ycup_fp) AS DOUBLE) / 1000000.0 / count(*) AS mean_cuped
+        FROM adj GROUP BY 1
+      ),
+      vg AS (
+        SELECT count(*) AS n,
+               CAST(sum(y_fp) AS BIGINT) AS sy,
+               CAST(sum(CAST(y_fp AS HUGEINT) * y_fp) AS DOUBLE) AS syy,
+               CAST(sum(ycup_fp) AS BIGINT) AS syc,
+               CAST(sum(CAST(ycup_fp AS HUGEINT) * ycup_fp) AS DOUBLE) AS sycc
+        FROM adj
+      ),
+      vr AS (
+        SELECT CAST(1.0 AS DOUBLE)
+                 - ((sycc - CAST(syc AS DOUBLE) * CAST(syc AS DOUBLE) / n) / (n - 1))
+                 / ((syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1))
+                 AS var_reduction
+        FROM vg
+      )
+      SELECT a.n_v AS n_a, b.n_v AS n_b,
+             floor(a.mean_post * 1000000 + 0.5) / 1000000 AS mean_post_a,
+             floor(b.mean_post * 1000000 + 0.5) / 1000000 AS mean_post_b,
+             floor(a.mean_cuped * 1000000 + 0.5) / 1000000 AS mean_cuped_a,
+             floor(b.mean_cuped * 1000000 + 0.5) / 1000000 AS mean_cuped_b,
+             floor((b.mean_post - a.mean_post) * 1000000 + 0.5) / 1000000 AS post_diff,
+             floor((b.mean_cuped - a.mean_cuped) * 1000000 + 0.5) / 1000000 AS cuped_diff,
+             floor(t.theta * 1000000 + 0.5) / 1000000 AS theta,
+             floor(v.var_reduction * 1000000 + 0.5) / 1000000 AS var_reduction
+      FROM bv a CROSS JOIN bv b CROSS JOIN th t CROSS JOIN vr v
+      WHERE a.variant = 0 AND b.variant = 1"""
   )
 }

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 third batch: the persisted column-statistics catalog (q96)
+  * and the training-mixture design table (t34).
+  */
+class Round13cSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- q96: persisted column-statistics catalog ----
+
+  /** A fixture with real nulls in both lanes (the TPC-H tables have
+    * none, so the null accounting must be exercised here): 100 rows,
+    * `cat` null on every 5th row, `score` null on every 4th.
+    */
+  private def nullFixture = {
+    import spark.implicits._
+    (0L until 100L).map { i =>
+      (i,
+        if (i % 5 == 0) null else s"cat_${i % 7}",
+        if (i % 4 == 0) None else Some(i * 1.5))
+    }.toDF("id", "cat", "score")
+  }
+
+  private def catalogOf(shards: Long, tag: String) = {
+    val nullS = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    val specs: Seq[ExtensionQueries8.ColSpec] = Seq(
+      ("id", col("id"), nullS, col("id")),
+      ("cat", nullD, col("cat"), col("cat")),
+      ("score", col("score"), nullS,
+        floor(col("score") * 100 + 0.5).cast("long")))
+    val root = graft.sources.Scratch.fresh(spark, s"r13c_catalog_$tag")
+    ExtensionQueries8.statsCatalog(spark, nullFixture,
+      pmod(col("id"), lit(shards)), specs, root)
+  }
+
+  test("q96 catalog: null accounting, exact NDV, and both min/max lanes") {
+    val rows = catalogOf(8, "nulls").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("id", "cat", "score"))
+    val id = rows("id")
+    assert(id.getLong(1) == 100 && id.getLong(2) == 0)   // n_rows, n_null
+    assert(id.getLong(4) == 100)                          // ndv_true
+    assert(id.getDouble(5) == 0.0 && id.getDouble(6) == 99.0)
+    assert(id.isNullAt(7) && id.isNullAt(8))              // no string lane
+    val cat = rows("cat")
+    assert(cat.getLong(2) == 20, "every 5th cat is null")
+    assert(cat.getLong(4) == 7, "non-null cats cover cat_0..cat_6")
+    assert(cat.getString(7) == "cat_0" && cat.getString(8) == "cat_6")
+    assert(cat.isNullAt(5) && cat.isNullAt(6))            // no numeric lane
+    val sc = rows("score")
+    assert(sc.getLong(2) == 25, "every 4th score is null")
+    assert(sc.getLong(4) == 75)
+    assert(sc.getDouble(5) == 1.5 && sc.getDouble(6) == 148.5)
+  }
+
+  test("q96 catalog: the shard layer is transparent (1 shard == 8 shards)") {
+    val one = catalogOf(1, "s1").collect().map(_.toSeq).toList
+    val eight = catalogOf(8, "s8").collect().map(_.toSeq).toList
+    assert(one == eight,
+      "merge-on-read must reproduce the direct single-shard catalog")
+  }
+
+  test("q96 catalog: small-range NDV estimate is near-exact (linear-counting regime)") {
+    val rows = catalogOf(8, "acc").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getLong(4)))
+    rows.foreach { case (name, est, truth) =>
+      assert(math.abs(est - truth) <= math.max(2.0, 0.05 * truth),
+        s"$name: est $est vs true $truth — p=12 linear counting should be " +
+          "near-exact at N << m")
+    }
+  }
+
+  test("q96 on orders: row counts and exact-NDV columns recount") {
+    val cat = ExtensionQueries8.all("q96_column_stats_catalog")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+    val n = o.count()
+    assert(cat.values.forall(r => r.getLong(1) == n && r.getLong(2) == 0))
+    val trueKeys = o.select(countDistinct(col("o_orderkey"))).head.getLong(0)
+    assert(cat("o_orderkey").getLong(4) == trueKeys)
+    // production-geometry estimate accuracy on the highest-card column
+    val est = cat("o_orderkey").getDouble(3)
+    assert(math.abs(est - trueKeys) <= 0.05 * trueKeys,
+      s"ndv_est $est vs $trueKeys")
+  }
+
+  // ---- t34: training-mixture design table ----
+
+  private lazy val mix =
+    ExtensionQueries8.all("t34_mixture_weights")(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+
+  test("t34: weights form a distribution and draws exhaust the budget, per alpha") {
+    mix.groupBy(_._1).foreach { case (alpha, rows) =>
+      val wsum = rows.map(_._4).sum
+      assert(math.abs(wsum - 1.0) < 1e-4, s"alpha=$alpha weight sum $wsum")
+      val draw = rows.map(_._5).sum
+      assert(math.abs(draw - ExtensionQueries8.MixTokenBudget) <
+        1e-3 * ExtensionQueries8.MixTokenBudget,
+        s"alpha=$alpha expected draw $draw vs budget")
+    }
+  }
+
+  test("t34: alpha=0.5 flattens the mixture relative to proportional sampling") {
+    def spread(alpha: Double) = {
+      val ws = mix.filter(_._1 == alpha).map(_._4)
+      ws.max / ws.min
+    }
+    assert(spread(0.5) < spread(1.0),
+      "sqrt temperature must compress the weight ratio between the largest " +
+        "and smallest source")
+    // and at alpha=1 the weight IS the token share
+    val total = mix.filter(_._1 == 1.0).map(_._3).sum
+    mix.filter(_._1 == 1.0).foreach { case (_, src, eff, w, _, _) =>
+      assert(math.abs(w - eff / total) < 1e-5, s"$src proportional weight")
+    }
+  }
+
+  test("t34: epochs = expected draw over effective tokens, for every row") {
+    mix.foreach { case (alpha, src, eff, _, draw, epochs) =>
+      assert(math.abs(epochs - draw / eff) < 1e-4,
+        s"alpha=$alpha $src epochs $epochs vs ${draw / eff}")
+    }
+  }
+
+  // ---- e19: CUPED variance-reduced A/B ----
+
+  private lazy val cuped =
+    ExtensionQueries8.all("e19_cuped")(spark, dir).head()
+
+  test("e19: CUPED never increases in-sample variance (the OLS residual property)") {
+    val vr = cuped.getDouble(9)
+    assert(vr >= -1e-6 && vr < 1.0, s"var_reduction $vr out of [0, 1)")
+  }
+
+  test("e19: the adjustment conserves the overall mean (Σ ycup = Σ y)") {
+    val (nA, nB) = (cuped.getLong(0), cuped.getLong(1))
+    val post = nA * cuped.getDouble(2) + nB * cuped.getDouble(3)
+    val cup = nA * cuped.getDouble(4) + nB * cuped.getDouble(5)
+    assert(math.abs(post - cup) < 1e-2,
+      s"overall post mean $post vs adjusted $cup — θ·Σ(x − x̄) must vanish")
+  }
+
+  test("e19: theta matches an independent driver-side recompute") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val xs = ev.groupBy(_._1).map { case (_, rows) =>
+      (rows.filter(_._2 < ExtensionQueries8.CupedSplitUs).map(_._3).sum,
+        rows.filter(_._2 >= ExtensionQueries8.CupedSplitUs).map(_._3).sum)
+    }.toArray
+    val n = xs.length.toDouble
+    val (mx, my) = (xs.map(_._1).sum / n, xs.map(_._2).sum / n)
+    val cov = xs.map { case (x, y) => (x - mx) * (y - my) }.sum / (n - 1)
+    val vx = xs.map { case (x, _) => (x - mx) * (x - mx) }.sum / (n - 1)
+    val theta = cov / vx
+    assert(math.abs(cuped.getDouble(8) - theta) < 1e-3,
+      s"engine theta ${cuped.getDouble(8)} vs naive $theta")
+  }
+}
