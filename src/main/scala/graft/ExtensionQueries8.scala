@@ -144,14 +144,33 @@ object ExtensionQueries8 {
     */
   private[graft] def statsCatalog(s: SparkSession, rows: DataFrame,
       shard: Column, specs: Seq[ColSpec], root: String): DataFrame = {
-    import ExtensionQueries7.{HllM12, HllRemBits12, HllAlphaNum12, HllLcFp12}
-    val longF = rows.select(shard.cast("int").as("shard"),
+    val longF = catalogLongForm(rows, shard, specs)
+    writeCatalogShards(longF, root, "overwrite")
+    serveCatalog(s, longF, root)
+  }
+
+  /** The catalog's long form: one (shard, seg, nval, sval, cval) row per
+    * (table row × audited column).
+    */
+  private[graft] def catalogLongForm(rows: DataFrame, shard: Column,
+      specs: Seq[ColSpec]): DataFrame =
+    rows.select(shard.cast("int").as("shard"),
         explode(array(specs.map { case (n, num, str, cv) =>
           struct(lit(n).as("seg"), num.cast("double").as("nval"),
             str.cast("string").as("sval"), cv.cast("string").as("cval"))
         }: _*)).as("c"))
       .select(col("shard"), col("c.seg").as("seg"), col("c.nval").as("nval"),
         col("c.sval").as("sval"), col("c.cval").as("cval"))
+
+  /** Build + write the per-shard catalog artifacts (basic stats and p=12
+    * NDV registers, both shard-partitioned). `mode = "append"` is the
+    * incremental-refresh path: a new ingest writes ONLY its own shard's
+    * rows and the serve-side merge is unchanged — Round13cSpec proves
+    * append-then-merge equals a full rebuild.
+    */
+  private[graft] def writeCatalogShards(longF: DataFrame, root: String,
+      mode: String): Unit = {
+    import ExtensionQueries7.HllRemBits12
     val stats = longF.groupBy(col("shard"), col("seg"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("cval").isNull, 1L).otherwise(0L)).as("n_null"),
@@ -166,9 +185,18 @@ object ExtensionQueries8 {
         .otherwise(lit(HllRemBits12 + 1) - length(bin(col("w")))))
       .groupBy(col("shard"), col("seg"), col("bucket"))
       .agg(max(col("rho")).as("reg"))
-    stats.write.mode("overwrite").partitionBy("shard").parquet(s"$root/stats")
-    regs.write.mode("overwrite").partitionBy("shard").parquet(s"$root/ndv_regs")
-    // merge-on-read: only catalog rows, never the audited table
+    stats.write.mode(mode).partitionBy("shard").parquet(s"$root/stats")
+    regs.write.mode(mode).partitionBy("shard").parquet(s"$root/ndv_regs")
+  }
+
+  /** Merge-on-read + estimate: reads only catalog rows, never the
+    * audited table; `truthLongF` feeds the fixture-scale `ndv_true`
+    * accuracy column (dropped at production scale).
+    */
+  private[graft] def serveCatalog(s: SparkSession, truthLongF: DataFrame,
+      root: String): DataFrame = {
+    import ExtensionQueries7.{HllM12, HllRemBits12, HllAlphaNum12, HllLcFp12}
+    val longF = truthLongF
     val mStats = s.read.parquet(s"$root/stats").groupBy(col("seg"))
       .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_null")).as("n_null"),
         min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),

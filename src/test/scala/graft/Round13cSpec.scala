@@ -25,17 +25,20 @@ class Round13cSpec extends AnyFunSuite {
     }.toDF("id", "cat", "score")
   }
 
-  private def catalogOf(shards: Long, tag: String) = {
+  private def fixtureSpecs: Seq[ExtensionQueries8.ColSpec] = {
     val nullS = lit(null).cast("string")
     val nullD = lit(null).cast("double")
-    val specs: Seq[ExtensionQueries8.ColSpec] = Seq(
+    Seq(
       ("id", col("id"), nullS, col("id")),
       ("cat", nullD, col("cat"), col("cat")),
       ("score", col("score"), nullS,
         floor(col("score") * 100 + 0.5).cast("long")))
+  }
+
+  private def catalogOf(shards: Long, tag: String) = {
     val root = graft.sources.Scratch.fresh(spark, s"r13c_catalog_$tag")
     ExtensionQueries8.statsCatalog(spark, nullFixture,
-      pmod(col("id"), lit(shards)), specs, root)
+      pmod(col("id"), lit(shards)), fixtureSpecs, root)
   }
 
   test("q96 catalog: null accounting, exact NDV, and both min/max lanes") {
@@ -73,6 +76,27 @@ class Round13cSpec extends AnyFunSuite {
         s"$name: est $est vs true $truth — p=12 linear counting should be " +
           "near-exact at N << m")
     }
+  }
+
+  test("q96 catalog: incremental refresh — appending one shard equals a full rebuild") {
+    val shard = pmod(col("id"), lit(8L))
+    val base = nullFixture.filter(shard =!= 7)
+    val delta = nullFixture.filter(shard === 7)
+    val root = graft.sources.Scratch.fresh(spark, "r13c_incr")
+    ExtensionQueries8.writeCatalogShards(
+      ExtensionQueries8.catalogLongForm(base, shard, fixtureSpecs),
+      root, "overwrite")
+    ExtensionQueries8.writeCatalogShards(
+      ExtensionQueries8.catalogLongForm(delta, shard, fixtureSpecs),
+      root, "append")
+    val incr = ExtensionQueries8.serveCatalog(spark,
+        ExtensionQueries8.catalogLongForm(nullFixture, shard, fixtureSpecs),
+        root)
+      .collect().map(_.toSeq).toList
+    val direct = catalogOf(8, "incr_direct").collect().map(_.toSeq).toList
+    assert(incr == direct,
+      "a delta ingest writing only its own shard's catalog rows must be " +
+        "indistinguishable from rebuilding the whole catalog")
   }
 
   test("q96 on orders: row counts and exact-NDV columns recount") {
