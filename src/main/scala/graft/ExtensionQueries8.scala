@@ -688,6 +688,39 @@ object ExtensionQueries8 {
           Agg.roundAt(col("mcb") - col("mca"), 6).as("cuped_diff"),
           Agg.roundAt(col("theta"), 6).as("theta"),
           Agg.roundAt(col("var_reduction"), 6).as("var_reduction"))
+    }),
+
+    // Join-skew diagnosis report (q97): the decision table BEHIND q26's
+    // salted join — for each candidate join key of the events fact, the
+    // per-key group-size distribution (exact interpolated p50/p99, the
+    // q28 discipline), the max/mean skew ratio, and an integer salt
+    // factor ⌈max·n/total⌉ (how many salt buckets flatten the heaviest
+    // key to the mean) computed in exact integer arithmetic. At 100 TB
+    // this is the pre-flight a pipeline runs BEFORE committing a
+    // shuffle: the per-key sizes are one map-side-combinable aggregate
+    // per key, the report is a 1-row reduction of that bounded table —
+    // and the skew_ratio/salt_factor columns are exactly what AQE's
+    // skew-join threshold and q26's salt fan-out consume. Scale shape:
+    // one events pass per candidate key, nothing key-cardinality-sized
+    // ever leaves the aggregate.
+    "q97_join_skew_report" -> ((s, dir) => {
+      def keyReport(key: String): DataFrame =
+        t(s, dir, "events").groupBy(col(key)).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("sz")).as("total_rows"),
+            max(col("sz")).as("max_rows"),
+            expr("percentile(sz, 0.5)").as("p50_rows"),
+            expr("percentile(sz, 0.99)").as("p99_rows"))
+          .select(lit(key).as("join_key"), col("n_keys"), col("total_rows"),
+            Agg.roundAt(col("total_rows").cast("double") / col("n_keys"), 6)
+              .as("mean_rows"),
+            col("max_rows"), col("p50_rows"), col("p99_rows"),
+            Agg.roundAt(col("max_rows").cast("double") /
+              (col("total_rows").cast("double") / col("n_keys")), 6)
+              .as("skew_ratio"),
+            expr("(max_rows * n_keys + total_rows - 1) DIV total_rows")
+              .as("salt_factor"))
+      keyReport("user_id").unionByName(keyReport("event_type"))
+        .orderBy(col("join_key"))
     })
   )
 
@@ -1122,6 +1155,31 @@ object ExtensionQueries8 {
              floor(t.theta * 1000000 + 0.5) / 1000000 AS theta,
              floor(v.var_reduction * 1000000 + 0.5) / 1000000 AS var_reduction
       FROM bv a CROSS JOIN bv b CROSS JOIN th t CROSS JOIN vr v
-      WHERE a.variant = 0 AND b.variant = 1"""
+      WHERE a.variant = 0 AND b.variant = 1""",
+
+    // Same two per-key size tables, same exact percentile semantics
+    // (quantile_cont ≡ Spark percentile bit-for-bit — the q28 rule),
+    // integer-exact ceiling for the salt factor.
+    "q97_join_skew_report" -> {
+      def rep(key: String) = s"""
+        SELECT '$key' AS join_key, n_keys, total_rows,
+               floor(CAST(total_rows AS DOUBLE) / n_keys * 1000000 + 0.5)
+                 / 1000000 AS mean_rows,
+               max_rows, p50_rows, p99_rows,
+               floor(CAST(max_rows AS DOUBLE)
+                 / (CAST(total_rows AS DOUBLE) / n_keys) * 1000000 + 0.5)
+                 / 1000000 AS skew_ratio,
+               CAST((max_rows * n_keys + total_rows - 1) // total_rows
+                 AS BIGINT) AS salt_factor
+        FROM (
+          SELECT count(*) AS n_keys, CAST(sum(sz) AS BIGINT) AS total_rows,
+                 CAST(max(sz) AS BIGINT) AS max_rows,
+                 quantile_cont(sz, 0.5) AS p50_rows,
+                 quantile_cont(sz, 0.99) AS p99_rows
+          FROM (SELECT $key, count(*) AS sz FROM events GROUP BY 1)
+        )"""
+      s"""${rep("user_id")} UNION ALL ${rep("event_type")}
+        ORDER BY join_key"""
+    }
   )
 }

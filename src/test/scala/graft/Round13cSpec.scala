@@ -187,4 +187,35 @@ class Round13cSpec extends AnyFunSuite {
     assert(math.abs(cuped.getDouble(8) - theta) < 1e-3,
       s"engine theta ${cuped.getDouble(8)} vs naive $theta")
   }
+
+  // ---- q97: join-skew diagnosis ----
+
+  private lazy val skew =
+    ExtensionQueries8.all("q97_join_skew_report")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+
+  test("q97: the report's internal identities hold for every candidate key") {
+    assert(skew.keySet == Set("user_id", "event_type"))
+    skew.values.foreach { r =>
+      val (n, total, mean) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (mx, p50, p99) = (r.getLong(4), r.getDouble(5), r.getDouble(6))
+      val (ratio, salt) = (r.getDouble(7), r.getLong(8))
+      assert(math.abs(mean - total.toDouble / n) < 1e-4)
+      assert(p50 <= p99 + 1e-9 && p99 <= mx.toDouble + 1e-9)
+      assert(math.abs(ratio - mx / (total.toDouble / n)) < 1e-4)
+      assert(salt == math.ceil(mx.toDouble * n / total).toLong,
+        s"salt_factor $salt must be the exact ceiling of the skew ratio")
+    }
+  }
+
+  test("q97: salting by the reported factor flattens the heaviest key") {
+    val r = skew("user_id")
+    val (preMax, salt) = (r.getLong(4), r.getLong(8))
+    val post = graft.sources.Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), pmod(col("event_id"), lit(salt)).as("salt"))
+      .agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz"))).head.getLong(0)
+    assert(salt == 1 || post < preMax,
+      s"post-salt max group $post must shrink below $preMax")
+  }
 }
