@@ -39,7 +39,12 @@ object Bench {
     // round-13 representatives (appended)
     "q94_hll_register_lake", "s30_index_compaction", "s31_knn_graph_capped",
     "s32_kmeans_converged", "s33_kmeans_sampled", "d20_lsh_band_tuning",
-    "t32_inverted_index_lake")
+    "t32_inverted_index_lake",
+    // round-13c representatives (appended; t34 rides the d07 memo
+    // in-suite, so its headline measures the weight layer, not the
+    // propagation — d07's own entry prices that)
+    "q96_column_stats_catalog", "t34_mixture_weights", "e19_cuped",
+    "q97_join_skew_report")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 
