@@ -721,6 +721,44 @@ object ExtensionQueries8 {
               .as("salt_factor"))
       keyReport("user_id").unionByName(keyReport("event_type"))
         .orderBy(col("join_key"))
+    }),
+
+    // Eval-contamination report (t35): the EVAL-side integrity audit
+    // beside d10's train-side filter — per eval document (the doc_id %
+    // 97 holdout d10 defines), its distinct 3-gram shingle count, how
+    // many of those shingles leak from ANY training document, how many
+    // distinct training documents touch it, the contamination fraction,
+    // and a verdict bucket (clean < 0.2 ≤ partial < 0.8 ≤ burned,
+    // gated on the ROUNDED fraction so both engines compare identical
+    // values). d10 answers "what do I drop from train"; t35 answers
+    // "which evals are still trustworthy — and how badly burned are the
+    // rest", the report an eval-suite owner actually reads. Scale
+    // shape: ONE shingle pass; the eval side (~1% of docs) broadcasts
+    // into the train stream — never a shuffle of the full corpus — and
+    // the per-eval-doc aggregate is bounded by the holdout size.
+    "t35_contamination_report" -> ((s, dir) => {
+      val shingled = t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.functions.TextHash.shingleHashes(col("text"), 3)).as("sh"))
+      val evalSh = shingled.filter(col("doc_id") % 97 === 0)
+      val trainSh = shingled.filter(col("doc_id") % 97 =!= 0)
+        .select(col("sh"), col("doc_id").as("train_doc"))
+      val totals = evalSh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val hits = trainSh.join(broadcast(evalSh), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_contaminated"),
+          countDistinct(col("train_doc")).as("n_train_docs"))
+      totals.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+        .withColumn("contamination", Agg.roundAt(
+          col("n_contaminated").cast("double") / col("n_shingles"), 6))
+        .withColumn("verdict",
+          when(col("contamination") >= 0.8, "burned")
+            .when(col("contamination") >= 0.2, "partial")
+            .otherwise("clean"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1180,6 +1218,41 @@ object ExtensionQueries8 {
         )"""
       s"""${rep("user_id")} UNION ALL ${rep("event_type")}
         ORDER BY join_key"""
-    }
+    },
+
+    // d10's shingle CTE reused verbatim; the verdict gates on the same
+    // rounded fraction both engines computed identically.
+    "t35_contamination_report" -> s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          CASE WHEN len(toks) >= 3
+               THEN list_transform(range(0, len(toks)-2),
+                      i -> array_to_string(list_slice(toks, i+1, i+3), ' '))
+               ELSE []::VARCHAR[] END,
+          s -> ${ExtensionQueries.chSql("s")}))) AS sh
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents) tok
+      ),
+      ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 = 0),
+      tr AS (SELECT doc_id AS train_doc, sh FROM sh WHERE doc_id % 97 <> 0),
+      totals AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+      hits AS (
+        SELECT ev.doc_id, count(DISTINCT ev.sh) AS n_contaminated,
+               count(DISTINCT tr.train_doc) AS n_train_docs
+        FROM ev JOIN tr USING (sh) GROUP BY 1
+      ),
+      j AS (
+        SELECT t.doc_id, t.n_shingles,
+               COALESCE(h.n_contaminated, 0) AS n_contaminated,
+               COALESCE(h.n_train_docs, 0) AS n_train_docs,
+               floor(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+                 / t.n_shingles * 1000000 + 0.5) / 1000000 AS contamination
+        FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      )
+      SELECT doc_id, n_shingles, n_contaminated, n_train_docs, contamination,
+             CASE WHEN contamination >= 0.8 THEN 'burned'
+                  WHEN contamination >= 0.2 THEN 'partial'
+                  ELSE 'clean' END AS verdict
+      FROM j ORDER BY doc_id"""
   )
 }

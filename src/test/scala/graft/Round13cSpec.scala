@@ -218,4 +218,42 @@ class Round13cSpec extends AnyFunSuite {
     assert(salt == 1 || post < preMax,
       s"post-salt max group $post must shrink below $preMax")
   }
+
+  // ---- t35: eval-contamination report ----
+
+  test("t35: planted clean / partial / burned eval docs get the right verdicts") {
+    import spark.implicits._
+    val tdir = graft.sources.Scratch.fresh(spark, "r13c_t35")
+    val trainText = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (0L, trainText),                                     // eval, burned
+      (97L, "one unique sentence that nothing here shares"), // eval, clean
+      (194L, "alpha beta gamma delta unrelatedx wordsy tailz"), // eval, 2/5
+      (1L, trainText),
+      (2L, "completely different training content body text filler"))
+      .toDF("doc_id", "text").write.parquet(s"$tdir/documents.parquet")
+    val rows = SparkEntry.queries("t35_contamination_report")(spark, tdir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(0L, 97L, 194L))
+    assert(rows(0L).getString(5) == "burned" && rows(0L).getDouble(4) == 1.0)
+    assert(rows(97L).getString(5) == "clean" &&
+      rows(97L).getDouble(4) == 0.0 && rows(97L).getLong(3) == 0)
+    assert(rows(194L).getString(5) == "partial" &&
+      rows(194L).getDouble(4) == 0.4 && rows(194L).getLong(2) == 2)
+  }
+
+  test("t35: bounds and verdict thresholds hold on the real fixture") {
+    val rows = ExtensionQueries8.all("t35_contamination_report")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ns, nc, frac, v) =
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getString(5))
+      assert(nc >= 0 && nc <= ns)
+      assert(math.abs(frac - math.floor(nc.toDouble / ns * 1e6 + 0.5) / 1e6) == 0.0)
+      val expect = if (frac >= 0.8) "burned"
+        else if (frac >= 0.2) "partial" else "clean"
+      assert(v == expect)
+    }
+  }
 }
