@@ -759,6 +759,42 @@ object ExtensionQueries8 {
             .when(col("contamination") >= 0.2, "partial")
             .otherwise("clean"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental cluster MAINTENANCE (d22): d17 generates a new ingest's
+    // candidate pairs without re-scanning history; this closes the loop —
+    // it updates the CONVERGED CLUSTER TABLE itself. The prior assignment
+    // enters as star edges (doc → its stored representative): stars
+    // preserve exactly the old components' connectivity, so propagating
+    // over { stars ∪ delta-touching candidate edges } provably equals a
+    // full re-clustering of the whole corpus — including the hard case
+    // where one new doc BRIDGES two previously-separate old clusters
+    // (Round13cSpec pins it on a constructed graph) — while the old×old
+    // pair generation (the quadratic-ish LSH join over 100 TB of
+    // history) never runs again. min-label invariant: the stored label
+    // IS the old component's min id, so star propagation lands on the
+    // same canonical representatives as the full run. The oracle is
+    // d07's full-recompute SQL verbatim — equality is the contract.
+    "d22_incremental_clusters" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val feats = ExtensionQueries.docFeatures(s, dir)
+      val oldF = feats.filter(col("id") % 4 =!= 0)
+      val delta = feats.filter(col("id") % 4 === 0)
+      // the stored prior state: converged clusters over the old corpus
+      // (built here for the fixture; a deployment reads its cluster table)
+      val prior = Dedup.labelClusters(oldF.select("id"),
+        Dedup.lshCandidatePairs(oldF, bands = 4, rows = 3),
+        ExtensionQueries.ClusterMaxRounds)
+      val stars = prior.select(col("id").as("doc_a"), col("label").as("doc_b"))
+      // delta-touching edges only; history enters pre-banded (d17's index)
+      val newPairs = Dedup.incrementalCandidatePairs(
+          Dedup.bandFingerprints(oldF, bands = 4, rows = 3), delta,
+          bands = 4, rows = 3)
+        .select(col("doc_new").as("doc_a"), col("doc_matched").as("doc_b"))
+      Dedup.labelClusters(feats.select("id"), stars.unionByName(newPairs),
+          ExtensionQueries.ClusterMaxRounds)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1253,6 +1289,10 @@ object ExtensionQueries8 {
              CASE WHEN contamination >= 0.8 THEN 'burned'
                   WHEN contamination >= 0.2 THEN 'partial'
                   ELSE 'clean' END AS verdict
-      FROM j ORDER BY doc_id"""
+      FROM j ORDER BY doc_id""",
+
+    // The incremental form must be INDISTINGUISHABLE from a full
+    // re-clustering — its oracle is d07's full-recompute SQL verbatim.
+    "d22_incremental_clusters" -> ExtensionQueries.oracles("d07_dedup_clusters")
   )
 }

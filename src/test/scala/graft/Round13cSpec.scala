@@ -256,4 +256,36 @@ class Round13cSpec extends AnyFunSuite {
       assert(v == expect)
     }
   }
+
+  // ---- d22: incremental cluster maintenance ----
+
+  test("d22: a delta doc bridging two old clusters merges them through the stars") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val oldIds = Seq(1L, 2L, 3L, 5L).toDF("id")
+    val oldPairs = Seq((1L, 2L), (3L, 5L)).toDF("doc_a", "doc_b")
+    val prior = Dedup.labelClusters(oldIds, oldPairs, 64)
+    assert(prior.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 5L -> 3L))
+    val allIds = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val stars = prior.select(col("id").as("doc_a"), col("label").as("doc_b"))
+    // the new doc collides with a NON-representative member of each old
+    // cluster — the merge must route through the stored representatives
+    val deltaEdges = Seq((4L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val incr = Dedup.labelClusters(allIds, stars.unionByName(deltaEdges), 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.labelClusters(allIds, oldPairs.unionByName(deltaEdges), 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full, "star-compressed graph must match the full graph")
+    assert(incr.values.toSet == Set(1L),
+      "all five docs must merge to the global min representative")
+  }
+
+  test("d22 equals d07's full recompute row-for-row on the fixture") {
+    val incr = ExtensionQueries8.all("d22_incremental_clusters")(spark, dir)
+      .collect().map(_.toSeq).toList
+    val full = ExtensionQueries.all("d07_dedup_clusters")(spark, dir)
+      .collect().map(_.toSeq).toList
+    assert(incr == full)
+  }
 }
