@@ -123,6 +123,19 @@ object ExtensionQueries8 {
     */
   val CupedSplitUs = 1705363200000000L
 
+  /** t36's hashed-feature space: unigram counts hashed into
+    * [[DsirBuckets]] buckets — the fixed-dimension importance features
+    * of DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"); bucket collisions are part of the method,
+    * not an approximation of it.
+    */
+  val DsirBuckets = 512L
+
+  /** t36's selection fraction: keep train docs at or above the exact
+    * interpolated 75th percentile of the importance score.
+    */
+  val DsirKeepQuantile = 0.75
+
   /** q96's per-column audit spec: (column name, numeric view, string
     * view, canonical string key). Exactly one of the two views is
     * non-null per column; the canonical key is what NDV hashing and
@@ -795,6 +808,60 @@ object ExtensionQueries8 {
           ExtensionQueries.ClusterMaxRounds)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR-style importance selection (t36): score every TRAIN document
+    // by the hashed-n-gram log-likelihood ratio between the TARGET
+    // distribution (the doc_id % 97 eval holdout — "data that looks like
+    // what I want more of") and the corpus distribution, then keep docs
+    // at or above the exact 75th-percentile score — the importance-
+    // resampling data-selection recipe of Xie et al. 2023. Per-bucket
+    // Laplace-smoothed weight w(b) = ln(c_t(b)+1) − ln(c_c(b)+1), plus
+    // the per-token global term ln(C+B) − ln(T+B); every ln argument is
+    // a positive integer, so [[graft.functions.DetLn]] makes both
+    // engines' logs bit-identical by construction (the t28 rule), the
+    // weights are fixed-pointed to 1e6 longs, and each doc's score is an
+    // exact integer dot product — no float aggregation order anywhere.
+    // Scale shape: two bounded count tables (≤ B rows) broadcast into a
+    // one-pass per-(doc, bucket) aggregate; the selection threshold is
+    // one 1-row exact-percentile aggregate broadcast back (at 100 TB
+    // swap in q80's mergeable quantile sketch for the same join shape).
+    "t36_dsir_selection" -> ((s, dir) => {
+      import graft.functions.DetLn.detLn
+      val B = DsirBuckets
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+          explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
+        .withColumn("b", ExtensionQueries3.md5Hash48(col("term")) % B)
+      val isEval = col("doc_id") % 97 === 0
+      val tCnt = toks.filter(isEval).groupBy(col("b"))
+        .agg(count(lit(1)).as("ct"))
+      val cCnt = toks.filter(!isEval).groupBy(col("b"))
+        .agg(count(lit(1)).as("cc"))
+      // per-bucket fixed-point weights: corpus buckets left-join target
+      val wtab = cCnt.join(tCnt, Seq("b"), "left")
+        .select(col("b"), floor((detLn(coalesce(col("ct"), lit(0L)) + 1) -
+          detLn(col("cc") + 1)) * 1e6).cast("long").as("w_fp"))
+      // global per-token term from the two exact totals
+      val gfp = tCnt.agg(sum(col("ct")).as("tt")).crossJoin(
+          cCnt.agg(sum(col("cc")).as("cs")))
+        .select(floor((detLn(col("cs") + B) - detLn(col("tt") + B)) * 1e6)
+          .cast("long").as("g_fp"))
+      val docB = toks.filter(!isEval).groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("cd"))
+      val scored = docB.join(broadcast(wtab), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cd")).as("n_tokens"),
+          sum(col("cd") * col("w_fp")).as("dot_fp"))
+        .crossJoin(broadcast(gfp))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("dot_fp") + col("n_tokens") * col("g_fp")).as("score_fp"))
+      val thr = scored.agg(
+        expr(s"percentile(score_fp, $DsirKeepQuantile)").as("p_sel"))
+      scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_tokens"), col("score_fp"),
+          Agg.roundAt(col("score_fp").cast("double") / 1e6, 6).as("score"),
+          (col("score_fp") >= col("p_sel")).as("selected"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1293,6 +1360,54 @@ object ExtensionQueries8 {
 
     // The incremental form must be INDISTINGUISHABLE from a full
     // re-clustering — its oracle is d07's full-recompute SQL verbatim.
-    "d22_incremental_clusters" -> ExtensionQueries.oracles("d07_dedup_clusters")
+    "d22_incremental_clusters" -> ExtensionQueries.oracles("d07_dedup_clusters"),
+
+    // Same hashed buckets, the same DetLn rendering for every log, the
+    // same fixed-point dot product, the same exact percentile.
+    "t36_dsir_selection" -> {
+      def ln(x: String) = graft.functions.DetLn.detLnSql(x)
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(term), 1, 12)) AS BIGINT) % $DsirBuckets AS b
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+              FROM documents)
+      ),
+      tcnt AS (SELECT b, count(*) AS ct FROM toks WHERE doc_id % 97 = 0 GROUP BY 1),
+      ccnt AS (SELECT b, count(*) AS cc FROM toks WHERE doc_id % 97 <> 0 GROUP BY 1),
+      wtab AS (
+        SELECT c.b,
+               CAST(floor((${ln("COALESCE(t.ct, 0) + 1")} - ${ln("c.cc + 1")})
+                 * 1000000.0) AS BIGINT) AS w_fp
+        FROM ccnt c LEFT JOIN tcnt t USING (b)
+      ),
+      g AS (
+        SELECT CAST(floor((${ln(s"cs + $DsirBuckets")} - ${ln(s"tt + $DsirBuckets")})
+                 * 1000000.0) AS BIGINT) AS g_fp
+        FROM (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tcnt),
+             (SELECT CAST(sum(cc) AS BIGINT) AS cs FROM ccnt)
+      ),
+      docb AS (
+        SELECT doc_id, b, count(*) AS cd FROM toks
+        WHERE doc_id % 97 <> 0 GROUP BY 1, 2
+      ),
+      scored AS (
+        SELECT d.doc_id, CAST(sum(d.cd) AS BIGINT) AS n_tokens,
+               CAST(sum(d.cd * w.w_fp) AS BIGINT) AS dot_fp
+        FROM docb d JOIN wtab w USING (b) GROUP BY 1
+      ),
+      sc AS (
+        SELECT doc_id, n_tokens,
+               dot_fp + n_tokens * (SELECT g_fp FROM g) AS score_fp
+        FROM scored
+      ),
+      thr AS (SELECT quantile_cont(score_fp, $DsirKeepQuantile) AS p_sel FROM sc)
+      SELECT doc_id, n_tokens, CAST(score_fp AS BIGINT) AS score_fp,
+             floor(CAST(score_fp AS DOUBLE) / 1000000.0 * 1000000 + 0.5)
+               / 1000000 AS score,
+             score_fp >= (SELECT p_sel FROM thr) AS selected
+      FROM sc ORDER BY doc_id"""
+    }
   )
 }

@@ -288,4 +288,54 @@ class Round13cSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toList
     assert(incr == full)
   }
+
+  // ---- t36: DSIR importance selection ----
+
+  test("t36: the selection flag is exactly the top-quantile threshold cut") {
+    val rows = ExtensionQueries8.all("t36_dsir_selection")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getBoolean(4)))
+    val n = rows.length
+    val nSel = rows.count(_._2)
+    assert(nSel >= n / 4 && nSel < n,
+      s"$nSel of $n selected at the 75th percentile")
+    assert(rows.filter(_._2).map(_._1).min >=
+      rows.filterNot(_._2).map(_._1).max,
+      "every selected score must be at or above every unselected score")
+  }
+
+  test("t36: planted target-like train doc outscores a disjoint one, and the " +
+      "engine score equals an exact driver-side DetLn recompute") {
+    import spark.implicits._
+    val tdir = graft.sources.Scratch.fresh(spark, "r13c_t36")
+    val docs = Seq(
+      (0L, "alpha beta gamma"),      // eval target
+      (1L, "alpha beta gamma"),      // train, target-like
+      (2L, "zeta eta theta"),        // train, disjoint
+      (3L, "iota kappa lambda mu"))  // train, disjoint filler
+    docs.toDF("doc_id", "text").write.parquet(s"$tdir/documents.parquet")
+    val got = SparkEntry.queries("t36_dsir_selection")(spark, tdir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact recompute with the same bucket hash and DetLn reference
+    val B = ExtensionQueries8.DsirBuckets
+    def bucket(t: String) = ExtensionQueries8.md5Hash48Lit(t) % B
+    def toks(s: String) = s.toLowerCase.trim.split("\\s+").toSeq
+    val evalToks = toks(docs.head._2)
+    val trainDocs = docs.tail
+    val tcnt = evalToks.groupBy(bucket).map { case (b, xs) => b -> xs.size.toLong }
+    val allTrain = trainDocs.flatMap(d => toks(d._2))
+    val ccnt = allTrain.groupBy(bucket).map { case (b, xs) => b -> xs.size.toLong }
+    import graft.functions.DetLn.detLnScala
+    def wFp(b: Long) = math.floor((detLnScala(tcnt.getOrElse(b, 0L) + 1) -
+      detLnScala(ccnt(b) + 1)) * 1e6).toLong
+    val gFp = math.floor((detLnScala(allTrain.size + B) -
+      detLnScala(evalToks.size + B)) * 1e6).toLong
+    trainDocs.foreach { case (id, text) =>
+      val tk = toks(text)
+      val expect = tk.groupBy(bucket).map { case (b, xs) => xs.size * wFp(b) }.sum +
+        tk.size * gFp
+      assert(got(id)._2 == expect, s"doc $id engine ${got(id)._2} vs $expect")
+    }
+    assert(got(1L)._2 > got(2L)._2,
+      "the target-identical train doc must outscore the disjoint one")
+  }
 }
