@@ -862,6 +862,42 @@ object ExtensionQueries8 {
           Agg.roundAt(col("score_fp").cast("double") / 1e6, 6).as("score"),
           (col("score_fp") >= col("p_sel")).as("selected"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Prototype-based data pruning (s34): the embedding-geometry member
+    // of the selection trio (t36 selects by distribution match, the
+    // d-family by duplication; s34 by PROTOTYPICALITY — Sorscher et al.
+    // 2022, "Beyond neural scaling laws"): cluster the corpus with s33's
+    // sample-trained converged k-means, measure every vector's cosine to
+    // its OWN centroid, and keep the HARD half of each cluster (cosine
+    // at or below the cell's exact median) — pruning the prototypical
+    // easy examples is the data-diet that beats random pruning at scale.
+    // Scale shape: constant-cost training (fixed sample), ONE row-local
+    // full-corpus assignment against broadcast literals, one per-cell
+    // exact-percentile aggregate (k rows) broadcast back; cosine values
+    // are the same arithmetic s05's oracle replays bit-for-bit.
+    "s34_prototype_pruning" -> ((s, dir) => {
+      val e = ExtensionQueries.embeddingsD(s, dir)
+        .select(col("vec_id"), col("v"))
+      val samp = e.withColumn("hrank",
+          pmod(pmod(col("vec_id"), lit(1000003L)) * lit(427799L), lit(1000003L)))
+        .orderBy(col("hrank"), col("vec_id")).limit(KmSampleN)
+        .select(col("vec_id"), col("v"))
+      val (cent, _, _) = Kmeans.fitConverged(samp,
+        k = ExtensionQueries.IvfCells, maxIters = KmConvMaxIters)
+      val cents = cent.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+      val withCos = Kmeans.assignLiteral(e, cents)
+        .join(broadcast(cent), Seq("cell"))
+        .withColumn("cos", graft.operators.VectorOps.cosineFast(col("v"), col("cv")))
+      val thr = withCos.groupBy(col("cell"))
+        .agg(expr("percentile(cos, 0.5)").as("cell_median"))
+      withCos.join(broadcast(thr), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          Agg.roundAt(col("cos"), 6).as("cos_to_centroid"),
+          (col("cos") <= col("cell_median")).as("keep"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1408,6 +1444,44 @@ object ExtensionQueries8 {
                / 1000000 AS score,
              score_fp >= (SELECT p_sel FROM thr) AS selected
       FROM sc ORDER BY doc_id"""
+    },
+
+    // s33's sample-trained centroid replay, then the same cosine
+    // arithmetic, per-cell exact median, and threshold cut.
+    "s34_prototype_pruning" -> {
+      import ExtensionQueries.dotSql
+      def cosSql(a: String, b: String) =
+        s"((${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+      s"""
+      WITH RECURSIVE
+      e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      samp AS (
+        SELECT vec_id, v FROM e
+        QUALIFY row_number() OVER (ORDER BY ((vec_id % 1000003) * 427799) % 1000003, vec_id) <= $KmSampleN
+      ),${kmRecursionCtes("samp", KmSampleOracleUnroll)},
+      final AS (
+        SELECT cell, cv FROM cent WHERE iter = $KmSampleOracleUnroll
+      ),
+      assigned AS (
+        SELECT f.vec_id, f.v, ${argminCellSql("f.v", "c.cv", "c.cell")} AS cell
+        FROM e f CROSS JOIN final c
+        GROUP BY f.vec_id, f.v
+      ),
+      wc AS (
+        SELECT a.vec_id, a.cell, ${cosSql("a.v", "c.cv")} AS cos
+        FROM assigned a JOIN final c USING (cell)
+      ),
+      thr AS (
+        SELECT cell, quantile_cont(cos, 0.5) AS cell_median FROM wc GROUP BY 1
+      )
+      SELECT w.vec_id, w.cell,
+             floor(w.cos * 1000000 + 0.5) / 1000000 AS cos_to_centroid,
+             w.cos <= t.cell_median AS keep
+      FROM wc w JOIN thr t USING (cell)
+      ORDER BY w.vec_id"""
     }
   )
 }

@@ -338,4 +338,50 @@ class Round13cSpec extends AnyFunSuite {
     assert(got(1L)._2 > got(2L)._2,
       "the target-identical train doc must outscore the disjoint one")
   }
+
+  // ---- s34: prototype pruning ----
+
+  private lazy val pruned =
+    ExtensionQueries8.all("s34_prototype_pruning")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+
+  test("s34: each cell keeps its hard half — a clean median cut") {
+    pruned.groupBy(_._2).foreach { case (cell, rows) =>
+      val kept = rows.filter(_._4)
+      val frac = kept.length.toDouble / rows.length
+      assert(frac >= 0.5 - 1e-9 && frac <= 0.75,
+        s"cell $cell keeps ${kept.length}/${rows.length}")
+      if (kept.nonEmpty && kept.length < rows.length)
+        assert(kept.map(_._3).max <= rows.filterNot(_._4).map(_._3).min,
+          s"cell $cell: kept (hard) cosines must all lie below dropped ones")
+    }
+  }
+
+  test("s34: every vector sits in its own argmax cell (assignment audit)") {
+    val e = ExtensionQueries.embeddingsD(spark, dir)
+      .select(col("vec_id"), col("v")).limit(10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val samp = ExtensionQueries.embeddingsD(spark, dir)
+      .select(col("vec_id"), col("v"))
+      .withColumn("hrank",
+        pmod(pmod(col("vec_id"), lit(1000003L)) * lit(427799L), lit(1000003L)))
+      .orderBy(col("hrank"), col("vec_id"))
+      .limit(ExtensionQueries8.KmSampleN)
+      .select(col("vec_id"), col("v"))
+    val (cent, _, _) = graft.operators.Kmeans.fitConverged(samp,
+      k = ExtensionQueries.IvfCells, maxIters = ExtensionQueries8.KmConvMaxIters)
+    val cs = cent.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cellOf = pruned.map(p => p._1 -> p._2).toMap
+    e.foreach { case (id, v) =>
+      val own = cos(v, cs(cellOf(id)))
+      cs.foreach { case (c, cv) =>
+        assert(own >= cos(v, cv) - 1e-9,
+          s"vec $id assigned to ${cellOf(id)} but cell $c is closer")
+      }
+    }
+  }
 }
