@@ -898,6 +898,32 @@ object ExtensionQueries8 {
           Agg.roundAt(col("cos"), 6).as("cos_to_centroid"),
           (col("cos") <= col("cell_median")).as("keep"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Sample-ratio-mismatch check (e20): the guardrail an experimentation
+    // platform evaluates BEFORE trusting any readout (e17/e18/e19) — a
+    // one-degree-of-freedom chi-square that the user-hash split actually
+    // delivered its designed 50/50 allocation: χ² = (n_a − n_b)²/(n_a +
+    // n_b), flagged at the 0.001 significance bar (10.828) the industry
+    // uses for SRM (an unhealthy split invalidates the experiment
+    // regardless of its p-values). Exact integer counts; one double
+    // division; the flag gates on the ROUNDED statistic. Scale shape:
+    // one distinct-users aggregate → a 2-row group → a 1-row report.
+    "e20_srm_check" -> ((s, dir) => {
+      val perVariant = t(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .groupBy((col("user_id") % 2).cast("int").as("variant"))
+        .agg(count(lit(1)).as("n"))
+      val a = perVariant.filter(col("variant") === 0).select(col("n").as("n_a"))
+      val b = perVariant.filter(col("variant") === 1).select(col("n").as("n_b"))
+      a.crossJoin(b)
+        .withColumn("chi2", Agg.roundAt(
+          ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double") /
+            (col("n_a") + col("n_b")), 6))
+        .select(col("n_a"), col("n_b"),
+          Agg.roundAt(col("n_a").cast("double") / (col("n_a") + col("n_b")), 6)
+            .as("ratio_a"),
+          col("chi2"), (col("chi2") >= 10.828).as("srm_detected"))
     })
   )
 
@@ -1482,6 +1508,28 @@ object ExtensionQueries8 {
              w.cos <= t.cell_median AS keep
       FROM wc w JOIN thr t USING (cell)
       ORDER BY w.vec_id"""
-    }
+    },
+
+    // Exact distinct-user variant counts; identical χ² arithmetic.
+    "e20_srm_check" -> s"""
+      WITH pv AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS variant, count(*) AS n
+        FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1
+      ),
+      j AS (
+        SELECT a.n AS n_a, b.n AS n_b FROM pv a CROSS JOIN pv b
+        WHERE a.variant = 0 AND b.variant = 1
+      ),
+      c AS (
+        SELECT n_a, n_b,
+               floor(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+                 * 1000000 + 0.5) / 1000000 AS chi2
+        FROM j
+      )
+      SELECT n_a, n_b,
+             floor(CAST(n_a AS DOUBLE) / (n_a + n_b) * 1000000 + 0.5) / 1000000
+               AS ratio_a,
+             chi2, chi2 >= 10.828 AS srm_detected
+      FROM c"""
   )
 }

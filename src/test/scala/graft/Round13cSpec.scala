@@ -384,4 +384,18 @@ class Round13cSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- e20: sample-ratio-mismatch guardrail ----
+
+  test("e20: counts recount, chi2 matches, and the healthy fixture split passes") {
+    val r = ExtensionQueries8.all("e20_srm_check")(spark, dir).head()
+    val (nA, nB) = (r.getLong(0), r.getLong(1))
+    val users = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    assert(nA == users.count(_ % 2 == 0) && nB == users.count(_ % 2 == 1))
+    val chi2 = (nA - nB).toDouble * (nA - nB) / (nA + nB)
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-4)
+    assert(!r.getBoolean(4),
+      "the fixture's hash split is healthy — SRM must not fire")
+  }
 }
