@@ -249,6 +249,24 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("round-13c reports keep broadcast scalar shapes and never go cartesian") {
+    for (q <- Seq("q96_column_stats_catalog", "q97_join_skew_report",
+        "t34_mixture_weights", "t35_contamination_report",
+        "t36_dsir_selection", "e19_cuped", "e20_srm_check",
+        "s34_prototype_pruning")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // bounded side tables (DSIR weights/threshold, CUPED moments, s34
+    // centroids/medians) must enter as broadcasts, never shuffles
+    for (q <- Seq("t36_dsir_selection", "e19_cuped", "s34_prototype_pruning")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost its broadcast structure:\n$p")
+    }
+  }
+
   test("a filter on the partition column prunes partitions at the scan") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/out"
