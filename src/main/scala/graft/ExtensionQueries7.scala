@@ -435,15 +435,25 @@ object ExtensionQueries7 {
     * property SketchSpec pins (shard-merged == direct).
     */
   private[graft] def hllShardRegs(segHash: DataFrame, remBits: Int,
-      shards: Int): DataFrame = {
+      shards: Int): DataFrame =
+    hllRegRows(segHash.withColumn("shard",
+      pmod(col("h"), lit(shards.toLong)).cast("int")), remBits,
+      Seq("shard", "seg"))
+
+  /** The single home of the register derivation (bucket / remainder /
+    * rho / register-max) from an `h` column, grouped by `groupCols` +
+    * bucket — [[hllRegs]], [[hllShardRegs]], and q96's catalog build all
+    * delegate here so the geometry arithmetic exists once.
+    */
+  private[graft] def hllRegRows(withH: DataFrame, remBits: Int,
+      groupCols: Seq[String]): DataFrame = {
     val remMod = 1L << remBits
-    segHash
-      .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("int"))
+    withH
       .withColumn("bucket", expr(s"h DIV $remMod"))
       .withColumn("w", col("h") % remMod)
       .withColumn("rho", when(col("w") === 0, lit(remBits + 1))
         .otherwise(lit(remBits + 1) - length(bin(col("w")))))
-      .groupBy(col("shard"), col("seg"), col("bucket"))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("reg"))
   }
 
@@ -466,16 +476,8 @@ object ExtensionQueries7 {
     * One map-side-combinable groupBy-max; ≤ |segs|·m rows out.
     */
   private[graft] def hllRegs(segHash: DataFrame,
-      remBits: Int = HllRemBits): DataFrame = {
-    val remMod = 1L << remBits
-    segHash
-      .withColumn("bucket", expr(s"h DIV $remMod"))
-      .withColumn("w", col("h") % remMod)
-      .withColumn("rho", when(col("w") === 0, lit(remBits + 1))
-        .otherwise(lit(remBits + 1) - length(bin(col("w")))))
-      .groupBy(col("seg"), col("bucket"))
-      .agg(max(col("rho")).as("reg"))
-  }
+      remBits: Int = HllRemBits): DataFrame =
+    hllRegRows(segHash, remBits, Seq("seg"))
 
   /** Per-seg estimate columns (n_present, sum_fp, v_empty, raw_est,
     * use_lc, corrected) from a registers relation — q89's arithmetic,

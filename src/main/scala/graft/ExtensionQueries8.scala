@@ -183,21 +183,15 @@ object ExtensionQueries8 {
     */
   private[graft] def writeCatalogShards(longF: DataFrame, root: String,
       mode: String): Unit = {
-    import ExtensionQueries7.HllRemBits12
     val stats = longF.groupBy(col("shard"), col("seg"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("cval").isNull, 1L).otherwise(0L)).as("n_null"),
         min(col("nval")).as("min_num"), max(col("nval")).as("max_num"),
         min(col("sval")).as("min_str"), max(col("sval")).as("max_str"))
-    val remMod = 1L << HllRemBits12
-    val regs = longF.filter(col("cval").isNotNull)
-      .withColumn("h", ExtensionQueries3.md5Hash48(col("cval")))
-      .withColumn("bucket", expr(s"h DIV $remMod"))
-      .withColumn("w", col("h") % remMod)
-      .withColumn("rho", when(col("w") === 0, lit(HllRemBits12 + 1))
-        .otherwise(lit(HllRemBits12 + 1) - length(bin(col("w")))))
-      .groupBy(col("shard"), col("seg"), col("bucket"))
-      .agg(max(col("rho")).as("reg"))
+    val regs = ExtensionQueries7.hllRegRows(
+      longF.filter(col("cval").isNotNull)
+        .withColumn("h", ExtensionQueries3.md5Hash48(col("cval"))),
+      ExtensionQueries7.HllRemBits12, Seq("shard", "seg"))
     stats.write.mode(mode).partitionBy("shard").parquet(s"$root/stats")
     regs.write.mode(mode).partitionBy("shard").parquet(s"$root/ndv_regs")
   }
@@ -220,10 +214,14 @@ object ExtensionQueries8 {
       HllAlphaNum12, HllLcFp12)
     val ndvTrue = longF.groupBy(col("seg"))
       .agg(countDistinct(col("cval")).as("ndv_true"))
-    mStats.join(est.select(col("seg"), col("corrected")), Seq("seg"))
+    // LEFT join the estimate: an ALL-NULL column has no registers (and no
+    // estimate row) but must still appear in the catalog — with ndv 0 and
+    // n_null = n_rows, the row a CBO consumer needs most
+    mStats.join(est.select(col("seg"), col("corrected")), Seq("seg"), "left")
       .join(ndvTrue, Seq("seg"))
       .select(col("seg").as("col_name"), col("n_rows"), col("n_null"),
-        Agg.roundAt(col("corrected"), 4).as("ndv_est"), col("ndv_true"),
+        Agg.roundAt(coalesce(col("corrected"), lit(0.0)), 4).as("ndv_est"),
+        col("ndv_true"),
         col("min_num"), col("max_num"), col("min_str"), col("max_str"))
       .orderBy(col("col_name"))
   }
@@ -644,21 +642,31 @@ object ExtensionQueries8 {
       def fpSum(cond: Column): Column =
         sum((when(cond, col("value")).otherwise(0.0).cast("decimal(30,6)")
           * 1000000).cast("long"))
+      // persisted: mom, adj (twice), byVar, and varG all consume it — the
+      // docFeatures multi-consumer rule; without it the events scan +
+      // per-user shuffle would run ~5× per action
       val perUser = t(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
         .groupBy(col("user_id"))
         .agg(fpSum(col("us") < CupedSplitUs).as("x_fp"),
           fpSum(col("us") >= CupedSplitUs).as("y_fp"))
         .withColumn("variant", (col("user_id") % 2).cast("int"))
+        .persist()
       def bigSq(a: Column, b: Column): Column =
         a.cast("decimal(20,0)") * b.cast("decimal(20,0)")
+      // θ guard: a constant pre-period covariate (var(x) = 0 — e.g. every
+      // event after the split) makes cov/var 0/0; CUPED then degenerates
+      // to θ = 0 (no adjustment) instead of NaN-poisoning every adjusted
+      // column (Spark would floor NaN to 0L silently; DuckDB would error)
       val mom = perUser.agg(count(lit(1)).as("n"),
           sum(col("x_fp")).as("sx"), sum(col("y_fp")).as("sy"),
           sum(bigSq(col("x_fp"), col("y_fp"))).cast("double").as("sxy"),
           sum(bigSq(col("x_fp"), col("x_fp"))).cast("double").as("sxx"))
-        .withColumn("theta",
+        .withColumn("var_num",
+          col("sxx") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+        .withColumn("theta", when(col("var_num") === 0.0, lit(0.0)).otherwise(
           (col("sxy") - col("sx").cast("double") * col("sy").cast("double") / col("n")) /
-          (col("sxx") - col("sx").cast("double") * col("sx").cast("double") / col("n")))
+            col("var_num")))
         .withColumn("mean_x", col("sx").cast("double") / col("n"))
       val adj = perUser
         .crossJoin(broadcast(mom.select(col("theta"), col("mean_x"))))
@@ -750,13 +758,20 @@ object ExtensionQueries8 {
     // into the train stream — never a shuffle of the full corpus — and
     // the per-eval-doc aggregate is bounded by the holdout size.
     "t35_contamination_report" -> ((s, dir) => {
-      val shingled = t(s, dir, "documents").select(col("doc_id"),
+      val docs = t(s, dir, "documents")
+      // row-local shingle COUNT per eval doc (no explode): an eval doc
+      // with < 3 tokens has an empty shingle set but must still get its
+      // report row (n_shingles 0, verdict clean) — absence would be
+      // indistinguishable from "not an eval doc"
+      val totals = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          size(graft.functions.TextHash.shingleHashes(col("text"), 3))
+            .cast("long").as("n_shingles"))
+      val shingled = docs.select(col("doc_id"),
         explode(graft.functions.TextHash.shingleHashes(col("text"), 3)).as("sh"))
       val evalSh = shingled.filter(col("doc_id") % 97 === 0)
       val trainSh = shingled.filter(col("doc_id") % 97 =!= 0)
         .select(col("sh"), col("doc_id").as("train_doc"))
-      val totals = evalSh.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"))
       val hits = trainSh.join(broadcast(evalSh), Seq("sh"))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("sh")).as("n_contaminated"),
@@ -765,8 +780,9 @@ object ExtensionQueries8 {
         .select(col("doc_id"), col("n_shingles"),
           coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
           coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
-        .withColumn("contamination", Agg.roundAt(
-          col("n_contaminated").cast("double") / col("n_shingles"), 6))
+        .withColumn("contamination", when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(Agg.roundAt(
+            col("n_contaminated").cast("double") / col("n_shingles"), 6)))
         .withColumn("verdict",
           when(col("contamination") >= 0.8, "burned")
             .when(col("contamination") >= 0.2, "partial")
@@ -829,9 +845,12 @@ object ExtensionQueries8 {
     "t36_dsir_selection" -> ((s, dir) => {
       import graft.functions.DetLn.detLn
       val B = DsirBuckets
+      // persisted: tCnt, cCnt, and docB each aggregate it — without the
+      // persist the tokenize+hash corpus pass would run three times
       val toks = t(s, dir, "documents").select(col("doc_id"),
           explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
         .withColumn("b", ExtensionQueries3.md5Hash48(col("term")) % B)
+        .persist()
       val isEval = col("doc_id") % 97 === 0
       val tCnt = toks.filter(isEval).groupBy(col("b"))
         .agg(count(lit(1)).as("ct"))
@@ -848,6 +867,8 @@ object ExtensionQueries8 {
           .cast("long").as("g_fp"))
       val docB = toks.filter(!isEval).groupBy(col("doc_id"), col("b"))
         .agg(count(lit(1)).as("cd"))
+      // persisted: the percentile threshold and the final projection both
+      // read it (it is only |train docs| rows)
       val scored = docB.join(broadcast(wtab), Seq("b"))
         .groupBy(col("doc_id"))
         .agg(sum(col("cd")).as("n_tokens"),
@@ -855,6 +876,7 @@ object ExtensionQueries8 {
         .crossJoin(broadcast(gfp))
         .select(col("doc_id"), col("n_tokens"),
           (col("dot_fp") + col("n_tokens") * col("g_fp")).as("score_fp"))
+        .persist()
       val thr = scored.agg(
         expr(s"percentile(score_fp, $DsirKeepQuantile)").as("p_sel"))
       scored.crossJoin(broadcast(thr))
@@ -888,9 +910,14 @@ object ExtensionQueries8 {
       val cents = cent.collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1).toSeq
+      // persisted narrow (vec_id, cell, cos) — the per-cell median and the
+      // final projection both read it; without the persist the corpus
+      // assignment+cosine pass would run twice
       val withCos = Kmeans.assignLiteral(e, cents)
         .join(broadcast(cent), Seq("cell"))
-        .withColumn("cos", graft.operators.VectorOps.cosineFast(col("v"), col("cv")))
+        .select(col("vec_id"), col("cell"),
+          graft.operators.VectorOps.cosineFast(col("v"), col("cv")).as("cos"))
+        .persist()
       val thr = withCos.groupBy(col("cell"))
         .agg(expr("percentile(cos, 0.5)").as("cell_median"))
       withCos.join(broadcast(thr), Seq("cell"))
@@ -910,13 +937,13 @@ object ExtensionQueries8 {
     // division; the flag gates on the ROUNDED statistic. Scale shape:
     // one distinct-users aggregate → a 2-row group → a 1-row report.
     "e20_srm_check" -> ((s, dir) => {
-      val perVariant = t(s, dir, "events")
+      // one unconditional 1-row aggregate (NOT a join of per-variant
+      // rows): an all-one-variant split — the maximal mismatch this
+      // guardrail exists to catch — must still produce its report row
+      t(s, dir, "events")
         .select(col("user_id")).distinct()
-        .groupBy((col("user_id") % 2).cast("int").as("variant"))
-        .agg(count(lit(1)).as("n"))
-      val a = perVariant.filter(col("variant") === 0).select(col("n").as("n_a"))
-      val b = perVariant.filter(col("variant") === 1).select(col("n").as("n_b"))
-      a.crossJoin(b)
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
         .withColumn("chi2", Agg.roundAt(
           ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double") /
             (col("n_a") + col("n_b")), 6))
@@ -1242,9 +1269,10 @@ object ExtensionQueries8 {
         FROM base GROUP BY 1
       )
       SELECT s.seg AS col_name, s.n_rows, s.n_null,
-             floor(c.corrected * 10000 + 0.5) / 10000 AS ndv_est, s.ndv_true,
+             floor(COALESCE(c.corrected, 0) * 10000 + 0.5) / 10000 AS ndv_est,
+             s.ndv_true,
              s.min_num, s.max_num, s.min_str, s.max_str
-      FROM stats s JOIN cor c ON s.seg = c.seg
+      FROM stats s LEFT JOIN cor c ON s.seg = c.seg
       ORDER BY col_name""",
 
     // t33's substrate re-aggregated per source, then the identical
@@ -1315,8 +1343,11 @@ object ExtensionQueries8 {
         FROM pu
       ),
       th AS (
-        SELECT (sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
-               (sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS theta,
+        SELECT CASE WHEN (sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                      = 0.0 THEN 0.0
+                    ELSE (sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+                      (sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+               END AS theta,
                CAST(sx AS DOUBLE) / n AS mean_x
         FROM mom
       ),
@@ -1385,22 +1416,27 @@ object ExtensionQueries8 {
         ORDER BY join_key"""
     },
 
-    // d10's shingle CTE reused verbatim; the verdict gates on the same
-    // rounded fraction both engines computed identically.
+    // d10's shingle construction, with the per-doc shingle LIST kept so
+    // empty-shingle eval docs still report; the verdict gates on the
+    // same rounded fraction both engines computed identically.
     "t35_contamination_report" -> s"""
-      WITH sh AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
+      WITH shl AS (
+        SELECT doc_id, list_distinct(list_transform(
           CASE WHEN len(toks) >= 3
                THEN list_transform(range(0, len(toks)-2),
                       i -> array_to_string(list_slice(toks, i+1, i+3), ' '))
                ELSE []::VARCHAR[] END,
-          s -> ${ExtensionQueries.chSql("s")}))) AS sh
+          s -> ${ExtensionQueries.chSql("s")})) AS shs
         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
               FROM documents) tok
       ),
+      sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
       ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 = 0),
       tr AS (SELECT doc_id AS train_doc, sh FROM sh WHERE doc_id % 97 <> 0),
-      totals AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+      totals AS (
+        SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_shingles
+        FROM shl WHERE doc_id % 97 = 0
+      ),
       hits AS (
         SELECT ev.doc_id, count(DISTINCT ev.sh) AS n_contaminated,
                count(DISTINCT tr.train_doc) AS n_train_docs
@@ -1410,8 +1446,10 @@ object ExtensionQueries8 {
         SELECT t.doc_id, t.n_shingles,
                COALESCE(h.n_contaminated, 0) AS n_contaminated,
                COALESCE(h.n_train_docs, 0) AS n_train_docs,
-               floor(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
-                 / t.n_shingles * 1000000 + 0.5) / 1000000 AS contamination
+               CASE WHEN t.n_shingles = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE floor(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+                      / t.n_shingles * 1000000 + 0.5) / 1000000
+               END AS contamination
         FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
       )
       SELECT doc_id, n_shingles, n_contaminated, n_train_docs, contamination,
@@ -1510,15 +1548,13 @@ object ExtensionQueries8 {
       ORDER BY w.vec_id"""
     },
 
-    // Exact distinct-user variant counts; identical χ² arithmetic.
+    // Exact distinct-user variant counts (one unconditional aggregate —
+    // an all-one-variant split still reports); identical χ² arithmetic.
     "e20_srm_check" -> s"""
-      WITH pv AS (
-        SELECT CAST(user_id % 2 AS INTEGER) AS variant, count(*) AS n
-        FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1
-      ),
-      j AS (
-        SELECT a.n AS n_a, b.n AS n_b FROM pv a CROSS JOIN pv b
-        WHERE a.variant = 0 AND b.variant = 1
+      WITH j AS (
+        SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM (SELECT DISTINCT user_id FROM events)
       ),
       c AS (
         SELECT n_a, n_b,

@@ -14,15 +14,17 @@ class Round13cSpec extends AnyFunSuite {
 
   /** A fixture with real nulls in both lanes (the TPC-H tables have
     * none, so the null accounting must be exercised here): 100 rows,
-    * `cat` null on every 5th row, `score` null on every 4th.
+    * `cat` null on every 5th row, `score` null on every 4th, and `dead`
+    * ALL null — the column with no NDV registers at all.
     */
   private def nullFixture = {
     import spark.implicits._
     (0L until 100L).map { i =>
       (i,
         if (i % 5 == 0) null else s"cat_${i % 7}",
-        if (i % 4 == 0) None else Some(i * 1.5))
-    }.toDF("id", "cat", "score")
+        if (i % 4 == 0) None else Some(i * 1.5),
+        None: Option[String])
+    }.toDF("id", "cat", "score", "dead")
   }
 
   private def fixtureSpecs: Seq[ExtensionQueries8.ColSpec] = {
@@ -32,7 +34,8 @@ class Round13cSpec extends AnyFunSuite {
       ("id", col("id"), nullS, col("id")),
       ("cat", nullD, col("cat"), col("cat")),
       ("score", col("score"), nullS,
-        floor(col("score") * 100 + 0.5).cast("long")))
+        floor(col("score") * 100 + 0.5).cast("long")),
+      ("dead", nullD, col("dead"), col("dead")))
   }
 
   private def catalogOf(shards: Long, tag: String) = {
@@ -44,7 +47,14 @@ class Round13cSpec extends AnyFunSuite {
   test("q96 catalog: null accounting, exact NDV, and both min/max lanes") {
     val rows = catalogOf(8, "nulls").collect()
       .map(r => r.getString(0) -> r).toMap
-    assert(rows.keySet == Set("id", "cat", "score"))
+    assert(rows.keySet == Set("id", "cat", "score", "dead"))
+    // the ALL-NULL column must still get its catalog row (no registers
+    // exist for it — the estimate left-join backfills ndv 0)
+    val dead = rows("dead")
+    assert(dead.getLong(1) == 100 && dead.getLong(2) == 100)
+    assert(dead.getDouble(3) == 0.0 && dead.getLong(4) == 0)
+    assert(dead.isNullAt(5) && dead.isNullAt(6) &&
+      dead.isNullAt(7) && dead.isNullAt(8))
     val id = rows("id")
     assert(id.getLong(1) == 100 && id.getLong(2) == 0)   // n_rows, n_null
     assert(id.getLong(4) == 100)                          // ndv_true
@@ -229,12 +239,16 @@ class Round13cSpec extends AnyFunSuite {
       (0L, trainText),                                     // eval, burned
       (97L, "one unique sentence that nothing here shares"), // eval, clean
       (194L, "alpha beta gamma delta unrelatedx wordsy tailz"), // eval, 2/5
+      (291L, "too short"),                                 // eval, no shingles
       (1L, trainText),
       (2L, "completely different training content body text filler"))
       .toDF("doc_id", "text").write.parquet(s"$tdir/documents.parquet")
     val rows = SparkEntry.queries("t35_contamination_report")(spark, tdir)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(rows.keySet == Set(0L, 97L, 194L))
+    assert(rows.keySet == Set(0L, 97L, 194L, 291L),
+      "a < 3-token eval doc must still appear in the report")
+    assert(rows(291L).getLong(1) == 0 && rows(291L).getDouble(4) == 0.0 &&
+      rows(291L).getString(5) == "clean")
     assert(rows(0L).getString(5) == "burned" && rows(0L).getDouble(4) == 1.0)
     assert(rows(97L).getString(5) == "clean" &&
       rows(97L).getDouble(4) == 0.0 && rows(97L).getLong(3) == 0)
