@@ -956,6 +956,58 @@ object ExtensionQueries8 {
           Agg.roundAt(col("n_a").cast("double") / (col("n_a") + col("n_b")), 6)
             .as("ratio_a"),
           col("chi2"), (col("chi2") >= 10.828).as("srm_detected"))
+    }),
+
+    // PERSISTED KMV sample lake table (q98): the last member of the
+    // persisted-sketch family (q94 HLL registers, q95 CMS grids, q96
+    // catalog, t32 postings) — per (shard, segment), the bottom-k hash
+    // SAMPLE itself is written shard-partitioned to the lake and merged
+    // on read by union-and-trim. Persisting the SAMPLE (not just the
+    // count) is what theta-sketch warehouses store: any later audience
+    // arithmetic — q87's union/intersection/Jaccard between any stored
+    // segments, across days or snapshots — is array math on ≤ k longs
+    // per segment, never a re-scan. The shard layer is algebraically
+    // transparent (bottom-k of a union == trimmed union of bottom-ks: a
+    // pure function of the distinct hash set), so the oracle computes
+    // the global sample directly from raw events. true_distinct rides
+    // along as the accuracy column; this fixture sits in the exact
+    // regime (n_kept < k), where the estimate IS the exact count.
+    "q98_kmv_sample_lake" -> ((s, dir) => {
+      val k = ExtensionQueries3.KmvK
+      val kmvKeepU = udaf(graft.operators.Kmv.keep(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val segHash = t(s, dir, "events")
+        .select(col("event_type").as("seg"),
+          ExtensionQueries3.md5Hash48(col("user_id")).as("h"))
+        .withColumn("shard",
+          pmod(col("h"), lit(ExtensionQueries7.SketchShards.toLong)).cast("int"))
+      val shardSamples = segHash.groupBy(col("shard"), col("seg"))
+        .agg(kmvKeepU(col("h")).as("hs"))
+      val sink = graft.sources.Scratch.fresh(s,
+        s"kmv_samples_${new java.io.File(dir).getName}")
+      shardSamples.write.mode("overwrite").partitionBy("shard").parquet(sink)
+      // merge-on-read: union-and-trim of ≤ shards bounded samples per seg
+      val merged = s.read.parquet(sink)
+        .groupBy(col("seg"))
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("hs"))))),
+          1, k).as("hs"))
+      val exact = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("true_distinct"))
+        .select(col("event_type").as("seg"), col("true_distinct"))
+      merged
+        .withColumn("n_kept", size(col("hs")))
+        .withColumn("theta", when(col("n_kept") >= k, element_at(col("hs"), k))
+          .otherwise(lit(1L << 48)))
+        .join(exact, Seq("seg"))
+        .select(col("seg").as("event_type"), lit(k).as("k"),
+          lit(ExtensionQueries7.SketchShards).as("n_shards"),
+          col("n_kept"), col("theta"),
+          Agg.roundAt(
+            when(col("n_kept") < k, col("n_kept").cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 48))
+                / col("theta")), 4).as("est_distinct"),
+          col("true_distinct"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1571,6 +1623,44 @@ object ExtensionQueries8 {
              floor(CAST(n_a AS DOUBLE) / (n_a + n_b) * 1000000 + 0.5) / 1000000
                AS ratio_a,
              chi2, chi2 >= 10.828 AS srm_detected
-      FROM c"""
+      FROM c""",
+
+    // Lake-sample replay (q98): per-shard bottom-k samples merged by
+    // union-and-trim equal the direct global bottom-k (a pure function
+    // of the distinct hash set), so the oracle ranks the distinct hashes
+    // per segment directly; the estimate expression is q77's verbatim.
+    "q98_kmv_sample_lake" -> s"""
+      WITH h AS (
+        SELECT DISTINCT event_type AS seg,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                 AS BIGINT) AS h
+        FROM events
+      ),
+      rk AS (
+        SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS r
+        FROM h
+      ),
+      keep AS (SELECT seg, h, r FROM rk WHERE r <= ${ExtensionQueries3.KmvK}),
+      sk AS (
+        SELECT seg, CAST(count(*) AS INTEGER) AS n_kept,
+               CASE WHEN count(*) >= ${ExtensionQueries3.KmvK} THEN max(h)
+                    ELSE CAST(281474976710656 AS BIGINT) END AS theta
+        FROM keep GROUP BY 1
+      ),
+      ex AS (
+        SELECT event_type AS seg, count(DISTINCT user_id) AS true_distinct
+        FROM events GROUP BY 1
+      )
+      SELECT sk.seg AS event_type, ${ExtensionQueries3.KmvK} AS k,
+             ${ExtensionQueries7.SketchShards} AS n_shards,
+             sk.n_kept, sk.theta,
+             floor((CASE WHEN sk.n_kept < ${ExtensionQueries3.KmvK}
+                      THEN CAST(sk.n_kept AS DOUBLE)
+                      ELSE CAST(${ExtensionQueries3.KmvK - 1} AS DOUBLE)
+                        * CAST(281474976710656 AS DOUBLE) / sk.theta END)
+               * 10000 + 0.5) / 10000 AS est_distinct,
+             ex.true_distinct
+      FROM sk JOIN ex USING (seg)
+      ORDER BY event_type"""
   )
 }

@@ -399,6 +399,32 @@ class Round13cSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q98: persisted KMV sample lake ----
+
+  test("q98: exact regime — the persisted-sample estimate IS the exact count") {
+    val rows = ExtensionQueries8.all("q98_kmv_sample_lake")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(3).toLong == r.getLong(6),
+        s"${r.getString(0)}: n_kept ${r.getInt(3)} vs true ${r.getLong(6)}")
+      assert(r.getDouble(5) == r.getLong(6).toDouble,
+        s"${r.getString(0)}: below saturation the estimate must be exact")
+    }
+  }
+
+  test("q98: union-and-trim of SATURATED shard samples equals the global bottom-k") {
+    import spark.implicits._
+    val k = 8
+    val all = (1L to 100L).map(h => h * 37 % 101).distinct
+    val shards = all.grouped(25).map(g => g.sorted.take(k)).toSeq
+    val merged = shards.toDF("hs")
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("hs"))))),
+        1, k).as("m"))
+      .head.getSeq[Long](0).toList
+    assert(merged == all.sorted.take(k).toList,
+      "the shard layer must be algebraically transparent at saturation")
+  }
+
   // ---- e20: sample-ratio-mismatch guardrail ----
 
   test("e20: counts recount, chi2 matches, and the healthy fixture split passes") {
