@@ -1008,6 +1008,78 @@ object ExtensionQueries8 {
                 / col("theta")), 4).as("est_distinct"),
           col("true_distinct"))
         .orderBy(col("event_type"))
+    }),
+
+    // Duplicate-cluster health report (g04): the graph-health gate a
+    // pipeline reads BEFORE trusting its dedup clusters — the classic
+    // failure of too-permissive LSH banding is a GIANT near-dup
+    // component that silently merges unrelated documents, and the
+    // symptom is exactly this table: per cluster-size bucket, how many
+    // clusters and how many docs; plus the corpus-level summary every
+    // row carries (singleton fraction, max cluster size, giant-component
+    // doc fraction, and a verdict gated on the rounded fraction at the
+    // 10% bar). Rides d07's memoized converged clusters; the report is
+    // one |clusters|-sized aggregate folded to a bounded bucket table.
+    "g04_cluster_health" -> ((s, dir) => {
+      val clusters = ExtensionQueries.all("d07_dedup_clusters")(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val sizes = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("csize"))
+      // bounded log2 size buckets: 1, 2, 3-4, 5-8, ...
+      val bucketed = sizes.withColumn("bucket",
+        when(col("csize") === 1, lit(0))
+          .otherwise((length(bin(col("csize") - 1))).cast("int")))
+      val summary = sizes.agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("csize")).as("n_docs"),
+          max(col("csize")).as("max_csize"),
+          sum(when(col("csize") === 1, 1L).otherwise(0L)).as("n_singletons"))
+        .withColumn("singleton_frac", Agg.roundAt(
+          col("n_singletons").cast("double") / col("n_clusters"), 6))
+        .withColumn("giant_frac", Agg.roundAt(
+          col("max_csize").cast("double") / col("n_docs"), 6))
+        .withColumn("verdict",
+          when(col("giant_frac") >= 0.1, "giant_component")
+            .otherwise("healthy"))
+      bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_clusters_in_bucket"),
+          sum(col("csize")).as("n_docs_in_bucket"))
+        .crossJoin(broadcast(summary.select(col("n_clusters"), col("n_docs"),
+          col("max_csize"), col("singleton_frac"), col("giant_frac"),
+          col("verdict"))))
+        .orderBy(col("bucket"))
+    }),
+
+    // Epoch-reshuffled reader sharding (t37): the deterministic global
+    // shuffle a trainer's data loader runs — per epoch, every document
+    // gets a fresh pseudo-random order key h = hash(epoch : doc_id) and
+    // lands on reader h mod R, so (a) each epoch visits the corpus in a
+    // DIFFERENT order with no coordination state beyond the epoch
+    // number, (b) any reader can locate its shard of any epoch
+    // independently (resumable, no shuffle service), and (c) the
+    // per-reader token load is hash-balanced — the token_share column
+    // is the balance audit. One corpus pass fanned out over the bounded
+    // epoch grid; nothing order-dependent anywhere.
+    "t37_reader_shards" -> ((s, dir) => {
+      val readers = 4
+      val epochs = 2
+      val perReader = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.operators.TextOps.tokens(col("text"))).cast("long")
+            .as("n_tokens"),
+          explode(array((0 until epochs).map(lit(_)): _*)).as("epoch"))
+        .withColumn("h", ExtensionQueries3.md5Hash48(
+          concat_ws(":", col("epoch"), col("doc_id"))))
+        .withColumn("reader", (col("h") % readers).cast("int"))
+        .groupBy(col("epoch"), col("reader"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val totals = perReader.groupBy(col("epoch"))
+        .agg(sum(col("n_tokens")).as("epoch_tokens"))
+      perReader.join(broadcast(totals), Seq("epoch"))
+        .select(col("epoch"), col("reader"), col("n_docs"), col("n_tokens"),
+          Agg.roundAt(col("n_tokens").cast("double")
+            / col("epoch_tokens").cast("double"), 6).as("token_share"))
+        .orderBy(col("epoch"), col("reader"))
     })
   )
 
@@ -1661,6 +1733,78 @@ object ExtensionQueries8 {
                * 10000 + 0.5) / 10000 AS est_distinct,
              ex.true_distinct
       FROM sk JOIN ex USING (seg)
-      ORDER BY event_type"""
+      ORDER BY event_type""",
+
+    // d07's clusters re-aggregated: same log2 size buckets, same rounded
+    // fractions, same 10% giant-component bar.
+    "g04_cluster_health" -> s"""
+      WITH clusters AS (
+        SELECT doc_id, cluster_id FROM (${ExtensionQueries.oracles("d07_dedup_clusters")})
+      ),
+      sizes AS (SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1),
+      b AS (
+        SELECT csize, CASE WHEN csize = 1 THEN 0
+                 ELSE CAST(length(bin(csize - 1)) AS INTEGER) END AS bucket
+        FROM sizes
+      ),
+      summary AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(csize) AS BIGINT) AS n_docs,
+               CAST(max(csize) AS BIGINT) AS max_csize,
+               CAST(sum(CASE WHEN csize = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_singletons
+        FROM sizes
+      ),
+      s2 AS (
+        SELECT n_clusters, n_docs, max_csize,
+               floor(CAST(n_singletons AS DOUBLE) / n_clusters * 1000000 + 0.5)
+                 / 1000000 AS singleton_frac,
+               floor(CAST(max_csize AS DOUBLE) / n_docs * 1000000 + 0.5)
+                 / 1000000 AS giant_frac
+        FROM summary
+      ),
+      s3 AS (
+        SELECT *, CASE WHEN giant_frac >= 0.1 THEN 'giant_component'
+                       ELSE 'healthy' END AS verdict
+        FROM s2
+      )
+      SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_clusters_in_bucket,
+             CAST(sum(b.csize) AS BIGINT) AS n_docs_in_bucket,
+             s3.n_clusters, s3.n_docs, s3.max_csize,
+             s3.singleton_frac, s3.giant_frac, s3.verdict
+      FROM b CROSS JOIN s3
+      GROUP BY b.bucket, s3.n_clusters, s3.n_docs, s3.max_csize,
+               s3.singleton_frac, s3.giant_frac, s3.verdict
+      ORDER BY b.bucket""",
+
+    // Same per-(epoch : doc) hash keying, same mod-R assignment, same
+    // rounded share.
+    "t37_reader_shards" -> s"""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+      ),
+      fan AS (
+        SELECT d.doc_id, d.n_tokens, e.epoch,
+               CAST(('0x' || substr(md5(concat_ws(':', e.epoch, d.doc_id)), 1, 12))
+                 AS BIGINT) AS h
+        FROM d, (SELECT unnest([0, 1]) AS epoch) e
+      ),
+      pr AS (
+        SELECT epoch, CAST(h % 4 AS INTEGER) AS reader,
+               count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM fan GROUP BY 1, 2
+      ),
+      tot AS (
+        SELECT epoch, CAST(sum(n_tokens) AS BIGINT) AS epoch_tokens
+        FROM pr GROUP BY 1
+      )
+      SELECT pr.epoch, pr.reader, pr.n_docs, pr.n_tokens,
+             floor(CAST(pr.n_tokens AS DOUBLE) / CAST(t.epoch_tokens AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS token_share
+      FROM pr JOIN tot t USING (epoch)
+      ORDER BY pr.epoch, pr.reader"""
   )
 }

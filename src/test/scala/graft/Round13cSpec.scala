@@ -425,6 +425,48 @@ class Round13cSpec extends AnyFunSuite {
       "the shard layer must be algebraically transparent at saturation")
   }
 
+  // ---- g04: duplicate-cluster health ----
+
+  test("g04: bucket rows partition the cluster set and the verdict recomputes") {
+    val rows = ExtensionQueries8.all("g04_cluster_health")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val (nClusters, nDocs) = (rows.head.getLong(3), rows.head.getLong(4))
+    assert(rows.map(_.getLong(1)).sum == nClusters,
+      "bucket cluster counts must sum to n_clusters")
+    assert(rows.map(_.getLong(2)).sum == nDocs,
+      "bucket doc counts must sum to n_docs")
+    val giantFrac = rows.head.getDouble(7)
+    val expect = if (giantFrac >= 0.1) "giant_component" else "healthy"
+    assert(rows.forall(_.getString(8) == expect))
+    // the summary recounts against d07's clusters directly
+    val sizes = ExtensionQueries.all("d07_dedup_clusters")(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1))
+    assert(nClusters == sizes.length && nDocs == sizes.sum &&
+      rows.head.getLong(5) == sizes.max)
+  }
+
+  // ---- t37: epoch-reshuffled reader shards ----
+
+  test("t37: shares sum to 1 per epoch, docs conserve, and epochs reshuffle") {
+    val rows = ExtensionQueries8.all("t37_reader_shards")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (epoch, rs) =>
+      assert(rs.map(_._3).sum == 500, s"epoch $epoch must cover every doc once")
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4)
+    }
+    // the per-epoch hash genuinely reshuffles: some doc changes reader
+    import org.apache.spark.sql.functions.{concat_ws => cws}
+    val assign = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (ExtensionQueries3.md5Hash48(cws(":", lit(0), col("doc_id"))) % 4)
+          .as("r0"),
+        (ExtensionQueries3.md5Hash48(cws(":", lit(1), col("doc_id"))) % 4)
+          .as("r1"))
+      .filter(col("r0") =!= col("r1")).count()
+    assert(assign > 0, "epoch 1 must assign some docs to different readers")
+  }
+
   // ---- e20: sample-ratio-mismatch guardrail ----
 
   test("e20: counts recount, chi2 matches, and the healthy fixture split passes") {
