@@ -247,4 +247,62 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("KMV bottom-k is partition-invariant: any sharding merges to the global sample") {
+    // the q98 lake claim as a property: for arbitrary hash multisets and
+    // arbitrary partitionings, union-and-trim of per-shard bottom-ks
+    // equals the bottom-k of the whole — a pure function of the distinct
+    // hash set (mirrors Kmv.merge exactly)
+    val k = 16
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(0L, 1L << 30)),
+      Gen.choose(1, 6))
+    for ((hs, nShards) <- samples(gen, 30)) {
+      val global = hs.distinct.sorted.take(k)
+      val shards = hs.zipWithIndex.groupBy(_._2 % nShards)
+        .values.map(_.map(_._1).distinct.sorted.take(k))
+      val merged = shards.flatten.toList.distinct.sorted.take(k)
+      assert(merged == global,
+        s"sharded merge diverged for ${hs.size} hashes in $nShards shards")
+    }
+  }
+
+  test("t36's DSIR bucket weight is monotone in target mass and zero at parity") {
+    import graft.functions.DetLn.detLnScala
+    def wFp(ct: Long, cc: Long): Long =
+      math.floor((detLnScala(ct + 1) - detLnScala(cc + 1)) * 1e6).toLong
+    for ((cc, cts) <- samples(Gen.zip(Gen.choose(0L, 100000L),
+        Gen.listOfN(10, Gen.choose(0L, 100000L))), 20)) {
+      // more target mass in a bucket can never lower its weight
+      cts.sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(wFp(a, cc) <= wFp(b, cc))
+        case _ =>
+      }
+      // a bucket with identical target and corpus counts is neutral
+      assert(wFp(cc, cc) == 0L)
+    }
+  }
+
+  test("g04's size bucket is exactly ceil(log2): 2^(b-1) < csize <= 2^b") {
+    for (cs <- samples(Gen.listOfN(50, Gen.choose(1L, 1L << 40)), 4); c <- cs) {
+      val b = if (c == 1) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(c - 1)
+      if (b == 0) assert(c == 1L)
+      else assert((1L << (b - 1)) < c && c <= (1L << b),
+        s"csize $c landed in bucket $b")
+    }
+  }
+
+  test("e20's chi-square is zero exactly at balance, symmetric, and monotone in imbalance") {
+    def chi2(a: Long, b: Long): Double = (a - b).toDouble * (a - b) / (a + b)
+    for ((n, ds) <- samples(Gen.zip(Gen.choose(10L, 100000L),
+        Gen.listOfN(8, Gen.choose(0L, 9L))), 16)) {
+      assert(chi2(n, n) == 0.0)
+      ds.foreach { d => assert(chi2(n + d, n) == chi2(n, n + d)) }
+      // pushing users from one arm to the other strictly increases χ²
+      // while the total stays fixed
+      val base = chi2(n + 1, n - 1)
+      assert(chi2(n + 2, n - 2) > base && base > chi2(n, n))
+    }
+  }
 }
