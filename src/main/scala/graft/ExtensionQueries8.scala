@@ -1080,6 +1080,39 @@ object ExtensionQueries8 {
           Agg.roundAt(col("n_tokens").cast("double")
             / col("epoch_tokens").cast("double"), 6).as("token_share"))
         .orderBy(col("epoch"), col("reader"))
+    }),
+
+    // ANN recall with exact Wilson confidence intervals (s35): the error
+    // bars an eval report ships — a point recall from a finite query set
+    // says nothing about whether two methods actually differ; the Wilson
+    // 95% interval over the n_queries·K recovered-slot trials does.
+    // Built on s22's per-query metrics (one row per method), every
+    // arithmetic step (z and z² spliced as shared literals, divisions in
+    // one fixed order, IEEE-correctly-rounded sqrt) identical in both
+    // engines, bounds rounded at 1e-6. Scale shape: rides s22's shared
+    // ANN caches; the interval math is a |methods|-row epilogue.
+    "s35_recall_ci" -> ((s, dir) => {
+      val z = 1.959964
+      val z2 = z * z
+      val per = ExtensionQueries6.all("s22_ann_method_metrics")(s, dir)
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("n_hits"))
+        .withColumn("n_trials",
+          col("n_queries") * ExtensionQueries5.KnnK)
+        .withColumn("p", col("n_hits").cast("double") / col("n_trials"))
+        .withColumn("denom", lit(1.0) + lit(z2) / col("n_trials"))
+        .withColumn("center",
+          (col("p") + lit(z2) / (lit(2.0) * col("n_trials"))) / col("denom"))
+        .withColumn("half", lit(z) * sqrt(
+          col("p") * (lit(1.0) - col("p")) / col("n_trials") +
+            lit(z2) / (lit(4.0) * col("n_trials") * col("n_trials")))
+          / col("denom"))
+      per.select(col("method"), col("n_queries"), col("n_trials"),
+          col("n_hits"),
+          Agg.roundAt(col("p"), 6).as("recall"),
+          Agg.roundAt(col("center") - col("half"), 6).as("ci_lo"),
+          Agg.roundAt(col("center") + col("half"), 6).as("ci_hi"))
+        .orderBy(col("method"))
     })
   )
 
@@ -1805,6 +1838,42 @@ object ExtensionQueries8 {
              floor(CAST(pr.n_tokens AS DOUBLE) / CAST(t.epoch_tokens AS DOUBLE)
                * 1000000 + 0.5) / 1000000 AS token_share
       FROM pr JOIN tot t USING (epoch)
-      ORDER BY pr.epoch, pr.reader"""
+      ORDER BY pr.epoch, pr.reader""",
+
+    // s22's oracle re-aggregated per method; identical Wilson arithmetic
+    // with the same spliced z / z² literals.
+    "s35_recall_ci" -> {
+      val z = 1.959964
+      val z2 = z * z
+      s"""
+      WITH m AS (
+        SELECT method, n_hits
+        FROM (${ExtensionQueries6.oracles("s22_ann_method_metrics")})
+      ),
+      per AS (
+        SELECT method, count(*) AS n_queries,
+               CAST(sum(n_hits) AS BIGINT) AS n_hits,
+               CAST(count(*) * ${ExtensionQueries5.KnnK} AS BIGINT) AS n_trials
+        FROM m GROUP BY 1
+      ),
+      w AS (
+        SELECT method, n_queries, n_trials, n_hits,
+               CAST(n_hits AS DOUBLE) / n_trials AS p,
+               1.0 + $z2 / n_trials AS denom
+        FROM per
+      ),
+      c AS (
+        SELECT method, n_queries, n_trials, n_hits, p,
+               (p + $z2 / (2.0 * n_trials)) / denom AS center,
+               $z * sqrt(p * (1.0 - p) / n_trials
+                 + $z2 / (4.0 * n_trials * n_trials)) / denom AS half
+        FROM w
+      )
+      SELECT method, n_queries, n_trials, n_hits,
+             floor(p * 1000000 + 0.5) / 1000000 AS recall,
+             floor((center - half) * 1000000 + 0.5) / 1000000 AS ci_lo,
+             floor((center + half) * 1000000 + 0.5) / 1000000 AS ci_hi
+      FROM c ORDER BY method"""
+    }
   )
 }

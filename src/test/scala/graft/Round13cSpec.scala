@@ -467,6 +467,27 @@ class Round13cSpec extends AnyFunSuite {
     assert(assign > 0, "epoch 1 must assign some docs to different readers")
   }
 
+  // ---- s35: ANN recall Wilson intervals ----
+
+  test("s35: every interval is in [0,1], contains its point recall, and recomputes") {
+    val rows = ExtensionQueries8.all("s35_recall_ci")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val z = 1.959964
+    rows.foreach { r =>
+      val (nT, nH) = (r.getLong(2), r.getLong(3))
+      val (rec, lo, hi) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= rec + 1e-9 && rec <= hi + 1e-9,
+        s"${r.getString(0)}: [$lo, $hi] must bracket $rec")
+      val p = nH.toDouble / nT
+      val denom = 1.0 + z * z / nT
+      val center = (p + z * z / (2.0 * nT)) / denom
+      val half = z * math.sqrt(p * (1 - p) / nT + z * z / (4.0 * nT * nT)) / denom
+      assert(math.abs(lo - (center - half)) < 1e-5 &&
+        math.abs(hi - (center + half)) < 1e-5,
+        s"${r.getString(0)}: Wilson recompute mismatch")
+    }
+  }
+
   // ---- e20: sample-ratio-mismatch guardrail ----
 
   test("e20: counts recount, chi2 matches, and the healthy fixture split passes") {
