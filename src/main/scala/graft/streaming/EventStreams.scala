@@ -343,4 +343,66 @@ object EventStreams {
         writeBatchIdempotent(df.toDF(), dir, batchId)
       }
       .start()
+
+  /** [[sessionize]] on Spark 4's `transformWithState` — the
+    * arbitrary-state v2 API (explicit named state handles, TimeMode,
+    * TTL and timer surfaces, RocksDB-backed) a production deployment
+    * migrates to from flatMapGroupsWithState. The fold logic is
+    * [[sessionize]]'s verbatim over an explicit
+    * `ValueState[SessionState]`, so its per-batch updates must equal
+    * the fMGWS form's exactly — StreamingSpec pins the two APIs
+    * emit-for-emit across the same batch split. Requires the RocksDB
+    * state-store provider (Spark's transformWithState contract); the
+    * caller sets `spark.sql.streaming.stateStore.providerClass`.
+    */
+  def sessionizeTws(events: Dataset[Event], gapSeconds: Double)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** [[EventStreams.sessionizeTws]]'s StatefulProcessor: one named
+  * ValueState record per user, the same gap fold as the
+  * flatMapGroupsWithState form.
+  */
+class SessionProcessor(gapSeconds: Double) extends
+    org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStreams.Event, EventStreams.SessionUpdate] {
+  import EventStreams.{Event, SessionState, SessionUpdate}
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState("session",
+      org.apache.spark.sql.Encoders.product[SessionState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+      timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[SessionUpdate] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val secs = sorted.map(_.ts.getTime / 1000.0)
+      val init = if (st.exists()) st.get()
+        else SessionState(0L, secs.head, secs.head)
+      val closed = Seq.newBuilder[SessionUpdate]
+      val folded = secs.foldLeft(init) { (s, sec) =>
+        if (s.nEvents > 0 && sec - s.lastSec > gapSeconds) {
+          closed += SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec,
+            closed = true)
+          SessionState(1L, sec, sec)
+        } else
+          SessionState(s.nEvents + 1,
+            if (s.nEvents == 0) sec else s.firstSec, sec)
+      }
+      st.update(folded)
+      (closed.result() :+ SessionUpdate(userId, folded.nEvents,
+        folded.lastSec - folded.firstSec, closed = false)).iterator
+    }
+  }
 }

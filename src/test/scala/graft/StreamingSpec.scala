@@ -232,6 +232,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((9L, 1L, 0.0, false)))   // the open one
   }
 
+  test("transformWithState sessionization emits exactly what flatMapGroupsWithState does") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      Seq(Event(1L, ts("2024-01-01 00:00:00"), 7L, "view", 1.0),
+        Event(2L, ts("2024-01-01 00:10:00"), 7L, "view", 1.0),
+        Event(3L, ts("2024-01-01 02:00:00"), 7L, "view", 1.0), // gap → close
+        Event(4L, ts("2024-01-01 00:05:00"), 8L, "view", 1.0)),
+      Seq(Event(5L, ts("2024-01-01 02:20:00"), 7L, "view", 1.0),
+        Event(6L, ts("2024-01-01 05:00:00"), 8L, "view", 1.0))) // gap → close
+    def run(name: String, f: org.apache.spark.sql.Dataset[Event] =>
+        org.apache.spark.sql.Dataset[EventStreams.SessionUpdate]) = {
+      val stream = MemoryStream[Event]
+      val q = f(stream.toDS()).writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name)
+        .select("user_id", "n_events", "duration_secs", "closed")
+        .as[(Long, Long, Double, Boolean)].collect().sorted.toList
+    }
+    val fmgws = run("tws_ref", ds => EventStreams.sessionize(ds, 1800))
+    // transformWithState requires the RocksDB state-store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val tws = run("tws_new", ds => EventStreams.sessionizeTws(ds, 1800))
+      assert(tws == fmgws,
+        "the v2 state API must reproduce the fMGWS updates emit-for-emit")
+      assert(tws.count(_._4) == 2, "both gap-closed sessions must be emitted")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming value streaks match the batch form across a mid-streak batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
