@@ -261,6 +261,113 @@ object ExtensionQueries8 {
       .orderBy(col("col_name"))
   }
 
+  /** q99's whole-lake audit registry: one entry per registered fixture
+    * table — (table, shard key, audited columns). Kinds drive BOTH the
+    * Spark ColSpec and the oracle's base-CTE SQL from the same metadata,
+    * so the two engines audit byte-identical (nval, sval, cval) lanes:
+    *   - `int`:  nval = value, canonical key = decimal string
+    *   - `dbl`:  nval = raw double, canonical key = 1e6 fixed-point
+    *             string (both engines floor the same IEEE product — the
+    *             q96 cents trick at micro precision, so it covers every
+    *             double column in the lake, not just 2-dp money)
+    *   - `str`:  sval = the value (binary collation in both engines)
+    *   - `ts`:   epoch micros in both lanes (unix_micros / epoch_us —
+    *             identical integers; micros ≤ 2^53 so the double lane is
+    *             exact)
+    * `documents.text`'s min/max lane is a 32-char prefix — the
+    * parquet-statistics truncation: a catalog stores bounded-width
+    * min/max, never KB-wide strings — while its NDV key stays the full
+    * text. `embeddings.embedding` (array) is out of scope for a scalar
+    * catalog: its vector stats live in the ANN family (s28/s22).
+    */
+  private[graft] final case class AuditCol(name: String, kind: String,
+      prefixLen: Int = 0)
+  private[graft] val LakeAudit: Seq[(String, String, Seq[AuditCol])] = Seq(
+    ("region", "r_regionkey", Seq(AuditCol("r_regionkey", "int"),
+      AuditCol("r_name", "str"))),
+    ("nation", "n_nationkey", Seq(AuditCol("n_nationkey", "int"),
+      AuditCol("n_name", "str"), AuditCol("n_regionkey", "int"))),
+    ("customer", "c_custkey", Seq(AuditCol("c_custkey", "int"),
+      AuditCol("c_name", "str"), AuditCol("c_nationkey", "int"),
+      AuditCol("c_acctbal", "dbl"), AuditCol("c_mktsegment", "str"))),
+    ("supplier", "s_suppkey", Seq(AuditCol("s_suppkey", "int"),
+      AuditCol("s_name", "str"), AuditCol("s_nationkey", "int"),
+      AuditCol("s_acctbal", "dbl"))),
+    ("part", "p_partkey", Seq(AuditCol("p_partkey", "int"),
+      AuditCol("p_name", "str"), AuditCol("p_brand", "str"),
+      AuditCol("p_type", "str"), AuditCol("p_size", "int"),
+      AuditCol("p_retailprice", "dbl"))),
+    ("orders", "o_orderkey", Seq(AuditCol("o_orderkey", "int"),
+      AuditCol("o_custkey", "int"), AuditCol("o_orderstatus", "str"),
+      AuditCol("o_totalprice", "dbl"), AuditCol("o_orderdate", "ts"),
+      AuditCol("o_orderpriority", "str"))),
+    ("lineitem", "l_orderkey", Seq(AuditCol("l_orderkey", "int"),
+      AuditCol("l_partkey", "int"), AuditCol("l_suppkey", "int"),
+      AuditCol("l_linenumber", "int"), AuditCol("l_quantity", "dbl"),
+      AuditCol("l_extendedprice", "dbl"), AuditCol("l_discount", "dbl"),
+      AuditCol("l_tax", "dbl"), AuditCol("l_returnflag", "str"),
+      AuditCol("l_linestatus", "str"), AuditCol("l_shipdate", "ts"))),
+    ("events", "event_id", Seq(AuditCol("event_id", "int"),
+      AuditCol("ts", "ts"), AuditCol("user_id", "int"),
+      AuditCol("event_type", "str"), AuditCol("value", "dbl"),
+      AuditCol("props", "str"))),
+    ("documents", "doc_id", Seq(AuditCol("doc_id", "int"),
+      AuditCol("text", "str", prefixLen = 32), AuditCol("lang", "str"),
+      AuditCol("source", "str"), AuditCol("n_chars", "int"))),
+    ("embeddings", "vec_id", Seq(AuditCol("vec_id", "int"),
+      AuditCol("label", "int"))))
+
+  /** [[AuditCol]] → the Spark [[ColSpec]] lane triple (see [[LakeAudit]]
+    * for the per-kind contract the oracle mirrors).
+    */
+  private[graft] def auditSpec(c: AuditCol): ColSpec = {
+    val nullS = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    val v = col(c.name)
+    c.kind match {
+      case "int" => (c.name, v.cast("double"), nullS, v.cast("string"))
+      case "dbl" => (c.name, v, nullS,
+        floor(v * 1000000 + 0.5).cast("long"))
+      case "str" =>
+        val sv = if (c.prefixLen > 0) substring(v, 1, c.prefixLen) else v
+        (c.name, nullD, sv, v)
+      case "ts" =>
+        // NTZ-loaded columns (o_orderdate, l_shipdate) normalize through
+        // the session-zoned type first — the session TZ is UTC (see
+        // Tables.loadEvents), so the cast is value-preserving and
+        // unix_micros accepts it; events.ts is already LTZ (no-op cast)
+        val us = unix_micros(v.cast(org.apache.spark.sql.types.TimestampType))
+        (c.name, us.cast("double"), nullS, us)
+    }
+  }
+
+  /** The oracle half of [[auditSpec]]: the same per-kind lane triple as
+    * DuckDB SQL, one SELECT per (table, column), UNION ALL'd into q99's
+    * base CTE. Every lane is explicitly CAST so the union's column
+    * types are fixed by construction.
+    */
+  private[graft] def lakeBaseSql: String =
+    LakeAudit.flatMap { case (tbl, _, cols) =>
+      cols.map { c =>
+        val (nval, sval, cval) = c.kind match {
+          case "int" => (s"CAST(${c.name} AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", s"CAST(${c.name} AS VARCHAR)")
+          case "dbl" => (s"CAST(${c.name} AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)",
+            s"CAST(CAST(floor(${c.name} * 1000000 + 0.5) AS BIGINT) AS VARCHAR)")
+          case "str" =>
+            val sv = if (c.prefixLen > 0) s"substr(${c.name}, 1, ${c.prefixLen})"
+              else c.name
+            ("CAST(NULL AS DOUBLE)", s"CAST($sv AS VARCHAR)",
+              s"CAST(${c.name} AS VARCHAR)")
+          case "ts" => (s"CAST(epoch_us(${c.name}) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", s"CAST(epoch_us(${c.name}) AS VARCHAR)")
+        }
+        s"SELECT '$tbl' AS tbl, '${c.name}' AS seg, $nval AS nval, " +
+          s"$sval AS sval, $cval AS cval FROM $tbl"
+      }
+    }.mkString("\n        UNION ALL\n        ")
+
   /** t33/t34's shared substrate: per source, exact doc/token counts and
     * the dedup-weighted effective-token fixed point (each doc's tokens
     * DIV its converged d07 cluster size, summed as longs).
@@ -614,6 +721,39 @@ object ExtensionQueries8 {
       statsCatalog(s, o,
         pmod(col("o_orderkey"), lit(ExtensionQueries7.SketchShards.toLong)),
         specs, root)
+    }),
+
+    // Whole-lake statistics sweep (q99): q96's ANALYZE-TABLE catalog run
+    // over EVERY registered table — one row per (table, column), 50
+    // columns across the 10 fixture tables, each audited through the
+    // same shard-partitioned stats + p=12 HLL register lake and merged
+    // on read. This is the nightly ANALYZE job a CBO feeds on: per
+    // table it is ONE map-side-combinable pass (the long form explodes
+    // |rows| × |audited cols| INSIDE the scan stage — no join, no
+    // repeated scans per column), per-shard artifacts mean tomorrow's
+    // ingest appends only its shard's ≤ |cols|·(m+1) rows, and tables
+    // audit independently so a 100 TB lake fans the sweep out one job
+    // per table. Lane typing (incl. the 1e6 fixed-point double keys,
+    // epoch-micro timestamps, and parquet-style truncated text min/max)
+    // is [[LakeAudit]]'s single metadata table — the oracle's base CTEs
+    // are generated from the same rows, so the engines cannot drift
+    // column-by-column. Round14Spec proves the ≥2-table incremental
+    // property: appending one table's new shard leaves every other
+    // table's catalog rows byte-identical.
+    "q99_lake_stats_sweep" -> ((s, dir) => {
+      val root = graft.sources.Scratch.fresh(s,
+        s"lake_catalog_${new java.io.File(dir).getName}")
+      LakeAudit.map { case (tbl, shardKey, cols) =>
+        statsCatalog(s, t(s, dir, tbl),
+            pmod(col(shardKey).cast("long"),
+              lit(ExtensionQueries7.SketchShards.toLong)),
+            cols.map(auditSpec), s"$root/$tbl")
+          .withColumn("table_name", lit(tbl))
+      }.reduce(_.unionByName(_))
+        .select(col("table_name"), col("col_name"), col("n_rows"),
+          col("n_null"), col("ndv_est"), col("ndv_true"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+        .orderBy(col("table_name"), col("col_name"))
     }),
 
     // Training-mixture design table (t34): the decision layer on top of
@@ -1476,6 +1616,69 @@ object ExtensionQueries8 {
              s.min_num, s.max_num, s.min_str, s.max_str
       FROM stats s LEFT JOIN cor c ON s.seg = c.seg
       ORDER BY col_name""",
+
+    // Whole-lake replay (q99): the same shard-transparency argument as
+    // q96, per (table, column) — the base CTE is GENERATED from
+    // [[LakeAudit]], so both engines' lane typing comes from one
+    // metadata table.
+    "q99_lake_stats_sweep" -> s"""
+      WITH base AS (
+        ${lakeBaseSql}
+      ),
+      h AS (
+        SELECT tbl, seg, CAST(('0x' || substr(md5(cval), 1, 12)) AS BIGINT) AS h
+        FROM base WHERE cval IS NOT NULL
+      ),
+      r AS (
+        SELECT tbl, seg, h // ${ExtensionQueries7.HllRemMod12} AS bucket,
+               CASE WHEN h % ${ExtensionQueries7.HllRemMod12} = 0
+                    THEN ${ExtensionQueries7.HllRemBits12 + 1}
+                    ELSE ${ExtensionQueries7.HllRemBits12 + 1}
+                      - length(bin(h % ${ExtensionQueries7.HllRemMod12}))
+               END AS rho
+        FROM h
+      ),
+      regs AS (SELECT tbl, seg, bucket, max(rho) AS reg FROM r GROUP BY 1, 2, 3),
+      sk AS (
+        SELECT tbl, seg, count(*) AS n_present,
+               CAST(sum(CAST(1 AS BIGINT)
+                 << (${ExtensionQueries7.HllRemBits12 + 1} - reg)) AS BIGINT)
+                 + (${ExtensionQueries7.HllM12} - count(*))
+                 * (CAST(1 AS BIGINT) << ${ExtensionQueries7.HllRemBits12 + 1})
+                 AS sum_fp
+        FROM regs GROUP BY 1, 2
+      ),
+      est AS (
+        SELECT tbl, seg, n_present,
+               (${ExtensionQueries7.HllM12} - n_present) AS v_empty,
+               ${ExtensionQueries7.HllAlphaNum12} / CAST(sum_fp AS DOUBLE)
+                 AS raw_est
+        FROM sk
+      ),
+      cor AS (
+        SELECT tbl, seg,
+               CASE WHEN raw_est <= CAST(${2.5 * ExtensionQueries7.HllM12}
+                         AS DOUBLE) AND v_empty > 0
+                    THEN CAST([${ExtensionQueries7.HllLcFp12.mkString(",")}]
+                      [CAST(greatest(v_empty, 1) AS INTEGER)] AS DOUBLE)
+                      / 1000000.0
+                    ELSE raw_est END AS corrected
+        FROM est
+      ),
+      stats AS (
+        SELECT tbl, seg, count(*) AS n_rows,
+               CAST(count(*) - count(cval) AS BIGINT) AS n_null,
+               min(nval) AS min_num, max(nval) AS max_num,
+               min(sval) AS min_str, max(sval) AS max_str,
+               CAST(count(DISTINCT cval) AS BIGINT) AS ndv_true
+        FROM base GROUP BY 1, 2
+      )
+      SELECT s.tbl AS table_name, s.seg AS col_name, s.n_rows, s.n_null,
+             floor(COALESCE(c.corrected, 0) * 10000 + 0.5) / 10000 AS ndv_est,
+             s.ndv_true,
+             s.min_num, s.max_num, s.min_str, s.max_str
+      FROM stats s LEFT JOIN cor c ON s.tbl = c.tbl AND s.seg = c.seg
+      ORDER BY table_name, col_name""",
 
     // t33's substrate re-aggregated per source, then the identical
     // op-for-op weight/draw/epoch arithmetic (sqrt is IEEE-correctly

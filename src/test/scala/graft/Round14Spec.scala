@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 batch: the whole-lake statistics sweep (q99) and the d22
+  * stored-prior serving form.
+  */
+class Round14Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- q99: whole-lake statistics sweep ----
+
+  test("q99 sweep: one row per (table, column) of the audit registry") {
+    val rows = ExtensionQueries8.all("q99_lake_stats_sweep")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = ExtensionQueries8.LakeAudit.flatMap {
+      case (tbl, _, cols) => cols.map(c => (tbl, c.name))
+    }.toSet
+    assert(rows == expected,
+      "the sweep must cover exactly the audit registry, nothing more")
+  }
+
+  test("q99 sweep: per-table rows recount, and the text min/max lane is " +
+      "the 32-char parquet-style truncation") {
+    val cat = ExtensionQueries8.all("q99_lake_stats_sweep")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    ExtensionQueries8.LakeAudit.foreach { case (tbl, _, cols) =>
+      val n = graft.sources.Tables.load(spark, dir, tbl).count()
+      cols.foreach { c =>
+        assert(cat((tbl, c.name)).getLong(2) == n,
+          s"$tbl.${c.name}: n_rows must equal count(*)")
+      }
+    }
+    val text = cat(("documents", "text"))
+    assert(text.getString(8).length <= 32 && text.getString(9).length <= 32,
+      "text min/max must be the bounded-width truncation, not raw KB strings")
+    // the truncated lane still equals min/max over the prefixed values
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(substring(col("text"), 1, 32).as("p"))
+      .agg(min(col("p")), max(col("p"))).head()
+    assert(text.getString(8) == docs.getString(0) &&
+      text.getString(9) == docs.getString(1))
+  }
+
+  test("q99 sweep: incremental refresh over TWO tables — appending one " +
+      "table's shard leaves the other table's catalog rows byte-identical") {
+    import graft.sources.{Scratch, Tables}
+    val shards = ExtensionQueries7.SketchShards.toLong
+    val root = Scratch.fresh(spark, "r14_lake_incr")
+    val audited = ExtensionQueries8.LakeAudit
+      .filter(a => a._1 == "nation" || a._1 == "events")
+    def serve(tbl: String, shardKey: String,
+        cols: Seq[ExtensionQueries8.AuditCol]) =
+      ExtensionQueries8.serveCatalog(spark,
+        ExtensionQueries8.catalogLongForm(Tables.load(spark, dir, tbl),
+          pmod(col(shardKey).cast("long"), lit(shards)),
+          cols.map(ExtensionQueries8.auditSpec)),
+        s"$root/$tbl")
+    // phase 1: nation complete; events WITHOUT shard 3
+    audited.foreach { case (tbl, shardKey, cols) =>
+      val shard = pmod(col(shardKey).cast("long"), lit(shards))
+      val rows = Tables.load(spark, dir, tbl)
+      val phase1 = if (tbl == "events") rows.filter(shard =!= 3) else rows
+      ExtensionQueries8.writeCatalogShards(
+        ExtensionQueries8.catalogLongForm(phase1, shard,
+          cols.map(ExtensionQueries8.auditSpec)),
+        s"$root/$tbl", "overwrite")
+    }
+    val nationBefore = serve("nation", "n_nationkey",
+      audited.find(_._1 == "nation").get._3).collect().map(_.toSeq).toList
+    // phase 2: the events ingest appends ONLY its shard-3 catalog rows
+    val (_, evKey, evCols) = audited.find(_._1 == "events").get
+    val evShard = pmod(col(evKey).cast("long"), lit(shards))
+    ExtensionQueries8.writeCatalogShards(
+      ExtensionQueries8.catalogLongForm(
+        Tables.load(spark, dir, "events").filter(evShard === 3), evShard,
+        evCols.map(ExtensionQueries8.auditSpec)),
+      s"$root/events", "append")
+    // events: append-then-merge equals a direct full rebuild
+    val evAfter = serve("events", evKey, evCols).collect().map(_.toSeq).toList
+    val evRoot = Scratch.fresh(spark, "r14_lake_incr_direct")
+    val evDirect = ExtensionQueries8.statsCatalog(spark,
+        Tables.load(spark, dir, "events"), evShard,
+        evCols.map(ExtensionQueries8.auditSpec), evRoot)
+      .collect().map(_.toSeq).toList
+    assert(evAfter == evDirect,
+      "appending one shard's catalog rows must equal a full rebuild")
+    // nation: untouched by the events ingest — served rows byte-identical
+    val nationAfter = serve("nation", "n_nationkey",
+      audited.find(_._1 == "nation").get._3).collect().map(_.toSeq).toList
+    assert(nationAfter == nationBefore,
+      "an ingest into one table must not perturb another table's catalog")
+  }
+
+  // ---- d22: stored-prior serving form ----
+
+  test("d22 serving form: the stored prior + incremental pass equals an " +
+      "inline both-worlds rebuild") {
+    import graft.operators.Dedup
+    // inline both-worlds form (the pre-r14 d22 body): prior built fresh
+    val feats = ExtensionQueries.docFeatures(spark, dir)
+    val oldF = feats.filter(col("id") % 4 =!= 0)
+    val delta = feats.filter(col("id") % 4 === 0)
+    val prior = Dedup.labelClusters(oldF.select("id"),
+      Dedup.lshCandidatePairs(oldF, bands = 4, rows = 3),
+      ExtensionQueries.ClusterMaxRounds)
+    val stars = prior.select(col("id").as("doc_a"), col("label").as("doc_b"))
+    val newPairs = Dedup.incrementalCandidatePairs(
+        Dedup.bandFingerprints(oldF, bands = 4, rows = 3), delta,
+        bands = 4, rows = 3)
+      .select(col("doc_new").as("doc_a"), col("doc_matched").as("doc_b"))
+    val inline = Dedup.labelClusters(feats.select("id"),
+        stars.unionByName(newPairs), ExtensionQueries.ClusterMaxRounds)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toList
+    val served = ExtensionQueries8.all("d22_incremental_clusters")(spark, dir)
+      .collect().map(_.toSeq).toList
+    assert(served == inline,
+      "the Snapshots round trip of the prior assignment and band index " +
+        "must change nothing")
+  }
+}
