@@ -756,6 +756,27 @@ object ExtensionQueries8 {
         .orderBy(col("table_name"), col("col_name"))
     }),
 
+    // Auto-salted join (q100): q26 applies a FIXED salt factor; this
+    // closes the q97 → q26 loop — the factor is chosen by the skew
+    // diagnosis itself (JoinOps.skewSaltFactor, the exact integer
+    // ⌈max·n_keys/total⌉ q97 reports), so the same code self-tunes from
+    // flat (factor 1 → plain join, no salt column in the plan) to
+    // pathological (capped fan-out) key distributions. The diagnosis is
+    // a 1-row three-long aggregate — the only driver round trip, and at
+    // 100 TB it reads the PERSISTED skew report instead. The oracle is
+    // the unsalted join verbatim (q26's): salting is a pure plan
+    // rewrite, whatever factor the diagnosis picks.
+    "q100_autosalted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
+      val sup = t(s, dir, "supplier").withColumnRenamed("s_suppkey", "suppkey")
+      graft.operators.JoinOps.autoSaltedJoin(li, sup, Seq("suppkey"),
+          saltFrom = col("l_orderkey") * 8 + col("l_linenumber"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          Agg.roundAt(Agg.decSum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Training-mixture design table (t34): the decision layer on top of
     // t33's effective-token budget — for each temperature α in the
     // closed-form grid {0.5, 1.0}, the per-source sampling weight
@@ -1679,6 +1700,10 @@ object ExtensionQueries8 {
              s.min_num, s.max_num, s.min_str, s.max_str
       FROM stats s LEFT JOIN cor c ON s.tbl = c.tbl AND s.seg = c.seg
       ORDER BY table_name, col_name""",
+
+    // The auto-salted join is a pure plan rewrite whatever factor the
+    // diagnosis picks — its oracle is the plain join verbatim (q26's).
+    "q100_autosalted_join" -> RelationalQueries.oracles("q26_salted_join"),
 
     // t33's substrate re-aggregated per source, then the identical
     // op-for-op weight/draw/epoch arithmetic (sqrt is IEEE-correctly

@@ -35,6 +35,45 @@ object JoinOps {
     l.join(r, keys :+ "__salt").drop("__salt")
   }
 
+  /** The q97 join-skew report's salt factor for `fact` keyed by `keys`:
+    * ⌈max_rows · n_keys / total_rows⌉ in exact integer arithmetic — how
+    * many salt buckets flatten the heaviest key down to the mean key
+    * size; 1 for a flat distribution. This is a 1-row constant-size
+    * aggregate (three longs) collected to the driver — the same
+    * diagnosis pass q97_join_skew_report reports, consumed as a plan
+    * parameter. At 100 TB the pass is one map-side-combinable aggregate
+    * over the fact's join key; in steady state a pipeline reads the
+    * factor from the persisted skew report instead of recomputing.
+    */
+  def skewSaltFactor(fact: DataFrame, keys: Seq[String]): Int = {
+    val r = fact.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("sz")).as("total_rows"),
+        max(col("sz")).as("max_rows"))
+      .head()
+    if (r.isNullAt(2) || r.getLong(1) == 0L) 1
+    else {
+      val (nKeys, total, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      ((mx * nKeys + total - 1L) / total).toInt
+    }
+  }
+
+  /** [[saltedJoin]] with the factor chosen by the skew diagnosis itself
+    * (q26 applies a fixed factor; this closes the q97 → q26 loop): the
+    * fact side's [[skewSaltFactor]] picks the fan-out, capped at
+    * `maxFactor` because the dimension side is replicated `factor`× —
+    * the cap bounds that duplication however pathological the key. A
+    * flat distribution (factor 1) degenerates to the plain join — same
+    * plan, no salt column. Result-identical to the plain inner join by
+    * the same argument as saltedJoin (JoinOpsSpec pins both the result
+    * equality and the factor choice against q97's reported value).
+    */
+  def autoSaltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFrom: Column, maxFactor: Int = 64): DataFrame = {
+    val factor = math.min(maxFactor, skewSaltFactor(left, keys))
+    if (factor <= 1) left.join(right, keys)
+    else saltedJoin(left, right, keys, saltFrom, factor)
+  }
+
   /** Left as-of join: for every left row, attach the latest `rightVals`
     * from the right row with the same `keys` and right.`ts` <= left.`ts`
     * (inclusive); null when no such row. The right side must be unique per

@@ -26,6 +26,42 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("skewSaltFactor: exact ceiling on a constructed skewed fixture, " +
+      "and autoSaltedJoin result is identical to the plain join") {
+    // key A: 90 rows, B: 5, C: 5 -> n_keys=3, total=100, max=90 ->
+    // factor = ceil(90*3/100) = 3
+    val fact = ((0 until 90).map(i => ("A", i.toLong)) ++
+        (0 until 5).map(i => ("B", 100L + i)) ++
+        (0 until 5).map(i => ("C", 200L + i))).toDF("k", "rid")
+    assert(JoinOps.skewSaltFactor(fact, Seq("k")) == 3)
+    val dim = Seq(("A", 1), ("B", 2), ("C", 3)).toDF("k", "v")
+    val auto = JoinOps.autoSaltedJoin(fact, dim, Seq("k"), col("rid"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    val plain = fact.join(dim, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(auto == plain)
+    // flat distribution -> factor 1 -> degenerate plain join (no salt
+    // column anywhere in the plan)
+    val flat = (0 until 30).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "rid")
+    assert(JoinOps.skewSaltFactor(flat, Seq("k")) == 1)
+    val flatPlan = JoinOps.autoSaltedJoin(flat, dim, Seq("k"), col("rid"))
+      .queryExecution.analyzed.toString
+    assert(!flatPlan.contains("__salt"))
+  }
+
+  test("autoSaltedJoin picks exactly the factor q97's skew report computes") {
+    val dir = "/root/testdata/sf0.001"
+    val report = ExtensionQueries8.all("q97_join_skew_report")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(8)).toMap
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    Seq("user_id", "event_type").foreach { key =>
+      assert(JoinOps.skewSaltFactor(ev, Seq(key)).toLong == report(key),
+        s"$key: the join must consume the same factor the report publishes")
+    }
+  }
+
   private def ts(s: String) = Timestamp.valueOf(s)
 
   test("asofJoin: latest at-or-before match per key, inclusive, null on miss") {
