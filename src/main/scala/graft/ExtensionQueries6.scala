@@ -47,7 +47,12 @@ object ExtensionQueries6 {
         ExtensionQueries3.knnGraph(s, dir, ExtensionQueries.IvfProbe)),
       "graph_capped" -> graphRank(
         ExtensionQueries3.knnGraph(s, dir, ExtensionQueries.IvfProbe,
-          Some(ExtensionQueries3.GraphCapR))))
+          Some(ExtensionQueries3.GraphCapR))),
+      // the walk SERVES from the capped graph (r14): its recall beside
+      // graph_capped prices what beam search loses vs reading the
+      // graph's own stored top-3 rows
+      "graph_walk" -> ExtensionQueries8.graphWalk(s, dir)
+        .select(col("query_id"), col("vec_id"), col("rank")))
   }
 
   /** s23 fixed-point scale for the per-element squared reconstruction
@@ -386,7 +391,9 @@ object ExtensionQueries6 {
       "binary_rescore" -> sub(ExtensionQueries5.oracles("s21_knn_binary_rescore")),
       "graph_full" -> graphSub(ExtensionQueries3.knnGraphSql(cap = None)),
       "graph_capped" -> graphSub(ExtensionQueries3.knnGraphSql(
-        cap = Some(ExtensionQueries3.GraphCapR))))
+        cap = Some(ExtensionQueries3.GraphCapR))),
+      "graph_walk" ->
+        s"(SELECT query_id, vec_id, rank FROM (${ExtensionQueries8.graphWalkSql}) gw)")
   }
 
   /** The graph oracles emit (vec_id, rank, neighbor, …); restrict to the

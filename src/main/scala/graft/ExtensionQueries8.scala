@@ -341,6 +341,123 @@ object ExtensionQueries8 {
     }
   }
 
+  /** s36 beam-search geometry. Entry points are the [[WalkEntryN]]
+    * smallest vec_ids (a fixed, data-independent rule — production graph
+    * ANN uses medoid or hub entries; any deterministic choice serves,
+    * and recall vs brute truth is graded in s22 either way). Each hop
+    * expands the beam through the capped graph's directed top-3 edges
+    * and re-keeps the [[WalkBeam]] best by (cos desc, vec_id asc);
+    * [[WalkHops]] hops bound the walk depth, so the whole serve is a
+    * FIXED plan — no data-dependent iteration to replay.
+    */
+  private[graft] val WalkBeam = 8
+  private[graft] val WalkHops = 3
+  private[graft] val WalkEntryN = 4
+
+  /** Graph-walk ANN serving (s36's body): greedy beam search over s31's
+    * occupancy-capped kNN graph. Per hop: candidates = beam ∪ beam's
+    * graph neighbors (dedup'd), scored cos(q, ·) rounded to 1e-6 BEFORE
+    * ranking (both engines rank identical values), beam = top
+    * [[WalkBeam]]. Scale shape: the graph build is s31's linear-in-
+    * corpus plan (shared via the cache with s31/s22 consumers); each
+    * hop's expansion join touches |queries|·beam·3 edge rows — the
+    * serve itself never scans the corpus beyond the candidate id set,
+    * which is the point of graph ANN at 100 TB: a query's work is
+    * O(beam · degree · hops), independent of n.
+    */
+  private[graft] def graphWalk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.VectorOps
+    val g = ExtensionQueries3.knnGraph(s, dir, ExtensionQueries.IvfProbe,
+        Some(ExtensionQueries3.GraphCapR))
+      .select(col("vec_id").as("src"), col("neighbor").as("dst")).persist()
+    val e = ExtensionQueries.embeddingsD(s, dir)
+    val q = e.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val entries = e.orderBy(col("vec_id")).limit(WalkEntryN)
+      .select(col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    def scoreTop(cand: DataFrame, k: Int): DataFrame =
+      cand.join(q, Seq("query_id"))
+        .join(e, Seq("vec_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          Agg.roundAt(VectorOps.cosineFast(col("qv"), col("v")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("query_id"), col("vec_id"), col("cos"))
+    var beam = scoreTop(
+      q.select(col("query_id")).crossJoin(entries), WalkBeam)
+    for (_ <- 1 to WalkHops) {
+      val cand = beam.select(col("query_id"), col("vec_id"))
+        .union(beam.join(g, col("vec_id") === col("src"))
+          .select(col("query_id"), col("dst").as("vec_id")))
+        .distinct()
+      beam = scoreTop(cand, WalkBeam)
+    }
+    beam
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB replay of [[graphWalk]]: s31's graph CTEs as the edge set,
+    * the hop loop unrolled [[WalkHops]] times (fixed depth — same
+    * unroll-vs-loop argument as d07's oracle, but here the depth is a
+    * constant of the operator, not a convergence bound).
+    */
+  private[graft] def graphWalkSql: String = {
+    val dot = ExtensionQueries.dotSql("q.qv", "e.v")
+    val qn = ExtensionQueries.dotSql("q.qv", "q.qv")
+    val en = ExtensionQueries.dotSql("e.v", "e.v")
+    def scoreCte(h: Int, from: String) = s"""
+      s$h AS (
+        SELECT c.query_id, c.vec_id,
+               floor(($dot / (sqrt($qn) * sqrt($en))) * 1000000 + 0.5)
+                 / 1000000 AS cos
+        FROM $from c JOIN q ON c.query_id = q.query_id
+        JOIN e ON c.vec_id = e.vec_id
+        WHERE c.vec_id <> c.query_id
+      ),
+      b$h AS (
+        SELECT query_id, vec_id, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rn FROM s$h
+        ) x WHERE rn <= $WalkBeam
+      )"""
+    val hops = (1 to WalkHops).map { h =>
+      s"""
+      c$h AS (
+        SELECT DISTINCT query_id, vec_id FROM (
+          SELECT query_id, vec_id FROM b${h - 1}
+          UNION ALL
+          SELECT b.query_id, g.dst AS vec_id
+          FROM b${h - 1} b JOIN g ON g.src = b.vec_id
+        ) u
+      ),${scoreCte(h, s"c$h")}"""
+    }.mkString(",")
+    s"""
+      WITH g AS (
+        SELECT vec_id AS src, neighbor AS dst
+        FROM (${ExtensionQueries3.knnGraphSql(
+            cap = Some(ExtensionQueries3.GraphCapR))}) gg
+      ),
+      e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),
+      entries AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $WalkEntryN),
+      c0 AS (SELECT q.query_id, en.vec_id FROM q CROSS JOIN entries en),${scoreCte(0, "c0")},$hops
+      SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id ASC) AS rn FROM b$WalkHops
+      ) f WHERE rn <= 5
+      ORDER BY query_id, rank"""
+  }
+
   /** The oracle half of [[auditSpec]]: the same per-kind lane triple as
     * DuckDB SQL, one SELECT per (table, column), UNION ALL'd into q99's
     * base CTE. Every lane is explicitly CAST so the union's column
@@ -755,6 +872,18 @@ object ExtensionQueries8 {
           col("min_num"), col("max_num"), col("min_str"), col("max_str"))
         .orderBy(col("table_name"), col("col_name"))
     }),
+
+    // Graph-walk ANN serving (s36): the query path the capped kNN graph
+    // (s31) exists to enable — beam search from fixed entry points,
+    // expanding through the graph's directed top-3 edges, re-ranking a
+    // bounded beam per hop. This completes the graph-ANN family: s13/s31
+    // BUILD the graph, s36 SERVES from it, and s22's metrics table
+    // grades the walk's recall beside every other index (graph_walk
+    // row). Per-query work is O(beam · degree · hops) — independent of
+    // corpus size, which is graph ANN's whole value at 100 TB — and the
+    // fixed hop count makes the plan static (no data-dependent
+    // iteration), so the oracle replays it as an unrolled CTE chain.
+    "s36_graph_walk_ann" -> ((s, dir) => graphWalk(s, dir)),
 
     // Auto-salted join (q100): q26 applies a FIXED salt factor; this
     // closes the q97 → q26 loop — the factor is chosen by the skew
@@ -1380,7 +1509,11 @@ object ExtensionQueries8 {
       .agg(count(lit(1)).as("n"), Agg.decSum(col("value")).as("sv"),
         Agg.decSum(col("value") * col("value")).as("svv"))
 
-  val oracles: Map[String, String] = Map(
+  // lazy: breaks the object-initialization cycle with ExtensionQueries6
+  // (its s22 oracle embeds graphWalkSql from THIS object, while entries
+  // below embed ITS s22 oracle — lazily deferring this map means neither
+  // <clinit> needs the other's finished map)
+  lazy val oracles: Map[String, String] = Map(
 
     // Replays a fixed [[KmConvOracleUnroll]]-round training run over the
     // full corpus — see [[kmRecursionCtes]] for why it is recursive.
@@ -1704,6 +1837,9 @@ object ExtensionQueries8 {
     // The auto-salted join is a pure plan rewrite whatever factor the
     // diagnosis picks — its oracle is the plain join verbatim (q26's).
     "q100_autosalted_join" -> RelationalQueries.oracles("q26_salted_join"),
+
+    // Walk replay: s31's graph CTEs + the unrolled fixed-depth beam loop.
+    "s36_graph_walk_ann" -> graphWalkSql,
 
     // t33's substrate re-aggregated per source, then the identical
     // op-for-op weight/draw/epoch arithmetic (sqrt is IEEE-correctly

@@ -94,6 +94,43 @@ class Round14Spec extends AnyFunSuite {
       "an ingest into one table must not perturb another table's catalog")
   }
 
+  // ---- s36: graph-walk ANN serving ----
+
+  test("s36 walk: 5 strictly-ranked non-self results per query, every one " +
+      "reachable from the entry set, and the walk's top-1 beats or ties " +
+      "entry-only scoring") {
+    val rows = ExtensionQueries8.all("s36_graph_walk_ann")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      assert(rs.forall(_._3 != q), "the query itself must never be served")
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"q$q: cos must be non-increasing in rank")
+    }
+    // hops must add value over hop-0: the final top-1 is at least the
+    // best entry-point cosine (the beam keeps its best-so-far, so the
+    // walk can only improve it)
+    import graft.operators.VectorOps
+    val e = ExtensionQueries.embeddingsD(spark, dir)
+    val entries = e.orderBy(col("vec_id")).limit(ExtensionQueries8.WalkEntryN)
+      .select(col("vec_id").as("evid"), col("v").as("ev"))
+    val entryBest = e.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(entries).filter(col("evid") =!= col("query_id"))
+      .withColumn("cos",
+        graft.operators.Agg.roundAt(VectorOps.cosineFast(col("qv"), col("ev")), 6))
+      .groupBy(col("query_id")).agg(max(col("cos")).as("best"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    byQ.foreach { case (q, rs) =>
+      assert(rs.minBy(_._2)._4 >= entryBest(q),
+        s"q$q: the walked top-1 fell below the entry-only best")
+    }
+  }
+
   // ---- d22: stored-prior serving form ----
 
   test("d22 serving form: the stored prior + incremental pass equals an " +
