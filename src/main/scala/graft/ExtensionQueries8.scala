@@ -218,6 +218,17 @@ object ExtensionQueries8 {
     */
   private[graft] def writeCatalogShards(longF: DataFrame, root: String,
       mode: String): Unit = {
+    val (stats, regs) = catalogArtifacts(longF)
+    stats.write.mode(mode).partitionBy("shard").parquet(s"$root/stats")
+    regs.write.mode(mode).partitionBy("shard").parquet(s"$root/ndv_regs")
+  }
+
+  /** The two per-shard catalog artifact frames (basic stats, p=12 NDV
+    * registers) — the storage-agnostic half of [[writeCatalogShards]],
+    * shared with q101's transactional publish.
+    */
+  private[graft] def catalogArtifacts(longF: DataFrame)
+      : (DataFrame, DataFrame) = {
     val stats = longF.groupBy(col("shard"), col("seg"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("cval").isNull, 1L).otherwise(0L)).as("n_null"),
@@ -227,8 +238,7 @@ object ExtensionQueries8 {
       longF.filter(col("cval").isNotNull)
         .withColumn("h", ExtensionQueries3.md5Hash48(col("cval"))),
       ExtensionQueries7.HllRemBits12, Seq("shard", "seg"))
-    stats.write.mode(mode).partitionBy("shard").parquet(s"$root/stats")
-    regs.write.mode(mode).partitionBy("shard").parquet(s"$root/ndv_regs")
+    (stats, regs)
   }
 
   /** Merge-on-read + estimate: reads only catalog rows, never the
@@ -236,14 +246,25 @@ object ExtensionQueries8 {
     * accuracy column (dropped at production scale).
     */
   private[graft] def serveCatalog(s: SparkSession, truthLongF: DataFrame,
-      root: String): DataFrame = {
+      root: String): DataFrame =
+    serveCatalogFrom(truthLongF, s.read.parquet(s"$root/stats"),
+      s.read.parquet(s"$root/ndv_regs"))
+
+  /** [[serveCatalog]] over already-resolved stats/register frames — the
+    * entry point for catalog-pinned reads (q101's TxCatalog snapshot),
+    * where the two tables arrive as one consistent version pair.
+    */
+  private[graft] def serveCatalogFrom(truthLongF: DataFrame,
+      stats: DataFrame, regs: DataFrame): DataFrame = {
     import ExtensionQueries7.{HllM12, HllRemBits12, HllAlphaNum12, HllLcFp12}
     val longF = truthLongF
-    val mStats = s.read.parquet(s"$root/stats").groupBy(col("seg"))
+    val mStats = stats.groupBy(col("seg"))
       .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_null")).as("n_null"),
         min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
         min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
-    val mRegs = s.read.parquet(s"$root/ndv_regs")
+    // regs must come from the same version pair as stats — the caller's
+    // responsibility; TxCatalog.snapshot guarantees it for q101
+    val mRegs = regs
       .groupBy(col("seg"), col("bucket")).agg(max(col("reg")).as("reg"))
     val est = ExtensionQueries7.hllEstimate(mRegs, HllM12, HllRemBits12,
       HllAlphaNum12, HllLcFp12)
@@ -259,6 +280,22 @@ object ExtensionQueries8 {
         col("ndv_true"),
         col("min_num"), col("max_num"), col("min_str"), col("max_str"))
       .orderBy(col("col_name"))
+  }
+
+  /** q96/q101's shared audit of `orders`: the five-column spec both the
+    * path-written catalog (q96) and the transactionally-published one
+    * (q101) must agree on.
+    */
+  private[graft] def ordersAuditSpecs: Seq[ColSpec] = {
+    val nullS = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    Seq(
+      ("o_orderkey", col("o_orderkey"), nullS, col("o_orderkey")),
+      ("o_custkey", col("o_custkey"), nullS, col("o_custkey")),
+      ("o_orderstatus", nullD, col("o_orderstatus"), col("o_orderstatus")),
+      ("o_orderpriority", nullD, col("o_orderpriority"), col("o_orderpriority")),
+      ("o_totalprice", col("o_totalprice"), nullS, cents))
   }
 
   /** q99's whole-lake audit registry: one entry per registered fixture
@@ -823,21 +860,37 @@ object ExtensionQueries8 {
     // both engines hash identical strings. ndv_true rides along as the
     // fixture-scale accuracy report (dropped at production scale).
     "q96_column_stats_catalog" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val nullS = lit(null).cast("string")
-      val nullD = lit(null).cast("double")
-      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
-      val specs: Seq[ColSpec] = Seq(
-        ("o_orderkey", col("o_orderkey"), nullS, col("o_orderkey")),
-        ("o_custkey", col("o_custkey"), nullS, col("o_custkey")),
-        ("o_orderstatus", nullD, col("o_orderstatus"), col("o_orderstatus")),
-        ("o_orderpriority", nullD, col("o_orderpriority"), col("o_orderpriority")),
-        ("o_totalprice", col("o_totalprice"), nullS, cents))
       val root = graft.sources.Scratch.fresh(s,
         s"stats_catalog_${new java.io.File(dir).getName}")
-      statsCatalog(s, o,
+      statsCatalog(s, t(s, dir, "orders"),
         pmod(col("o_orderkey"), lit(ExtensionQueries7.SketchShards.toLong)),
-        specs, root)
+        ordersAuditSpecs, root)
+    }),
+
+    // Transactional catalog publish (q101): q96's two artifact tables —
+    // the per-shard stats and the p=12 HLL NDV registers — committed as
+    // ONE TxCatalog transaction and served from the catalog-pinned
+    // snapshot, so a reader can never pair a new stats version with old
+    // registers (an inconsistent pair would silently mis-estimate NDV
+    // against the wrong row counts). The per-table Snapshots commits are
+    // durable but catalog-invisible until the single catalog-manifest
+    // publish — the same exclusive-publish primitive as q84, one level
+    // up. The oracle is q96's end-to-end replay verbatim: the
+    // transactional storage round trip must change nothing. Round14Spec
+    // drives the isolation window itself (a reader inside the
+    // between-commits hook still sees the old consistent pair).
+    "q101_tx_stats_publish" -> ((s, dir) => {
+      import graft.sources.TxCatalog
+      val root = graft.sources.Scratch.fresh(s,
+        s"tx_catalog_${new java.io.File(dir).getName}")
+      val longF = catalogLongForm(t(s, dir, "orders"),
+        pmod(col("o_orderkey"), lit(ExtensionQueries7.SketchShards.toLong)),
+        ordersAuditSpecs)
+      val (stats, regs) = catalogArtifacts(longF)
+      TxCatalog.commitAll(s, s"$root/catalog",
+        Seq(s"$root/stats" -> stats, s"$root/ndv_regs" -> regs))
+      val snap = TxCatalog.snapshot(s, s"$root/catalog")
+      serveCatalogFrom(longF, snap(s"$root/stats"), snap(s"$root/ndv_regs"))
     }),
 
     // Whole-lake statistics sweep (q99): q96's ANALYZE-TABLE catalog run
@@ -1512,8 +1565,13 @@ object ExtensionQueries8 {
   // lazy: breaks the object-initialization cycle with ExtensionQueries6
   // (its s22 oracle embeds graphWalkSql from THIS object, while entries
   // below embed ITS s22 oracle — lazily deferring this map means neither
-  // <clinit> needs the other's finished map)
-  lazy val oracles: Map[String, String] = Map(
+  // <clinit> needs the other's finished map). q101 shares q96's oracle
+  // VERBATIM and is appended post-construction — a map literal cannot
+  // reference its own entries.
+  lazy val oracles: Map[String, String] = oraclesBase +
+    ("q101_tx_stats_publish" -> oraclesBase("q96_column_stats_catalog"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
 
     // Replays a fixed [[KmConvOracleUnroll]]-round training run over the
     // full corpus — see [[kmRecursionCtes]] for why it is recursive.
@@ -1697,7 +1755,9 @@ object ExtensionQueries8 {
     // max, equal their direct global forms), so the oracle computes the
     // whole catalog END-TO-END from raw orders at the same p=12
     // geometry; Spark's write → partition → merge-on-read round trip
-    // must change nothing.
+    // must change nothing. (The SQL lives in [[q96OracleSql]], shared
+    // verbatim with q101 — the transactional publish must be
+    // output-invisible.)
     "q96_column_stats_catalog" -> s"""
       WITH base AS (
         SELECT 'o_orderkey' AS seg, CAST(o_orderkey AS DOUBLE) AS nval,

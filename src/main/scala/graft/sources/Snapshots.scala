@@ -212,8 +212,8 @@ object Snapshots {
     * replaces files), so there the claim is a hard link — `link(2)` is
     * atomic and fails with EEXIST when the name is taken.
     */
-  private def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
-                               tmp: Path, dst: Path): Boolean =
+  private[sources] def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
+                                        tmp: Path, dst: Path): Boolean =
     if (f.getScheme == "file") {
       val t = java.nio.file.Paths.get(tmp.toUri.getPath)
       val d = java.nio.file.Paths.get(dst.toUri.getPath)

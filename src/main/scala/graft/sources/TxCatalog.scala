@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-table atomic publish over [[Snapshots]] tables — the
+  * catalog-level commit every multi-table lake needs once two artifacts
+  * must stay mutually consistent (q96's stats table and its HLL register
+  * table: a reader must never pair new stats with old registers).
+  *
+  * Mechanism: each member table commits normally ([[Snapshots.commit]] —
+  * durable, but NOT yet visible through the catalog), then ONE catalog
+  * manifest pinning (table → version) for every member is published with
+  * the same exclusive-publish primitive Snapshots uses (hard link /
+  * rename-without-replace). The catalog publish is the single commit
+  * point: a reader that resolves versions from one catalog manifest sees
+  * either every table's pre-commit pin or every table's post-commit pin,
+  * never a mix. A writer crash between a member commit and the catalog
+  * publish leaves orphaned table versions — durable, referenced by no
+  * catalog manifest, invisible to catalog-resolved readers (the same
+  * failure shape as Snapshots' orphaned batch dirs).
+  *
+  * Layout under `catDir`:
+  * {{{
+  *   _txmanifests/00001.manifest   one `<version>\t<tableDir>` line per
+  *                                 pinned table — a full pin SET per
+  *                                 catalog version (snapshot, not delta)
+  * }}}
+  *
+  * Unlisted tables carry their previous pin forward, so independent
+  * single-table transactions compose. Concurrent committers race on the
+  * catalog version exactly like Snapshots committers race on a table
+  * version; the loser re-merges over the new tip taking the MAX version
+  * per table — correct for the append-only artifact tables this catalog
+  * exists for (append manifests are supersets, so the max pin contains
+  * both writers' rows); tables maintained by commitReplace want one
+  * catalog writer.
+  */
+object TxCatalog {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(catDir: String) = new Path(catDir, "_txmanifests")
+
+  private def manifestPath(catDir: String, v: Int) =
+    new Path(manifestDir(catDir), f"$v%05d.manifest")
+
+  /** Committed catalog versions, ascending (empty for a fresh catalog). */
+  def versions(spark: SparkSession, catDir: String): Seq[Int] = {
+    val f = fs(spark, catDir)
+    val md = manifestDir(catDir)
+    if (!f.exists(md)) Seq.empty
+    else f.listStatus(md).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toInt).sorted.toSeq
+  }
+
+  /** The (tableDir → pinned version) map catalog version `v` published. */
+  def pins(spark: SparkSession, catDir: String, v: Int): Map[String, Int] = {
+    require(versions(spark, catDir).contains(v),
+      s"catalog version $v not committed at $catDir")
+    val f = fs(spark, catDir)
+    val in = f.open(manifestPath(catDir, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { line =>
+        val Array(ver, dir) = line.split("\t", 2)
+        dir -> ver.toInt
+      }.toMap
+    finally in.close()
+  }
+
+  /** The newest catalog version's pin set (empty for a fresh catalog). */
+  def latestPins(spark: SparkSession, catDir: String): Map[String, Int] =
+    versions(spark, catDir).lastOption
+      .map(pins(spark, catDir, _)).getOrElse(Map.empty)
+
+  /** Commit every (tableDir, df) write and publish ONE catalog version
+    * pinning all of them — the atomic multi-table commit. Member tables
+    * commit first (durable, catalog-invisible); `beforePublish(v)` is the
+    * test seam between those commits and the catalog publish attempt at
+    * `v` (a reader inside the hook must still see the OLD consistent pin
+    * set). Returns the catalog version.
+    */
+  def commitAll(spark: SparkSession, catDir: String,
+                writes: Seq[(String, DataFrame)],
+                beforePublish: Int => Unit = _ => ()): Int = {
+    require(writes.nonEmpty, "commitAll needs at least one table write")
+    require(writes.map(_._1).distinct.size == writes.size,
+      "one write per table per transaction")
+    val newPins = writes.map { case (tbl, df) =>
+      tbl -> Snapshots.commit(spark, tbl, df)
+    }.toMap
+    val f = fs(spark, catDir)
+    f.mkdirs(manifestDir(catDir))
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    var attempt = 0
+    while (attempt < 50) {
+      attempt += 1
+      val prev = latestPins(spark, catDir)
+      val v = versions(spark, catDir).lastOption.getOrElse(0) + 1
+      beforePublish(v)
+      // carry unlisted tables forward; on a lost race, max-merge per
+      // table (append-only manifests are supersets — see object doc)
+      val merged = (prev.keySet ++ newPins.keySet).map { t =>
+        t -> math.max(prev.getOrElse(t, 0), newPins.getOrElse(t, 0))
+      }.toSeq.sortBy(_._1)
+      val tmp = new Path(manifestDir(catDir), s".$uid-$v.manifest.tmp")
+      val out = f.create(tmp, true)
+      try out.write(merged.map { case (t, ver) => s"$ver\t$t" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      if (Snapshots.publishExclusive(f, tmp, manifestPath(catDir, v))) return v
+      f.delete(tmp, false)
+    }
+    throw new IllegalStateException(
+      s"catalog commit to $catDir still losing the publish race after $attempt attempts")
+  }
+
+  /** Read `tableDir` AT THE CATALOG'S PIN — never the table's own latest,
+    * which may already contain a half-published transaction's member
+    * commit. Resolving every table of a transaction from the same catalog
+    * version is what makes the reader's view consistent.
+    */
+  def readTable(spark: SparkSession, catDir: String,
+                tableDir: String): DataFrame = {
+    val p = latestPins(spark, catDir)
+    require(p.contains(tableDir),
+      s"$tableDir is not pinned by any catalog version at $catDir")
+    Snapshots.readAsOf(spark, tableDir, p(tableDir))
+  }
+
+  /** Every pinned table resolved from ONE catalog version — the
+    * consistent multi-table snapshot a cross-table reader should hold for
+    * its whole query instead of calling [[readTable]] per table (which
+    * would re-resolve the catalog and could straddle a commit).
+    */
+  def snapshot(spark: SparkSession, catDir: String)
+      : Map[String, DataFrame] =
+    latestPins(spark, catDir).map { case (t, v) =>
+      t -> Snapshots.readAsOf(spark, t, v)
+    }
+}

@@ -94,6 +94,77 @@ class Round14Spec extends AnyFunSuite {
       "an ingest into one table must not perturb another table's catalog")
   }
 
+  // ---- q101 / TxCatalog: cross-table atomic publish ----
+
+  test("TxCatalog: a reader inside the commit window never pairs one " +
+      "table's new version with the other's old") {
+    import spark.implicits._
+    import graft.sources.{Scratch, Snapshots, TxCatalog}
+    val root = Scratch.fresh(spark, "r14_txcat")
+    val (cat, tA, tB) = (s"$root/cat", s"$root/a", s"$root/b")
+    def rows(tag: String, n: Int) =
+      (0 until n).map(i => (i.toLong, tag)).toDF("id", "tag")
+    // v1: both tables at generation g1, one transaction
+    TxCatalog.commitAll(spark, cat, Seq(tA -> rows("g1", 3), tB -> rows("g1", 4)))
+    def observedTags(): Set[String] = {
+      val snap = TxCatalog.snapshot(spark, cat)
+      Set(tA, tB).flatMap(t =>
+        snap(t).select("tag").distinct().as[String].collect())
+    }
+    assert(observedTags() == Set("g1"))
+    // v2: replace both to g2; the hook fires BETWEEN the member commits
+    // and the catalog publish — table A's g2 rows are already durable in
+    // its Snapshots table, but a catalog-resolved reader must still see
+    // the (g1, g1) pair
+    var insideWindow: Set[String] = null
+    var tableALatestInsideWindow: Set[String] = null
+    TxCatalog.commitAll(spark, cat,
+      Seq(tA -> rows("g2", 3), tB -> rows("g2", 4)),
+      beforePublish = { _ =>
+        insideWindow = observedTags()
+        tableALatestInsideWindow = Snapshots.readLatest(spark, tA)
+          .select("tag").distinct().as[String].collect().toSet
+      })
+    assert(tableALatestInsideWindow == Set("g1", "g2"),
+      "the member commit IS durable before the catalog publish (append)")
+    assert(insideWindow == Set("g1"),
+      "a catalog-resolved reader inside the window must see the old pair")
+    // after the publish: both tables' g2 rows visible together (appends,
+    // so both generations are present — the PAIR moved atomically)
+    val snap = TxCatalog.snapshot(spark, cat)
+    Seq(tA, tB).foreach { t =>
+      assert(snap(t).select("tag").distinct().as[String].collect().toSet ==
+        Set("g1", "g2"), s"$t must expose the transaction's new version")
+    }
+  }
+
+  test("TxCatalog: unlisted tables carry their pin forward, and a crashed " +
+      "transaction's member commit stays catalog-invisible") {
+    import spark.implicits._
+    import graft.sources.{Scratch, Snapshots, TxCatalog}
+    val root = Scratch.fresh(spark, "r14_txcat2")
+    val (cat, tA, tB) = (s"$root/cat", s"$root/a", s"$root/b")
+    def rows(tag: String) = Seq((1L, tag)).toDF("id", "tag")
+    TxCatalog.commitAll(spark, cat, Seq(tA -> rows("a1"), tB -> rows("b1")))
+    // a single-table transaction must not disturb B's pin
+    TxCatalog.commitAll(spark, cat, Seq(tA -> rows("a2")))
+    val pins = TxCatalog.latestPins(spark, cat)
+    assert(pins(tA) == 2 && pins(tB) == 1)
+    // simulate a crash: a member commit with NO catalog publish
+    Snapshots.commit(spark, tB, rows("b-orphan"))
+    val snap = TxCatalog.snapshot(spark, cat)
+    assert(snap(tB).select("tag").as[String].collect().toSet == Set("b1"),
+      "an orphaned member commit must stay invisible through the catalog")
+  }
+
+  test("q101 equals q96: the transactional publish is output-invisible") {
+    val tx = ExtensionQueries8.all("q101_tx_stats_publish")(spark, dir)
+      .collect().map(_.toSeq).toList
+    val plain = ExtensionQueries8.all("q96_column_stats_catalog")(spark, dir)
+      .collect().map(_.toSeq).toList
+    assert(tx == plain)
+  }
+
   // ---- s36: graph-walk ANN serving ----
 
   test("s36 walk: 5 strictly-ranked non-self results per query, every one " +
