@@ -362,13 +362,43 @@ object EventStreams {
       .transformWithState(new SessionProcessor(gapSeconds),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
+
+  /** [[sessionizeTws]] with a state TTL — the production retention knob
+    * for a key space that grows forever (at 100 TB of events, users who
+    * never return must not pin RocksDB state indefinitely): each user's
+    * ValueState is evicted by the store once `ttl` of PROCESSING time
+    * passes without an update (TTL requires TimeMode.ProcessingTime —
+    * Spark's transformWithState contract). Semantics under eviction: an
+    * idle key's open-session record disappears; if that key NEVER
+    * returns, the emitted updates are exactly the no-TTL form's (its
+    * last open-session update was already emitted — eviction is
+    * output-invisible for keys that stay idle, which is the only kind a
+    * well-chosen TTL should ever evict); if it DOES return after
+    * eviction, its next event starts a fresh session instead of
+    * continuing the evicted one — the deliberate accuracy-for-space
+    * trade, priced in StreamingSpec (one case pins hash-equality with
+    * the fMGWS twin for idle keys, one pins the fresh-start divergence
+    * for a returned key).
+    */
+  def sessionizeTwsTtl(events: Dataset[Event], gapSeconds: Double,
+      ttl: java.time.Duration): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds, Some(ttl)),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
 }
 
 /** [[EventStreams.sessionizeTws]]'s StatefulProcessor: one named
   * ValueState record per user, the same gap fold as the
-  * flatMapGroupsWithState form.
+  * flatMapGroupsWithState form. `ttl` (the [[EventStreams
+  * .sessionizeTwsTtl]] path) hands the state handle a TTLConfig so the
+  * store itself evicts idle keys — the fold logic never changes; an
+  * evicted key simply reads as `!st.exists()` on its next event.
   */
-class SessionProcessor(gapSeconds: Double) extends
+class SessionProcessor(gapSeconds: Double,
+    ttl: Option[java.time.Duration] = None) extends
     org.apache.spark.sql.streaming.StatefulProcessor[
       Long, EventStreams.Event, EventStreams.SessionUpdate] {
   import EventStreams.{Event, SessionState, SessionUpdate}
@@ -379,7 +409,8 @@ class SessionProcessor(gapSeconds: Double) extends
       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
     st = getHandle.getValueState("session",
       org.apache.spark.sql.Encoders.product[SessionState],
-      org.apache.spark.sql.streaming.TTLConfig.NONE)
+      ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
 
   override def handleInputRows(userId: Long, rows: Iterator[Event],
       timers: org.apache.spark.sql.streaming.TimerValues)

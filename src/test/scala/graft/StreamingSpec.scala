@@ -272,6 +272,97 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("state TTL: an idle key's ValueState actually expires, and for keys " +
+      "that stay idle the TTL'd emissions still match the fMGWS twin") {
+    // TimeMode.ProcessingTime schedules continuous no-data batches (that
+    // is how timers/TTL advance), so processAllAvailable never settles
+    // and AvailableNow never self-terminates — the harness instead POLLS
+    // a foreachBatch sink for each phase's expected update (TTL expiry
+    // is stamped at state-write time and checked at state-READ time, so
+    // the returning key's read deterministically misses after the
+    // sleep; the empty batches in between are engine bookkeeping).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    type Update = (Long, Long, Double, Boolean)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    def phases(tag: String, batches: Seq[(Seq[Event], Update)],
+        sleepMs: Long,
+        f: org.apache.spark.sql.Dataset[Event] =>
+          org.apache.spark.sql.Dataset[EventStreams.SessionUpdate]) = {
+      val stream = MemoryStream[Event]
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[Update]()
+      import scala.jdk.CollectionConverters._
+      val q = f(stream.toDS()).writeStream.outputMode(OutputMode.Update())
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[EventStreams.SessionUpdate],
+           _: Long) =>
+            df.collect().foreach(u =>
+              sink.add((u.user_id, u.n_events, u.duration_secs, u.closed)))
+        }
+        .start()
+      try batches.zipWithIndex.foreach { case ((b, waitFor), i) =>
+        if (i > 0 && sleepMs > 0) Thread.sleep(sleepMs)
+        stream.addData(b: _*)
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (!sink.asScala.exists(_ == waitFor) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        assert(sink.asScala.exists(_ == waitFor),
+          s"${tag}_$i: expected update $waitFor never arrived; " +
+            s"sink=${sink.asScala.toList.sorted}")
+      } finally q.stop()
+      sink.asScala.toList.sorted
+    }
+    try {
+      // Part 1 — output-invisibility for keys that stay idle: user 7 is
+      // active only in phase 1, user 8 only in phase 2; far more
+      // processing time than the 1 ms TTL passes between phases, so
+      // user 7's state IS evicted — and because 7 never returns, the
+      // emitted updates must match the no-TTL fMGWS twin exactly.
+      val idle = Seq(
+        (Seq(Event(1L, ts("2024-01-01 00:00:00"), 7L, "view", 1.0),
+          Event(2L, ts("2024-01-01 00:10:00"), 7L, "view", 1.0)),
+          (7L, 2L, 600.0, false)),
+        (Seq(Event(3L, ts("2024-01-01 00:00:00"), 8L, "view", 1.0)),
+          (8L, 1L, 0.0, false)))
+      val twin = phases("ttl_twin", idle, sleepMs = 0,
+        ds => EventStreams.sessionize(ds, 1800))
+      val ttld = phases("ttl_idle", idle, sleepMs = 100,
+        ds => EventStreams.sessionizeTwsTtl(ds, 1800,
+          java.time.Duration.ofMillis(1)))
+      assert(ttld == twin,
+        "eviction of a never-returning key must be output-invisible")
+      // Part 2 — the eviction is real: user 9's phase-2 event lands
+      // WITHIN the 1800 s event-time gap, so with state intact the
+      // update reads (9, 3 events, 1200 s) — the no-TTL control proves
+      // it; with the 1 ms TTL the state has expired and the processor
+      // starts a FRESH session (9, 1 event, 0 s) — the documented
+      // accuracy-for-space trade, observed through the TTL surface.
+      val r1 = Seq(Event(1L, ts("2024-01-01 00:00:00"), 9L, "view", 1.0),
+        Event(2L, ts("2024-01-01 00:10:00"), 9L, "view", 1.0))
+      val r2 = Seq(Event(3L, ts("2024-01-01 00:20:00"), 9L, "view", 1.0))
+      val noTtl = phases("ttl_keep",
+        Seq((r1, (9L, 2L, 600.0, false)), (r2, (9L, 3L, 1200.0, false))),
+        sleepMs = 100, ds => EventStreams.sessionizeTws(ds, 1800))
+      assert(noTtl.contains((9L, 3L, 1200.0, false)),
+        "without TTL the session continues across the sleep")
+      val evicted = phases("ttl_evict",
+        Seq((r1, (9L, 2L, 600.0, false)), (r2, (9L, 1L, 0.0, false))),
+        sleepMs = 100, ds => EventStreams.sessionizeTwsTtl(ds, 1800,
+          java.time.Duration.ofMillis(1)))
+      assert(evicted.contains((9L, 1L, 0.0, false)) &&
+        !evicted.contains((9L, 3L, 1200.0, false)),
+        s"the returned key must start fresh after eviction; got $evicted")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming value streaks match the batch form across a mid-streak batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
