@@ -27,7 +27,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * narrowing cannot overflow under either ANSI or legacy cast semantics.
   * Stricter than the lambda chain on degenerate input: a null ELEMENT
   * nulls the whole result (a partially-known vector has no meaningful
-  * codes), and NaN/Infinity are out of domain.
+  * codes), and a NaN/Infinity element does the same — NaN/Infinity are
+  * out of the quantizer's domain, and silently emitting garbage codes
+  * ((long)NaN == 0) where the portable ANSI chain would raise was the
+  * one parity gap the r13 advice flagged; an explicit null makes
+  * degenerate input visible to SQL users of `int8_quantize` (Round13Spec
+  * pins the null, and bit-exact parity on finite doubles is unchanged).
   */
 case class Int8Quantize(child: Expression) extends UnaryExpression {
 
@@ -44,12 +49,11 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
-    if (mayContainNull) {
-      var j = 0
-      while (j < n) {
-        if (v.isNullAt(j)) return null
-        j += 1
-      }
+    var j = 0
+    while (j < n) {
+      if (mayContainNull && v.isNullAt(j)) return null
+      if (!java.lang.Double.isFinite(v.getDouble(j))) return null
+      j += 1
     }
     var mx = 0.0
     var i = 0
@@ -80,12 +84,13 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
       val scale = ctx.freshName("scale")
       val out = ctx.freshName("out")
       val q = ctx.freshName("q")
+      // one pre-pass rejects null AND non-finite elements (short-circuit
+      // order matters: isNullAt guards the getDouble)
+      val nullCheck = if (mayContainNull) s"$a.isNullAt($j) || " else ""
       val nullScan =
-        if (mayContainNull)
-          s"""for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
-             |  if ($a.isNullAt($j)) ${ev.isNull} = true;
-             |}""".stripMargin
-        else ""
+        s"""for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+           |  if (${nullCheck}!java.lang.Double.isFinite($a.getDouble($j))) ${ev.isNull} = true;
+           |}""".stripMargin
       s"""
          |final int $n = $a.numElements();
          |$nullScan

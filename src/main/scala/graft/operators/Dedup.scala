@@ -103,9 +103,27 @@ object Dedup {
       docsPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       pairsPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       result: DataFrame)
-  private val clusterMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int, Int, Int, Option[String]),
-    ClusterMemoEntry]()
+  private type MemoKey =
+    (org.apache.spark.sql.SparkSession, Int, Int, Int, Option[String])
+  /** Memo bound (r13-advice item): a long-lived session iterating many
+    * distinct fixtures/graphs/configs must not accumulate persisted
+    * propagation results without limit — beyond [[ClusterMemoCap]]
+    * distinct keys the least-recently-USED entry is evicted and its
+    * cached blocks unpersisted (access-order LinkedHashMap). 16 is far
+    * above any one workload's live set (the full suite touches 4–6 keys
+    * per fixture dir) while bounding worst-case pinned cache at a
+    * handful of label tables.
+    */
+  private val ClusterMemoCap = 16
+  private val clusterMemo =
+    new java.util.LinkedHashMap[MemoKey, ClusterMemoEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[MemoKey, ClusterMemoEntry]): Boolean = {
+        val evict = size() > ClusterMemoCap
+        if (evict) e.getValue.result.unpersist()
+        evict
+      }
+    }
 
   /** Resolve candidate pairs into duplicate clusters: min-label propagation
     * over the pair graph UNTIL CONVERGENCE (exact fixed-point detection),
@@ -133,41 +151,51 @@ object Dedup {
     * regressions in the propagation itself.
     */
   private[graft] def clearClusterMemo(s: org.apache.spark.sql.SparkSession): Unit =
-    clusterMemo.entrySet().removeIf { e =>
-      val matches = e.getKey._1 eq s
-      if (matches) e.getValue.result.unpersist()
-      matches
+    clusterMemo.synchronized {
+      clusterMemo.entrySet().removeIf { e =>
+        val matches = e.getKey._1 eq s
+        if (matches) e.getValue.result.unpersist()
+        matches
+      }
     }
+
+  /** Current memo occupancy — spec hook for the LRU bound. */
+  private[graft] def clusterMemoSize: Int =
+    clusterMemo.synchronized(clusterMemo.size())
 
   def labelClusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int,
       reliableCheckpointDir: Option[String] = None): DataFrame = {
-    // evict entries from stopped sessions (their cache blocks are gone;
-    // nothing to unpersist — the context that owned the blocks is dead)
-    clusterMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     val docsPlan = docs.queryExecution.analyzed.canonicalized
     val pairsPlan = pairs.queryExecution.analyzed.canonicalized
     val key = (docs.sparkSession, docsPlan.semanticHash(),
       pairsPlan.semanticHash(), maxRounds, reliableCheckpointDir)
-    val hit = Option(clusterMemo.get(key))
-      .filter(e => e.docsPlan == docsPlan && e.pairsPlan == pairsPlan)
+    val hit = clusterMemo.synchronized {
+      // evict entries from stopped sessions (their cache blocks are gone;
+      // nothing to unpersist — the context that owned the blocks is dead)
+      clusterMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+      Option(clusterMemo.get(key))
+        .filter(e => e.docsPlan == docsPlan && e.pairsPlan == pairsPlan)
+    }
     hit.map(_.result).getOrElse {
-      // compute OUTSIDE any ConcurrentHashMap lock (propagation runs
-      // multi-second Spark jobs; computeIfAbsent would serialize unrelated
-      // first-callers on the bin lock) — a concurrent duplicate compute is
-      // benign: the loser unpersists its copy and adopts the winner's.
+      // compute OUTSIDE the memo lock (propagation runs multi-second
+      // Spark jobs; holding the lock would serialize unrelated
+      // first-callers) — a concurrent duplicate compute is benign: the
+      // loser unpersists its copy and adopts the winner's.
       val computed = labelClustersUncached(docs, pairs, maxRounds,
         reliableCheckpointDir)._1.persist()
       val entry = ClusterMemoEntry(docsPlan, pairsPlan, computed)
-      val prev = clusterMemo.putIfAbsent(key, entry)
-      if (prev == null) computed
-      else if (prev.docsPlan == docsPlan && prev.pairsPlan == pairsPlan) {
-        computed.unpersist(); prev.result
-      } else {
-        // 32-bit hash collision with a DIFFERENT plan: replace (the old
-        // entry is unreachable through equality-checked lookups anyway)
-        clusterMemo.put(key, entry)
-        prev.result.unpersist()
-        computed
+      clusterMemo.synchronized {
+        val prev = clusterMemo.get(key)
+        if (prev == null) { clusterMemo.put(key, entry); computed }
+        else if (prev.docsPlan == docsPlan && prev.pairsPlan == pairsPlan) {
+          computed.unpersist(); prev.result
+        } else {
+          // 32-bit hash collision with a DIFFERENT plan: replace (the old
+          // entry is unreachable through equality-checked lookups anyway)
+          clusterMemo.put(key, entry)
+          prev.result.unpersist()
+          computed
+        }
       }
     }
   }
@@ -224,10 +252,11 @@ object Dedup {
     //    doc-keyed self-join rewrites label(id) ← label(label(id)),
     //    roughly squaring every label's reach. Edge rounds alone need
     //    diameter rounds; with a jump per poll the combined loop
-    //    converges in O(log diameter) — at sf0.1 the LSH candidate
-    //    graph's real diameter is ~10 (the fixed-5 form was silently
-    //    under-merging it; 123 jobs / 18 s without jumps), and at
-    //    100 TB a long chain costs log, not linear, passes. Jump
+    //    converges in O(log diameter) — the sf0.1 LSH candidate graph's
+    //    real pure-edge depth is 22 on the current fixtures (DepthCheck,
+    //    r14; ~10 on earlier generations — either way the fixed-5 form
+    //    was silently under-merging it; 123 jobs / 18 s without jumps),
+    //    and at 100 TB a long chain costs log, not linear, passes. Jump
     //    preserves the invariants the proof needs: label(id) is always
     //    the id of a component member and only ever decreases.
     // 3. A DOUBLING poll schedule (4, 6, 10, 18, …, capped): each poll

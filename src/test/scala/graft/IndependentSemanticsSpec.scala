@@ -49,38 +49,43 @@ class IndependentSemanticsSpec extends AnyFunSuite {
     assert(got == expected) // also proves ClusterRounds fully converged here
   }
 
-  test("labelClusters converges inside the oracle's unroll depth at the driver-verified scale") {
+  test("labelClusters converges inside the oracle's unroll depth at EVERY driver-compared scale") {
     // The adaptive engine iterates to the exact fixed point; the DuckDB
     // oracle unrolls ClusterRounds CTEs. They agree iff the true
     // convergence depth ≤ ClusterRounds at the compared scale — pin that
-    // margin here (sf0.01 is the driver's oracle-compare scale).
-    val feats = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
-      .select(col("doc_id").as("id"), TextHash.shingleHashes(col("text"), 2).as("features"))
-    val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3).persist()
-    // The adaptive engine (pointer jumps included) always reaches the
-    // component-min fixed point; the DuckDB oracle unrolls ClusterRounds
-    // PURE edge rounds. They agree iff pure-edge propagation converges
-    // within that unroll at the compared scale — replicate the oracle's
-    // exact semantics here (ClusterRounds lazy edge rounds, no jumps)
-    // and pin it against the engine.
-    val ids = feats.select(col("id"))
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .union(ids.select(col("id").as("src"), col("id").as("dst")))
-      .localCheckpoint()
-    var oracleDepth = ids.select(col("id"), col("id").as("label"))
-    for (_ <- 1 to ExtensionQueries.ClusterRounds)
-      oracleDepth = edges
-        .join(oracleDepth.withColumnRenamed("id", "__src"), col("src") === col("__src"))
-        .groupBy(col("dst")).agg(min("label").as("label"))
-        .select(col("dst").as("id"), col("label"))
-    val unrolled = oracleDepth.as[(Long, Long)].collect().toMap
-    val engine = Dedup.labelClustersUncached(feats.select("id"), pairs,
-      maxRounds = ExtensionQueries.ClusterMaxRounds)._1
-      .as[(Long, Long)].collect().toMap
-    pairs.unpersist()
-    assert(unrolled == engine,
-      s"pure-edge propagation not converged by round ${ExtensionQueries.ClusterRounds}; raise the oracle unroll")
+    // margin at BOTH scales the driver oracle-compares (sf0.001 smoke,
+    // sf0.01 correctness; measured pure-edge depths there are 2 and 3 —
+    // sf0.1's is 22, which is exactly why it must never join this list
+    // without raising ClusterRounds first).
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val feats = graft.sources.Tables.load(spark, s"/root/testdata/$sf", "documents")
+        .select(col("doc_id").as("id"), TextHash.shingleHashes(col("text"), 2).as("features"))
+      val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3).persist()
+      // The adaptive engine (pointer jumps included) always reaches the
+      // component-min fixed point; the DuckDB oracle unrolls ClusterRounds
+      // PURE edge rounds. They agree iff pure-edge propagation converges
+      // within that unroll at the compared scale — replicate the oracle's
+      // exact semantics here (ClusterRounds lazy edge rounds, no jumps)
+      // and pin it against the engine.
+      val ids = feats.select(col("id"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .union(ids.select(col("id").as("src"), col("id").as("dst")))
+        .localCheckpoint()
+      var oracleDepth = ids.select(col("id"), col("id").as("label"))
+      for (_ <- 1 to ExtensionQueries.ClusterRounds)
+        oracleDepth = edges
+          .join(oracleDepth.withColumnRenamed("id", "__src"), col("src") === col("__src"))
+          .groupBy(col("dst")).agg(min("label").as("label"))
+          .select(col("dst").as("id"), col("label"))
+      val unrolled = oracleDepth.as[(Long, Long)].collect().toMap
+      val engine = Dedup.labelClustersUncached(feats.select("id"), pairs,
+        maxRounds = ExtensionQueries.ClusterMaxRounds)._1
+        .as[(Long, Long)].collect().toMap
+      pairs.unpersist()
+      assert(unrolled == engine,
+        s"$sf: pure-edge propagation not converged by round ${ExtensionQueries.ClusterRounds}; raise the oracle unroll")
+    }
   }
 
   test("reliable-checkpoint labelClusters equals the localCheckpoint default") {

@@ -254,6 +254,17 @@ class Round13Spec extends AnyFunSuite {
         .select(col("q")).as[Seq[Long]].collect().toSeq
       assert(native == portable)
     }
+    // non-finite elements are out of the quantizer's domain: the result
+    // nulls (like the null-element path) instead of silently emitting
+    // (long)NaN == 0 codes — the r13-advice parity gap, both eval modes
+    val degenerate = Seq(
+      Seq(Double.NaN, 1.0),
+      Seq(Double.PositiveInfinity, 1.0),
+      Seq(1.0, Double.NegativeInfinity)).toDF("v")
+    assert(degenerate
+      .select(graft.functions.Int8Quantize.int8Quantize(col("v")).as("q"))
+      .collect().forall(_.isNullAt(0)),
+      "non-finite input must null, not emit garbage codes")
     // SQL registration round-trips through the extension point
     graft.plans.GraftExtensions.registrations.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
@@ -261,6 +272,9 @@ class Round13Spec extends AnyFunSuite {
     val sql = spark.sql("SELECT int8_quantize(array(CAST(-1.0 AS DOUBLE), " +
       "CAST(0.25 AS DOUBLE), CAST(1.0 AS DOUBLE)))").collect()(0).getSeq[Long](0)
     assert(sql == Seq(-127L, 32L, 127L))
+    assert(spark.sql("SELECT int8_quantize(array(CAST('NaN' AS DOUBLE), " +
+      "CAST(1.0 AS DOUBLE)))").collect()(0).isNullAt(0),
+      "the SQL surface must signal degenerate input with null too")
   }
 
   test("Int8Quantize plan is native (no ArrayTransform lambda in the codes build)") {

@@ -94,6 +94,30 @@ class Round14Spec extends AnyFunSuite {
       "an ingest into one table must not perturb another table's catalog")
   }
 
+  // ---- clusterMemo LRU bound (r13-advice item) ----
+
+  test("clusterMemo is bounded: many distinct fixtures evict LRU entries " +
+      "instead of pinning persisted results without limit") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 20 distinct (docs, pairs) plans — each a distinct memo key
+    (0 until 20).foreach { i =>
+      val ids = (0L to 3L).map(_ + i * 100).toDF("id")
+      val pairs = Seq((i * 100L, i * 100L + 1)).toDF("doc_a", "doc_b")
+      val labels = Dedup.labelClusters(ids, pairs, 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels(i * 100L + 1) == i * 100L, "eviction must not corrupt results")
+    }
+    assert(Dedup.clusterMemoSize <= 16,
+      s"memo grew to ${Dedup.clusterMemoSize} — the LRU cap must bound it")
+    // a re-query after eviction still returns correct clusters (recompute)
+    val ids0 = (0L to 3L).toDF("id")
+    val pairs0 = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val again = Dedup.labelClusters(ids0, pairs0, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L))
+  }
+
   // ---- q101 / TxCatalog: cross-table atomic publish ----
 
   test("TxCatalog: a reader inside the commit window never pairs one " +
