@@ -329,6 +329,40 @@ object Dedup {
     b.result()
   }
 
+  /** OPTIONAL pre-propagation degree cap (default-off — d07 and every
+    * registered query propagate the full candidate set): each doc keeps
+    * its `maxDegree` strongest candidate edges (evidence = n_shared_bands
+    * desc, partner-id asc tie-break), and an edge survives if EITHER
+    * endpoint keeps it — so surviving degree is ≤ 2·maxDegree and the
+    * propagation's per-round join fan-out is bounded however dense the
+    * LSH graph gets. The trade is exact and one-sided: capping can only
+    * DROP edges, so capped clusters are always a REFINEMENT of the
+    * uncapped ones (never over-merge; an edge is lost — and a merge
+    * missed — only when BOTH endpoints rank it below their cap, the
+    * both-ends-saturated case Round14Spec constructs and quantifies).
+    * Reach for this only when a future fixture decade makes propagation
+    * dominate the suite (the r13 verdict's item 6 condition); at current
+    * scales the full set converges in 22 rounds at sf0.1 and needs no
+    * sampling.
+    */
+  def degreeCapEdges(pairs: DataFrame, maxDegree: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
+    val dir = pairs.select(col("doc_a").as("doc"), col("doc_b").as("partner"),
+        col("n_shared_bands"))
+      .unionByName(pairs.select(col("doc_b").as("doc"),
+        col("doc_a").as("partner"), col("n_shared_bands")))
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("n_shared_bands").desc, col("partner").asc)
+    dir.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxDegree)
+      .select(least(col("doc"), col("partner")).as("doc_a"),
+        greatest(col("doc"), col("partner")).as("doc_b"),
+        col("n_shared_bands"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("n_shared_bands")).as("n_shared_bands"))
+  }
+
   /** Exact Jaccard similarity on candidate pairs (the verify step after LSH
     * candidate generation). `withFeatures`: (id, features).
     */

@@ -118,6 +118,44 @@ class Round14Spec extends AnyFunSuite {
     assert(again == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L))
   }
 
+  // ---- degreeCapEdges: optional pre-propagation sampling ----
+
+  test("degreeCapEdges: capped clusters only ever REFINE the uncapped ones, " +
+      "and the both-ends-saturated weak bridge is the quantified loss") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // two strong triangles bridged by one weak edge (3,4): with
+    // maxDegree = 2, BOTH endpoints rank the bridge below their two
+    // strong edges, so it is the only edge the cap drops
+    val ids = (1L to 6L).toDF("id")
+    val pairs = Seq(
+      (1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L),
+      (3L, 4L, 1L)).toDF("doc_a", "doc_b", "n_shared_bands")
+    val capped = Dedup.degreeCapEdges(pairs, maxDegree = 2)
+    // one-sided loss: exactly the weak bridge is gone
+    assert(capped.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)))
+    val full = Dedup.labelClusters(ids, pairs, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampled = Dedup.labelClusters(ids, capped, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.values.toSet == Set(1L), "uncapped merges everything")
+    assert(sampled.values.toSet == Set(1L, 4L),
+      "the dropped bridge splits exactly at the weak edge")
+    // refinement property: same capped label => same uncapped label
+    // (capping can under-merge, never over-merge)
+    sampled.groupBy(_._2).values.foreach { members =>
+      assert(members.map(m => full(m._1)).toSet.size == 1,
+        "a capped cluster must sit inside one uncapped cluster")
+    }
+    // an edge kept by EITHER endpoint survives: node 3 keeps (1,3)/(2,3)
+    // even though 1 and 2 are themselves saturated
+    assert(Dedup.degreeCapEdges(pairs, maxDegree = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      .contains((1L, 2L)))
+  }
+
   // ---- q101 / TxCatalog: cross-table atomic publish ----
 
   test("TxCatalog: a reader inside the commit window never pairs one " +
