@@ -192,7 +192,12 @@ object ExtensionQueries8 {
     */
   private[graft] def statsCatalog(s: SparkSession, rows: DataFrame,
       shard: Column, specs: Seq[ColSpec], root: String): DataFrame = {
-    val longF = catalogLongForm(rows, shard, specs)
+    // persist: the long form feeds THREE passes (stats write, register
+    // write, the serve's ndv_true truth scan) — without the cache each
+    // one re-runs the explode over the source table (measured in q99's
+    // r14 sweep; session-scoped like every operator cache here, and
+    // CacheManager's canonical-plan dedup shares it across q96/q99/q101)
+    val longF = catalogLongForm(rows, shard, specs).persist()
     writeCatalogShards(longF, root, "overwrite")
     serveCatalog(s, longF, root)
   }
@@ -913,13 +918,23 @@ object ExtensionQueries8 {
     "q99_lake_stats_sweep" -> ((s, dir) => {
       val root = graft.sources.Scratch.fresh(s,
         s"lake_catalog_${new java.io.File(dir).getName}")
-      LakeAudit.map { case (tbl, shardKey, cols) =>
-        statsCatalog(s, t(s, dir, tbl),
-            pmod(col(shardKey).cast("long"),
-              lit(ExtensionQueries7.SketchShards.toLong)),
-            cols.map(auditSpec), s"$root/$tbl")
-          .withColumn("table_name", lit(tbl))
-      }.reduce(_.unionByName(_))
+      // tables audit independently, so their build jobs (two artifact
+      // writes each) are submitted CONCURRENTLY — on a shared cluster
+      // the small dims fill the slots the big facts leave idle; serial
+      // submission measured 30.8 s at sf0.1, the whole wall dominated
+      // by 20 back-to-back write jobs
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.DurationInt
+      Await.result(Future.sequence(LakeAudit.map {
+        case (tbl, shardKey, cols) => Future {
+          statsCatalog(s, t(s, dir, tbl),
+              pmod(col(shardKey).cast("long"),
+                lit(ExtensionQueries7.SketchShards.toLong)),
+              cols.map(auditSpec), s"$root/$tbl")
+            .withColumn("table_name", lit(tbl))
+        }
+      }), 30.minutes).reduce(_.unionByName(_))
         .select(col("table_name"), col("col_name"), col("n_rows"),
           col("n_null"), col("ndv_est"), col("ndv_true"),
           col("min_num"), col("max_num"), col("min_str"), col("max_str"))
