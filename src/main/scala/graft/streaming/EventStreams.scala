@@ -388,6 +388,32 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Update())
   }
+
+  /** [[sessionizeTws]] with PROACTIVE idle closure via processing-time
+    * TIMERS — the other half of the v2 state API's lifecycle surface
+    * beside [[sessionizeTwsTtl]]'s eviction. The gap-fold forms (fMGWS
+    * and both TWS twins) can only close a session when the user's NEXT
+    * event arrives; a user who never returns leaves a forever-open
+    * session that no downstream join ever sees finalized. Here every
+    * state update (re-)arms a per-key timer at now + `idleTimeout`;
+    * if no further event lands, `handleExpiredTimer` EMITS the closed
+    * session and clears the state — finalization without an input row,
+    * which is what timers exist for and TTL alone cannot do (TTL
+    * silently drops state; timers emit on the way out). Semantics:
+    * closure by timer uses the processing-time idle bar, closure by a
+    * late-arriving event still uses the event-time gap — the standard
+    * production pairing. StreamingSpec pins the no-input closed
+    * emission and the cleared-state fresh restart.
+    */
+  def sessionizeTwsTimers(events: Dataset[Event], gapSeconds: Double,
+      idleTimeout: java.time.Duration): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTimerProcessor(gapSeconds, idleTimeout.toMillis),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
 }
 
 /** [[EventStreams.sessionizeTws]]'s StatefulProcessor: one named
@@ -397,6 +423,68 @@ object EventStreams {
   * store itself evicts idle keys — the fold logic never changes; an
   * evicted key simply reads as `!st.exists()` on its next event.
   */
+/** [[EventStreams.sessionizeTwsTimers]]'s StatefulProcessor: the
+  * SessionProcessor fold plus a per-key processing-time timer re-armed
+  * on every update; expiry emits the closed session and clears state.
+  * Timer hygiene: the previous timer is deleted before arming the next
+  * (listTimers + deleteTimer), so a chatty key holds exactly ONE
+  * pending timer instead of one per batch — at 100 TB of events the
+  * timer store would otherwise grow with update count, not key count.
+  */
+class SessionTimerProcessor(gapSeconds: Double, idleMs: Long) extends
+    org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStreams.Event, EventStreams.SessionUpdate] {
+  import EventStreams.{Event, SessionState, SessionUpdate}
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState("session",
+      org.apache.spark.sql.Encoders.product[SessionState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+      timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[SessionUpdate] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val secs = sorted.map(_.ts.getTime / 1000.0)
+      val init = if (st.exists()) st.get()
+        else SessionState(0L, secs.head, secs.head)
+      val closed = Seq.newBuilder[SessionUpdate]
+      val folded = secs.foldLeft(init) { (s, sec) =>
+        if (s.nEvents > 0 && sec - s.lastSec > gapSeconds) {
+          closed += SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec,
+            closed = true)
+          SessionState(1L, sec, sec)
+        } else
+          SessionState(s.nEvents + 1,
+            if (s.nEvents == 0) sec else s.firstSec, sec)
+      }
+      st.update(folded)
+      // re-arm the idle timer: exactly one pending timer per key
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(timers.getCurrentProcessingTimeInMs + idleMs)
+      (closed.result() :+ SessionUpdate(userId, folded.nEvents,
+        folded.lastSec - folded.firstSec, closed = false)).iterator
+    }
+  }
+
+  override def handleExpiredTimer(userId: Long,
+      timers: org.apache.spark.sql.streaming.TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[SessionUpdate] =
+    if (!st.exists()) Iterator.empty
+    else {
+      val s = st.get()
+      st.clear()
+      Iterator.single(
+        SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec, closed = true))
+    }
+}
+
 class SessionProcessor(gapSeconds: Double,
     ttl: Option[java.time.Duration] = None) extends
     org.apache.spark.sql.streaming.StatefulProcessor[

@@ -363,6 +363,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer-driven idle closure: the session finalizes WITHOUT an input " +
+      "row, and the cleared state restarts fresh on a late return") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    type Update = (Long, Long, Double, Boolean)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[Update]()
+      import scala.jdk.CollectionConverters._
+      val q = EventStreams.sessionizeTwsTimers(stream.toDS(), 1800,
+          java.time.Duration.ofMillis(500))
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[EventStreams.SessionUpdate],
+           _: Long) =>
+            df.collect().foreach(u =>
+              sink.add((u.user_id, u.n_events, u.duration_secs, u.closed)))
+        }
+        .start()
+      def awaitUpdate(expect: Update): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (!sink.asScala.exists(_ == expect) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        assert(sink.asScala.exists(_ == expect),
+          s"expected $expect; sink=${sink.asScala.toList.sorted}")
+      }
+      try {
+        stream.addData(
+          Event(1L, ts("2024-01-01 00:00:00"), 7L, "view", 1.0),
+          Event(2L, ts("2024-01-01 00:10:00"), 7L, "view", 1.0))
+        awaitUpdate((7L, 2L, 600.0, false))
+        // the finalization arrives with NO further input — the timer
+        // fires in a later bookkeeping batch and emits closed=true
+        awaitUpdate((7L, 2L, 600.0, true))
+        // the timer cleared state: a return WITHIN the event-time gap
+        // still starts a fresh session (the idle bar closed the old one)
+        stream.addData(Event(3L, ts("2024-01-01 00:20:00"), 7L, "view", 1.0))
+        awaitUpdate((7L, 1L, 0.0, false))
+        assert(!sink.asScala.exists(_ == ((7L, 3L, 1200.0, false))),
+          "a timer-closed session must not be continued")
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming value streaks match the batch form across a mid-streak batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
