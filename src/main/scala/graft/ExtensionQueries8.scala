@@ -941,6 +941,45 @@ object ExtensionQueries8 {
         .orderBy(col("table_name"), col("col_name"))
     }),
 
+    // Sketch set-DIFFERENCE (q102): the a-not-b operation that completes
+    // q87's theta-sketch algebra (union, intersection, Jaccard — and now
+    // difference, the "viewers who never purchased" audience a targeting
+    // pipeline actually exports). Same mechanics as q87: θ = min(θa,
+    // θb), both bottom-k samples re-trimmed below θ, est = |sample
+    // difference| · 2^48/θ, exact regime when both segments fit their
+    // sketches. Deterministic for q87's reason: bottom-k is a pure
+    // function of the distinct hash set, so even the approximate
+    // estimate is oracle-replayable bit-for-bit. Scale shape: each
+    // segment folds map-side to one ≤ k-long row; the difference is
+    // array math on two bounded rows — composable across days from the
+    // q98 stored sample lake with no re-scan.
+    "q102_sketch_difference" -> ((s, dir) => {
+      import s.implicits._
+      val k = ExtensionQueries3.KmvK
+      val th48 = math.pow(2, 48)
+      def seg(tpe: String) =
+        t(s, dir, "events").filter(col("event_type") === tpe)
+          .select(ExtensionQueries3.md5Hash48(col("user_id")).as("h")).as[Long]
+          .select(graft.operators.Kmv.keep(k).toColumn)
+      val a = seg("view").toDF("ha")
+      val b = seg("purchase").toDF("hb")
+      val thA = when(size(col("ha")) >= k, element_at(col("ha"), k))
+        .otherwise(lit(1L << 48))
+      val thB = when(size(col("hb")) >= k, element_at(col("hb"), k))
+        .otherwise(lit(1L << 48))
+      a.crossJoin(broadcast(b))
+        .withColumn("theta", least(thA, thB))
+        .withColumn("sa", filter(col("ha"), h => h < col("theta")))
+        .withColumn("sb", filter(col("hb"), h => h < col("theta")))
+        .withColumn("n_anotb", size(array_except(col("sa"), col("sb"))).cast("long"))
+        .withColumn("n_bnota", size(array_except(col("sb"), col("sa"))).cast("long"))
+        .select(lit(k).as("k"), col("theta"), col("n_anotb"), col("n_bnota"),
+          Agg.roundAt(col("n_anotb").cast("double") * lit(th48)
+            / col("theta").cast("double"), 4).as("est_anotb"),
+          Agg.roundAt(col("n_bnota").cast("double") * lit(th48)
+            / col("theta").cast("double"), 4).as("est_bnota"))
+    }),
+
     // Graph-walk ANN serving (s36): the query path the capped kNN graph
     // (s31) exists to enable — beam search from fixed entry points,
     // expanding through the graph's directed top-3 edges, re-ranking a
@@ -1915,6 +1954,37 @@ object ExtensionQueries8 {
 
     // Walk replay: s31's graph CTEs + the unrolled fixed-depth beam loop.
     "s36_graph_walk_ann" -> graphWalkSql,
+
+    // Difference replay: q87's segment CTEs + θ-trim, EXCEPT instead of
+    // UNION/INTERSECT. 2^48 = 281474976710656 exactly in both engines.
+    "q102_sketch_difference" -> {
+      val k = ExtensionQueries3.KmvK
+      def segCte(name: String, tpe: String) = s"""
+      $name AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        FROM events WHERE event_type = '$tpe' ORDER BY h LIMIT $k
+      )"""
+      s"""
+      WITH ${segCte("ha", "view")},
+      ${segCte("hb", "purchase")},
+      ta AS (SELECT CASE WHEN count(*) >= $k THEN max(h)
+                    ELSE CAST(281474976710656 AS BIGINT) END AS th FROM ha),
+      tb AS (SELECT CASE WHEN count(*) >= $k THEN max(h)
+                    ELSE CAST(281474976710656 AS BIGINT) END AS th FROM hb),
+      th AS (SELECT least(ta.th, tb.th) AS theta FROM ta, tb),
+      sa AS (SELECT count(*) AS n_anotb
+             FROM (SELECT h FROM ha EXCEPT SELECT h FROM hb) d, th
+             WHERE h < theta),
+      sb AS (SELECT count(*) AS n_bnota
+             FROM (SELECT h FROM hb EXCEPT SELECT h FROM ha) d, th
+             WHERE h < theta)
+      SELECT $k AS k, theta, n_anotb, n_bnota,
+             floor(CAST(n_anotb AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+               / CAST(theta AS DOUBLE) * 10000 + 0.5) / 10000 AS est_anotb,
+             floor(CAST(n_bnota AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+               / CAST(theta AS DOUBLE) * 10000 + 0.5) / 10000 AS est_bnota
+      FROM th, sa, sb"""
+    },
 
     // t33's substrate re-aggregated per source, then the identical
     // op-for-op weight/draw/epoch arithmetic (sqrt is IEEE-correctly

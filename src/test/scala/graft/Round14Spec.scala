@@ -227,6 +227,35 @@ class Round14Spec extends AnyFunSuite {
     assert(tx == plain)
   }
 
+  // ---- q102: theta-sketch difference ----
+
+  test("q102 difference agrees with exact set algebra in the exact regime, " +
+      "and the two directions partition the union") {
+    import spark.implicits._
+    val row = ExtensionQueries8.all("q102_sketch_difference")(spark, dir)
+      .collect().head
+    val (theta, nAnotB, nBnotA) =
+      (row.getLong(1), row.getLong(2), row.getLong(3))
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    def users(tpe: String) = ev.filter(col("event_type") === tpe)
+      .select("user_id").as[Long].collect().toSet
+    val (a, b) = (users("view"), users("purchase"))
+    if (theta == (1L << 48)) {
+      // exact regime: neither sketch saturated — the estimates ARE the
+      // exact difference cardinalities
+      assert(nAnotB == (a -- b).size && nBnotA == (b -- a).size)
+      assert(row.getDouble(4) == (a -- b).size.toDouble &&
+        row.getDouble(5) == (b -- a).size.toDouble)
+    }
+    // structural identity either way: |A\B| + |B\A| + |A∩B| = |A∪B|
+    // on the θ-trimmed samples — recompute from q87's own row
+    val q87 = ExtensionQueries6.all("q87_sketch_set_ops")(spark, dir)
+      .collect().head
+    assert(q87.getLong(3) == theta, "q87 and q102 must trim at the same θ")
+    assert(nAnotB + nBnotA + q87.getLong(5) == q87.getLong(4),
+      "difference, intersection and union counts must partition")
+  }
+
   // ---- s36: graph-walk ANN serving ----
 
   test("s36 walk: 5 strictly-ranked non-self results per query, every one " +
