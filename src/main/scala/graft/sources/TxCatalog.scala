@@ -140,4 +140,18 @@ object TxCatalog {
     latestPins(spark, catDir).map { case (t, v) =>
       t -> Snapshots.readAsOf(spark, t, v)
     }
+
+  /** Catalog-level TIME TRAVEL: every table resolved at catalog version
+    * `v`'s pins — the CONSISTENT historical multi-table view ("the exact
+    * stats+registers pair run N read"), which per-table
+    * [[Snapshots.readAsOf]] alone cannot give you: table versions move
+    * independently, and only a catalog manifest records which
+    * combination was ever visible together. Works as long as the pinned
+    * table versions haven't been [[Snapshots.expire]]d.
+    */
+  def snapshotAsOf(spark: SparkSession, catDir: String, v: Int)
+      : Map[String, DataFrame] =
+    pins(spark, catDir, v).map { case (t, ver) =>
+      t -> Snapshots.readAsOf(spark, t, ver)
+    }
 }

@@ -219,6 +219,24 @@ class Round14Spec extends AnyFunSuite {
       "an orphaned member commit must stay invisible through the catalog")
   }
 
+  test("TxCatalog time travel: a historical catalog version reproduces " +
+      "the exact historical table PAIR, not whatever the tables hold now") {
+    import spark.implicits._
+    import graft.sources.{Scratch, TxCatalog}
+    val root = Scratch.fresh(spark, "r14_txcat3")
+    val (cat, tA, tB) = (s"$root/cat", s"$root/a", s"$root/b")
+    def rows(tag: String) = Seq((1L, tag)).toDF("id", "tag")
+    val v1 = TxCatalog.commitAll(spark, cat, Seq(tA -> rows("a1"), tB -> rows("b1")))
+    val v2 = TxCatalog.commitAll(spark, cat, Seq(tA -> rows("a2"), tB -> rows("b2")))
+    def tags(snap: Map[String, org.apache.spark.sql.DataFrame], t: String) =
+      snap(t).select("tag").as[String].collect().toSet
+    val hist = TxCatalog.snapshotAsOf(spark, cat, v1)
+    assert(tags(hist, tA) == Set("a1") && tags(hist, tB) == Set("b1"),
+      "version-1 resolution must see only generation-1 rows in BOTH tables")
+    val now = TxCatalog.snapshotAsOf(spark, cat, v2)
+    assert(tags(now, tA) == Set("a1", "a2") && tags(now, tB) == Set("b1", "b2"))
+  }
+
   test("q101 equals q96: the transactional publish is output-invisible") {
     val tx = ExtensionQueries8.all("q101_tx_stats_publish")(spark, dir)
       .collect().map(_.toSeq).toList
