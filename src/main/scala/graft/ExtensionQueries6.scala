@@ -48,10 +48,14 @@ object ExtensionQueries6 {
       "graph_capped" -> graphRank(
         ExtensionQueries3.knnGraph(s, dir, ExtensionQueries.IvfProbe,
           Some(ExtensionQueries3.GraphCapR))),
-      // the walk SERVES from the capped graph (r14): its recall beside
-      // graph_capped prices what beam search loses vs reading the
-      // graph's own stored top-3 rows
+      // the walks SERVE from the capped graph (r14): graph_walk's
+      // recall beside graph_capped prices what beam search loses vs
+      // reading the graph's own stored top-3 rows, and graph_walk_ivf
+      // beside graph_walk prices what query-aware (IVF-routed) entries
+      // buy over fixed global ones
       "graph_walk" -> ExtensionQueries8.graphWalk(s, dir)
+        .select(col("query_id"), col("vec_id"), col("rank")),
+      "graph_walk_ivf" -> ExtensionQueries8.graphWalkIvf(s, dir)
         .select(col("query_id"), col("vec_id"), col("rank")))
   }
 
@@ -393,7 +397,9 @@ object ExtensionQueries6 {
       "graph_capped" -> graphSub(ExtensionQueries3.knnGraphSql(
         cap = Some(ExtensionQueries3.GraphCapR))),
       "graph_walk" ->
-        s"(SELECT query_id, vec_id, rank FROM (${ExtensionQueries8.graphWalkSql}) gw)")
+        s"(SELECT query_id, vec_id, rank FROM (${ExtensionQueries8.graphWalkSql}) gw)",
+      "graph_walk_ivf" ->
+        s"(SELECT query_id, vec_id, rank FROM (${ExtensionQueries8.graphWalkIvfSql}) gwi)")
   }
 
   /** The graph oracles emit (vec_id, rank, neighbor, …); restrict to the

@@ -407,7 +407,51 @@ object ExtensionQueries8 {
     * which is the point of graph ANN at 100 TB: a query's work is
     * O(beam · degree · hops), independent of n.
     */
-  private[graft] def graphWalk(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def graphWalk(s: SparkSession, dir: String): DataFrame =
+    walkFrom(s, dir, (q, e) =>
+      q.select(col("query_id")).crossJoin(
+        e.orderBy(col("vec_id")).limit(WalkEntryN).select(col("vec_id"))))
+
+  /** s37's entry rule: the COARSE layer of hierarchical graph ANN —
+    * route each query to its [[ExtensionQueries.IvfProbe]] nearest IVF
+    * cells (s31's own training, shared through the trainer caches) and
+    * enter the walk from each probed cell's single most-central capped
+    * member (the rank-1 row of s31's occupancy cap). Query-AWARE
+    * entries where s36's fixed global entries are blind: the walk
+    * starts inside the query's own region of the graph, which is
+    * exactly what HNSW's upper layers buy — s22's graph_walk vs
+    * graph_walk_ivf rows price the difference.
+    */
+  private[graft] def graphWalkIvf(s: SparkSession, dir: String): DataFrame =
+    walkFrom(s, dir, (q, e) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.VectorOps
+      val (cent, assigned) = graft.operators.Kmeans.fit(
+        e.select(col("vec_id"), col("v")),
+        k = ExtensionQueries.IvfCells, iters = ExtensionQueries.IvfIters)
+      val wCap = Window.partitionBy(col("cell"))
+        .orderBy(col("bcos").desc, col("vec_id").asc)
+      val heads = assigned
+        .join(broadcast(cent.select(col("cell"), col("cv"))), Seq("cell"))
+        .withColumn("bcos", VectorOps.cosineFast(col("v"), col("cv")))
+        .withColumn("brn", row_number().over(wCap))
+        .filter(col("brn") === 1)
+        .select(col("cell"), col("vec_id"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cell").asc)
+      val qcells = q.crossJoin(broadcast(cent))
+        .withColumn("ccos", VectorOps.cosineFast(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= ExtensionQueries.IvfProbe)
+        .select(col("query_id"), col("cell"))
+      qcells.join(heads, Seq("cell")).select(col("query_id"), col("vec_id"))
+    })
+
+  /** The shared beam loop of s36/s37 over s31's capped graph; `mkSeeds`
+    * builds the hop-0 candidate set (query_id, vec_id) from (q, e).
+    */
+  private def walkFrom(s: SparkSession, dir: String,
+      mkSeeds: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.VectorOps
     val g = ExtensionQueries3.knnGraph(s, dir, ExtensionQueries.IvfProbe,
@@ -416,8 +460,6 @@ object ExtensionQueries8 {
     val e = ExtensionQueries.embeddingsD(s, dir)
     val q = e.filter(col("vec_id") <= 2)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val entries = e.orderBy(col("vec_id")).limit(WalkEntryN)
-      .select(col("vec_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     def scoreTop(cand: DataFrame, k: Int): DataFrame =
@@ -429,8 +471,7 @@ object ExtensionQueries8 {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select(col("query_id"), col("vec_id"), col("cos"))
-    var beam = scoreTop(
-      q.select(col("query_id")).crossJoin(entries), WalkBeam)
+    var beam = scoreTop(mkSeeds(q, e), WalkBeam)
     for (_ <- 1 to WalkHops) {
       val cand = beam.select(col("query_id"), col("vec_id"))
         .union(beam.join(g, col("vec_id") === col("src"))
@@ -450,12 +491,60 @@ object ExtensionQueries8 {
     * unroll-vs-loop argument as d07's oracle, but here the depth is a
     * constant of the operator, not a convergence bound).
     */
-  private[graft] def graphWalkSql: String = {
+  private[graft] def graphWalkSql: String = walkSql(s"""
+      entries AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $WalkEntryN),
+      w0 AS (SELECT q.query_id, en.vec_id FROM q CROSS JOIN entries en)""")
+
+  /** [[graphWalkIvf]]'s replay: the walk chain over IVF-routed entries —
+    * the same training CTEs s31's graph already embeds (c/a at
+    * [[ExtensionQueries.IvfIters]]), each query's probe cells, the
+    * rank-1 capped member per cell as its entry.
+    */
+  private[graft] def graphWalkIvfSql: String = {
+    val iters = ExtensionQueries.IvfIters
+    walkSql(s"""${ExtensionQueries.kmTrainingCtes(
+        ExtensionQueries.IvfCells, iters)},
+      heads AS (
+        SELECT cell, vec_id FROM (
+          SELECT b.cell, b.vec_id,
+                 row_number() OVER (PARTITION BY b.cell ORDER BY
+                   (${ExtensionQueries.dotSql("b.v", "c.cv")} /
+                    (sqrt(${ExtensionQueries.dotSql("b.v", "b.v")}) *
+                     sqrt(${ExtensionQueries.dotSql("c.cv", "c.cv")}))) DESC,
+                   b.vec_id ASC) AS brn
+          FROM a$iters b JOIN c$iters c ON b.cell = c.cell
+        ) x WHERE brn = 1
+      ),
+      qcells AS (
+        SELECT query_id, cell FROM (
+          SELECT q.query_id, c.cell,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   (${ExtensionQueries.dotSql("q.qv", "c.cv")} /
+                    (sqrt(${ExtensionQueries.dotSql("q.qv", "q.qv")}) *
+                     sqrt(${ExtensionQueries.dotSql("c.cv", "c.cv")}))) DESC,
+                   c.cell ASC) AS prn
+          FROM q CROSS JOIN c$iters c
+        ) p WHERE prn <= ${ExtensionQueries.IvfProbe}
+      ),
+      w0 AS (SELECT qc.query_id, h.vec_id FROM qcells qc
+             JOIN heads h ON qc.cell = h.cell)""")
+  }
+
+  /** The shared walk-chain SQL: `entriesCtes` must define `w0(query_id,
+    * vec_id)` — the hop-0 candidates. It may reference `e`, `q`, and
+    * any CTEs it brings along (the IVF variant splices the km training
+    * CTEs, which the embedded s31 graph subquery ALSO builds; DuckDB
+    * evaluates the two independently, and the training is
+    * deterministic, so both copies land on identical centroids). Walk
+    * CTEs are `w`-prefixed to stay clear of the training chain's
+    * c<i>/a<i> names.
+    */
+  private def walkSql(entriesCtes: String): String = {
     val dot = ExtensionQueries.dotSql("q.qv", "e.v")
     val qn = ExtensionQueries.dotSql("q.qv", "q.qv")
     val en = ExtensionQueries.dotSql("e.v", "e.v")
     def scoreCte(h: Int, from: String) = s"""
-      s$h AS (
+      ws$h AS (
         SELECT c.query_id, c.vec_id,
                floor(($dot / (sqrt($qn) * sqrt($en))) * 1000000 + 0.5)
                  / 1000000 AS cos
@@ -463,22 +552,22 @@ object ExtensionQueries8 {
         JOIN e ON c.vec_id = e.vec_id
         WHERE c.vec_id <> c.query_id
       ),
-      b$h AS (
+      wb$h AS (
         SELECT query_id, vec_id, cos FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY cos DESC, vec_id ASC) AS rn FROM s$h
+            ORDER BY cos DESC, vec_id ASC) AS rn FROM ws$h
         ) x WHERE rn <= $WalkBeam
       )"""
     val hops = (1 to WalkHops).map { h =>
       s"""
-      c$h AS (
+      w$h AS (
         SELECT DISTINCT query_id, vec_id FROM (
-          SELECT query_id, vec_id FROM b${h - 1}
+          SELECT query_id, vec_id FROM wb${h - 1}
           UNION ALL
           SELECT b.query_id, g.dst AS vec_id
-          FROM b${h - 1} b JOIN g ON g.src = b.vec_id
+          FROM wb${h - 1} b JOIN g ON g.src = b.vec_id
         ) u
-      ),${scoreCte(h, s"c$h")}"""
+      ),${scoreCte(h, s"w$h")}"""
     }.mkString(",")
     s"""
       WITH g AS (
@@ -490,12 +579,10 @@ object ExtensionQueries8 {
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
       ),
-      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),
-      entries AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $WalkEntryN),
-      c0 AS (SELECT q.query_id, en.vec_id FROM q CROSS JOIN entries en),${scoreCte(0, "c0")},$hops
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),$entriesCtes,${scoreCte(0, "w0")},$hops
       SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, cos FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY cos DESC, vec_id ASC) AS rn FROM b$WalkHops
+          ORDER BY cos DESC, vec_id ASC) AS rn FROM wb$WalkHops
       ) f WHERE rn <= 5
       ORDER BY query_id, rank"""
   }
@@ -991,6 +1078,22 @@ object ExtensionQueries8 {
     // fixed hop count makes the plan static (no data-dependent
     // iteration), so the oracle replays it as an unrolled CTE chain.
     "s36_graph_walk_ann" -> ((s, dir) => graphWalk(s, dir)),
+
+    // IVF-routed graph walk (s37): s36 with the COARSE layer — each
+    // query enters the walk from its own probe cells' most-central
+    // capped members instead of fixed global entries (see
+    // [[graphWalkIvf]]). This is the two-layer serving shape
+    // hierarchical graph ANN (HNSW's upper layers, DiskANN's medoid
+    // routing) exists for: entry cost is |q|·k centroid scores — the
+    // IVF routing the engine already pays in s04/s05 — and the walk
+    // starts inside the query's own region of the graph. Both walks
+    // are priced against each other and against the stored graph in
+    // s22's graded table; on THIS fixture's isotropic embeddings (max
+    // pairwise cosine ~0.21 — no cluster structure to navigate) the
+    // two land near-identical recall, which is itself the honest
+    // read-off: entry locality pays on clustered real-world vectors,
+    // and the constant per-query cost is the design point either way.
+    "s37_graph_walk_ivf" -> ((s, dir) => graphWalkIvf(s, dir)),
 
     // Auto-salted join (q100): q26 applies a FIXED salt factor; this
     // closes the q97 → q26 loop — the factor is chosen by the skew
@@ -1954,6 +2057,10 @@ object ExtensionQueries8 {
 
     // Walk replay: s31's graph CTEs + the unrolled fixed-depth beam loop.
     "s36_graph_walk_ann" -> graphWalkSql,
+
+    // IVF-entry walk replay: the same chain over the km-training +
+    // probe-routed entry CTEs.
+    "s37_graph_walk_ivf" -> graphWalkIvfSql,
 
     // Difference replay: q87's segment CTEs + θ-trim, EXCEPT instead of
     // UNION/INTERSECT. 2^48 = 281474976710656 exactly in both engines.
