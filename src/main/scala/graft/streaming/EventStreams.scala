@@ -27,6 +27,9 @@ object EventStreams {
   case class SessionUpdate(user_id: Long, n_events: Long, duration_secs: Double,
       closed: Boolean)
 
+  case class UserProfile(user_id: Long, n_types: Long, n_events: Long,
+      recent_ids: Seq[Long])
+
   /** Watermarked tumbling-window aggregate (guide: readStream -> transforms
     * -> writeStream). 10-minute lateness tolerance; append output emits each
     * window once it is final.
@@ -414,6 +417,43 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Update())
   }
+
+  /** Continuously-maintained per-user profile on the v2 state API's
+    * COMPOSITE state primitives — the two the sessionizers don't touch:
+    * a MapState[event_type → count] (per-key SUB-keyed state the store
+    * can update point-wise, where a ValueState[Map] would rewrite the
+    * whole map per event) and a ListState recency buffer of the last
+    * `recentN` event ids (arrival-ordered — the production semantics of
+    * a recency feed; equal to the event-time order whenever delivery is
+    * in order, which the spec's batch twin pins). One emission per
+    * (user, batch): distinct types, total events, recent ids. At 100 TB
+    * the MapState point updates are what keep a hot user's profile
+    * write O(types touched this batch), not O(all types ever seen).
+    */
+  def profileTws(events: Dataset[Event], recentN: Int)
+      : Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor(recentN),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[profileTws]]'s batch twin over in-order data: per user, distinct
+    * types, event count, and the last `recentN` event ids by
+    * (ts, event_id).
+    */
+  def profileBatch(events: DataFrame, recentN: Int): DataFrame = {
+    val ids = org.apache.spark.sql.functions.transform(
+      array_sort(collect_list(struct(col("ts"), col("event_id")))),
+      s => s.getField("event_id"))
+    events.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events"), ids.as("__ids"))
+      .withColumn("recent_ids",
+        when(size(col("__ids")) <= recentN, col("__ids"))
+          .otherwise(slice(col("__ids"), -recentN, recentN)))
+      .drop("__ids")
+  }
 }
 
 /** [[EventStreams.sessionizeTws]]'s StatefulProcessor: one named
@@ -483,6 +523,52 @@ class SessionTimerProcessor(gapSeconds: Double, idleMs: Long) extends
       Iterator.single(
         SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec, closed = true))
     }
+}
+
+/** [[EventStreams.profileTws]]'s StatefulProcessor: one MapState
+  * (event_type → count, point-updated per type touched) plus one
+  * ListState recency buffer per user — the two composite v2 state
+  * primitives in one processor, each under its own named handle.
+  */
+class ProfileProcessor(recentN: Int) extends
+    org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStreams.Event, EventStreams.UserProfile] {
+  import EventStreams.{Event, UserProfile}
+  @transient private var typeCounts:
+    org.apache.spark.sql.streaming.MapState[String, Long] = _
+  @transient private var recent:
+    org.apache.spark.sql.streaming.ListState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    typeCounts = getHandle.getMapState("type_counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    recent = getHandle.getListState("recent",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+      timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserProfile] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      sorted.foreach { e =>
+        val cur = if (typeCounts.containsKey(e.event_type))
+          typeCounts.getValue(e.event_type) else 0L
+        typeCounts.updateValue(e.event_type, cur + 1)
+      }
+      val prev = if (recent.exists()) recent.get().toSeq else Seq.empty
+      val upd = (prev ++ sorted.map(_.event_id)).takeRight(recentN)
+      recent.put(upd.toArray)
+      val counts = typeCounts.iterator().toSeq
+      Iterator.single(UserProfile(userId, counts.size.toLong,
+        counts.map(_._2).sum, upd))
+    }
+  }
 }
 
 class SessionProcessor(gapSeconds: Double,

@@ -416,6 +416,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("MapState+ListState profile: the streamed final per-user profile " +
+      "equals the batch twin across a batch split, and the recency " +
+      "buffer genuinely truncates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val batch1 = Seq(
+        Event(1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+        Event(2L, ts("2024-01-01 00:01:00"), 1L, "view", 1.0),
+        Event(3L, ts("2024-01-01 00:02:00"), 1L, "cart", 1.0),
+        Event(4L, ts("2024-01-01 00:00:30"), 2L, "view", 1.0))
+      val batch2 = Seq(
+        Event(5L, ts("2024-01-01 00:03:00"), 1L, "purchase", 1.0),
+        Event(6L, ts("2024-01-01 00:04:00"), 1L, "view", 1.0),
+        Event(7L, ts("2024-01-01 00:01:30"), 2L, "purchase", 1.0))
+      val stream = MemoryStream[Event]
+      val q = EventStreams.profileTws(stream.toDS(), recentN = 3)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("profiles").start()
+      stream.addData(batch1: _*); q.processAllAvailable()
+      stream.addData(batch2: _*); q.processAllAvailable()
+      q.stop()
+      // each user's FINAL update (max n_events) is its steady-state profile
+      val streamed = spark.table("profiles")
+        .as[EventStreams.UserProfile].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+      val batch = EventStreams.profileBatch(
+          (batch1 ++ batch2).toDF(), recentN = 3)
+        .as[EventStreams.UserProfile].collect()
+        .map(p => p.user_id -> p).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (u, p) =>
+        assert(p == batch(u), s"user $u: stream $p vs batch ${batch(u)}")
+      }
+      // the buffer truncated: user 1 saw 5 events, keeps ids of the last 3
+      assert(streamed(1L).recent_ids == Seq(3L, 5L, 6L))
+      assert(streamed(1L).n_types == 3 && streamed(1L).n_events == 5)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming value streaks match the batch form across a mid-streak batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
