@@ -151,6 +151,12 @@ object ExtensionQueries8 {
     */
   val MixTokenBudget = 1.0e7
 
+  /** e21's always-valid significance bar: ln(1/α) at α = 0.05, computed
+    * ONCE driver-side and spliced into both engines as the same literal
+    * (the sStar rule — neither engine's libm is trusted to agree on ln).
+    */
+  val MsprtLnAlphaInv: Double = math.log(1.0 / 0.05)
+
   /** e19's pre/post experiment boundary — 2024-01-16T00:00:00Z in epoch
     * micros (events span January 2024, so this splits the fixture near
     * its median). Compared as integer micros in both engines, so no
@@ -820,6 +826,91 @@ object ExtensionQueries8 {
           Agg.roundAt(col("rate_b"), 6).as("rate_b"),
           col("z").as("z_score"),
           (abs(col("z")) >= 1.959964).as("significant"))
+    }),
+
+    // Always-valid sequential A/B monitoring (e21): the mSPRT (mixture
+    // sequential probability-ratio test, Johari et al.'s always-valid
+    // inference) over the purchase-value metric — the answer to "can I
+    // peek at the experiment every day?", which e17's fixed-horizon z
+    // explicitly cannot give (peeking inflates its false-positive rate;
+    // the mSPRT's ln Λ is valid at EVERY look). Per day, over the
+    // CUMULATIVE exact moments of both user-hash variants: with the
+    // standard τ² = σ² mixture, ln Λ = ½·ln((na+nb)/(na+nb+na·nb)) +
+    // Δ²/(2σ²h(h+1)) with h = 1/na + 1/nb — the log's argument is a
+    // ratio of positive INTEGERS, so [[graft.functions.DetLn]] makes
+    // both engines' logs bit-identical, and the rest is IEEE arithmetic
+    // in one mirrored op order over exact fixed-point sums. The
+    // always-valid decision is the RUNNING MAX of ln Λ against the
+    // spliced ln(1/α) literal: once significant, always significant —
+    // the monotone decision rule that makes daily peeking safe. Rows
+    // begin at the first day both arms have n ≥ 2 and pooled σ² > 0
+    // (before that the monitor is not defined). Scale shape: one events
+    // scan → per-(day, variant) exact sums (map-side combinable), a
+    // |days|-row cumulative window, |days|-row arithmetic after.
+    "e21_msprt" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.DetLn.detLn
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("variant")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+        .withColumn("day", to_date(col("ts")))
+      // per-row micro-unit longs (the e19 rule): value has a ≤6-dp
+      // decimal image and v·v rounds to 6 dp identically in both
+      // engines, so the cumulative sums are exact integers
+      val perDay = ev.groupBy(col("day"), col("variant"))
+        .agg(count(lit(1)).as("dn"),
+          sum((col("value").cast("decimal(30,6)") * 1000000).cast("long"))
+            .as("dsv"),
+          sum(((col("value") * col("value")).cast("decimal(30,6)") * 1000000)
+            .cast("long")).as("dsvv"))
+      val spine = ev.select(col("day")).distinct()
+        .crossJoin(Seq(0, 1).toDF("variant"))
+      val cum = spine.join(perDay, Seq("day", "variant"), "left")
+        .select(col("day"), col("variant"),
+          sum(coalesce(col("dn"), lit(0L))).over(w).as("n"),
+          sum(coalesce(col("dsv"), lit(0L))).over(w).as("sv"),
+          sum(coalesce(col("dsvv"), lit(0L))).over(w).as("svv"))
+      val a = cum.filter(col("variant") === 0)
+        .select(col("day"), col("n").as("n_a"), col("sv").as("sv_a"),
+          col("svv").as("svv_a"))
+      val b = cum.filter(col("variant") === 1)
+        .select(col("day"), col("n").as("n_b"), col("sv").as("sv_b"),
+          col("svv").as("svv_b"))
+      val wAll = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      a.join(b, Seq("day"))
+        .filter(col("n_a") >= 2 && col("n_b") >= 2)
+        // each fixed-point sum widens to a double ONCE, and every
+        // subsequent expression has one explicit association, mirrored
+        // op-for-op in the oracle
+        .withColumn("sa", col("sv_a").cast("double") / 1e6)
+        .withColumn("sb", col("sv_b").cast("double") / 1e6)
+        .withColumn("saa", col("svv_a").cast("double") / 1e6)
+        .withColumn("sbb", col("svv_b").cast("double") / 1e6)
+        .withColumn("mean_a", col("sa") / col("n_a"))
+        .withColumn("mean_b", col("sb") / col("n_b"))
+        .withColumn("var_pool",
+          ((col("saa") - col("sa") * col("sa") / col("n_a"))
+            + (col("sbb") - col("sb") * col("sb") / col("n_b")))
+            / (col("n_a") + col("n_b") - 2))
+        .filter(col("var_pool") > 0)
+        .withColumn("h",
+          lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+        .withColumn("delta", col("mean_b") - col("mean_a"))
+        .withColumn("ln_lambda", Agg.roundAt(
+          lit(0.5) * (detLn(col("n_a") + col("n_b"))
+            - detLn(col("n_a") + col("n_b") + col("n_a") * col("n_b")))
+            + col("delta") * col("delta")
+              / (lit(2.0) * col("var_pool") * col("h") * (col("h") + lit(1.0))), 6))
+        .withColumn("ln_lambda_max", max(col("ln_lambda")).over(wAll))
+        .select(col("day"), col("n_a"), col("n_b"),
+          Agg.roundAt(col("mean_a"), 6).as("mean_a"),
+          Agg.roundAt(col("mean_b"), 6).as("mean_b"),
+          col("ln_lambda"), col("ln_lambda_max"),
+          (col("ln_lambda_max") >= MsprtLnAlphaInv).as("significant"))
+        .orderBy(col("day"))
     }),
 
     // Near-dup threshold sweep (d21): d20 prices the CANDIDATE-GENERATION
@@ -2054,6 +2145,80 @@ object ExtensionQueries8 {
     // The auto-salted join is a pure plan rewrite whatever factor the
     // diagnosis picks — its oracle is the plain join verbatim (q26's).
     "q100_autosalted_join" -> RelationalQueries.oracles("q26_salted_join"),
+
+    // mSPRT replay: the same exact fixed-point cumulative moments, the
+    // DetLn integer-ratio log, and one mirrored op order throughout;
+    // ln(1/α) is the same spliced literal.
+    "e21_msprt" -> {
+      def ln(x: String) = graft.functions.DetLn.detLnSql(x)
+      val lnAinv = java.lang.Double.toString(MsprtLnAlphaInv)
+      s"""
+      WITH ev AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+        FROM events WHERE event_type = 'purchase'
+      ),
+      perday AS (
+        SELECT day, variant, count(*) AS dn,
+               CAST(sum(CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS BIGINT) AS dsv,
+               CAST(sum(CAST(CAST(value * value AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS BIGINT) AS dsvv
+        FROM ev GROUP BY 1, 2
+      ),
+      spine AS (
+        SELECT d.day, v.variant
+        FROM (SELECT DISTINCT day FROM ev) d
+        CROSS JOIN (SELECT unnest([0, 1]) AS variant) v
+      ),
+      cum AS (
+        SELECT s.day, s.variant,
+               CAST(sum(COALESCE(p.dn, 0)) OVER w AS BIGINT) AS n,
+               CAST(sum(COALESCE(p.dsv, 0)) OVER w AS BIGINT) AS sv,
+               CAST(sum(COALESCE(p.dsvv, 0)) OVER w AS BIGINT) AS svv
+        FROM spine s LEFT JOIN perday p
+          ON s.day = p.day AND s.variant = p.variant
+        WINDOW w AS (PARTITION BY s.variant ORDER BY s.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ),
+      j AS (
+        SELECT a.day, a.n AS n_a, b.n AS n_b,
+               CAST(a.sv AS DOUBLE) / 1000000.0 AS sa,
+               CAST(b.sv AS DOUBLE) / 1000000.0 AS sb,
+               CAST(a.svv AS DOUBLE) / 1000000.0 AS saa,
+               CAST(b.svv AS DOUBLE) / 1000000.0 AS sbb
+        FROM cum a JOIN cum b ON a.day = b.day
+        WHERE a.variant = 0 AND b.variant = 1 AND a.n >= 2 AND b.n >= 2
+      ),
+      m AS (
+        SELECT day, n_a, n_b, sa / n_a AS mean_a, sb / n_b AS mean_b,
+               ((saa - sa * sa / n_a) + (sbb - sb * sb / n_b))
+                 / (n_a + n_b - 2) AS var_pool
+        FROM j
+      ),
+      f AS (
+        SELECT *, (1.0 / n_a + 1.0 / n_b) AS h,
+               (mean_b - mean_a) AS delta
+        FROM m WHERE var_pool > 0
+      ),
+      l AS (
+        SELECT day, n_a, n_b, mean_a, mean_b,
+               floor((0.5 * (${ln("n_a + n_b")} - ${ln("n_a + n_b + n_a * n_b")})
+                 + delta * delta
+                   / (2.0 * var_pool * h * (h + 1.0))) * 1000000 + 0.5)
+                 / 1000000 AS ln_lambda
+        FROM f
+      )
+      SELECT day, n_a, n_b,
+             floor(mean_a * 1000000 + 0.5) / 1000000 AS mean_a,
+             floor(mean_b * 1000000 + 0.5) / 1000000 AS mean_b,
+             ln_lambda,
+             max(ln_lambda) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ln_lambda_max,
+             max(ln_lambda) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               >= $lnAinv AS significant
+      FROM l ORDER BY day"""
+    },
 
     // Walk replay: s31's graph CTEs + the unrolled fixed-depth beam loop.
     "s36_graph_walk_ann" -> graphWalkSql,

@@ -245,6 +245,51 @@ class Round14Spec extends AnyFunSuite {
     assert(tx == plain)
   }
 
+  // ---- e21: mSPRT always-valid sequential monitoring ----
+
+  test("e21 mSPRT: the decision is monotone (once significant, always " +
+      "significant), the running max is exact, and a planted effect " +
+      "triggers it") {
+    import spark.implicits._
+    val rows = ExtensionQueries8.all("e21_msprt")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(5),
+        r.getDouble(6), r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    // running max is exactly the prefix max of ln_lambda, and the flag
+    // is monotone in it
+    var mx = Double.NegativeInfinity
+    rows.foreach { case (_, _, ll, llmax, sig) =>
+      mx = math.max(mx, ll)
+      assert(llmax == mx, "ln_lambda_max must be the exact prefix max")
+      assert(sig == (mx >= ExtensionQueries8.MsprtLnAlphaInv))
+    }
+    // cumulative arms only grow
+    assert(rows.map(_._1).sliding(2).forall(s => s.head <= s.last))
+    assert(rows.map(_._2).sliding(2).forall(s => s.head <= s.last))
+    // the user-hash split is an A/A comparison on this fixture — the
+    // always-valid monitor must NOT fire (that is its whole point
+    // under daily peeking)
+    assert(rows.forall(!_._5), "A/A must stay non-significant")
+
+    // planted effect: variant 1's purchase values shifted +5 — the
+    // monitor fires and STAYS fired
+    val tdir = graft.sources.Scratch.fresh(spark, "r14_e21")
+    val planted = (for {
+      day <- 1 to 5; u <- 0L until 20L
+    } yield (day * 100L + u,
+      java.sql.Timestamp.valueOf(f"2024-01-0$day%d 10:00:00"),
+      u, "purchase",
+      10.0 + (u % 2) * 5.0 + (u % 3) * 0.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    planted.write.parquet(s"$tdir/events.parquet")
+    val p = ExtensionQueries8.all("e21_msprt")(spark, tdir)
+      .collect().map(r => (r.getDouble(6), r.getBoolean(7)))
+    assert(p.last._2, s"a +50% planted effect must fire the monitor: $p")
+    val firstSig = p.indexWhere(_._2)
+    assert(p.drop(firstSig).forall(_._2),
+      "once significant, always significant")
+  }
+
   // ---- q102: theta-sketch difference ----
 
   test("q102 difference agrees with exact set algebra in the exact regime, " +
