@@ -1119,6 +1119,47 @@ object ExtensionQueries8 {
         .orderBy(col("table_name"), col("col_name"))
     }),
 
+    // STORED incremental view maintenance (q103): q51 proves the
+    // algebra (decimal partials re-aggregate exactly); this closes the
+    // LAKE loop around it — the derived view lives as a versioned
+    // Snapshots table and is maintained from the source table's OWN
+    // CDC feed. An orders snapshot table takes two append commits; the
+    // view (per-status count + exact-decimal revenue) is built ONCE
+    // from v1, then MAINTAINED by aggregating only readChanges(v1→v2)
+    // — O(delta) — merging into the stored view by key (additive
+    // aggregates compose; a non-additive distinct would swap in q96's
+    // register trick), and commitReplace-publishing the refreshed view
+    // as its own atomic version. The oracle is the full GROUP BY over
+    // all of orders verbatim: maintenance must be indistinguishable
+    // from recomputation. At 100 TB this is a nightly fact re-agg
+    // replaced by folding a day's partition into a keys-sized view.
+    "q103_incremental_agg" -> ((s, dir) => {
+      import graft.sources.{Scratch, Snapshots}
+      val o = t(s, dir, "orders")
+      val root = Scratch.fresh(s,
+        s"ivm_agg_${new java.io.File(dir).getName}")
+      val (tbl, view) = (s"$root/orders", s"$root/view")
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            Agg.decPartialSum(col("o_totalprice")).as("rev_dec"))
+      val v1 = Snapshots.commit(s, tbl, o.filter(col("o_orderkey") % 3 =!= 0))
+      Snapshots.commit(s, view, agg(Snapshots.readAsOf(s, tbl, v1)))
+      val v2 = Snapshots.commit(s, tbl, o.filter(col("o_orderkey") % 3 === 0))
+      // maintenance: aggregate ONLY the delta, merge into the stored view
+      val delta = agg(Snapshots.readChanges(s, tbl, v1, v2))
+      val merged = Snapshots.readLatest(s, view)
+        .unionByName(delta)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("rev_dec")).as("rev_dec"))
+      Snapshots.commitReplace(s, view, merged)
+      Snapshots.readLatest(s, view)
+        .select(col("o_orderstatus"), col("n_orders"),
+          Agg.roundAt(col("rev_dec").cast("double"), 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Sketch set-DIFFERENCE (q102): the a-not-b operation that completes
     // q87's theta-sketch algebra (union, intersection, Jaccard — and now
     // difference, the "viewers who never purchased" audience a targeting
@@ -2145,6 +2186,13 @@ object ExtensionQueries8 {
     // The auto-salted join is a pure plan rewrite whatever factor the
     // diagnosis picks — its oracle is the plain join verbatim (q26's).
     "q100_autosalted_join" -> RelationalQueries.oracles("q26_salted_join"),
+
+    // IVM replay: the stored-view maintenance loop must be
+    // indistinguishable from the one-shot aggregate over all rows.
+    "q103_incremental_agg" -> """
+      SELECT o_orderstatus, count(*) AS n_orders,
+             floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1""",
 
     // mSPRT replay: the same exact fixed-point cumulative moments, the
     // DetLn integer-ratio log, and one mirrored op order throughout;
