@@ -418,6 +418,30 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  /** [[sessionizeTws]] with EVENT-TIME timers — the watermark-driven
+    * closure that [[sessionizeTwsTimers]]'s processing-time idle bar
+    * approximates: each update re-arms a timer at last_event_time + gap
+    * in EVENT time, and the timer fires exactly when the WATERMARK
+    * passes it — i.e. when the engine can prove no in-order event can
+    * extend the session. Closure is therefore deterministic in the data
+    * (no wall clock anywhere): the closed emissions are precisely the
+    * gap-rule sessions, finalized as early as the watermark allows —
+    * the semantics e11's built-in session_window applies to aggregates,
+    * here on the arbitrary-state path where the session record can
+    * carry anything. Caller supplies the watermark via `delay`
+    * (applied here so the TimeMode and the watermark travel together).
+    */
+  def sessionizeTwsEventTime(events: Dataset[Event], gapSeconds: Double,
+      delay: String = "0 seconds"): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionEventTimeProcessor(gapSeconds),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
+  }
+
   /** Continuously-maintained per-user profile on the v2 state API's
     * COMPOSITE state primitives — the two the sessionizers don't touch:
     * a MapState[event_type → count] (per-key SUB-keyed state the store
@@ -507,6 +531,66 @@ class SessionTimerProcessor(gapSeconds: Double, idleMs: Long) extends
       // re-arm the idle timer: exactly one pending timer per key
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       getHandle.registerTimer(timers.getCurrentProcessingTimeInMs + idleMs)
+      (closed.result() :+ SessionUpdate(userId, folded.nEvents,
+        folded.lastSec - folded.firstSec, closed = false)).iterator
+    }
+  }
+
+  override def handleExpiredTimer(userId: Long,
+      timers: org.apache.spark.sql.streaming.TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[SessionUpdate] =
+    if (!st.exists()) Iterator.empty
+    else {
+      val s = st.get()
+      st.clear()
+      Iterator.single(
+        SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec, closed = true))
+    }
+}
+
+/** [[EventStreams.sessionizeTwsEventTime]]'s StatefulProcessor: the
+  * SessionProcessor fold plus one EVENT-time timer per key at
+  * last_event_time + gap; the watermark passing it proves the session
+  * cannot be extended, so expiry emits the closed session and clears
+  * state. Same single-pending-timer hygiene as the processing-time twin.
+  */
+class SessionEventTimeProcessor(gapSeconds: Double) extends
+    org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStreams.Event, EventStreams.SessionUpdate] {
+  import EventStreams.{Event, SessionState, SessionUpdate}
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState("session",
+      org.apache.spark.sql.Encoders.product[SessionState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+      timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[SessionUpdate] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val secs = sorted.map(_.ts.getTime / 1000.0)
+      val init = if (st.exists()) st.get()
+        else SessionState(0L, secs.head, secs.head)
+      val closed = Seq.newBuilder[SessionUpdate]
+      val folded = secs.foldLeft(init) { (s, sec) =>
+        if (s.nEvents > 0 && sec - s.lastSec > gapSeconds) {
+          closed += SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec,
+            closed = true)
+          SessionState(1L, sec, sec)
+        } else
+          SessionState(s.nEvents + 1,
+            if (s.nEvents == 0) sec else s.firstSec, sec)
+      }
+      st.update(folded)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        (folded.lastSec * 1000).toLong + (gapSeconds * 1000).toLong)
       (closed.result() :+ SessionUpdate(userId, folded.nEvents,
         folded.lastSec - folded.firstSec, closed = false)).iterator
     }

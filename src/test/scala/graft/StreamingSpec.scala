@@ -465,6 +465,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timer sessionization: the watermark passing the gap " +
+      "closes the session deterministically — no wall clock anywhere") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = EventStreams.sessionizeTwsEventTime(stream.toDS(), 1800)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("et_sessions").start()
+      def rows() = spark.table("et_sessions")
+        .select("user_id", "n_events", "duration_secs", "closed")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      // user 7's session: two events 10 min apart
+      stream.addData(
+        Event(1L, ts("2024-01-01 00:00:00"), 7L, "view", 1.0),
+        Event(2L, ts("2024-01-01 00:10:00"), 7L, "view", 1.0))
+      q.processAllAvailable()
+      assert(rows().contains((7L, 2L, 600.0, false)))
+      assert(!rows().exists(_._4), "nothing may close before the watermark")
+      // user 8's 02:00 event advances max event time; the NEXT batch's
+      // watermark (02:00) passes 7's gap bar (00:40) and fires the timer
+      stream.addData(Event(3L, ts("2024-01-01 02:00:00"), 8L, "view", 1.0))
+      q.processAllAvailable()
+      stream.addData(Event(4L, ts("2024-01-01 02:01:00"), 8L, "view", 1.0))
+      q.processAllAvailable()
+      assert(rows().contains((7L, 2L, 600.0, true)),
+        s"the watermark must close 7's session; got ${rows()}")
+      // 7 returns AFTER the closure: a fresh session, not a continuation
+      stream.addData(Event(5L, ts("2024-01-01 02:30:00"), 7L, "view", 1.0))
+      q.processAllAvailable()
+      assert(rows().contains((7L, 1L, 0.0, false)))
+      assert(!rows().contains((7L, 3L, 9000.0, false)),
+        "a watermark-closed session must not be continued")
+      q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming value streaks match the batch form across a mid-streak batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
