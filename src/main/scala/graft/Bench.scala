@@ -48,7 +48,8 @@ object Bench {
     "q96_column_stats_catalog", "t34_mixture_weights", "e19_cuped",
     "q97_join_skew_report",
     // round-14 representatives (appended)
-    "d22_incremental_clusters", "s36_graph_walk_ann", "q99_lake_stats_sweep")
+    "d22_incremental_clusters", "s36_graph_walk_ann", "q99_lake_stats_sweep",
+    "e21_msprt", "q103_incremental_agg")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's

@@ -210,7 +210,13 @@ class PlanSpec extends AnyFunSuite {
       "q73_quantile_sketch" -> "equi-width histogram is bin-bounded (QsBins)",
       // cumulates a <=1024-row score-bucket histogram (SelBucketScale);
       // the doc-level boundary window is PARTITIONED (by bucket)
-      "t20_budget_select" -> "score histogram is bucket-bounded (SelBucketScale)")
+      "t20_budget_select" -> "score histogram is bucket-bounded (SelBucketScale)",
+      // the running-max decision window cumulates the per-day monitor
+      // table — one row per experiment DAY (calendar-bounded: years of
+      // daily peeking are thousands of rows however big the fact is);
+      // the data-sized cumulative sums below it are PARTITIONED (by
+      // variant)
+      "e21_msprt" -> "monitor rows are calendar-bounded (one per day)")
     def boundedBelow(p: SparkPlan): Boolean = p match {
       case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
            _: TakeOrderedAndProjectExec => true
