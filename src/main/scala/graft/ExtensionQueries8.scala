@@ -1066,9 +1066,12 @@ object ExtensionQueries8 {
       import graft.sources.TxCatalog
       val root = graft.sources.Scratch.fresh(s,
         s"tx_catalog_${new java.io.File(dir).getName}")
+      // persist for the same three-consumer reason as statsCatalog
+      // (two artifact builds + the ndv_true truth scan); CacheManager's
+      // canonical-plan dedup shares the materialization with q96's
       val longF = catalogLongForm(t(s, dir, "orders"),
         pmod(col("o_orderkey"), lit(ExtensionQueries7.SketchShards.toLong)),
-        ordersAuditSpecs)
+        ordersAuditSpecs).persist()
       val (stats, regs) = catalogArtifacts(longF)
       TxCatalog.commitAll(s, s"$root/catalog",
         Seq(s"$root/stats" -> stats, s"$root/ndv_regs" -> regs))

@@ -120,7 +120,11 @@ object Dedup {
       override def removeEldestEntry(
           e: java.util.Map.Entry[MemoKey, ClusterMemoEntry]): Boolean = {
         val evict = size() > ClusterMemoCap
-        if (evict) e.getValue.result.unpersist()
+        // a stopped session's blocks died with its context — unpersist
+        // would go through a dead block manager and can throw, crashing
+        // the UNRELATED caller whose put() triggered this eviction
+        if (evict && !e.getKey._1.sparkContext.isStopped)
+          e.getValue.result.unpersist()
         evict
       }
     }

@@ -53,7 +53,13 @@ object JoinOps {
     if (r.isNullAt(2) || r.getLong(1) == 0L) 1
     else {
       val (nKeys, total, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      ((mx * nKeys + total - 1L) / total).toInt
+      // BigInt ceiling: mx·nKeys overflows Long at the very scales this
+      // exists for (~1e10 keys × 1e9-row hot key ≈ 1e19), and a wrapped
+      // negative factor would silently DISABLE salting on exactly the
+      // most skewed inputs; clamp the quotient into Int range (callers
+      // cap far below it anyway)
+      ((BigInt(mx) * BigInt(nKeys) + BigInt(total) - 1) / BigInt(total))
+        .min(BigInt(Int.MaxValue)).toInt
     }
   }
 

@@ -60,6 +60,15 @@ object TxCatalog {
   def pins(spark: SparkSession, catDir: String, v: Int): Map[String, Int] = {
     require(versions(spark, catDir).contains(v),
       s"catalog version $v not committed at $catDir")
+    readPins(spark, catDir, v)
+  }
+
+  /** [[pins]] without the existence re-listing — for internal callers
+    * that already hold a version number from a directory listing
+    * (manifest files are immutable, so a listed version always reads).
+    */
+  private def readPins(spark: SparkSession, catDir: String, v: Int)
+      : Map[String, Int] = {
     val f = fs(spark, catDir)
     val in = f.open(manifestPath(catDir, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -73,7 +82,7 @@ object TxCatalog {
   /** The newest catalog version's pin set (empty for a fresh catalog). */
   def latestPins(spark: SparkSession, catDir: String): Map[String, Int] =
     versions(spark, catDir).lastOption
-      .map(pins(spark, catDir, _)).getOrElse(Map.empty)
+      .map(readPins(spark, catDir, _)).getOrElse(Map.empty)
 
   /** Commit every (tableDir, df) write and publish ONE catalog version
     * pinning all of them — the atomic multi-table commit. Member tables
@@ -97,8 +106,16 @@ object TxCatalog {
     var attempt = 0
     while (attempt < 50) {
       attempt += 1
-      val prev = latestPins(spark, catDir)
-      val v = versions(spark, catDir).lastOption.getOrElse(0) + 1
+      // ONE directory listing per attempt: both the previous pin set and
+      // the next version derive from the same tip (manifest files are
+      // immutable, so reading the listed tip is race-free). Listing
+      // twice — prev from one listing, v from a later one — opened a
+      // lost-update window where a commit landing in between was merged
+      // OVER instead of max-merged (and it doubled the LIST round trips
+      // an object store pays per attempt).
+      val tip = versions(spark, catDir).lastOption
+      val prev = tip.map(readPins(spark, catDir, _)).getOrElse(Map.empty)
+      val v = tip.getOrElse(0) + 1
       beforePublish(v)
       // carry unlisted tables forward; on a lost race, max-merge per
       // table (append-only manifests are supersets — see object doc)

@@ -480,33 +480,38 @@ object EventStreams {
   }
 }
 
-/** [[EventStreams.sessionizeTws]]'s StatefulProcessor: one named
-  * ValueState record per user, the same gap fold as the
-  * flatMapGroupsWithState form. `ttl` (the [[EventStreams
-  * .sessionizeTwsTtl]] path) hands the state handle a TTLConfig so the
-  * store itself evicts idle keys — the fold logic never changes; an
-  * evicted key simply reads as `!st.exists()` on its next event.
+/** Shared gap-fold core of the three transformWithState sessionizers:
+  * one named ValueState record per user, the fMGWS-identical fold, and
+  * the timer-expiry closure (emit the open session as closed, clear
+  * state). Subclasses differ ONLY in their timer policy ([[armTimer]])
+  * and the state's TTLConfig ([[ttlConfig]]) — a future fix to the fold
+  * lands in exactly one place.
   */
-/** [[EventStreams.sessionizeTwsTimers]]'s StatefulProcessor: the
-  * SessionProcessor fold plus a per-key processing-time timer re-armed
-  * on every update; expiry emits the closed session and clears state.
-  * Timer hygiene: the previous timer is deleted before arming the next
-  * (listTimers + deleteTimer), so a chatty key holds exactly ONE
-  * pending timer instead of one per batch — at 100 TB of events the
-  * timer store would otherwise grow with update count, not key count.
-  */
-class SessionTimerProcessor(gapSeconds: Double, idleMs: Long) extends
+abstract class SessionFoldProcessor(gapSeconds: Double) extends
     org.apache.spark.sql.streaming.StatefulProcessor[
       Long, EventStreams.Event, EventStreams.SessionUpdate] {
   import EventStreams.{Event, SessionState, SessionUpdate}
-  @transient private var st:
+  @transient protected var st:
     org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+  /** The session state's TTL (NONE by default; the TTL twin overrides). */
+  protected def ttlConfig: org.apache.spark.sql.streaming.TTLConfig =
+    org.apache.spark.sql.streaming.TTLConfig.NONE
+
+  /** (Re-)arm this key's timer after a state update — no-op by default;
+    * the timer twins override with their policy. Timer hygiene for
+    * overriders: delete the previous timer before arming, so a chatty
+    * key holds exactly ONE pending timer and the timer store scales
+    * with keys, not updates.
+    */
+  protected def armTimer(
+      timers: org.apache.spark.sql.streaming.TimerValues,
+      folded: SessionState): Unit = ()
 
   override def init(outputMode: OutputMode,
       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
     st = getHandle.getValueState("session",
-      org.apache.spark.sql.Encoders.product[SessionState],
-      org.apache.spark.sql.streaming.TTLConfig.NONE)
+      org.apache.spark.sql.Encoders.product[SessionState], ttlConfig)
 
   override def handleInputRows(userId: Long, rows: Iterator[Event],
       timers: org.apache.spark.sql.streaming.TimerValues)
@@ -528,9 +533,7 @@ class SessionTimerProcessor(gapSeconds: Double, idleMs: Long) extends
             if (s.nEvents == 0) sec else s.firstSec, sec)
       }
       st.update(folded)
-      // re-arm the idle timer: exactly one pending timer per key
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(timers.getCurrentProcessingTimeInMs + idleMs)
+      armTimer(timers, folded)
       (closed.result() :+ SessionUpdate(userId, folded.nEvents,
         folded.lastSec - folded.firstSec, closed = false)).iterator
     }
@@ -549,64 +552,33 @@ class SessionTimerProcessor(gapSeconds: Double, idleMs: Long) extends
     }
 }
 
-/** [[EventStreams.sessionizeTwsEventTime]]'s StatefulProcessor: the
-  * SessionProcessor fold plus one EVENT-time timer per key at
-  * last_event_time + gap; the watermark passing it proves the session
-  * cannot be extended, so expiry emits the closed session and clears
-  * state. Same single-pending-timer hygiene as the processing-time twin.
+/** [[EventStreams.sessionizeTwsTimers]]'s processor: the shared fold
+  * plus a per-key PROCESSING-time timer at now + idle; expiry emits the
+  * closed session without an input row.
   */
-class SessionEventTimeProcessor(gapSeconds: Double) extends
-    org.apache.spark.sql.streaming.StatefulProcessor[
-      Long, EventStreams.Event, EventStreams.SessionUpdate] {
-  import EventStreams.{Event, SessionState, SessionUpdate}
-  @transient private var st:
-    org.apache.spark.sql.streaming.ValueState[SessionState] = _
-
-  override def init(outputMode: OutputMode,
-      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-    st = getHandle.getValueState("session",
-      org.apache.spark.sql.Encoders.product[SessionState],
-      org.apache.spark.sql.streaming.TTLConfig.NONE)
-
-  override def handleInputRows(userId: Long, rows: Iterator[Event],
-      timers: org.apache.spark.sql.streaming.TimerValues)
-      : Iterator[SessionUpdate] = {
-    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-    if (sorted.isEmpty) Iterator.empty
-    else {
-      val secs = sorted.map(_.ts.getTime / 1000.0)
-      val init = if (st.exists()) st.get()
-        else SessionState(0L, secs.head, secs.head)
-      val closed = Seq.newBuilder[SessionUpdate]
-      val folded = secs.foldLeft(init) { (s, sec) =>
-        if (s.nEvents > 0 && sec - s.lastSec > gapSeconds) {
-          closed += SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec,
-            closed = true)
-          SessionState(1L, sec, sec)
-        } else
-          SessionState(s.nEvents + 1,
-            if (s.nEvents == 0) sec else s.firstSec, sec)
-      }
-      st.update(folded)
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(
-        (folded.lastSec * 1000).toLong + (gapSeconds * 1000).toLong)
-      (closed.result() :+ SessionUpdate(userId, folded.nEvents,
-        folded.lastSec - folded.firstSec, closed = false)).iterator
-    }
-  }
-
-  override def handleExpiredTimer(userId: Long,
+class SessionTimerProcessor(gapSeconds: Double, idleMs: Long)
+    extends SessionFoldProcessor(gapSeconds) {
+  override protected def armTimer(
       timers: org.apache.spark.sql.streaming.TimerValues,
-      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
-      : Iterator[SessionUpdate] =
-    if (!st.exists()) Iterator.empty
-    else {
-      val s = st.get()
-      st.clear()
-      Iterator.single(
-        SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec, closed = true))
-    }
+      folded: EventStreams.SessionState): Unit = {
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(timers.getCurrentProcessingTimeInMs + idleMs)
+  }
+}
+
+/** [[EventStreams.sessionizeTwsEventTime]]'s processor: the shared fold
+  * plus one EVENT-time timer at last_event_time + gap; the watermark
+  * passing it proves the session unextendable.
+  */
+class SessionEventTimeProcessor(gapSeconds: Double)
+    extends SessionFoldProcessor(gapSeconds) {
+  override protected def armTimer(
+      timers: org.apache.spark.sql.streaming.TimerValues,
+      folded: EventStreams.SessionState): Unit = {
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(
+      (folded.lastSec * 1000).toLong + (gapSeconds * 1000).toLong)
+  }
 }
 
 /** [[EventStreams.profileTws]]'s StatefulProcessor: one MapState
@@ -655,43 +627,16 @@ class ProfileProcessor(recentN: Int) extends
   }
 }
 
+/** [[EventStreams.sessionizeTws]]'s processor: the shared fold with no
+  * timers; `ttl` (the [[EventStreams.sessionizeTwsTtl]] path) hands the
+  * state handle a TTLConfig so the STORE itself evicts idle keys — the
+  * fold never changes, an evicted key simply reads as `!st.exists()`
+  * on its next event.
+  */
 class SessionProcessor(gapSeconds: Double,
-    ttl: Option[java.time.Duration] = None) extends
-    org.apache.spark.sql.streaming.StatefulProcessor[
-      Long, EventStreams.Event, EventStreams.SessionUpdate] {
-  import EventStreams.{Event, SessionState, SessionUpdate}
-  @transient private var st:
-    org.apache.spark.sql.streaming.ValueState[SessionState] = _
-
-  override def init(outputMode: OutputMode,
-      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-    st = getHandle.getValueState("session",
-      org.apache.spark.sql.Encoders.product[SessionState],
-      ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
-        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
-
-  override def handleInputRows(userId: Long, rows: Iterator[Event],
-      timers: org.apache.spark.sql.streaming.TimerValues)
-      : Iterator[SessionUpdate] = {
-    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-    if (sorted.isEmpty) Iterator.empty
-    else {
-      val secs = sorted.map(_.ts.getTime / 1000.0)
-      val init = if (st.exists()) st.get()
-        else SessionState(0L, secs.head, secs.head)
-      val closed = Seq.newBuilder[SessionUpdate]
-      val folded = secs.foldLeft(init) { (s, sec) =>
-        if (s.nEvents > 0 && sec - s.lastSec > gapSeconds) {
-          closed += SessionUpdate(userId, s.nEvents, s.lastSec - s.firstSec,
-            closed = true)
-          SessionState(1L, sec, sec)
-        } else
-          SessionState(s.nEvents + 1,
-            if (s.nEvents == 0) sec else s.firstSec, sec)
-      }
-      st.update(folded)
-      (closed.result() :+ SessionUpdate(userId, folded.nEvents,
-        folded.lastSec - folded.firstSec, closed = false)).iterator
-    }
-  }
+    ttl: Option[java.time.Duration] = None)
+    extends SessionFoldProcessor(gapSeconds) {
+  override protected def ttlConfig: org.apache.spark.sql.streaming.TTLConfig =
+    ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+      .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
 }
