@@ -237,6 +237,44 @@ class Round14Spec extends AnyFunSuite {
     assert(tags(now, tA) == Set("a1", "a2") && tags(now, tB) == Set("b1", "b2"))
   }
 
+  test("TxCatalog: a commit losing the publish race max-merges over the " +
+      "winner's pins instead of regressing them") {
+    import spark.implicits._
+    import graft.sources.{Scratch, TxCatalog}
+    val root = Scratch.fresh(spark, "r14_txcat4")
+    val (cat, tA, tB) = (s"$root/cat", s"$root/a", s"$root/b")
+    def rows(tag: String) = Seq((1L, tag)).toDF("id", "tag")
+    TxCatalog.commitAll(spark, cat, Seq(tA -> rows("a1"), tB -> rows("b1")))
+    // W1 (this thread) commits to table A; inside its publish window a
+    // COMPETING transaction W2 commits to BOTH tables and wins the
+    // catalog version W1 was about to take. W1 must lose, retry against
+    // the new tip, and max-merge — never regress B's pin to its stale
+    // pre-W2 view (the pre-fix lost-update: prev read from one listing,
+    // v from a later one)
+    var fired = false
+    TxCatalog.commitAll(spark, cat, Seq(tA -> rows("a2-w1")),
+      beforePublish = { _ =>
+        if (!fired) {
+          fired = true
+          TxCatalog.commitAll(spark, cat,
+            Seq(tA -> rows("a2-w2"), tB -> rows("b2-w2")))
+        }
+      })
+    val pins = TxCatalog.latestPins(spark, cat)
+    // table A: both writers committed member versions (2 and 3, order
+    // by who staged first) — the final pin must be the MAX
+    assert(pins(tA) == 3, s"A's pin must be the max member version: $pins")
+    // table B: W1 didn't write it — W2's new pin (2) must survive W1's
+    // retry, NOT regress to the v1 pin W1 saw before the race
+    assert(pins(tB) == 2, s"B's pin must keep the winner's version: $pins")
+    val snap = TxCatalog.snapshot(spark, cat)
+    assert(snap(tB).select("tag").as[String].collect().toSet ==
+      Set("b1", "b2-w2"),
+      "the winner's B rows must stay catalog-visible after the loser retries")
+    assert(snap(tA).select("tag").as[String].collect().toSet ==
+      Set("a1", "a2-w1", "a2-w2"))
+  }
+
   test("q101 equals q96: the transactional publish is output-invisible") {
     val tx = ExtensionQueries8.all("q101_tx_stats_publish")(spark, dir)
       .collect().map(_.toSeq).toList
