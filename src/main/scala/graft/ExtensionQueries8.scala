@@ -1122,6 +1122,47 @@ object ExtensionQueries8 {
         .orderBy(col("table_name"), col("col_name"))
     }),
 
+    // Hybrid retrieval fusion (t38): reciprocal-rank fusion of the
+    // LEXICAL ranking (t19's idf-weighted inverted index) and the
+    // VECTOR ranking (s01's exact cosine top-k) for the same query
+    // docs — the production RAG serving pattern (BM25/lexical ∪
+    // embedding ANN → RRF), where each family catches what the other
+    // misses: lexical exact-term matches embeddings smear, semantic
+    // neighbors sharing no terms. RRF is rank-only (Cormack et al.:
+    // score = Σ 1/(k0+rank), k0 = 60), so the fusion needs NO score
+    // calibration between the two families — and because ranks are
+    // integers, the whole fused score is computed in EXACT integer
+    // arithmetic (1e9 DIV (60+rank) per arm, summed as longs): no
+    // float enters until nothing is left to compute. Scale shape: both
+    // arms are their registered scale-shaped plans; the fusion is a
+    // full-outer join on (query, doc) over k-per-query rows.
+    "t38_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rrf = expr("CAST(1000000000 DIV (60 + __r) AS BIGINT)")
+      val lex = ExtensionQueries3.all("t19_doc_similarity")(s, dir)
+        .filter(col("doc_id") <= 2)
+        .select(col("doc_id").as("query_id"), col("neighbor").as("doc"),
+          col("rank").as("__r"))
+        .withColumn("lex_fp", rrf)
+        .select(col("query_id"), col("doc"), col("lex_fp"))
+      val vec = ExtensionQueries.all("s01_knn_brute")(s, dir)
+        .select(col("query_id"), col("vec_id").as("doc"),
+          col("rank").as("__r"))
+        .withColumn("vec_fp", rrf)
+        .select(col("query_id"), col("doc"), col("vec_fp"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_fp").desc, col("doc").asc)
+      lex.join(vec, Seq("query_id", "doc"), "full_outer")
+        .withColumn("rrf_fp",
+          coalesce(col("lex_fp"), lit(0L)) + coalesce(col("vec_fp"), lit(0L)))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+          col("rrf_fp"), col("lex_fp").isNotNull.as("in_lex"),
+          col("vec_fp").isNotNull.as("in_vec"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // STORED incremental view maintenance (q103): q51 proves the
     // algebra (decimal partials re-aggregate exactly); this closes the
     // LAKE loop around it — the derived view lives as a versioned
@@ -2189,6 +2230,39 @@ object ExtensionQueries8 {
     // The auto-salted join is a pure plan rewrite whatever factor the
     // diagnosis picks — its oracle is the plain join verbatim (q26's).
     "q100_autosalted_join" -> RelationalQueries.oracles("q26_salted_join"),
+
+    // RRF replay: both arms' own (individually hash-verified) oracles
+    // as scoped subqueries, fused with the same integer arithmetic.
+    "t38_hybrid_rrf" -> s"""
+      WITH lex AS (
+        SELECT doc_id AS query_id, neighbor AS doc,
+               CAST(1000000000 // (60 + rank) AS BIGINT) AS lex_fp
+        FROM (${ExtensionQueries3.oracles("t19_doc_similarity")}) t
+        WHERE doc_id <= 2
+      ),
+      vec AS (
+        SELECT query_id, vec_id AS doc,
+               CAST(1000000000 // (60 + rank) AS BIGINT) AS vec_fp
+        FROM (${ExtensionQueries.oracles("s01_knn_brute")}) v
+      ),
+      fused AS (
+        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+               COALESCE(l.doc, v.doc) AS doc,
+               l.lex_fp, v.vec_fp,
+               COALESCE(l.lex_fp, 0) + COALESCE(v.vec_fp, 0) AS rrf_fp
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.doc = v.doc
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_fp DESC, doc ASC) AS rank
+        FROM fused
+      )
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, doc AS doc_id,
+             CAST(rrf_fp AS BIGINT) AS rrf_fp,
+             lex_fp IS NOT NULL AS in_lex, vec_fp IS NOT NULL AS in_vec
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
 
     // IVM replay: the stored-view maintenance loop must be
     // indistinguishable from the one-shot aggregate over all rows.

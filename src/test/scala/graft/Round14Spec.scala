@@ -328,6 +328,38 @@ class Round14Spec extends AnyFunSuite {
       "once significant, always significant")
   }
 
+  // ---- t38: hybrid RRF fusion ----
+
+  test("t38 RRF: fused scores recompute exactly from the two arm " +
+      "rankings, and a both-arms doc dominates an equal single-arm one") {
+    val lex = ExtensionQueries3.all("t19_doc_similarity")(spark, dir)
+      .filter(col("doc_id") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val vec = ExtensionQueries.all("s01_knn_brute")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    def fp(rank: Option[Int]) = rank.map(r => 1000000000L / (60 + r)).getOrElse(0L)
+    val fused = ExtensionQueries8.all("t38_hybrid_rrf")(spark, dir)
+      .collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val expect = fp(lex.get(key)) + fp(vec.get(key))
+      assert(r.getLong(3) == expect,
+        s"$key: rrf ${r.getLong(3)} != exact recompute $expect")
+      assert(r.getBoolean(4) == lex.contains(key) &&
+        r.getBoolean(5) == vec.contains(key))
+    }
+    // dominance: any doc in BOTH arms scores strictly above any doc
+    // whose single-arm rank equals its worse arm rank
+    val both = fused.filter(r => r.getBoolean(4) && r.getBoolean(5))
+    both.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val worse = math.max(lex(key), vec(key))
+      assert(r.getLong(3) > fp(Some(worse)),
+        "a doc both arms retrieved must beat a single-arm doc at its worse rank")
+    }
+  }
+
   // ---- q102: theta-sketch difference ----
 
   test("q102 difference agrees with exact set algebra in the exact regime, " +
