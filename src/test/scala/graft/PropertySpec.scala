@@ -18,6 +18,71 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("degreeCapEdges on random graphs: capped clusters always REFINE " +
+      "the uncapped ones, and surviving degree respects the 2·cap bound") {
+    val graphGen = for {
+      n <- Gen.choose(4, 14)
+      nEdges <- Gen.choose(1, 25)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+        w <- Gen.choose(1L, 6L)
+      } yield (math.min(a, b), math.max(a, b), w))
+      cap <- Gen.choose(1, 3)
+    } yield (n, edges.filter(e => e._1 != e._2).distinct, cap)
+    for ((n, edges, cap) <- samples(graphGen, 10) if edges.nonEmpty) {
+      val ids = (0L until n.toLong).toDF("id")
+      val pairs = edges.toDF("doc_a", "doc_b", "n_shared_bands")
+      val capped = Dedup.degreeCapEdges(pairs, cap)
+      // degree bound: each endpoint keeps ≤ cap choices, an edge
+      // survives if EITHER kept it → surviving degree ≤ 2·cap
+      val deg = capped.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy("d").count().as[(Long, Long)].collect()
+      assert(deg.forall(_._2 <= 2L * cap),
+        s"degree bound violated at cap=$cap: ${deg.toSeq}")
+      // refinement: same capped label ⇒ same uncapped label
+      val full = Dedup.labelClusters(ids, pairs, 32)
+        .as[(Long, Long)].collect().toMap
+      val sampled = Dedup.labelClusters(ids,
+          capped.select("doc_a", "doc_b", "n_shared_bands"), 32)
+        .as[(Long, Long)].collect().toMap
+      sampled.groupBy(_._2).values.foreach { members =>
+        assert(members.map(m => full(m._1)).toSet.size == 1,
+          s"over-merge at cap=$cap on $edges")
+      }
+    }
+  }
+
+  test("RRF fusion on random rankings: fused score is the exact integer " +
+      "sum of the arms' reciprocal ranks, and fusion order is total") {
+    val rankingGen = for {
+      docs <- Gen.choose(3, 10)
+      lexK <- Gen.choose(1, docs)
+      vecK <- Gen.choose(1, docs)
+      lexDocs <- Gen.pick(lexK, 0L until docs.toLong)
+      vecDocs <- Gen.pick(vecK, 0L until docs.toLong)
+    } yield (lexDocs.toSeq.zipWithIndex.map { case (d, i) => (d, i + 1) },
+      vecDocs.toSeq.zipWithIndex.map { case (d, i) => (d, i + 1) })
+    for ((lex, vec) <- samples(rankingGen, 10)) {
+      val lexDf = lex.toDF("doc", "__r")
+        .select(lit(0L).as("query_id"), col("doc"),
+          expr("CAST(1000000000 DIV (60 + __r) AS BIGINT)").as("lex_fp"))
+      val vecDf = vec.toDF("doc", "__r")
+        .select(lit(0L).as("query_id"), col("doc"),
+          expr("CAST(1000000000 DIV (60 + __r) AS BIGINT)").as("vec_fp"))
+      val fused = lexDf.join(vecDf, Seq("query_id", "doc"), "full_outer")
+        .select(col("doc"),
+          (coalesce(col("lex_fp"), lit(0L)) + coalesce(col("vec_fp"), lit(0L)))
+            .as("rrf_fp"))
+        .as[(Long, Long)].collect().toMap
+      val lexM = lex.toMap; val vecM = vec.toMap
+      (lexM.keySet ++ vecM.keySet).foreach { d =>
+        val expect = lexM.get(d).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+          vecM.get(d).map(r => 1000000000L / (60 + r)).getOrElse(0L)
+        assert(fused(d) == expect, s"doc $d: ${fused(d)} != $expect")
+      }
+    }
+  }
+
   test("minMaxScore ∈ [0,100] ∪ {NaN}; 0 and 100 attained unless degenerate") {
     for (xs <- samples(Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6)), 8)) {
       val scores = Score.minMaxScore(xs.toDF("v"), "v", "s")
