@@ -1122,20 +1122,20 @@ object ExtensionQueries8 {
         .orderBy(col("table_name"), col("col_name"))
     }),
 
-    // Hybrid retrieval fusion (t38): reciprocal-rank fusion of the
-    // LEXICAL ranking (t19's idf-weighted inverted index) and the
-    // VECTOR ranking (s01's exact cosine top-k) for the same query
-    // docs — the production RAG serving pattern (BM25/lexical ∪
-    // embedding ANN → RRF), where each family catches what the other
-    // misses: lexical exact-term matches embeddings smear, semantic
-    // neighbors sharing no terms. RRF is rank-only (Cormack et al.:
-    // score = Σ 1/(k0+rank), k0 = 60), so the fusion needs NO score
-    // calibration between the two families — and because ranks are
-    // integers, the whole fused score is computed in EXACT integer
-    // arithmetic (1e9 DIV (60+rank) per arm, summed as longs): no
-    // float enters until nothing is left to compute. Scale shape: both
-    // arms are their registered scale-shaped plans; the fusion is a
-    // full-outer join on (query, doc) over k-per-query rows.
+    // Query-BY-DOCUMENT hybrid fusion (t38): s16 fuses ONE term
+    // query's BM25 ranking with ONE vector query's top-k — the search
+    // box. This is the other hybrid serving shape, related-items /
+    // recommendation: for EVERY query document at once, fuse its
+    // lexical neighbors (t19's idf-weighted inverted-index doc
+    // similarity) with its embedding neighbors (s01's exact cosine
+    // top-k) — a per-query full-outer RRF over multi-query rankings,
+    // which s16's single-query form cannot express. Same rank-only
+    // discipline (Σ 1e9 DIV (60+rank) per arm — exact integer
+    // arithmetic, no cross-family score calibration), and each arm
+    // catches what the other misses: shared rare terms vs semantic
+    // similarity with no term overlap. Scale shape: both arms are
+    // their registered scale-shaped plans; the fusion is a full-outer
+    // join on (query, doc) over k-per-query rows.
     "t38_hybrid_rrf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val rrf = expr("CAST(1000000000 DIV (60 + __r) AS BIGINT)")
