@@ -1138,7 +1138,10 @@ object ExtensionQueries8 {
     // join on (query, doc) over k-per-query rows.
     "t38_hybrid_rrf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val rrf = expr("CAST(1000000000 DIV (60 + __r) AS BIGINT)")
+      // the shared RRF constant — s16 and t38 must fuse with the same
+      // k0 or the two hybrid shapes silently diverge
+      val rrf = expr(
+        s"CAST(1000000000 DIV (${ExtensionQueries4.RrfK} + __r) AS BIGINT)")
       val lex = ExtensionQueries3.all("t19_doc_similarity")(s, dir)
         .filter(col("doc_id") <= 2)
         .select(col("doc_id").as("query_id"), col("neighbor").as("doc"),
@@ -2236,13 +2239,13 @@ object ExtensionQueries8 {
     "t38_hybrid_rrf" -> s"""
       WITH lex AS (
         SELECT doc_id AS query_id, neighbor AS doc,
-               CAST(1000000000 // (60 + rank) AS BIGINT) AS lex_fp
+               CAST(1000000000 // (${ExtensionQueries4.RrfK} + rank) AS BIGINT) AS lex_fp
         FROM (${ExtensionQueries3.oracles("t19_doc_similarity")}) t
         WHERE doc_id <= 2
       ),
       vec AS (
         SELECT query_id, vec_id AS doc,
-               CAST(1000000000 // (60 + rank) AS BIGINT) AS vec_fp
+               CAST(1000000000 // (${ExtensionQueries4.RrfK} + rank) AS BIGINT) AS vec_fp
         FROM (${ExtensionQueries.oracles("s01_knn_brute")}) v
       ),
       fused AS (

@@ -337,9 +337,14 @@ object Dedup {
     * registered query propagate the full candidate set): each doc keeps
     * its `maxDegree` strongest candidate edges (evidence = n_shared_bands
     * desc, partner-id asc tie-break), and an edge survives if EITHER
-    * endpoint keeps it — so surviving degree is ≤ 2·maxDegree and the
-    * propagation's per-round join fan-out is bounded however dense the
-    * LSH graph gets. The trade is exact and one-sided: capping can only
+    * endpoint keeps it. The bound is GLOBAL, not per-node: every
+    * surviving edge is charged to a keeper and each node keeps ≤
+    * maxDegree, so |surviving edges| ≤ n·maxDegree — the per-round
+    * propagation join touches a linear edge set however dense the LSH
+    * graph gets. (A hub every neighbor keeps can still carry high
+    * DEGREE — a star survives capping intact by design: dropping those
+    * edges would disconnect docs whose only evidence is the hub.)
+    * The trade is exact and one-sided: capping can only
     * DROP edges, so capped clusters are always a REFINEMENT of the
     * uncapped ones (never over-merge; an edge is lost — and a merge
     * missed — only when BOTH endpoints rank it below their cap, the

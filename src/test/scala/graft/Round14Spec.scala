@@ -154,6 +154,15 @@ class Round14Spec extends AnyFunSuite {
     assert(Dedup.degreeCapEdges(pairs, maxDegree = 1)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       .contains((1L, 2L)))
+    // star counterexample (pins the DOCUMENTED semantics): every leaf
+    // keeps its only edge, so the hub's surviving DEGREE exceeds any
+    // per-node bound — the guarantee is the global n·cap edge count,
+    // and hub connectivity is preserved by design (dropping those edges
+    // would disconnect docs whose only evidence is the hub)
+    val star = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L), (0L, 4L, 1L))
+      .toDF("doc_a", "doc_b", "n_shared_bands")
+    assert(Dedup.degreeCapEdges(star, maxDegree = 1).count() == 4,
+      "a star must survive capping intact")
   }
 
   // ---- q101 / TxCatalog: cross-table atomic publish ----
@@ -330,14 +339,15 @@ class Round14Spec extends AnyFunSuite {
 
   // ---- t38: hybrid RRF fusion ----
 
-  test("t38 RRF: fused scores recompute exactly from the two arm " +
-      "rankings, and a both-arms doc dominates an equal single-arm one") {
+  test("t38 RRF: every fused score recomputes exactly from the two arm " +
+      "rankings (shared RrfK constant), arm flags included") {
     val lex = ExtensionQueries3.all("t19_doc_similarity")(spark, dir)
       .filter(col("doc_id") <= 2)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
     val vec = ExtensionQueries.all("s01_knn_brute")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
-    def fp(rank: Option[Int]) = rank.map(r => 1000000000L / (60 + r)).getOrElse(0L)
+    def fp(rank: Option[Int]) = rank
+      .map(r => 1000000000L / (ExtensionQueries4.RrfK + r)).getOrElse(0L)
     val fused = ExtensionQueries8.all("t38_hybrid_rrf")(spark, dir)
       .collect()
     assert(fused.nonEmpty)
@@ -349,15 +359,9 @@ class Round14Spec extends AnyFunSuite {
       assert(r.getBoolean(4) == lex.contains(key) &&
         r.getBoolean(5) == vec.contains(key))
     }
-    // dominance: any doc in BOTH arms scores strictly above any doc
-    // whose single-arm rank equals its worse arm rank
-    val both = fused.filter(r => r.getBoolean(4) && r.getBoolean(5))
-    both.foreach { r =>
-      val key = (r.getLong(0), r.getLong(2))
-      val worse = math.max(lex(key), vec(key))
-      assert(r.getLong(3) > fp(Some(worse)),
-        "a doc both arms retrieved must beat a single-arm doc at its worse rank")
-    }
+    // (the exact recompute above IS the complete fusion property — a
+    // separate "both-arms dominance" check would be tautological given
+    // it, since fp(r) ≥ 1 for any present arm)
   }
 
   // ---- q102: theta-sketch difference ----
