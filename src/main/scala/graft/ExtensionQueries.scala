@@ -575,8 +575,14 @@ object ExtensionQueries {
     // Eval-set decontamination: flag training docs sharing any 3-token
     // shingle with the (deterministic doc_id % 97) eval slice. Scale shape:
     // the eval side of the join is a benchmark suite — thousands of docs
-    // against a 100 TB corpus — so its distinct shingle set broadcasts and
-    // the corpus side never shuffles; output is the contaminated docs only.
+    // against a 100 TB corpus — and on a REAL deployment that constant-size
+    // shingle set broadcasts on its measured size. No broadcast hint (r15,
+    // the t35 fix applied to its sibling): THIS fixture's holdout is
+    // doc_id % 97, ~1% of the corpus, so an unconditional hint would force
+    // a corpus-proportional build side into every executor at 100 TB; with
+    // the hint gone the planner/AQE broadcasts below the threshold and
+    // falls back to a shuffled join above it — either way the corpus side
+    // never collects.
     "d10_decontamination" -> ((s, dir) => {
       val shingled = t(s, dir, "documents")
         .select(col("doc_id"),
@@ -584,7 +590,7 @@ object ExtensionQueries {
       val evalSh = shingled.filter(col("doc_id") % 97 === 0)
         .select(col("sh")).distinct()
       shingled.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(evalSh), "sh")
+        .join(evalSh, "sh")
         // shingleHashes is distinct per doc, so plain count == shared count
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_shingles"))

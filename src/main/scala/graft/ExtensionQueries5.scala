@@ -705,6 +705,43 @@ object ExtensionQueries5 {
           .as("ndcg"))
   }
 
+  /** [[gradedMetrics]] over a SINGLE stacked (method, query_id, vec_id,
+    * rank) frame — one aggregation pass grading every method at once
+    * instead of one join+aggregate job per method. Row-for-row equal to
+    * unioning [[gradedMetrics]] per method: the (method × query) grid
+    * comes from the STATIC method list, so a retriever that returned
+    * nothing still gets its all-zero rows (the s08 rule), exactly as the
+    * per-method left join produced them. This is s22's serving shape
+    * over its stored eval runs (r15 — the grading report's own cost is
+    * the metric joins, k rows per query per method).
+    */
+  private[graft] def gradedMetricsGrouped(exact: DataFrame, queries: DataFrame,
+      methods: Seq[String], ranked: DataFrame): DataFrame = {
+    val s = ranked.sparkSession
+    import s.implicits._
+    val m = ranked
+      .select(col("method"), col("query_id"), col("vec_id"), col("rank"))
+      .join(exact, Seq("query_id", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("__rel"), lit(0L)))
+      .groupBy(col("method"), col("query_id"))
+      .agg(sum(col("rel")).as("n_hits"),
+        sum(when(col("rel") === 1, ndcgWeightCol(col("rank")))
+          .otherwise(lit(0L))).as("dcg_fp"),
+        min(when(col("rel") === 1, col("rank"))).as("first_hit"))
+    methods.toDF("method").crossJoin(queries)
+      .join(m, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        Agg.roundAt(coalesce(col("n_hits"), lit(0L)).cast("double") / KnnK, 6)
+          .as("recall"),
+        Agg.roundAt(
+          when(col("first_hit").isNotNull,
+            lit(1.0) / col("first_hit")).otherwise(lit(0.0)), 6).as("mrr"),
+        Agg.roundAt(
+          coalesce(col("dcg_fp"), lit(0L)).cast("double") / IdcgFp, 6)
+          .as("ndcg"))
+  }
+
   /** m08's distinct (doc_id, frame-md5) set. The `nf > 0` guard matters: a
     * zero-length text makes `sequence(0, nf-1)` = `sequence(0, -1)` which
     * DESCENDS (default step -1) to `[0, -1]`, yielding a phantom `md5("")`

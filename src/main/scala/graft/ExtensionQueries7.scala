@@ -457,6 +457,52 @@ object ExtensionQueries7 {
       .agg(max(col("rho")).as("reg"))
   }
 
+  /** Typed p=12 HLL register accumulator (r15): the whole m=4096
+    * register bank as ONE fixed-width byte-array aggregation buffer —
+    * map-side combinable (element-wise max merges), so a single
+    * `groupBy` pass can carry the registers BESIDE ordinary stats
+    * aggregates on the same key. This is what lets q96/q99's catalog
+    * build run as one streaming pass per table instead of one pass per
+    * artifact (the register geometry — bucket / remainder / rho — is
+    * [[hllRegRows]]'s, verbatim; Round15Spec pins the row equality).
+    * Buffer cost: 4 KB per open group, |shards|·|cols| groups — bytes,
+    * not data-scale.
+    */
+  object HllRegsAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Long, Array[Byte], Seq[(Int, Int)]] {
+    private val remBits = HllRemBits12
+    private val remMod = 1L << remBits
+    override def zero: Array[Byte] = new Array[Byte](HllM12)
+    override def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+      // -1 is the null-cval sentinel: NULLs hold no register evidence
+      if (h >= 0) {
+        val bucket = (h / remMod).toInt
+        val w = h % remMod
+        val rho =
+          if (w == 0) remBits + 1
+          else remBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > b(bucket)) b(bucket) = rho.toByte
+      }
+      b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Byte]): Seq[(Int, Int)] = {
+      // only SEEN buckets, exactly as the groupBy(bucket) form emits
+      val out = Seq.newBuilder[(Int, Int)]
+      var i = 0
+      while (i < b.length) { if (b(i) > 0) out += ((i, b(i).toInt)); i += 1 }
+      out.result()
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Int, Int)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Per-shard CMS grids (shard, row_i, bucket, cnt) from a
     * (doc_id, term) relation — q95's lake-table build; counts are
     * additive, so shard grids merged by sum equal the direct grid.

@@ -157,6 +157,28 @@ object ExtensionQueries8 {
     */
   val MsprtLnAlphaInv: Double = math.log(1.0 / 0.05)
 
+  /** e21's mixture-likelihood log argument, `n_a + n_b + n_a·n_b`,
+    * OVERFLOW-GUARDED (r15 advice): two cumulative Long counts multiply
+    * here, and past ~3e9 purchases per arm the product wraps negative —
+    * Spark's detLn would then emit garbage ln Λ (a possible silent false
+    * "significant") while DuckDB raises on BIGINT overflow, so the
+    * engines would diverge exactly when the monitor matters most. The
+    * guard compares in DOUBLE space (exact for counts far beyond the
+    * 2^62 bar — a double holds 2^62 exactly, and the nearest
+    * representable neighbors are themselves > 2^61 apart only above
+    * 2^114) and raises the same loud error class DuckDB does. 2^62
+    * leaves the full sum below Long.Max with room for both additions.
+    * At that scale the honest fix is sampling the arms, not widening:
+    * ln Λ's mixture term is ~ln(n) — saturated long before 4e18.
+    */
+  private[graft] def msprtLnArg(na: Column, nb: Column): Column =
+    when(na.cast("double") * nb.cast("double") < lit(math.pow(2, 62)),
+      na + nb + na * nb)
+      .otherwise(raise_error(concat(
+        lit("e21 mSPRT: n_a*n_b exceeds the exact Long range (n_a="),
+        na.cast("string"), lit(", n_b="), nb.cast("string"),
+        lit("); subsample the arms"))).cast("long"))
+
   /** e19's pre/post experiment boundary — 2024-01-16T00:00:00Z in epoch
     * micros (events span January 2024, so this splits the fixture near
     * its median). Compared as integer micros in both engines, so no
@@ -192,20 +214,58 @@ object ExtensionQueries8 {
     * (the q94/q95 stored-artifact pattern), then merged on read —
     * stats by sum/min/max, registers by register-max — so a catalog
     * refresh after a new ingest appends only that shard's rows and a
-    * reader never rescans the table. `ndv_true` (exact distinct of the
-    * canonical key) rides along as the fixture-scale accuracy report;
-    * a 100 TB deployment drops that column and keeps the sketch.
+    * reader never rescans the table.
+    *
+    * `withTruth` gates `ndv_true` (exact distinct of the canonical key),
+    * the fixture-scale accuracy report a 100 TB deployment drops: q96
+    * keeps it on (single table, oracle-checked — the cross-engine proof
+    * the estimate is graded against), q99's whole-lake sweep runs with
+    * it OFF, so the sweep's bench line prices the production ANALYZE
+    * only (r14 verdict: the truth column was the largest single bench
+    * cost and exists only to grade the HLL estimate).
+    *
+    * The long form feeds every consumer (stats write, register write,
+    * and the eager truth aggregate when on) UNDER the persist scope and
+    * is unpersisted before the served frame is handed out — the serve
+    * reads only catalog artifacts, so nothing pins |rows|×|cols| cache
+    * for the session (r14 advice: q99 pinned one such cache per lake
+    * table at once).
     */
   private[graft] def statsCatalog(s: SparkSession, rows: DataFrame,
-      shard: Column, specs: Seq[ColSpec], root: String): DataFrame = {
-    // persist: the long form feeds THREE passes (stats write, register
-    // write, the serve's ndv_true truth scan) — without the cache each
-    // one re-runs the explode over the source table (measured in q99's
-    // r14 sweep; session-scoped like every operator cache here, and
-    // CacheManager's canonical-plan dedup shares it across q96/q99/q101)
-    val longF = catalogLongForm(rows, shard, specs).persist()
+      shard: Column, specs: Seq[ColSpec], root: String,
+      withTruth: Boolean = true): DataFrame = {
+    // no |rows|×|cols| cache anywhere (r15, closing the r14 pinned-cache
+    // advice the honest way): the build is ONE streaming fused pass
+    // ([[fusedCatalogAgg]]), the optional truth is a second streaming
+    // aggregate, and the serve reads only catalog artifacts — the
+    // explode is compute-light, so re-streaming it beats materializing
+    // it (the r14 persist was also what silently flattered q96/q99's
+    // bench lines across min2warm passes)
+    val longF = catalogLongForm(rows, shard, specs)
     writeCatalogShards(longF, root, "overwrite")
-    serveCatalog(s, longF, root)
+    val truth = if (withTruth) Some(ndvTruthLocal(s, longF)) else None
+    serveCatalogFrom(truth, s.read.parquet(s"$root/stats"),
+      s.read.parquet(s"$root/ndv_regs"))
+  }
+
+  /** The exact-NDV truth frame: one (seg, ndv_true) row per audited
+    * column — the accuracy report the HLL estimate is graded against.
+    */
+  private[graft] def ndvTruth(longF: DataFrame): DataFrame =
+    longF.groupBy(col("seg"))
+      .agg(countDistinct(col("cval")).as("ndv_true"))
+
+  /** [[ndvTruth]] materialized as a LOCAL relation — |audited cols| rows
+    * (constant-size, the k-centroids collect class), so the serving plan
+    * the caller hands out no longer references the |rows|×|cols| long
+    * form and the cache behind it can be released immediately.
+    */
+  private[graft] def ndvTruthLocal(s: SparkSession, longF: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    ndvTruth(longF).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("seg", "ndv_true")
   }
 
   /** The catalog's long form: one (shard, seg, nval, sval, cval) row per
@@ -225,32 +285,70 @@ object ExtensionQueries8 {
     * NDV registers, both shard-partitioned). `mode = "append"` is the
     * incremental-refresh path: a new ingest writes ONLY its own shard's
     * rows and the serve-side merge is unchanged — Round13cSpec proves
-    * append-then-merge equals a full rebuild.
+    * append-then-merge equals a full rebuild. The fused aggregate (ONE
+    * pass — see [[fusedCatalogAgg]]) is persisted across the two writes;
+    * it is |shards|·|cols| rows, not data-scale, and is released before
+    * returning.
     */
   private[graft] def writeCatalogShards(longF: DataFrame, root: String,
       mode: String): Unit = {
-    val (stats, regs) = catalogArtifacts(longF)
-    stats.write.mode(mode).partitionBy("shard").parquet(s"$root/stats")
-    regs.write.mode(mode).partitionBy("shard").parquet(s"$root/ndv_regs")
+    val fused = fusedCatalogAgg(longF).persist()
+    try {
+      statsFrom(fused).write.mode(mode).partitionBy("shard")
+        .parquet(s"$root/stats")
+      regsFrom(fused).write.mode(mode).partitionBy("shard")
+        .parquet(s"$root/ndv_regs")
+    } finally fused.unpersist()
   }
 
-  /** The two per-shard catalog artifact frames (basic stats, p=12 NDV
-    * registers) — the storage-agnostic half of [[writeCatalogShards]],
-    * shared with q101's transactional publish.
+  /** The catalog build's ONE aggregation pass (r15): per (shard, seg),
+    * the row/null/min/max stats AND the whole p=12 register bank
+    * ([[ExtensionQueries7.HllRegsAgg]] — a fixed 4 KB buffer, map-side
+    * combinable) in a single map-side-combinable `groupBy` over the
+    * long form. The r14 shape paid one full aggregate pass per
+    * artifact plus a |rows|×|cols| cache materialization to share the
+    * scan; fusing on the common key makes "ANALYZE = one pass per
+    * table" literally true (measured at sf0.1: the 10-table sweep
+    * 25.9 → see PLANS.md), and at 100 TB halves every incremental
+    * shard refresh too.
     */
-  private[graft] def catalogArtifacts(longF: DataFrame)
-      : (DataFrame, DataFrame) = {
-    val stats = longF.groupBy(col("shard"), col("seg"))
+  private[graft] def fusedCatalogAgg(longF: DataFrame): DataFrame =
+    longF
+      .withColumn("h", when(col("cval").isNotNull,
+        ExtensionQueries3.md5Hash48(col("cval"))).otherwise(lit(-1L)))
+      .groupBy(col("shard"), col("seg"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("cval").isNull, 1L).otherwise(0L)).as("n_null"),
         min(col("nval")).as("min_num"), max(col("nval")).as("max_num"),
-        min(col("sval")).as("min_str"), max(col("sval")).as("max_str"))
-    val regs = ExtensionQueries7.hllRegRows(
-      longF.filter(col("cval").isNotNull)
-        .withColumn("h", ExtensionQueries3.md5Hash48(col("cval"))),
-      ExtensionQueries7.HllRemBits12, Seq("shard", "seg"))
-    (stats, regs)
-  }
+        min(col("sval")).as("min_str"), max(col("sval")).as("max_str"),
+        udaf(ExtensionQueries7.HllRegsAgg,
+          org.apache.spark.sql.Encoders.scalaLong)(col("h")).as("regpairs"))
+
+  /** The stats artifact projected from the fused pass. */
+  private[graft] def statsFrom(fused: DataFrame): DataFrame =
+    fused.select(col("shard"), col("seg"), col("n_rows"), col("n_null"),
+      col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+
+  /** The register artifact projected from the fused pass — identical
+    * rows and types to the old groupBy(bucket) form ([[ExtensionQueries7
+    * .hllRegRows]]'s geometry; only SEEN buckets emit).
+    */
+  private[graft] def regsFrom(fused: DataFrame): DataFrame =
+    fused.select(col("shard"), col("seg"),
+        explode(col("regpairs")).as("p"))
+      .select(col("shard"), col("seg"),
+        col("p._1").cast("long").as("bucket"),
+        col("p._2").cast("int").as("reg"))
+
+  /** The two per-shard catalog artifact frames (basic stats, p=12 NDV
+    * registers) over ONE SHARED fused pass — the storage-agnostic half
+    * of [[writeCatalogShards]] for q101's transactional publish; the
+    * caller persists the (tiny) `fused` input across the two
+    * consumers.
+    */
+  private[graft] def catalogArtifacts(fused: DataFrame)
+      : (DataFrame, DataFrame) =
+    (statsFrom(fused), regsFrom(fused))
 
   /** Merge-on-read + estimate: reads only catalog rows, never the
     * audited table; `truthLongF` feeds the fixture-scale `ndv_true`
@@ -258,17 +356,18 @@ object ExtensionQueries8 {
     */
   private[graft] def serveCatalog(s: SparkSession, truthLongF: DataFrame,
       root: String): DataFrame =
-    serveCatalogFrom(truthLongF, s.read.parquet(s"$root/stats"),
-      s.read.parquet(s"$root/ndv_regs"))
+    serveCatalogFrom(Some(ndvTruth(truthLongF)),
+      s.read.parquet(s"$root/stats"), s.read.parquet(s"$root/ndv_regs"))
 
   /** [[serveCatalog]] over already-resolved stats/register frames — the
     * entry point for catalog-pinned reads (q101's TxCatalog snapshot),
-    * where the two tables arrive as one consistent version pair.
+    * where the two tables arrive as one consistent version pair. `truth`
+    * is the optional pre-aggregated (seg, ndv_true) frame; None is the
+    * production shape (the served catalog carries no ndv_true column).
     */
-  private[graft] def serveCatalogFrom(truthLongF: DataFrame,
+  private[graft] def serveCatalogFrom(truth: Option[DataFrame],
       stats: DataFrame, regs: DataFrame): DataFrame = {
     import ExtensionQueries7.{HllM12, HllRemBits12, HllAlphaNum12, HllLcFp12}
-    val longF = truthLongF
     val mStats = stats.groupBy(col("seg"))
       .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_null")).as("n_null"),
         min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
@@ -279,17 +378,19 @@ object ExtensionQueries8 {
       .groupBy(col("seg"), col("bucket")).agg(max(col("reg")).as("reg"))
     val est = ExtensionQueries7.hllEstimate(mRegs, HllM12, HllRemBits12,
       HllAlphaNum12, HllLcFp12)
-    val ndvTrue = longF.groupBy(col("seg"))
-      .agg(countDistinct(col("cval")).as("ndv_true"))
     // LEFT join the estimate: an ALL-NULL column has no registers (and no
     // estimate row) but must still appear in the catalog — with ndv 0 and
     // n_null = n_rows, the row a CBO consumer needs most
-    mStats.join(est.select(col("seg"), col("corrected")), Seq("seg"), "left")
-      .join(ndvTrue, Seq("seg"))
-      .select(col("seg").as("col_name"), col("n_rows"), col("n_null"),
-        Agg.roundAt(coalesce(col("corrected"), lit(0.0)), 4).as("ndv_est"),
-        col("ndv_true"),
-        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    val base = mStats
+      .join(est.select(col("seg"), col("corrected")), Seq("seg"), "left")
+    val joined = truth.map(t => base.join(t, Seq("seg"))).getOrElse(base)
+    val ndvCols =
+      Seq(Agg.roundAt(coalesce(col("corrected"), lit(0.0)), 4).as("ndv_est")) ++
+        truth.map(_ => col("ndv_true")).toSeq
+    joined
+      .select(Seq(col("seg").as("col_name"), col("n_rows"), col("n_null")) ++
+        ndvCols ++
+        Seq(col("min_num"), col("max_num"), col("min_str"), col("max_str")): _*)
       .orderBy(col("col_name"))
   }
 
@@ -453,19 +554,58 @@ object ExtensionQueries8 {
       qcells.join(heads, Seq("cell")).select(col("query_id"), col("vec_id"))
     })
 
-  /** The shared beam loop of s36/s37 over s31's capped graph; `mkSeeds`
-    * builds the hop-0 candidate set (query_id, vec_id) from (q, e).
+  /** s38: the walk over the SYMMETRIZED capped graph — s36's fixed
+    * entries, but every stored edge is traversable in BOTH directions
+    * (out-edges ∪ reversed edges, deduplicated). This is the published
+    * graph-ANN prescription (NSW/HNSW keep bidirectional links —
+    * Malkov & Yashunin, TPAMI 2018, §4): a directed top-R graph leaves
+    * "anti-hub" points with few or no IN-edges unreachable no matter
+    * the hop budget, and Round15Spec's clustered fixture measures
+    * exactly that — the directed walk's recall SATURATES below 1.0
+    * while extra hops buy nothing, and symmetrizing lifts it at equal
+    * beam/hops. Scale shape: the reversal is a projection of the
+    * already-built edge set (≤ 2·n·R rows) — no new corpus pass; the
+    * serve is the same O(beam · degree · hops) per query with degree
+    * ≤ 2R.
+    */
+  private[graft] def graphWalkSym(s: SparkSession, dir: String): DataFrame =
+    walkFrom(s, dir, (q, e) =>
+      q.select(col("query_id")).crossJoin(
+        e.orderBy(col("vec_id")).limit(WalkEntryN).select(col("vec_id"))),
+      symmetric = true)
+
+  /** The shared beam loop of s36/s37/s38 over s31's capped graph;
+    * `mkSeeds` builds the hop-0 candidate set (query_id, vec_id) from
+    * (q, e); `symmetric` walks the edge set in both directions (s38).
     */
   private def walkFrom(s: SparkSession, dir: String,
-      mkSeeds: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.operators.VectorOps
-    val g = ExtensionQueries3.knnGraph(s, dir, ExtensionQueries.IvfProbe,
+      mkSeeds: (DataFrame, DataFrame) => DataFrame,
+      symmetric: Boolean = false): DataFrame = {
+    val raw = ExtensionQueries3.knnGraph(s, dir, ExtensionQueries.IvfProbe,
         Some(ExtensionQueries3.GraphCapR))
-      .select(col("vec_id").as("src"), col("neighbor").as("dst")).persist()
+      .select(col("vec_id").as("src"), col("neighbor").as("dst"))
+    val g = (if (symmetric)
+        raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+      else raw).persist()
     val e = ExtensionQueries.embeddingsD(s, dir)
     val q = e.filter(col("vec_id") <= 2)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    walkOver(g, e, q, mkSeeds)
+  }
+
+  /** The beam loop itself over an arbitrary (graph, corpus, query) triple
+    * — factored out (r15) so recall can be graded on CONSTRUCTED
+    * geometry too (Round15Spec's clustered fixture; the registered
+    * fixture's embeddings are isotropic, where no graph is navigable and
+    * the honest walk recall read-off is ~chance). `g` is the directed
+    * edge set (src, dst); `e` is (vec_id, v); `q` is (query_id, qv).
+    */
+  private[graft] def walkOver(g: DataFrame, e: DataFrame, q: DataFrame,
+      mkSeeds: (DataFrame, DataFrame) => DataFrame,
+      beamWidth: Int = WalkBeam, hops: Int = WalkHops): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.VectorOps
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     def scoreTop(cand: DataFrame, k: Int): DataFrame =
@@ -477,13 +617,13 @@ object ExtensionQueries8 {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select(col("query_id"), col("vec_id"), col("cos"))
-    var beam = scoreTop(mkSeeds(q, e), WalkBeam)
-    for (_ <- 1 to WalkHops) {
+    var beam = scoreTop(mkSeeds(q, e), beamWidth)
+    for (_ <- 1 to hops) {
       val cand = beam.select(col("query_id"), col("vec_id"))
         .union(beam.join(g, col("vec_id") === col("src"))
           .select(col("query_id"), col("dst").as("vec_id")))
         .distinct()
-      beam = scoreTop(cand, WalkBeam)
+      beam = scoreTop(cand, beamWidth)
     }
     beam
       .withColumn("rank", row_number().over(w).cast("int"))
@@ -500,6 +640,14 @@ object ExtensionQueries8 {
   private[graft] def graphWalkSql: String = walkSql(s"""
       entries AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $WalkEntryN),
       w0 AS (SELECT q.query_id, en.vec_id FROM q CROSS JOIN entries en)""")
+
+  /** [[graphWalkSym]]'s replay: s36's chain with the edge CTE
+    * symmetrized (out ∪ reversed, deduplicated).
+    */
+  private[graft] def graphWalkSymSql: String = walkSql(s"""
+      entries AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $WalkEntryN),
+      w0 AS (SELECT q.query_id, en.vec_id FROM q CROSS JOIN entries en)""",
+    symmetric = true)
 
   /** [[graphWalkIvf]]'s replay: the walk chain over IVF-routed entries —
     * the same training CTEs s31's graph already embeds (c/a at
@@ -545,7 +693,7 @@ object ExtensionQueries8 {
     * CTEs are `w`-prefixed to stay clear of the training chain's
     * c<i>/a<i> names.
     */
-  private def walkSql(entriesCtes: String): String = {
+  private def walkSql(entriesCtes: String, symmetric: Boolean = false): String = {
     val dot = ExtensionQueries.dotSql("q.qv", "e.v")
     val qn = ExtensionQueries.dotSql("q.qv", "q.qv")
     val en = ExtensionQueries.dotSql("e.v", "e.v")
@@ -575,12 +723,20 @@ object ExtensionQueries8 {
         ) u
       ),${scoreCte(h, s"w$h")}"""
     }.mkString(",")
+    val symCte = if (symmetric) s""",
+      g AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM g0
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM g0
+        ) u
+      )""" else ", g AS (SELECT src, dst FROM g0)"
     s"""
-      WITH g AS (
+      WITH g0 AS (
         SELECT vec_id AS src, neighbor AS dst
         FROM (${ExtensionQueries3.knnGraphSql(
             cap = Some(ExtensionQueries3.GraphCapR))}) gg
-      ),
+      )$symCte,
       e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
@@ -901,7 +1057,7 @@ object ExtensionQueries8 {
         .withColumn("delta", col("mean_b") - col("mean_a"))
         .withColumn("ln_lambda", Agg.roundAt(
           lit(0.5) * (detLn(col("n_a") + col("n_b"))
-            - detLn(col("n_a") + col("n_b") + col("n_a") * col("n_b")))
+            - detLn(msprtLnArg(col("n_a"), col("n_b"))))
             + col("delta") * col("delta")
               / (lit(2.0) * col("var_pool") * col("h") * (col("h") + lit(1.0))), 6))
         .withColumn("ln_lambda_max", max(col("ln_lambda")).over(wAll))
@@ -1066,17 +1222,23 @@ object ExtensionQueries8 {
       import graft.sources.TxCatalog
       val root = graft.sources.Scratch.fresh(s,
         s"tx_catalog_${new java.io.File(dir).getName}")
-      // persist for the same three-consumer reason as statsCatalog
-      // (two artifact builds + the ndv_true truth scan); CacheManager's
-      // canonical-plan dedup shares the materialization with q96's
+      // the fused (tiny, |shards|·|cols|-row) aggregate is persisted
+      // across the transaction's two member writes; the truth is one
+      // further streaming pass — nothing |rows|×|cols|-sized is ever
+      // cached (statsCatalog's r15 rule)
       val longF = catalogLongForm(t(s, dir, "orders"),
         pmod(col("o_orderkey"), lit(ExtensionQueries7.SketchShards.toLong)),
-        ordersAuditSpecs).persist()
-      val (stats, regs) = catalogArtifacts(longF)
-      TxCatalog.commitAll(s, s"$root/catalog",
-        Seq(s"$root/stats" -> stats, s"$root/ndv_regs" -> regs))
-      val snap = TxCatalog.snapshot(s, s"$root/catalog")
-      serveCatalogFrom(longF, snap(s"$root/stats"), snap(s"$root/ndv_regs"))
+        ordersAuditSpecs)
+      val fused = fusedCatalogAgg(longF).persist()
+      try {
+        val (stats, regs) = catalogArtifacts(fused)
+        TxCatalog.commitAll(s, s"$root/catalog",
+          Seq(s"$root/stats" -> stats, s"$root/ndv_regs" -> regs))
+        val truth = ndvTruthLocal(s, longF)
+        val snap = TxCatalog.snapshot(s, s"$root/catalog")
+        serveCatalogFrom(Some(truth), snap(s"$root/stats"),
+          snap(s"$root/ndv_regs"))
+      } finally fused.unpersist()
     }),
 
     // Whole-lake statistics sweep (q99): q96's ANALYZE-TABLE catalog run
@@ -1095,7 +1257,11 @@ object ExtensionQueries8 {
     // are generated from the same rows, so the engines cannot drift
     // column-by-column. Round14Spec proves the ≥2-table incremental
     // property: appending one table's new shard leaves every other
-    // table's catalog rows byte-identical.
+    // table's catalog rows byte-identical. The sweep runs `withTruth =
+    // false` (r15): a production ANALYZE never pays an exact per-column
+    // distinct count — the estimate-vs-truth grading lives where it is
+    // cheap and still hash-verified, in q96/q101's single-table catalogs
+    // and Round15Spec's per-table accuracy bound.
     "q99_lake_stats_sweep" -> ((s, dir) => {
       val root = graft.sources.Scratch.fresh(s,
         s"lake_catalog_${new java.io.File(dir).getName}")
@@ -1112,12 +1278,12 @@ object ExtensionQueries8 {
           statsCatalog(s, t(s, dir, tbl),
               pmod(col(shardKey).cast("long"),
                 lit(ExtensionQueries7.SketchShards.toLong)),
-              cols.map(auditSpec), s"$root/$tbl")
+              cols.map(auditSpec), s"$root/$tbl", withTruth = false)
             .withColumn("table_name", lit(tbl))
         }
       }), 30.minutes).reduce(_.unionByName(_))
         .select(col("table_name"), col("col_name"), col("n_rows"),
-          col("n_null"), col("ndv_est"), col("ndv_true"),
+          col("n_null"), col("ndv_est"),
           col("min_num"), col("max_num"), col("min_str"), col("max_str"))
         .orderBy(col("table_name"), col("col_name"))
     }),
@@ -1273,6 +1439,17 @@ object ExtensionQueries8 {
     // read-off: entry locality pays on clustered real-world vectors,
     // and the constant per-query cost is the design point either way.
     "s37_graph_walk_ivf" -> ((s, dir) => graphWalkIvf(s, dir)),
+
+    // Bidirectional graph walk (s38, r15): s36 over the SYMMETRIZED
+    // capped graph — see [[graphWalkSym]]. The round-15 clustered-
+    // geometry grading (Round15Spec) showed the directed walk's recall
+    // saturating below 1.0 with extra hops buying nothing: top-R
+    // out-edges leave anti-hub points with no IN-edges unreachable.
+    // Keeping each link traversable both ways (the NSW/HNSW
+    // prescription) is a projection of the stored edge set, not a new
+    // corpus pass, and s22's graded table prices the lift beside
+    // graph_walk at identical beam/hops.
+    "s38_graph_walk_sym" -> ((s, dir) => graphWalkSym(s, dir)),
 
     // Auto-salted join (q100): q26 applies a FIXED salt factor; this
     // closes the q97 → q26 loop — the factor is chosen by the skew
@@ -1471,9 +1648,15 @@ object ExtensionQueries8 {
     // values). d10 answers "what do I drop from train"; t35 answers
     // "which evals are still trustworthy — and how badly burned are the
     // rest", the report an eval-suite owner actually reads. Scale
-    // shape: ONE shingle pass; the eval side (~1% of docs) broadcasts
-    // into the train stream — never a shuffle of the full corpus — and
-    // the per-eval-doc aggregate is bounded by the holdout size.
+    // shape: ONE shingle pass, and the eval↔train join carries NO
+    // broadcast hint (r15 — the r14 hint forced the eval side into
+    // every executor, and on THIS fixture the holdout is doc_id % 97,
+    // ~1% of the corpus: corpus-proportional, an OOM at 100 TB, not a
+    // plan choice). A real eval suite is constant-size and AQE will
+    // broadcast it below spark.sql.autoBroadcastJoinThreshold on its
+    // MEASURED size; above it the planner's shuffled join is the
+    // correct plan, not a failure. The per-eval-doc aggregate stays
+    // bounded by the holdout size either way.
     "t35_contamination_report" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // row-local shingle COUNT per eval doc (no explode): an eval doc
@@ -1489,7 +1672,7 @@ object ExtensionQueries8 {
       val evalSh = shingled.filter(col("doc_id") % 97 === 0)
       val trainSh = shingled.filter(col("doc_id") % 97 =!= 0)
         .select(col("sh"), col("doc_id").as("train_doc"))
-      val hits = trainSh.join(broadcast(evalSh), Seq("sh"))
+      val hits = trainSh.join(evalSh, Seq("sh"))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("sh")).as("n_contaminated"),
           countDistinct(col("train_doc")).as("n_train_docs"))
@@ -2219,13 +2402,11 @@ object ExtensionQueries8 {
         SELECT tbl, seg, count(*) AS n_rows,
                CAST(count(*) - count(cval) AS BIGINT) AS n_null,
                min(nval) AS min_num, max(nval) AS max_num,
-               min(sval) AS min_str, max(sval) AS max_str,
-               CAST(count(DISTINCT cval) AS BIGINT) AS ndv_true
+               min(sval) AS min_str, max(sval) AS max_str
         FROM base GROUP BY 1, 2
       )
       SELECT s.tbl AS table_name, s.seg AS col_name, s.n_rows, s.n_null,
              floor(COALESCE(c.corrected, 0) * 10000 + 0.5) / 10000 AS ndv_est,
-             s.ndv_true,
              s.min_num, s.max_num, s.min_str, s.max_str
       FROM stats s LEFT JOIN cor c ON s.tbl = c.tbl AND s.seg = c.seg
       ORDER BY table_name, col_name""",
@@ -2354,6 +2535,9 @@ object ExtensionQueries8 {
     // IVF-entry walk replay: the same chain over the km-training +
     // probe-routed entry CTEs.
     "s37_graph_walk_ivf" -> graphWalkIvfSql,
+
+    // Bidirectional-walk replay: s36's chain, edge CTE symmetrized.
+    "s38_graph_walk_sym" -> graphWalkSymSql,
 
     // Difference replay: q87's segment CTEs + θ-trim, EXCEPT instead of
     // UNION/INTERSECT. 2^48 = 281474976710656 exactly in both engines.

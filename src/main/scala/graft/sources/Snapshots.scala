@@ -42,6 +42,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Snapshots {
 
+  /** The exclusive-publish seam (r15): HOW a manifest name is claimed is
+    * the one storage-dependent step of the whole commit protocol.
+    * HDFS-like stores get it from rename-fails-on-existing, the local
+    * filesystem from `link(2)` (see [[FsBackend]]); an S3-style object
+    * store implements the SAME protocol with a conditional put
+    * (`If-None-Match: *`) — everything else (staged immutable batch
+    * dirs, loser-retries-at-next-version, max-merge in TxCatalog) is
+    * backend-agnostic. Implementations must atomically publish `tmp`'s
+    * bytes at `dst` iff `dst` does not exist, returning whether this
+    * writer won; `tmp` may be consumed on success and must be left for
+    * the caller to delete on failure.
+    */
+  trait PublishBackend {
+    def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
+                         tmp: Path, dst: Path): Boolean
+  }
+
+  /** The filesystem backend: rename-without-replace on HDFS-like
+    * schemes, hard link on the local filesystem (POSIX rename silently
+    * replaces, `link(2)` refuses atomically with EEXIST).
+    */
+  object FsBackend extends PublishBackend {
+    override def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
+                                  tmp: Path, dst: Path): Boolean =
+      Snapshots.publishExclusive(f, tmp, dst)
+  }
+
   /** A manifest line: a data batch dir, or (prefixed `delete:`) an
     * equality-delete batch dir whose parquet rows are the KEY TUPLES of
     * deleted rows. Delete entries mask only data entries listed BEFORE
@@ -142,8 +169,10 @@ object Snapshots {
   private[graft] def commitWithHook(spark: SparkSession, tableDir: String,
                                     df: DataFrame, replace: Boolean,
                                     beforePublish: Int => Unit,
-                                    isDelete: Boolean = false): Int =
-    commitEntries(spark, tableDir, Seq(df -> isDelete), replace, beforePublish)
+                                    isDelete: Boolean = false,
+                                    backend: PublishBackend = FsBackend): Int =
+    commitEntries(spark, tableDir, Seq(df -> isDelete), replace,
+      beforePublish, backend)
 
   /** The staged-commit core: write every (frame, isDelete) batch under its
     * own writer-scoped dir, then publish ONE manifest appending their
@@ -155,7 +184,8 @@ object Snapshots {
   private def commitEntries(spark: SparkSession, tableDir: String,
                             batches: Seq[(DataFrame, Boolean)],
                             replace: Boolean,
-                            beforePublish: Int => Unit): Int = {
+                            beforePublish: Int => Unit,
+                            backend: PublishBackend = FsBackend): Int = {
     val f = fs(spark, tableDir)
     // schema enforcement (the Delta default): an append whose DATA schema
     // drifts from the table's poisons every multi-path read after it —
@@ -197,7 +227,7 @@ object Snapshots {
       val out = f.create(tmp, true)
       try out.write((visible.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      if (publishExclusive(f, tmp, manifestPath(tableDir, v))) return v
+      if (backend.publishExclusive(f, tmp, manifestPath(tableDir, v))) return v
       // lost the race: someone else owns v now — drop only OUR tmp file
       // (the staged batch dir is untouched) and retry against the new tip
       f.delete(tmp, false)
@@ -220,6 +250,14 @@ object Snapshots {
       try { java.nio.file.Files.createLink(d, t); f.delete(tmp, false); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else !f.exists(dst) && f.rename(tmp, dst)
+
+  /** The raw manifest lines of version `v` — entry identity, exposed to
+    * [[TxCatalog]] so its max-merge can verify the monotonicity (entry
+    * superset) its pin arithmetic relies on.
+    */
+  private[sources] def manifestEntries(spark: SparkSession, tableDir: String,
+                                       v: Int): Seq[String] =
+    readManifest(spark, tableDir, v)
 
   private def readManifest(spark: SparkSession, tableDir: String, v: Int): Seq[String] = {
     val f = fs(spark, tableDir)

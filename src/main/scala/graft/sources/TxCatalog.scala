@@ -33,8 +33,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * version; the loser re-merges over the new tip taking the MAX version
   * per table — correct for the append-only artifact tables this catalog
   * exists for (append manifests are supersets, so the max pin contains
-  * both writers' rows); tables maintained by commitReplace want one
-  * catalog writer.
+  * both writers' rows). Tables maintained by commitReplace want one
+  * catalog writer, and since r15 that is ENFORCED, not advisory: a
+  * contended merge verifies the superset property per differing pin and
+  * fails loudly when a replace commit sits between them (see
+  * [[commitAllWrites]]).
   */
 object TxCatalog {
 
@@ -84,26 +87,64 @@ object TxCatalog {
     versions(spark, catDir).lastOption
       .map(readPins(spark, catDir, _)).getOrElse(Map.empty)
 
-  /** Commit every (tableDir, df) write and publish ONE catalog version
-    * pinning all of them — the atomic multi-table commit. Member tables
-    * commit first (durable, catalog-invisible); `beforePublish(v)` is the
-    * test seam between those commits and the catalog publish attempt at
-    * `v` (a reader inside the hook must still see the OLD consistent pin
-    * set). Returns the catalog version.
+  /** One member write of a catalog transaction: `replace = true` commits
+    * via [[Snapshots.commitReplace]] (the maintained-view shape — q103's
+    * refresh); default is the append commit.
+    */
+  final case class TxWrite(tableDir: String, df: DataFrame,
+                           replace: Boolean = false)
+
+  /** Commit every (tableDir, df) APPEND write and publish ONE catalog
+    * version pinning all of them — see [[commitAllWrites]].
     */
   def commitAll(spark: SparkSession, catDir: String,
                 writes: Seq[(String, DataFrame)],
-                beforePublish: Int => Unit = _ => ()): Int = {
+                beforePublish: Int => Unit = _ => ()): Int =
+    commitAllWrites(spark, catDir,
+      writes.map { case (t, df) => TxWrite(t, df) }, beforePublish)
+
+  /** Commit every member write and publish ONE catalog version pinning
+    * all of them — the atomic multi-table commit. Member tables commit
+    * first (durable, catalog-invisible); `beforePublish(v)` is the test
+    * seam between those commits and the catalog publish attempt at `v`
+    * (a reader inside the hook must still see the OLD consistent pin
+    * set). `backend` is the exclusive-publish seam threaded to BOTH the
+    * member commits and the catalog publish ([[Snapshots.FsBackend]]
+    * default; an object store passes its conditional-put
+    * implementation — the protocol is unchanged). Returns the catalog
+    * version.
+    *
+    * Concurrency contract (r15): when the publish runs into a CONCURRENT
+    * transaction — we lost a publish race, or the tip already pins a
+    * NEWER version of one of our member tables — the per-table max-merge
+    * is only sound if every table whose pins differ is MONOTONE between
+    * the two pins (the higher version's manifest contains the lower's
+    * entries: true for append/delete commits, false across a
+    * commitReplace). A replace rewrites the visible set, so the
+    * surviving max pin would silently drop the other writer's rows and
+    * the published set would mix transactions — exactly the inconsistent
+    * pair this catalog exists to prevent. The guard checks the superset
+    * property directly (two manifest reads per differing table, only on
+    * the contended path) and fails loudly: replace-maintained member
+    * tables want ONE catalog writer.
+    */
+  def commitAllWrites(spark: SparkSession, catDir: String,
+                      writes: Seq[TxWrite],
+                      beforePublish: Int => Unit = _ => (),
+                      backend: Snapshots.PublishBackend = Snapshots.FsBackend)
+      : Int = {
     require(writes.nonEmpty, "commitAll needs at least one table write")
-    require(writes.map(_._1).distinct.size == writes.size,
+    require(writes.map(_.tableDir).distinct.size == writes.size,
       "one write per table per transaction")
-    val newPins = writes.map { case (tbl, df) =>
-      tbl -> Snapshots.commit(spark, tbl, df)
+    val newPins = writes.map { w =>
+      w.tableDir -> Snapshots.commitWithHook(spark, w.tableDir, w.df,
+        replace = w.replace, _ => (), backend = backend)
     }.toMap
     val f = fs(spark, catDir)
     f.mkdirs(manifestDir(catDir))
     val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     var attempt = 0
+    var contended = false
     while (attempt < 50) {
       attempt += 1
       // ONE directory listing per attempt: both the previous pin set and
@@ -117,8 +158,29 @@ object TxCatalog {
       val prev = tip.map(readPins(spark, catDir, _)).getOrElse(Map.empty)
       val v = tip.getOrElse(0) + 1
       beforePublish(v)
+      // a tip already pinning PAST one of our fresh member commits means
+      // another transaction committed after us — same contention as a
+      // lost publish race, detectable before wasting the publish attempt
+      contended ||= newPins.exists { case (t, nv) => prev.getOrElse(t, 0) > nv }
+      if (contended) {
+        (prev.keySet ++ newPins.keySet).foreach { t =>
+          val (a, b) = (prev.getOrElse(t, 0), newPins.getOrElse(t, 0))
+          if (a > 0 && b > 0 && a != b) {
+            val lo = Snapshots.manifestEntries(spark, t, math.min(a, b)).toSet
+            val hi = Snapshots.manifestEntries(spark, t, math.max(a, b)).toSet
+            if (!lo.subsetOf(hi))
+              throw new IllegalStateException(
+                s"concurrent catalog transactions over replace-maintained " +
+                  s"table $t: version ${math.max(a, b)} does not contain " +
+                  s"${math.min(a, b)}'s visible set, so a max-merge would " +
+                  "publish a pin set mixing transactions; replace-" +
+                  "maintained tables want one catalog writer")
+          }
+        }
+      }
       // carry unlisted tables forward; on a lost race, max-merge per
-      // table (append-only manifests are supersets — see object doc)
+      // table (append-only manifests are supersets — verified above on
+      // the contended path)
       val merged = (prev.keySet ++ newPins.keySet).map { t =>
         t -> math.max(prev.getOrElse(t, 0), newPins.getOrElse(t, 0))
       }.toSeq.sortBy(_._1)
@@ -127,8 +189,9 @@ object TxCatalog {
       try out.write(merged.map { case (t, ver) => s"$ver\t$t" }
         .mkString("", "\n", "\n").getBytes("UTF-8"))
       finally out.close()
-      if (Snapshots.publishExclusive(f, tmp, manifestPath(catDir, v))) return v
+      if (backend.publishExclusive(f, tmp, manifestPath(catDir, v))) return v
       f.delete(tmp, false)
+      contended = true
     }
     throw new IllegalStateException(
       s"catalog commit to $catDir still losing the publish race after $attempt attempts")

@@ -562,7 +562,7 @@ class SessionTimerProcessor(gapSeconds: Double, idleMs: Long)
       timers: org.apache.spark.sql.streaming.TimerValues,
       folded: EventStreams.SessionState): Unit = {
     getHandle.listTimers().foreach(getHandle.deleteTimer)
-    getHandle.registerTimer(timers.getCurrentProcessingTimeInMs + idleMs)
+    getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + idleMs)
   }
 }
 
@@ -576,8 +576,15 @@ class SessionEventTimeProcessor(gapSeconds: Double)
       timers: org.apache.spark.sql.streaming.TimerValues,
       folded: EventStreams.SessionState): Unit = {
     getHandle.listTimers().foreach(getHandle.deleteTimer)
+    // one fused ms conversion + 1 (r15 advice): the old
+    // `(lastSec*1000).toLong + (gap*1000).toLong` truncated each term's
+    // fractional milliseconds independently, and a timer at exactly
+    // lastSec+gap races the fold's STRICT gap rule (an event AT the
+    // boundary still extends the session — `sec - lastSec > gap` closes
+    // it). The first provably-unextendable instant is strictly after
+    // the boundary, so fire 1 ms past the fused truncation.
     getHandle.registerTimer(
-      (folded.lastSec * 1000).toLong + (gapSeconds * 1000).toLong)
+      ((folded.lastSec + gapSeconds) * 1000).toLong + 1)
   }
 }
 

@@ -34,14 +34,15 @@ class Round14Spec extends AnyFunSuite {
       }
     }
     val text = cat(("documents", "text"))
-    assert(text.getString(8).length <= 32 && text.getString(9).length <= 32,
+    val (mnStr, mxStr) =
+      (text.getAs[String]("min_str"), text.getAs[String]("max_str"))
+    assert(mnStr.length <= 32 && mxStr.length <= 32,
       "text min/max must be the bounded-width truncation, not raw KB strings")
     // the truncated lane still equals min/max over the prefixed values
     val docs = graft.sources.Tables.load(spark, dir, "documents")
       .select(substring(col("text"), 1, 32).as("p"))
       .agg(min(col("p")), max(col("p"))).head()
-    assert(text.getString(8) == docs.getString(0) &&
-      text.getString(9) == docs.getString(1))
+    assert(mnStr == docs.getString(0) && mxStr == docs.getString(1))
   }
 
   test("q99 sweep: incremental refresh over TWO tables — appending one " +

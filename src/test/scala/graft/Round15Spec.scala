@@ -1,0 +1,296 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 batch: the q99 truth-column gating, s22's stored-eval-run
+  * serving form, the e21 overflow guard, the TxCatalog replace-writer
+  * guard + conditional-put backend seam, and graph-walk recall on
+  * clustered geometry.
+  */
+class Round15Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- q99 / q96: the exact-NDV truth column moved out of the sweep ----
+
+  test("q99 sweep no longer carries ndv_true — the bench line prices the " +
+      "production ANALYZE; q96 keeps grading the estimate against truth") {
+    val sweep = ExtensionQueries8.all("q99_lake_stats_sweep")(spark, dir)
+    assert(!sweep.columns.contains("ndv_true"),
+      "the production sweep must not pay an exact per-column distinct")
+    assert(sweep.columns.contains("ndv_est"))
+    // the estimate-vs-truth grading lives where it is cheap and still
+    // oracle-checked: q96's single-table catalog carries BOTH columns,
+    // and the p=12 HLL estimate must land within 10% of the exact truth
+    // on every audited column (typical error at m=4096 is ~1.6%; small
+    // cardinalities are exact through the linear-counting branch)
+    val rows = ExtensionQueries8.all("q96_column_stats_catalog")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("ndv_est")
+      val truth = r.getAs[Long]("ndv_true")
+      if (truth == 0L) assert(est == 0.0, s"${r.getString(0)}: $est vs 0")
+      else assert(math.abs(est - truth) / truth <= 0.10,
+        s"${r.getString(0)}: ndv_est $est strays >10% from exact $truth")
+    }
+  }
+
+  // ---- s22: stored-eval-run serving form ----
+
+  test("s22 grouped grading over the stored eval runs equals the " +
+      "per-method harness row-for-row") {
+    val root = ExtensionQueries6.s22RankingsRoot(spark, dir)
+    val exact = spark.read.parquet(s"$root/truth").withColumn("__rel", lit(1L))
+    val queries = exact.select(col("query_id")).distinct()
+    val stored = spark.read.parquet(s"$root/rankings")
+    val reference = ExtensionQueries6.AnnMethodNames
+      .map(name => ExtensionQueries5.gradedMetrics(exact, queries, name,
+        stored.filter(col("method") === name)))
+      .reduce(_.unionAll(_))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toList
+    val grouped = ExtensionQueries6.all("s22_ann_method_metrics")(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toList
+    assert(grouped == reference,
+      "one-pass grouped grading must reproduce the per-method union")
+    // every registered family appears, all-zero rows included
+    assert(grouped.size ==
+      ExtensionQueries6.AnnMethodNames.size * queries.count().toInt)
+  }
+
+  // ---- e21: the n_a·n_b overflow guard ----
+
+  test("e21 overflow guard: in-range products are exact, out-of-range " +
+      "products fail loudly instead of wrapping negative") {
+    import spark.implicits._
+    val ok = Seq((3L, 4L)).toDF("na", "nb")
+      .select(ExtensionQueries8.msprtLnArg(col("na"), col("nb")).as("x"))
+      .head().getLong(0)
+    assert(ok == 3L + 4L + 12L)
+    // 4e9 per arm → n_a*n_b = 1.6e19 > 2^63: the old code wrapped
+    // negative and detLn produced garbage; the guard must raise
+    val big = Seq((4000000000L, 4000000000L)).toDF("na", "nb")
+      .select(ExtensionQueries8.msprtLnArg(col("na"), col("nb")).as("x"))
+    val ex = intercept[Throwable] { big.collect() }
+    def msgs(t: Throwable, depth: Int): String =
+      if (t == null || depth > 8) ""
+      else (Option(t.getMessage).getOrElse("")) + "\n" + msgs(t.getCause, depth + 1)
+    assert(msgs(ex, 0).contains("mSPRT"),
+      s"expected the mSPRT overflow error, got: ${msgs(ex, 0).take(400)}")
+  }
+
+  // ---- TxCatalog: replace-maintained tables refuse concurrent writers ----
+
+  test("TxCatalog: concurrent transactions over a replace-maintained " +
+      "table FAIL the max-merge instead of silently mixing pin sets") {
+    import spark.implicits._
+    import graft.sources.{Scratch, TxCatalog}
+    import graft.sources.TxCatalog.TxWrite
+    val root = Scratch.fresh(spark, "r15_txcat_replace")
+    val (cat, tv) = (s"$root/cat", s"$root/view")
+    def rows(tag: String) = Seq((1L, tag)).toDF("id", "tag")
+    // single-writer replace maintenance through the catalog is fine:
+    // no contention, no guard — the maintained-view shape (q103's)
+    TxCatalog.commitAllWrites(spark, cat, Seq(TxWrite(tv, rows("v1"), replace = true)))
+    TxCatalog.commitAllWrites(spark, cat, Seq(TxWrite(tv, rows("v2"), replace = true)))
+    assert(TxCatalog.readTable(spark, cat, tv)
+      .select("tag").as[String].collect().toSet == Set("v2"))
+    // a COMPETING replace transaction lands inside this writer's publish
+    // window: the loser's retry sees a tip pinning a replace version
+    // that does not contain its own — max-merge would drop one writer's
+    // rows while keeping the other's pins elsewhere, so it must refuse
+    var fired = false
+    val ex = intercept[IllegalStateException] {
+      TxCatalog.commitAllWrites(spark, cat,
+        Seq(TxWrite(tv, rows("v3-loser"), replace = true)),
+        beforePublish = { _ =>
+          if (!fired) {
+            fired = true
+            TxCatalog.commitAllWrites(spark, cat,
+              Seq(TxWrite(tv, rows("v3-winner"), replace = true)))
+          }
+        })
+    }
+    assert(ex.getMessage.contains("replace-maintained"))
+    // the winner's state is untouched by the refused merge
+    assert(TxCatalog.readTable(spark, cat, tv)
+      .select("tag").as[String].collect().toSet == Set("v3-winner"))
+  }
+
+  test("TxCatalog: the same interleave over APPEND tables still " +
+      "max-merges (the monotone path the guard verifies and allows)") {
+    import spark.implicits._
+    import graft.sources.{Scratch, TxCatalog}
+    val root = Scratch.fresh(spark, "r15_txcat_append")
+    val (cat, tA) = (s"$root/cat", s"$root/a")
+    def rows(tag: String) = Seq((1L, tag)).toDF("id", "tag")
+    TxCatalog.commitAll(spark, cat, Seq(tA -> rows("a1")))
+    var fired = false
+    TxCatalog.commitAll(spark, cat, Seq(tA -> rows("a2-loser")),
+      beforePublish = { _ =>
+        if (!fired) {
+          fired = true
+          TxCatalog.commitAll(spark, cat, Seq(tA -> rows("a2-winner")))
+        }
+      })
+    // append manifests are supersets: the max pin carries BOTH writers
+    assert(TxCatalog.readTable(spark, cat, tA)
+      .select("tag").as[String].collect().toSet ==
+      Set("a1", "a2-loser", "a2-winner"))
+  }
+
+  // ---- TxCatalog: conditional-put backend seam ----
+
+  /** Simulated S3-style conditional put: the atomic claim is a
+    * putIfAbsent on the object key (not rename/link exclusivity); the
+    * claimed key's bytes then land via a plain move this writer already
+    * owns. Same protocol, different primitive — what a real object
+    * store implements with `If-None-Match: *`.
+    */
+  private class CondPutBackend extends graft.sources.Snapshots.PublishBackend {
+    private val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val publishes = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
+        tmp: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Boolean = {
+      publishes.incrementAndGet()
+      if (!claimed.add(dst.toString)) false
+      else {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      }
+    }
+  }
+
+  test("TxCatalog over a conditional-put backend: same protocol, same " +
+      "losing-writer max-merge — only the publish primitive changes") {
+    import spark.implicits._
+    import graft.sources.{Scratch, TxCatalog}
+    import graft.sources.TxCatalog.TxWrite
+    val backend = new CondPutBackend
+    val root = Scratch.fresh(spark, "r15_txcat_condput")
+    val (cat, tA, tB) = (s"$root/cat", s"$root/a", s"$root/b")
+    def rows(tag: String) = Seq((1L, tag)).toDF("id", "tag")
+    TxCatalog.commitAllWrites(spark, cat,
+      Seq(TxWrite(tA, rows("a1")), TxWrite(tB, rows("b1"))),
+      backend = backend)
+    // the r14 losing-writer scenario, replayed over the simulated store:
+    // W2 wins the catalog version W1 was about to take; W1 must lose the
+    // conditional put, retry against the new tip, and max-merge
+    var fired = false
+    TxCatalog.commitAllWrites(spark, cat, Seq(TxWrite(tA, rows("a2-w1"))),
+      beforePublish = { _ =>
+        if (!fired) {
+          fired = true
+          TxCatalog.commitAllWrites(spark, cat,
+            Seq(TxWrite(tA, rows("a2-w2")), TxWrite(tB, rows("b2-w2"))),
+            backend = backend)
+        }
+      },
+      backend = backend)
+    val pins = TxCatalog.latestPins(spark, cat)
+    assert(pins(tA) == 3 && pins(tB) == 2,
+      s"conditional-put merge must land the same pins as FsBackend: $pins")
+    val snap = TxCatalog.snapshot(spark, cat)
+    assert(snap(tA).select("tag").as[String].collect().toSet ==
+      Set("a1", "a2-w1", "a2-w2"))
+    assert(snap(tB).select("tag").as[String].collect().toSet ==
+      Set("b1", "b2-w2"))
+    assert(backend.publishes.get() >= 4,
+      "member and catalog publishes must all route through the backend")
+  }
+
+  // ---- s36/s37: graph-walk recall on CLUSTERED geometry ----
+
+  /** Deterministic clustered fixture: 8 clusters of 25 points in 16
+    * dims, each cluster a distinct 2-hot direction plus a small
+    * deterministic per-(id, dim) perturbation — within-cluster cosine
+    * ≫ cross-cluster, so the kNN graph IS navigable (unlike the
+    * registered fixture's isotropic embeddings, where the honest walk
+    * read-off is ~chance — r14's recorded ~0.07).
+    */
+  private def clusteredFixture: DataFrame = {
+    import spark.implicits._
+    val (dims, clusters, per) = (16, 8, 25)
+    (0 until clusters).flatMap { c =>
+      (0 until per).map { i =>
+        val id = (c * per + i).toLong
+        val v = Seq.tabulate(dims) { d =>
+          val base = if (d == 2 * c || d == 2 * c + 1) 1.0 else 0.0
+          // prime-modulus hash with period ≫ |points|×|dims| — a short
+          // period (the first draft's % 13) makes ids congruent mod the
+          // period IDENTICAL vectors, and exact duplicates are walk-
+          // unreachable when no edge points at them
+          val h = ((id * 2654435761L + d * 97) % 101 + 101) % 101
+          base + 0.08 * (h.toDouble - 50.0) / 50.0
+        }
+        (id, v)
+      }
+    }.toDF("vec_id", "v")
+  }
+
+  test("graph walk on clustered structure: recall lands far above " +
+      "chance once the entries route to the query's region") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.VectorOps
+    import spark.implicits._
+    val e = clusteredFixture.persist()
+    try {
+      // exact top-3 kNN digraph (the s31 shape at in-test scale)
+      val a = e.select(col("vec_id").as("src"), col("v").as("sv"))
+      val b = e.select(col("vec_id").as("dst"), col("v").as("dv"))
+      val wG = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst").asc)
+      val g = a.join(b, col("src") =!= col("dst"))
+        .withColumn("cos",
+          graft.operators.Agg.roundAt(VectorOps.cosineFast(col("sv"), col("dv")), 6))
+        .withColumn("rn", row_number().over(wG)).filter(col("rn") <= 3)
+        .select(col("src"), col("dst")).persist()
+      val q = e.filter(col("vec_id").isin(5L, 55L, 105L))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      // s37's entry shape without re-training: one head per cluster
+      // (the routing layer a deployment stores) — seeds are ALL heads;
+      // hop-0 ranking keeps the query's own region on top
+      val heads = (0 until 8).map(c => Tuple1((c * 25).toLong)).toDF("vec_id")
+      def recallAt(hops: Int, graph: DataFrame = g): Double = {
+        val walked = ExtensionQueries8.walkOver(graph, e, q,
+            (qq, _) => qq.select(col("query_id")).crossJoin(heads),
+            hops = hops)
+          .select(col("query_id"), col("vec_id"))
+        val wQ = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val truth = q.join(e, col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            graft.operators.Agg.roundAt(VectorOps.cosineFast(col("qv"), col("v")), 6))
+          .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= 5)
+          .select(col("query_id"), col("vec_id"))
+        walked.join(truth, Seq("query_id", "vec_id")).count() / 15.0
+      }
+      (2 to 6).foreach(h => info(s"hops=$h recall=${recallAt(h)}"))
+      val atDefault = recallAt(ExtensionQueries8.WalkHops)
+      assert(atDefault >= 0.6,
+        s"walk recall on navigable structure must be far above the " +
+          s"5/200 chance floor, got $atDefault at the default hops")
+      // tuning read-off: more hops must never hurt on clustered
+      // structure (the beam only refines toward the query)
+      assert(recallAt(5) >= atDefault)
+      // s38's motivation, measured: the hop curve SATURATES at the
+      // directed graph's reachable set (anti-hub points with no
+      // in-edges stay invisible at any hop budget); making each stored
+      // link traversable both ways lifts that ceiling at identical
+      // beam/hops
+      val gSym = g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val symRecall = recallAt(ExtensionQueries8.WalkHops, gSym)
+      info(s"sym recall=$symRecall vs directed $atDefault")
+      assert(symRecall > atDefault,
+        s"bidirectional traversal must lift the directed ceiling: " +
+          s"$symRecall vs $atDefault")
+    } finally { e.unpersist(); () }
+  }
+}

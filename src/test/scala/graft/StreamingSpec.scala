@@ -785,6 +785,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotM == features(batch).collect().toSet && gotM.nonEmpty)
   }
 
+  test("state-store rescale: restarting sessionizeTws from a checkpoint " +
+      "under a DIFFERENT shuffle-partition count emits identical sessions") {
+    // The production rescale concern (r14 verdict item 6): Structured
+    // Streaming pins the state-store partition count at the FIRST start
+    // (it is recorded in the checkpoint's metadata), so a restart under a
+    // different spark.sql.shuffle.partitions must keep reading/writing
+    // the checkpointed layout — recovered sessions must continue and
+    // close exactly as an uninterrupted run would. A true state
+    // REPARTITION is an offline rewrite, not a restart-time conf change;
+    // this pins that the conf change is safe (ignored for state layout),
+    // never corrupting.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      Event(1L, ts("2024-01-01 00:00:00"), 7L, "view", 1.0),
+      Event(2L, ts("2024-01-01 00:10:00"), 7L, "view", 1.0),
+      Event(3L, ts("2024-01-01 00:05:00"), 8L, "view", 1.0),
+      Event(4L, ts("2024-01-01 00:07:00"), 9L, "view", 1.0))
+    val batch2 = Seq(
+      Event(5L, ts("2024-01-01 02:00:00"), 7L, "view", 1.0), // gap → close 7
+      Event(6L, ts("2024-01-01 00:20:00"), 8L, "view", 1.0), // extends 8
+      Event(7L, ts("2024-01-01 05:00:00"), 9L, "view", 1.0)) // gap → close 9
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val partKey = "spark.sql.shuffle.partitions"
+    val (priorProv, priorParts) =
+      (spark.conf.getOption(provKey), spark.conf.get(partKey))
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      // foreachBatch accumulator: survives the stop/restart (a memory
+      // sink's table belongs to one query incarnation)
+      def run(ckpt: String, stream: MemoryStream[Event],
+          buf: java.util.concurrent.ConcurrentLinkedQueue[
+            (Long, Long, Double, Boolean)])
+          : org.apache.spark.sql.streaming.StreamingQuery =
+        EventStreams.sessionizeTws(stream.toDS(), 1800).writeStream
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[EventStreams.SessionUpdate],
+             _: Long) =>
+              df.collect().foreach(u => buf.add(
+                (u.user_id, u.n_events, u.duration_secs, u.closed)))
+          }.start()
+      def drained(buf: java.util.concurrent.ConcurrentLinkedQueue[
+          (Long, Long, Double, Boolean)]) = {
+        val b = Seq.newBuilder[(Long, Long, Double, Boolean)]
+        buf.forEach(x => b += x)
+        b.result().sorted.toList
+      }
+      // reference: both batches through ONE uninterrupted query at 3
+      // shuffle partitions
+      val refBuf = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Long, Double, Boolean)]()
+      val refCkpt = java.nio.file.Files
+        .createTempDirectory("graft-rescale-ref").toString
+      spark.conf.set(partKey, "3")
+      val refStream = MemoryStream[Event]
+      val qRef = run(refCkpt, refStream, refBuf)
+      Seq(batch1, batch2).foreach { b =>
+        refStream.addData(b: _*); qRef.processAllAvailable()
+      }
+      qRef.stop()
+      // test run: batch 1 at 3 partitions, STOP, restart the same
+      // checkpoint at 7 partitions, batch 2 — sessions opened before the
+      // rescale attempt must close correctly after it
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Long, Double, Boolean)]()
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-rescale").toString
+      spark.conf.set(partKey, "3")
+      val stream = MemoryStream[Event]
+      val q1 = run(ckpt, stream, buf)
+      stream.addData(batch1: _*); q1.processAllAvailable(); q1.stop()
+      spark.conf.set(partKey, "7")
+      val q2 = run(ckpt, stream, buf)
+      stream.addData(batch2: _*); q2.processAllAvailable()
+      // the state layout stays the CHECKPOINTED count — the conf change
+      // must not re-shard recovered state
+      val stateParts = q2.lastProgress.stateOperators(0).numShufflePartitions
+      q2.stop()
+      assert(stateParts == 3,
+        s"restart must keep the checkpointed state partitioning, got $stateParts")
+      assert(drained(buf) == drained(refBuf),
+        "the rescaled run must emit exactly the uninterrupted run's sessions")
+    } finally {
+      spark.conf.set(partKey, priorParts)
+      priorProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("windowed agg survives a stop/restart from checkpoint with exactly-once output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
