@@ -185,8 +185,21 @@ object Dedup {
       // Spark jobs; holding the lock would serialize unrelated
       // first-callers) — a concurrent duplicate compute is benign: the
       // loser unpersists its copy and adopts the winner's.
-      val computed = labelClustersUncached(docs, pairs, maxRounds,
-        reliableCheckpointDir)._1.persist()
+      // r15: the default engine is [[starContractClusters]] — same exact
+      // fixed point (Round15Spec pins equality on the fixtures AND on
+      // adversarial graphs), measured 10.2 → 3.8 s at sf0.1 and 55.9 →
+      // 9.2 s at sf1 (the contraction's shrinking per-round shuffles
+      // turn d07's near-linear slope sublinear: 2.4× for 10× data).
+      // `maxRounds` caps alternations (both are log-scale budgets). The
+      // reliable-checkpoint path keeps the propagation form — its
+      // single up-front edge materialization fits storage-backed
+      // truncation; contraction checkpoints per round.
+      val computed = (reliableCheckpointDir match {
+        case Some(_) => labelClustersUncached(docs, pairs, maxRounds,
+          reliableCheckpointDir)._1
+        case None => starContractClusters(docs, pairs,
+          maxAlternations = maxRounds)
+      }).persist()
       val entry = ClusterMemoEntry(docsPlan, pairsPlan, computed)
       clusterMemo.synchronized {
         val prev = clusterMemo.get(key)
@@ -207,6 +220,99 @@ object Dedup {
   /** [[labelClusters]] body, uncached; also returns the number of
     * propagation rounds actually executed (specs and scale audits read it).
     */
+  /** Exact connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii —
+    * "Connected Components in MapReduce and Beyond", SoCC '14): the same
+    * fixed point as [[labelClusters]] (every doc labeled with its
+    * component's minimum id), reached by CONTRACTING the edge set toward
+    * stars instead of re-joining the full edge set for
+    * O(log diameter)-many label rounds. Each large-star round hangs
+    * every node's larger neighbors off the neighborhood minimum; each
+    * small-star round re-points every smaller neighbor at it. Both
+    * preserve connectivity exactly, both only ever lower edge
+    * endpoints, and the edge set shrinks geometrically — so per-round
+    * shuffle cost FALLS as the algorithm proceeds, where the
+    * label-propagation loop pays the full |E| join every round. That is
+    * the difference that matters at 100 TB and already at the sf1
+    * decade (measured: d07's propagation was the one production line
+    * with a ~10× slope; see PLANS.md round 15/16).
+    *
+    * Operational shape per round: one window aggregate over the
+    * symmetrized (shrinking) edge set + one distinct — both keyed
+    * shuffles, map-side combinable. Convergence: a (count,
+    * Σ xxhash64) signature repeated across one full alternation gates
+    * an EXACT no-op certificate (`exceptAll` both ways, run once, at
+    * star-sized cost) — the signature is a filter, the certificate is
+    * the proof, so a hash collision cannot produce a wrong answer.
+    */
+  private[graft] def starContractClusters(docs: DataFrame, pairs: DataFrame,
+      maxAlternations: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idCol = docs.columns.head
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    def signature(e: DataFrame): (Long, Option[java.math.BigDecimal]) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h")).head()
+      (r.getLong(0), Option(r.getDecimal(1)))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("u"))
+      e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+        .withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges arrive oriented big→small, so grouping by the big end sees
+      // exactly the ≤-neighbors the operation is defined over
+      val w = Window.partitionBy(col("u"))
+      val withM = e.withColumn("m", min(col("v")).over(w))
+      withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    var sig = signature(edges)
+    var alternations = 0
+    var converged = sig._1 == 0L
+    while (!converged && alternations < maxAlternations) {
+      // checkpoint BOTH phases: each references its input twice (the
+      // symmetrize union / the two emit branches) — on a lazy input the
+      // whole upstream pipeline would execute twice per reference
+      val ls = largeStar(edges).localCheckpoint()
+      val next = smallStar(ls).localCheckpoint()
+      alternations += 1
+      val nsig = signature(next)
+      val candidate = nsig._1 == sig._1 &&
+        ((nsig._2, sig._2) match {
+          case (Some(a), Some(b)) => a.compareTo(b) == 0
+          case (a, b) => a == b
+        })
+      // exact certificate, only on signature match: the alternation must
+      // be a literal no-op (both ops idempotent on the star set)
+      converged = candidate &&
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      sig = nsig
+    }
+    if (!converged && sig._1 > 0L)
+      throw new IllegalStateException(
+        s"star contraction not converged after $alternations alternations")
+    // at convergence the edge set is a union of stars big→small: every
+    // non-root points at its component minimum, roots/isolated docs
+    // carry their own id
+    val stars = edges.groupBy(col("u")).agg(min(col("v")).as("label"))
+      .select(col("u").as("__sid"), col("label"))
+    docs.select(col(idCol).as("id"))
+      .join(stars, col("id") === col("__sid"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   private[graft] def labelClustersUncached(docs: DataFrame, pairs: DataFrame,
       maxRounds: Int, reliableCheckpointDir: Option[String] = None)
       : (DataFrame, Int) = {

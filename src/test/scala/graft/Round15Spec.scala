@@ -205,6 +205,44 @@ class Round15Spec extends AnyFunSuite {
       "member and catalog publishes must all route through the backend")
   }
 
+  // ---- d07: star-contraction CC equals label propagation ----
+
+  test("star contraction reaches label propagation's exact fixed point " +
+      "on adversarial graphs and on the fixture candidate graph") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def check(ids: Seq[Long], edges: Seq[(Long, Long)], tag: String): Unit = {
+      val docs = ids.toDF("id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val prop = labels(Dedup.labelClustersUncached(docs, pairs, 64)._1)
+      val star = labels(Dedup.starContractClusters(docs, pairs))
+      assert(star == prop, s"$tag: star $star vs propagation $prop")
+    }
+    // worst-case diameter: a long chain, edges oriented against the min
+    check(1L to 40L, (1L to 39L).map(i => (i + 1, i)), "40-chain")
+    // two dense clusters joined by one bridge (the d22 hard case)
+    check(1L to 12L,
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L),
+        (3L, 10L)), "bridged triangles")
+    // star around a hub that is NOT the minimum
+    check(1L to 9L, (1L to 8L).map(i => (9L, i)), "hub-star")
+    // duplicate + self + reversed edges, isolated nodes 50/60
+    check(Seq(1L, 2L, 3L, 50L, 60L),
+      Seq((2L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 1L)),
+      "dups/self/isolated")
+    // empty edge set: every doc its own component
+    check(Seq(5L, 6L), Seq.empty, "no edges")
+    // the real fixture candidate graph
+    val feats = ExtensionQueries.docFeatures(spark, dir)
+    val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+    val ids = feats.select(col("id"))
+    assert(labels(Dedup.starContractClusters(ids, pairs)) ==
+      labels(Dedup.labelClustersUncached(ids, pairs, 64)._1),
+      "fixture LSH graph: the two exact-CC engines must agree")
+  }
+
   // ---- s36/s37: graph-walk recall on CLUSTERED geometry ----
 
   /** Deterministic clustered fixture: 8 clusters of 25 points in 16
