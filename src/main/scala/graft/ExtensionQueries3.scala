@@ -544,39 +544,108 @@ object ExtensionQueries3 {
 
     // Perceptual image near-dup (dHash + banded LSH): the multimodal twin
     // of d13 — images fingerprint to 64 gradient-sign bits through the
-    // REAL decode/resize path (Ppm), candidates collide on 8-bit hash
-    // bands, and exact hamming verifies. Band width is dictated by the
-    // dup threshold: 8 bands × 8 bits pigeonholes every pair at hamming
-    // ≤ 7 into at least one shared band, so the `is_dup` (hamming ≤ 6)
-    // verdict below is complete — no qualifying pair can be silently
-    // dropped at candidate generation. (4 × 16-bit bands, the pre-r10
-    // shape, only guaranteed ≤ 3: a pair at distance 4-6 spread one bit
-    // per band never collided.) No all-pairs term: the pair join is a
-    // bucketed equi-join on (band, value). The oracle replays the entire
-    // pixel pipeline from the text-synthesized rasters — resize sampling,
-    // integer grayscale, every gradient bit — so a one-pixel drift in the
-    // decode path fails the hash.
+    // REAL decode/resize path (Ppm), candidates collide on hash bands,
+    // and exact hamming verifies. Band geometry is dictated by the dup
+    // threshold, and since r15 candidates come from band-PAIR composite
+    // keys (28 = C(8,2) 16-bit keys per image): hamming ≤ 6 can flip at
+    // most 6 of the 8 8-bit bands, so ≥ 2 bands stay intact and some
+    // intact PAIR collides — candidate generation stays complete for the
+    // `is_dup` (hamming ≤ 6) verdict (Round10Spec pins the pigeonhole).
+    // Why pairs and not single bands (the r10–r14 shape): a single 8-bit
+    // band's bucket occupancy grows linearly with the corpus, so
+    // within-bucket candidates grow QUADRATICALLY — measured 528 k pairs
+    // at sf0.1 → 48.9 M at sf1 (93× for 10× docs; hottest bucket 9.5 k
+    // images). The 16-bit composite keys keep buckets near-singleton, so
+    // candidates track actual near-dups. The report now lists pairs
+    // sharing ≥ 2 bands (single-band collisions at hamming ≥ 7 were
+    // noise rows, never dups); n_shared_bands is computed row-locally
+    // from the two hashes instead of counting join multiplicity. The
+    // oracle replays the entire pixel pipeline from the
+    // text-synthesized rasters and applies the equivalent ≥2-band
+    // filter, so a one-pixel drift in the decode path fails the hash.
     "m05_phash_neardup" -> ((s, dir) => {
       val hashes = graft.operators.Multimodal.dHash64(
           graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .toDF().persist() // both band-join sides read it
-      val banded = hashes.select(col("doc_id"), col("phash"),
-        explode(array((0 until 8).map(b => struct(lit(b).as("band_idx"),
-          shiftrightunsigned(col("phash"), 8 * b).bitwiseAND(lit(255L))
-            .as("bv"))): _*)).as("g"))
-        .select(col("doc_id"), col("phash"), col("g.band_idx"), col("g.bv"))
-      val a = banded.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"),
-        col("band_idx"), col("bv"))
-      val b = banded.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"),
-        col("band_idx").as("bi_b"), col("bv").as("bv_b"))
-      val pairs = a.join(b, col("band_idx") === col("bi_b") &&
-          col("bv") === col("bv_b") && col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("ph_a"), col("ph_b"))
-        .agg(count(lit(1)).as("n_shared_bands"))
+      def bandVal(ph: Column, bnd: Int): Column =
+        shiftrightunsigned(ph, 8 * bnd).bitwiseAND(lit(255L))
+      val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+      val keyed = hashes.select(col("doc_id"), col("phash"),
+        explode(array(bandPairs.map { case (i, j) =>
+          struct(lit(i * 8 + j).as("bp"),
+            bandVal(col("phash"), i).as("bvi"),
+            bandVal(col("phash"), j).as("bvj")) }: _*)).as("g"))
+        .select(col("doc_id"), col("phash"),
+          col("g.bp"), col("g.bvi"), col("g.bvj"))
+      val a = keyed.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"),
+        col("bp"), col("bvi"), col("bvj"))
+      val b = keyed.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"),
+        col("bp").as("bp_b"), col("bvi").as("bvi_b"), col("bvj").as("bvj_b"))
+      val cand = a.join(b, col("bp") === col("bp_b") &&
+          col("bvi") === col("bvi_b") && col("bvj") === col("bvj_b") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ph_a"), col("ph_b"))
+        .distinct()
+      val nShared = (0 until 8).map(bnd =>
+        when(bandVal(col("ph_a"), bnd) === bandVal(col("ph_b"), bnd), 1L)
+          .otherwise(0L)).reduce(_ + _)
       val hamming = bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
-      pairs.select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+      cand.select(col("doc_a"), col("doc_b"),
+          nShared.as("n_shared_bands"),
           hamming.as("hamming"), (hamming <= 6).as("is_dup"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // GROUPED perceptual dedup report (m11, r15): m05's doc-pair report
+    // is the verification artifact, but its row count is inherently
+    // quadratic in dup-class size — this fixture's blank-ish rasters
+    // form one class of ~20% of all images (a real corpus's flat/black
+    // frames do the same), so at sf1 the m05 report itself is tens of
+    // millions of rows. The serving form a 100 TB media-dedup pipeline
+    // reads is per HASH GROUP: collapse identical dHashes first (the
+    // exact-dup classes, one shuffle), then band-pair-join only the
+    // DISTINCT hashes — one row per near-dup hash pair, with group
+    // sizes and the implied doc-pair count carried as weights. Linear
+    // output in distinct hashes; the giant class collapses to single
+    // rows. Same ≥2-band completeness rule as m05 for the hamming ≤ 6
+    // verdict.
+    "m11_phash_dedup_groups" -> ((s, dir) => {
+      val hashes = graft.operators.Multimodal.dHash64(
+          graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .toDF()
+      val groups = hashes.groupBy(col("phash"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"))
+        .persist() // both band-join sides read it; distinct-hash sized
+      def bandVal(ph: Column, bnd: Int): Column =
+        shiftrightunsigned(ph, 8 * bnd).bitwiseAND(lit(255L))
+      val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+      val keyed = groups.select(col("rep_id"), col("phash"), col("n_members"),
+        explode(array(bandPairs.map { case (i, j) =>
+          struct(lit(i * 8 + j).as("bp"),
+            bandVal(col("phash"), i).as("bvi"),
+            bandVal(col("phash"), j).as("bvj")) }: _*)).as("g"))
+        .select(col("rep_id"), col("phash"), col("n_members"),
+          col("g.bp"), col("g.bvi"), col("g.bvj"))
+      val a = keyed.select(col("rep_id").as("rep_a"), col("phash").as("ph_a"),
+        col("n_members").as("n_a"), col("bp"), col("bvi"), col("bvj"))
+      val b = keyed.select(col("rep_id").as("rep_b"), col("phash").as("ph_b"),
+        col("n_members").as("n_b"),
+        col("bp").as("bp_b"), col("bvi").as("bvi_b"), col("bvj").as("bvj_b"))
+      val cand = a.join(b, col("bp") === col("bp_b") &&
+          col("bvi") === col("bvi_b") && col("bvj") === col("bvj_b") &&
+          col("rep_a") < col("rep_b"))
+        .select(col("rep_a"), col("rep_b"), col("ph_a"), col("ph_b"),
+          col("n_a"), col("n_b"))
+        .distinct()
+      val nShared = (0 until 8).map(bnd =>
+        when(bandVal(col("ph_a"), bnd) === bandVal(col("ph_b"), bnd), 1L)
+          .otherwise(0L)).reduce(_ + _)
+      val hamming = bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
+      cand.select(col("rep_a"), col("rep_b"), col("n_a"), col("n_b"),
+          nShared.as("n_shared_bands"),
+          hamming.as("hamming"), (hamming <= 6).as("is_dup"),
+          (col("n_a") * col("n_b")).as("n_doc_pairs"))
+        .orderBy(col("rep_a"), col("rep_b"))
     }),
 
     // Windowed audio energy + silence detection (m06): the audio third of
@@ -1068,6 +1137,40 @@ object ExtensionQueries3 {
     })
   )
 
+  /** The m05/m11-shared dHash replay CTEs (`img` → `gr` → `ph`): the
+    * full pixel pipeline from the text-synthesized rasters — resize
+    * sampling, integer grayscale, every gradient-sign bit — so a
+    * one-pixel drift in the engine's decode path fails the hash.
+    */
+  private def dhashCtesSql: String = s"""img AS (
+        SELECT doc_id, rpad(text, ${16 * 9 * 3}, ' ') AS raster
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+      ),
+      gr AS (
+        SELECT doc_id,
+               list_transform(range(0, 72), i ->
+                 (ascii(substr(raster,
+                    (CAST(i AS INTEGER) // 9 * 9 // 8 * 16
+                     + CAST(i AS INTEGER) % 9 * 16 // 9) * 3 + 1, 1))
+                + ascii(substr(raster,
+                    (CAST(i AS INTEGER) // 9 * 9 // 8 * 16
+                     + CAST(i AS INTEGER) % 9 * 16 // 9) * 3 + 2, 1))
+                + ascii(substr(raster,
+                    (CAST(i AS INTEGER) // 9 * 9 // 8 * 16
+                     + CAST(i AS INTEGER) % 9 * 16 // 9) * 3 + 3, 1))) // 3) AS g
+        FROM img
+      ),
+      ph AS (
+        SELECT doc_id, CAST(list_sum(list_transform(range(0, 64), b ->
+          CASE WHEN g[CAST(b AS INTEGER) // 8 * 9 + CAST(b AS INTEGER) % 8 + 2]
+                    > g[CAST(b AS INTEGER) // 8 * 9 + CAST(b AS INTEGER) % 8 + 1]
+               THEN CASE WHEN CAST(b AS INTEGER) = 63
+                         THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) << CAST(b AS INTEGER) END
+               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        FROM gr
+      )"""
+
   val oracles: Map[String, String] = Map(
 
     // Mixture replay: same counts, same double arithmetic (left-assoc
@@ -1281,34 +1384,7 @@ object ExtensionQueries3 {
     // BIGINT min-value literal — DuckDB refuses 1<<63, and adding
     // -(2^63) IS the two's-complement value Scala's `1L << 63` sets.
     "m05_phash_neardup" -> s"""
-      WITH img AS (
-        SELECT doc_id, rpad(text, ${16 * 9 * 3}, ' ') AS raster
-        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
-      ),
-      gr AS (
-        SELECT doc_id,
-               list_transform(range(0, 72), i ->
-                 (ascii(substr(raster,
-                    (CAST(i AS INTEGER) // 9 * 9 // 8 * 16
-                     + CAST(i AS INTEGER) % 9 * 16 // 9) * 3 + 1, 1))
-                + ascii(substr(raster,
-                    (CAST(i AS INTEGER) // 9 * 9 // 8 * 16
-                     + CAST(i AS INTEGER) % 9 * 16 // 9) * 3 + 2, 1))
-                + ascii(substr(raster,
-                    (CAST(i AS INTEGER) // 9 * 9 // 8 * 16
-                     + CAST(i AS INTEGER) % 9 * 16 // 9) * 3 + 3, 1))) // 3) AS g
-        FROM img
-      ),
-      ph AS (
-        SELECT doc_id, CAST(list_sum(list_transform(range(0, 64), b ->
-          CASE WHEN g[CAST(b AS INTEGER) // 8 * 9 + CAST(b AS INTEGER) % 8 + 2]
-                    > g[CAST(b AS INTEGER) // 8 * 9 + CAST(b AS INTEGER) % 8 + 1]
-               THEN CASE WHEN CAST(b AS INTEGER) = 63
-                         THEN CAST(-9223372036854775808 AS BIGINT)
-                         ELSE CAST(1 AS BIGINT) << CAST(b AS INTEGER) END
-               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
-        FROM gr
-      ),
+      WITH $dhashCtesSql,
       banded AS (
         SELECT doc_id, phash, CAST(b AS INTEGER) AS band_idx,
                (phash >> (8 * CAST(b AS INTEGER))) & 255 AS bv
@@ -1324,7 +1400,39 @@ object ExtensionQueries3 {
       SELECT doc_a, doc_b, n_shared_bands,
              CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming,
              bit_count(xor(ph_a, ph_b)) <= 6 AS is_dup
-      FROM pairs ORDER BY doc_a, doc_b""",
+      FROM pairs
+      WHERE n_shared_bands >= 2  -- the band-PAIR candidate rule (r15)
+      ORDER BY doc_a, doc_b""",
+
+    // Grouped replay: the same pixel-pipeline CTEs, hash groups first,
+    // the pair join over DISTINCT hashes, same ≥2-band rule.
+    "m11_phash_dedup_groups" -> s"""
+      WITH $dhashCtesSql,
+      groups AS (
+        SELECT phash, min(doc_id) AS rep_id, count(*) AS n_members
+        FROM ph GROUP BY 1
+      ),
+      banded AS (
+        SELECT rep_id, phash, n_members, CAST(b AS INTEGER) AS band_idx,
+               (phash >> (8 * CAST(b AS INTEGER))) & 255 AS bv
+        FROM groups CROSS JOIN range(0, 8) t(b)
+      ),
+      pairs AS (
+        SELECT a.rep_id AS rep_a, b.rep_id AS rep_b,
+               a.phash AS ph_a, b.phash AS ph_b,
+               a.n_members AS n_a, b.n_members AS n_b,
+               count(*) AS n_shared_bands
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.rep_id < b.rep_id
+        GROUP BY 1, 2, 3, 4, 5, 6
+      )
+      SELECT rep_a, rep_b, n_a, n_b, n_shared_bands,
+             CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming,
+             bit_count(xor(ph_a, ph_b)) <= 6 AS is_dup,
+             CAST(n_a * n_b AS BIGINT) AS n_doc_pairs
+      FROM pairs
+      WHERE n_shared_bands >= 2
+      ORDER BY rep_a, rep_b""",
 
     // Matryoshka replay: truncated cosines via sliced dot folds, same
     // fixed-point deviation mean, same per-query rank windows.

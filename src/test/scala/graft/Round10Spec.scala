@@ -71,6 +71,21 @@ class Round10Spec extends AnyFunSuite {
     assert((old4x16 intersect old4x16b).isEmpty, "fixture must be the old blind spot")
     assert(java.lang.Long.bitCount(a ^ b) == 6)
     assert((bands8(a) intersect bands8(b)).nonEmpty)
+    // the r15 band-PAIR candidate rule rests on the stronger pigeonhole:
+    // hamming <= 6 touches at most 6 of 8 bands, so >= 2 stay intact and
+    // some intact PAIR collides — randomized over seeds + flip counts
+    for (_ <- 1 to 5000) {
+      val base = rnd.nextLong()
+      val flips = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(7))
+      val other = flips.foldLeft(base)((h, p) => h ^ (1L << p))
+      assert((bands8(base) intersect bands8(other)).size >= 2,
+        s"hamming<=6 pair with <2 shared bands: $base vs $other")
+    }
+    // and at hamming 6 spread over 6 DISTINCT bands, exactly 2 survive —
+    // the minimal case the >= 2 rule is tight against
+    val c = Seq(0, 8, 16, 24, 32, 40).foldLeft(a)((h, p) => h ^ (1L << p))
+    assert(java.lang.Long.bitCount(a ^ c) == 6)
+    assert((bands8(a) intersect bands8(c)).size == 2)
   }
 
   test("t17 two-hash rule: a single-hash collision is NOT a duplicated span") {
