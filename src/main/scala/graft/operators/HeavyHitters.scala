@@ -32,6 +32,19 @@ import org.apache.spark.sql.expressions.Aggregator
   * exact count map regardless of partitioning or merge order — which is
   * what lets t12's DuckDB oracle hash-match a sketch. The approximate
   * regime's guarantees are property-tested in HeavyHittersSpec instead.
+  *
+  * Implementation (r15): the buffer is a MUTABLE state object (hash map
+  * + a TreeSet victim index ordered by (count asc, term asc)), carried
+  * between `reduce` calls as a plain JVM object and Kryo-serialized only
+  * at aggregation-tree boundaries. The r11–r14 form kept an immutable
+  * Map and found each victim with a full `minBy` scan — O(capacity) per
+  * EVICTING insert, which is the steady state on any real vocabulary
+  * (distinct keys ≫ capacity): measured at sf1 (17.6 k distinct bigrams,
+  * capacity 1024) the fold cost 13.6 s of which the scans were ~96%;
+  * the indexed form does the same inserts in O(log capacity) with
+  * identical victims, counts, and errors (the victim rule is a total
+  * order, so the index changes nothing observable — HeavyHittersSpec and
+  * t12's oracle pin that).
   */
 object HeavyHitters {
 
@@ -40,44 +53,112 @@ object HeavyHitters {
     */
   final case class SSEntry(term: String, est: Long, err: Long)
 
-  class SpaceSaving(capacity: Int)
-      extends Aggregator[Seq[String], Map[String, (Long, Long)], Seq[SSEntry]] {
-    require(capacity > 0, s"capacity must be positive, got $capacity")
+  /** Mutable Space-Saving state: counts/errs per resident term plus the
+    * (count, term)-ordered victim index. Kryo-encoded across aggregation
+    * boundaries; never leaves the executor otherwise.
+    */
+  final class SSState extends Serializable {
+    val counts = new java.util.HashMap[String, Long]()
+    val errs = new java.util.HashMap[String, Long]()
+    // victim order: count asc, term asc — the same deterministic total
+    // order the immutable form's minBy used
+    val order = new java.util.TreeSet[(Long, String)](
+      implicitly[Ordering[(Long, String)]])
 
-    override def zero: Map[String, (Long, Long)] = Map.empty
-
-    override def reduce(buf: Map[String, (Long, Long)],
-                        terms: Seq[String]): Map[String, (Long, Long)] =
-      terms.foldLeft(buf)(insert)
-
-    private def insert(b: Map[String, (Long, Long)],
-                       t: String): Map[String, (Long, Long)] =
-      b.get(t) match {
-        case Some((c, e)) => b.updated(t, (c + 1, e))
-        case None if b.size < capacity => b.updated(t, (1L, 0L))
-        case None =>
-          // deterministic victim: min count, term asc tiebreak
-          val (vt, (vc, _)) = b.minBy { case (k, (c, _)) => (c, k) }
-          (b - vt).updated(t, (vc + 1, vc))
+    def insert(t: String, capacity: Int): Unit = {
+      val c = counts.get(t)
+      if (counts.containsKey(t)) {
+        order.remove((c, t))
+        counts.put(t, c + 1)
+        order.add((c + 1, t))
+      } else if (counts.size < capacity) {
+        counts.put(t, 1L)
+        errs.put(t, 0L)
+        order.add((1L, t))
+      } else {
+        val victim = order.first()
+        val (vc, vt) = victim
+        order.remove(victim)
+        counts.remove(vt)
+        errs.remove(vt)
+        counts.put(t, vc + 1)
+        errs.put(t, vc)
+        order.add((vc + 1, t))
       }
-
-    override def merge(a: Map[String, (Long, Long)],
-                       b: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
-      val u = (a.keySet ++ b.keySet).iterator.map { k =>
-        val (c1, e1) = a.getOrElse(k, (0L, 0L))
-        val (c2, e2) = b.getOrElse(k, (0L, 0L))
-        k -> (c1 + c2, e1 + e2)
-      }.toMap
-      if (u.size <= capacity) u
-      else u.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity).toMap
     }
 
-    override def finish(buf: Map[String, (Long, Long)]): Seq[SSEntry] =
-      buf.toSeq.map { case (t, (c, e)) => SSEntry(t, c, e) }
+    def put(t: String, c: Long, e: Long): Unit = {
+      counts.put(t, c)
+      errs.put(t, e)
+      order.add((c, t))
+    }
+
+    def entries: Seq[(String, Long, Long)] = {
+      val b = Seq.newBuilder[(String, Long, Long)]
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        b += ((en.getKey, en.getValue, errs.get(en.getKey)))
+      }
+      b.result()
+    }
+  }
+
+  class SpaceSaving(capacity: Int)
+      extends Aggregator[Seq[String], SSState, Seq[SSEntry]] {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+
+    override def zero: SSState = new SSState
+
+    override def reduce(buf: SSState, terms: Seq[String]): SSState = {
+      terms.foreach(buf.insert(_, capacity))
+      buf
+    }
+
+    override def merge(a: SSState, b: SSState): SSState = {
+      // shared keys sum counts and errors; the union trims to the
+      // capacity largest by (count desc, term asc) — identical to the
+      // immutable form's sort-take
+      val union = new java.util.HashMap[String, (Long, Long)]()
+      a.entries.foreach { case (t, c, e) => union.put(t, (c, e)) }
+      b.entries.foreach { case (t, c, e) =>
+        val prev = union.get(t)
+        if (prev == null) union.put(t, (c, e))
+        else union.put(t, (prev._1 + c, prev._2 + e))
+      }
+      val out = new SSState
+      if (union.size <= capacity) {
+        val it = union.entrySet().iterator()
+        while (it.hasNext) {
+          val en = it.next()
+          out.put(en.getKey, en.getValue._1, en.getValue._2)
+        }
+      } else {
+        val arr = new Array[(String, Long, Long)](union.size)
+        var i = 0
+        val it = union.entrySet().iterator()
+        while (it.hasNext) {
+          val en = it.next()
+          arr(i) = (en.getKey, en.getValue._1, en.getValue._2)
+          i += 1
+        }
+        java.util.Arrays.sort(arr,
+          Ordering.by[(String, Long, Long), (Long, String)](
+            x => (-x._2, x._1)))
+        var j = 0
+        while (j < capacity) {
+          out.put(arr(j)._1, arr(j)._2, arr(j)._3)
+          j += 1
+        }
+      }
+      out
+    }
+
+    override def finish(buf: SSState): Seq[SSEntry] =
+      buf.entries.map { case (t, c, e) => SSEntry(t, c, e) }
         .sortBy(e => (-e.est, e.term))
 
-    override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
-      ExpressionEncoder[Map[String, (Long, Long)]]()
+    override def bufferEncoder: Encoder[SSState] = Encoders.kryo[SSState]
     override def outputEncoder: Encoder[Seq[SSEntry]] =
       ExpressionEncoder[Seq[SSEntry]]()
   }
