@@ -93,16 +93,24 @@ object Bench {
     // wrote them yesterday). Pre-build the stored prior untimed so the
     // d22 sample prices only the incremental maintenance pass — the
     // full-rebuild cost is what d07's own entry prices.
-    try ExtensionQueries8.d22PriorRoot(spark, sfDir)
-    catch { case _: Throwable => () }
+    // a failed stored-artifact pre-build must be VISIBLE (stderr, never
+    // stdout — the driver tails stdout for the JSON line): the timed
+    // d22/s22 samples would silently rebuild the artifacts inside the
+    // timed window and record the full build as a fast-path measurement
+    def warmup(tag: String)(f: => Any): Unit =
+      try { f; () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $tag warmup failed (the timed " +
+          s"sample will pay the build): ${e.getMessage}")
+      }
+    warmup("d22 stored prior")(ExtensionQueries8.d22PriorRoot(spark, sfDir))
     // s22's serving contract (r15): the per-family eval runs and the
     // brute truth are stored artifacts a deployment's index-eval jobs
     // wrote on their own cadences — each family's live serving cost is
     // priced by its own registered entry. Pre-build them untimed so the
     // s22 sample prices the grading report (the metric joins), not a
     // re-run of all twelve retrievers.
-    try ExtensionQueries6.s22RankingsRoot(spark, sfDir)
-    catch { case _: Throwable => () }
+    warmup("s22 eval runs")(ExtensionQueries6.s22RankingsRoot(spark, sfDir))
     // One timed sample: seconds elapsed if the query ran to completion,
     // None if it threw — a fast failure must never masquerade as a fast
     // query (pre-r10, a pass-2 exception's elapsed time was min'd into the

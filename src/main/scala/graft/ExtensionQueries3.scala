@@ -413,6 +413,50 @@ object ExtensionQueries3 {
       .orderBy(col("doc_id"))
   }
 
+  /** The m05/m11-shared band-PAIR candidate generator (the one home of
+    * the 8×8-bit dHash band geometry, like [[dhashCtesSql]] for the
+    * oracles): rows of `(idCol, phash, carry...)` explode to the 28 =
+    * C(8,2) 16-bit composite keys, self-join on key equality with
+    * `id_a < id_b`, and deduplicate — exactly the pairs sharing ≥ 2 of
+    * the 8 bands (complete for hamming ≤ 6 by pigeonhole; Round10Spec).
+    * Output columns: `id_a`, `id_b`, `ph_a`, `ph_b`, and `<c>_a`/`<c>_b`
+    * per carried column.
+    */
+  private def phashBandPairCandidates(df: DataFrame, idCol: String,
+      carry: Seq[String] = Seq.empty): DataFrame = {
+    val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+    val keyed = df.select(Seq(col(idCol).as("id"), col("phash")) ++
+        carry.map(col) :+
+        explode(array(bandPairs.map { case (i, j) =>
+          struct(lit(i * 8 + j).as("bp"),
+            phashBandVal(col("phash"), i).as("bvi"),
+            phashBandVal(col("phash"), j).as("bvj")) }: _*)).as("g"): _*)
+      .select(Seq(col("id"), col("phash")) ++ carry.map(col) ++
+        Seq(col("g.bp"), col("g.bvi"), col("g.bvj")): _*)
+    def side(sfx: String) = keyed.select(
+      Seq(col("id").as(s"id$sfx"), col("phash").as(s"ph$sfx")) ++
+        carry.map(c => col(c).as(s"$c$sfx")) ++
+        Seq(col("bp").as(s"bp$sfx"), col("bvi").as(s"bvi$sfx"),
+          col("bvj").as(s"bvj$sfx")): _*)
+    side("_a").join(side("_b"), col("bp_a") === col("bp_b") &&
+        col("bvi_a") === col("bvi_b") && col("bvj_a") === col("bvj_b") &&
+        col("id_a") < col("id_b"))
+      .select(Seq(col("id_a"), col("id_b"), col("ph_a"), col("ph_b")) ++
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+      .distinct()
+  }
+
+  private def phashBandVal(ph: Column, bnd: Int): Column =
+    shiftrightunsigned(ph, 8 * bnd).bitwiseAND(lit(255L))
+
+  /** Row-local shared-band count between `ph_a` and `ph_b` — replaces
+    * counting join multiplicity (see m05's doc).
+    */
+  private def phashSharedBands: Column =
+    (0 until 8).map(bnd =>
+      when(phashBandVal(col("ph_a"), bnd) === phashBandVal(col("ph_b"), bnd),
+        1L).otherwise(0L)).reduce(_ + _)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Corpus mixture balancing ("data mixing"): resample each source to a
@@ -567,31 +611,10 @@ object ExtensionQueries3 {
       val hashes = graft.operators.Multimodal.dHash64(
           graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .toDF().persist() // both band-join sides read it
-      def bandVal(ph: Column, bnd: Int): Column =
-        shiftrightunsigned(ph, 8 * bnd).bitwiseAND(lit(255L))
-      val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
-      val keyed = hashes.select(col("doc_id"), col("phash"),
-        explode(array(bandPairs.map { case (i, j) =>
-          struct(lit(i * 8 + j).as("bp"),
-            bandVal(col("phash"), i).as("bvi"),
-            bandVal(col("phash"), j).as("bvj")) }: _*)).as("g"))
-        .select(col("doc_id"), col("phash"),
-          col("g.bp"), col("g.bvi"), col("g.bvj"))
-      val a = keyed.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"),
-        col("bp"), col("bvi"), col("bvj"))
-      val b = keyed.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"),
-        col("bp").as("bp_b"), col("bvi").as("bvi_b"), col("bvj").as("bvj_b"))
-      val cand = a.join(b, col("bp") === col("bp_b") &&
-          col("bvi") === col("bvi_b") && col("bvj") === col("bvj_b") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("ph_a"), col("ph_b"))
-        .distinct()
-      val nShared = (0 until 8).map(bnd =>
-        when(bandVal(col("ph_a"), bnd) === bandVal(col("ph_b"), bnd), 1L)
-          .otherwise(0L)).reduce(_ + _)
+      val cand = phashBandPairCandidates(hashes, "doc_id")
       val hamming = bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
-      cand.select(col("doc_a"), col("doc_b"),
-          nShared.as("n_shared_bands"),
+      cand.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          phashSharedBands.as("n_shared_bands"),
           hamming.as("hamming"), (hamming <= 6).as("is_dup"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -605,10 +628,14 @@ object ExtensionQueries3 {
     // reads is per HASH GROUP: collapse identical dHashes first (the
     // exact-dup classes, one shuffle), then band-pair-join only the
     // DISTINCT hashes — one row per near-dup hash pair, with group
-    // sizes and the implied doc-pair count carried as weights. Linear
-    // output in distinct hashes; the giant class collapses to single
-    // rows. Same ≥2-band completeness rule as m05 for the hamming ≤ 6
-    // verdict.
+    // sizes and the implied doc-pair count carried as weights. Every
+    // exact-dup class with ≥ 2 members ALSO gets its own self row
+    // (rep_a = rep_b, hamming 0, within-class pair count): an isolated
+    // class that near-dups no other hash is usually the corpus's
+    // LARGEST dedup win, and a report built from cross-hash pairs alone
+    // would silently omit it. Linear output in distinct hashes; the
+    // giant class collapses to single rows. Same ≥2-band completeness
+    // rule as m05 for the hamming ≤ 6 verdict.
     "m11_phash_dedup_groups" -> ((s, dir) => {
       val hashes = graft.operators.Multimodal.dHash64(
           graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
@@ -616,35 +643,23 @@ object ExtensionQueries3 {
       val groups = hashes.groupBy(col("phash"))
         .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"))
         .persist() // both band-join sides read it; distinct-hash sized
-      def bandVal(ph: Column, bnd: Int): Column =
-        shiftrightunsigned(ph, 8 * bnd).bitwiseAND(lit(255L))
-      val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
-      val keyed = groups.select(col("rep_id"), col("phash"), col("n_members"),
-        explode(array(bandPairs.map { case (i, j) =>
-          struct(lit(i * 8 + j).as("bp"),
-            bandVal(col("phash"), i).as("bvi"),
-            bandVal(col("phash"), j).as("bvj")) }: _*)).as("g"))
-        .select(col("rep_id"), col("phash"), col("n_members"),
-          col("g.bp"), col("g.bvi"), col("g.bvj"))
-      val a = keyed.select(col("rep_id").as("rep_a"), col("phash").as("ph_a"),
-        col("n_members").as("n_a"), col("bp"), col("bvi"), col("bvj"))
-      val b = keyed.select(col("rep_id").as("rep_b"), col("phash").as("ph_b"),
-        col("n_members").as("n_b"),
-        col("bp").as("bp_b"), col("bvi").as("bvi_b"), col("bvj").as("bvj_b"))
-      val cand = a.join(b, col("bp") === col("bp_b") &&
-          col("bvi") === col("bvi_b") && col("bvj") === col("bvj_b") &&
-          col("rep_a") < col("rep_b"))
-        .select(col("rep_a"), col("rep_b"), col("ph_a"), col("ph_b"),
-          col("n_a"), col("n_b"))
-        .distinct()
-      val nShared = (0 until 8).map(bnd =>
-        when(bandVal(col("ph_a"), bnd) === bandVal(col("ph_b"), bnd), 1L)
-          .otherwise(0L)).reduce(_ + _)
+      val cand = phashBandPairCandidates(
+        groups.select(col("rep_id"), col("phash"), col("n_members")), "rep_id",
+        carry = Seq("n_members"))
       val hamming = bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
-      cand.select(col("rep_a"), col("rep_b"), col("n_a"), col("n_b"),
-          nShared.as("n_shared_bands"),
-          hamming.as("hamming"), (hamming <= 6).as("is_dup"),
-          (col("n_a") * col("n_b")).as("n_doc_pairs"))
+      val pairRows = cand.select(
+        col("id_a").as("rep_a"), col("id_b").as("rep_b"),
+        col("n_members_a").as("n_a"), col("n_members_b").as("n_b"),
+        phashSharedBands.as("n_shared_bands"),
+        hamming.as("hamming"), (hamming <= 6).as("is_dup"),
+        (col("n_members_a") * col("n_members_b")).as("n_doc_pairs"))
+      val groupRows = groups.filter(col("n_members") >= 2)
+        .select(col("rep_id").as("rep_a"), col("rep_id").as("rep_b"),
+          col("n_members").as("n_a"), col("n_members").as("n_b"),
+          lit(8L).as("n_shared_bands"), lit(0).as("hamming"),
+          lit(true).as("is_dup"),
+          expr("n_members * (n_members - 1) DIV 2").as("n_doc_pairs"))
+      pairRows.unionByName(groupRows)
         .orderBy(col("rep_a"), col("rep_b"))
     }),
 
@@ -1432,6 +1447,15 @@ object ExtensionQueries3 {
              CAST(n_a * n_b AS BIGINT) AS n_doc_pairs
       FROM pairs
       WHERE n_shared_bands >= 2
+      UNION ALL
+      -- exact-dup classes as self rows (rep_a = rep_b): an isolated
+      -- class must still appear — it is usually the largest dedup win
+      SELECT rep_id AS rep_a, rep_id AS rep_b,
+             n_members AS n_a, n_members AS n_b,
+             CAST(8 AS BIGINT) AS n_shared_bands,
+             CAST(0 AS INTEGER) AS hamming, TRUE AS is_dup,
+             CAST(n_members * (n_members - 1) // 2 AS BIGINT) AS n_doc_pairs
+      FROM groups WHERE n_members >= 2
       ORDER BY rep_a, rep_b""",
 
     // Matryoshka replay: truncated cosines via sliced dot folds, same

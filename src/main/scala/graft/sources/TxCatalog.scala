@@ -158,6 +158,26 @@ object TxCatalog {
       val prev = tip.map(readPins(spark, catDir, _)).getOrElse(Map.empty)
       val v = tip.getOrElse(0) + 1
       beforePublish(v)
+      // the guard below is necessarily one-sided (it sees only the
+      // CATALOG tip), so close the other side here: if another writer
+      // has advanced one of OUR replace-maintained member tables past
+      // the version we committed, two writers are demonstrably live on
+      // a replace table RIGHT NOW — publishing our (stale) pin would
+      // expose a version set no single writer produced, and for
+      // multi-table transactions it can surface half of the OTHER
+      // transaction (its append-table rows ride any later superset pin
+      // while its replace commit stays invisible). Fail before
+      // publishing; append-only members never take this check.
+      writes.filter(_.replace).foreach { w =>
+        val tableTip = Snapshots.versions(spark, w.tableDir)
+          .lastOption.getOrElse(0)
+        if (tableTip > newPins(w.tableDir))
+          throw new IllegalStateException(
+            s"concurrent writer advanced replace-maintained table " +
+              s"${w.tableDir} past this transaction's commit (tip " +
+              s"$tableTip > pinned ${newPins(w.tableDir)}); replace-" +
+              "maintained tables want one catalog writer")
+      }
       // a tip already pinning PAST one of our fresh member commits means
       // another transaction committed after us — same contention as a
       // lost publish race, detectable before wasting the publish attempt

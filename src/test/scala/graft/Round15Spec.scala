@@ -119,6 +119,36 @@ class Round15Spec extends AnyFunSuite {
       .select("tag").as[String].collect().toSet == Set("v3-winner"))
   }
 
+  test("TxCatalog: a writer whose own replace table was advanced by a " +
+      "concurrent member commit fails BEFORE publishing — the tip check " +
+      "closes the side the contended-merge guard cannot see") {
+    import spark.implicits._
+    import graft.sources.{Scratch, Snapshots, TxCatalog}
+    import graft.sources.TxCatalog.TxWrite
+    val root = Scratch.fresh(spark, "r15_txcat_tip")
+    val (cat, tv) = (s"$root/cat", s"$root/view")
+    def rows(tag: String) = Seq((1L, tag)).toDF("id", "tag")
+    TxCatalog.commitAllWrites(spark, cat, Seq(TxWrite(tv, rows("v1"), replace = true)))
+    // the competing writer advances the TABLE (member commit) but has
+    // not published any catalog version — the catalog-tip-based guard
+    // alone would see no contention and publish our stale pin
+    var fired = false
+    val ex = intercept[IllegalStateException] {
+      TxCatalog.commitAllWrites(spark, cat,
+        Seq(TxWrite(tv, rows("v2-ours"), replace = true)),
+        beforePublish = { _ =>
+          if (!fired) {
+            fired = true
+            Snapshots.commitReplace(spark, tv, rows("v2-theirs"))
+          }
+        })
+    }
+    assert(ex.getMessage.contains("advanced replace-maintained"))
+    // nothing published: the catalog still serves the v1 pin
+    assert(TxCatalog.readTable(spark, cat, tv)
+      .select("tag").as[String].collect().toSet == Set("v1"))
+  }
+
   test("TxCatalog: the same interleave over APPEND tables still " +
       "max-merges (the monotone path the guard verifies and allows)") {
     import spark.implicits._
@@ -203,6 +233,33 @@ class Round15Spec extends AnyFunSuite {
       Set("b1", "b2-w2"))
     assert(backend.publishes.get() >= 4,
       "member and catalog publishes must all route through the backend")
+  }
+
+  // ---- m11: exact-dup classes appear as self rows ----
+
+  test("m11 surfaces every exact-dup hash class as a self row — " +
+      "including classes that near-dup no other hash") {
+    val out = ExtensionQueries3.all("m11_phash_dedup_groups")(spark, dir)
+      .collect()
+    val selfRows = out.filter(r => r.getLong(0) == r.getLong(1))
+    // independent truth: hash groups with >= 2 members
+    val groups = graft.operators.Multimodal.dHash64(
+        graft.operators.Multimodal.mediaFromDocuments(
+          graft.sources.Tables.load(spark, dir, "documents"))).toDF()
+      .groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(selfRows.map(_.getLong(0)).toSet == groups.keySet,
+      "self rows must be exactly the >=2-member exact-dup classes")
+    selfRows.foreach { r =>
+      val n = groups(r.getLong(0))
+      assert(r.getLong(2) == n && r.getLong(3) == n)
+      assert(r.getAs[Int]("hamming") == 0 && r.getAs[Boolean]("is_dup"))
+      assert(r.getAs[Long]("n_doc_pairs") == n * (n - 1) / 2,
+        "the self row must carry the within-class pair count")
+    }
+    assert(selfRows.nonEmpty, "fixture must exercise the self-row path")
   }
 
   // ---- d07: star-contraction CC equals label propagation ----
