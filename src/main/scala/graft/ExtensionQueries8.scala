@@ -1083,17 +1083,39 @@ object ExtensionQueries8 {
     "d21_dedup_threshold_sweep" -> ((s, dir) => {
       val feats = ExtensionQueries.docFeatures(s, dir)
       val pairs = graft.operators.Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+      // persist: BOTH grid aggregations below consume the verified-pair
+      // table, and without the cache each one re-runs the whole LSH +
+      // exact-jaccard verification (the d14/d20 sharing pattern;
+      // |pairs|×3 narrow rows)
       val scored = graft.operators.Dedup.jaccardOnPairs(pairs, feats)
         .select(col("doc_a"), col("doc_b"),
           Agg.roundAt(col("jaccard"), 4).as("j"))
-      scored.select(col("doc_a"), col("doc_b"), col("j"),
-          explode(typedLit(DedupThresholds)).as("threshold"))
+        .persist()
+      // two SMALL aggregations instead of the r14 form's single
+      // countDistinct over |pairs|×|thresholds|×2 exploded doc rows
+      // (measured 31 s at sf1 — the 54M-row distinct shuffle was ~80%
+      // of the query): pair counts explode to a map-side-combinable
+      // |thresholds|-row aggregate, and "docs touched at ≥ th" is
+      // exactly "docs whose MAX pair jaccard ≥ th" — one per-doc max
+      // (|docs| rows out), then the same bounded-grid count. A doc
+      // qualifies iff one of its pairs does, so the inner join keeps
+      // exactly the thresholds the old form emitted. Identical output,
+      // verbatim oracle.
+      val pairCounts = scored
+        .select(col("j"), explode(typedLit(DedupThresholds)).as("threshold"))
         .filter(col("j") >= col("threshold"))
-        .select(col("threshold"),
-          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
         .groupBy(col("threshold"))
-        .agg(expr("count(1) DIV 2").as("n_dup_pairs"),
-          countDistinct(col("doc")).as("n_docs_touched"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+      val docMax = scored
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"), col("j"))
+        .groupBy(col("doc")).agg(max(col("j")).as("mj"))
+      val docCounts = docMax
+        .select(col("mj"), explode(typedLit(DedupThresholds)).as("threshold"))
+        .filter(col("mj") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_docs_touched"))
+      pairCounts.join(docCounts, Seq("threshold"))
+        .select(col("threshold"), col("n_dup_pairs"), col("n_docs_touched"))
         .orderBy(col("threshold"))
     }),
 
