@@ -166,8 +166,14 @@ object ExtensionQueries6 {
     * plus the corpus fixed-point sum of squared reconstruction error.
     * All three inputs are 1-row aggregates, so the joins are trivial.
     */
-  private def schemeRow(scheme: String, recon: DataFrame, truth: DataFrame,
+  private def schemeRow(scheme: String, recon0: DataFrame, truth: DataFrame,
       k: Int): DataFrame = {
+    // persist: the reconstruction (interpreted per-element transforms —
+    // the expensive part of s23) feeds BOTH the reconstructed-space
+    // ranking and the SSE fold; without the cache each consumer re-runs
+    // the whole quantize+dequantize pipeline (r15: measured ~2× on the
+    // sf1 decade). Session-scoped like the other operator caches.
+    val recon = recon0.persist()
     val withN = recon
       .withColumn("nrm", sqrt(VectorOps.dot(col("rv"), col("rv"))))
       .filter(col("nrm") > 0)
