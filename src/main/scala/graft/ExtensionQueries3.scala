@@ -879,13 +879,19 @@ object ExtensionQueries3 {
     // Round8Spec measures the pruning). Same stance as q76: both hashes
     // run in-engine, so build/probe agree by construction.
     "d16_bloom_decontaminate" -> ((s, dir) => {
+      // No persist on the exploded corpus (r16): caching it pins a
+      // cache LARGER than the corpus itself on every executor at 100 TB.
+      // It is computed twice — once to build the eval set, once as the
+      // probe side — and explode+xxhash is CPU next to the scan both
+      // times; recomputation is the scale-correct trade.
       val shingled = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.functions.TextHash.shingleHashes(col("text"), 3)).as("sh"))
-        .persist() // three consumers: bloom build, exact eval set, corpus side
       val evalSh = shingled.filter(col("doc_id") % 97 === 0)
         .select(col("sh")).distinct()
-        .persist() // two consumers: bloom build + confirm join
+        .persist() // two consumers: bloom build + confirm join; on a real
+                   // deployment the eval suite is benchmark-sized, so this
+                   // cache is constant-size (here ~1% of corpus shingles)
       // the filter is built PLANNER-SIDE (a 64 KB long[] — the same move
       // as Spark's own InjectRuntimeFilter: aggregate the build side,
       // ship the bitset into the probe expression as a literal). The
@@ -911,7 +917,14 @@ object ExtensionQueries3 {
       }.reduce(_ && _)
       shingled.filter(col("doc_id") % 97 =!= 0)
         .filter(pass)
-        .join(broadcast(evalSh), "sh") // exact confirm: false positives die here
+        // Exact confirm: false positives die here. No broadcast hint
+        // (r16, the t35/d10 fix applied to the last sibling): the eval
+        // side is corpus-proportional on THIS fixture (doc_id % 97), so
+        // an unconditional hint would force ~1% of corpus shingles into
+        // every executor at 100 TB. The planner/AQE broadcasts on
+        // measured size below the threshold — PlanSpec pins both the
+        // absent hint and the fixture-scale BroadcastHashJoin.
+        .join(evalSh, "sh")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_shingles"))
         .orderBy(col("doc_id"))

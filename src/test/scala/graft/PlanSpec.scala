@@ -131,6 +131,21 @@ class PlanSpec extends AnyFunSuite {
         qe.executedPlan.toString)
   }
 
+  test("d16 bloom decontamination carries no broadcast hint on the exact " +
+      "confirm join; the planner still broadcasts at fixture scale") {
+    // r16: the last sibling of the d10/t35 fix. The confirm join's build
+    // side is the eval shingle set — corpus-proportional on this fixture —
+    // so the hint is gone; the size-based decision must still pick
+    // broadcast at fixture scale, proving plan quality survived.
+    val qe = SparkEntry.queries("d16_bloom_decontaminate")(spark, dir)
+      .queryExecution
+    assert(!qe.analyzed.toString.contains("ResolvedHint"),
+      "d16 must not force a broadcast of the corpus-proportional eval side")
+    assert(qe.executedPlan.toString.contains("BroadcastHashJoin"),
+      "at fixture scale the size-based planner should still broadcast:\n" +
+        qe.executedPlan.toString)
+  }
+
   test("t35 contamination report carries no broadcast hint — the eval " +
       "side is corpus-proportional, the planner sizes the join") {
     val qe = SparkEntry.queries("t35_contamination_report")(spark, dir)
