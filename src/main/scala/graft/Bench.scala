@@ -63,7 +63,13 @@ object Bench {
     * track (r13: these two were 2 of the top 3 sf1 lines — 8.9 s and
     * ~17× sf0.1→sf1 — for paths no deployment would run at scale).
     */
-  private val diagnostics = Vector("s13_knn_graph", "s32_kmeans_converged")
+  private val diagnostics =
+    // r16 adds m05: its output IS the full near-dup pair listing — tens of
+    // millions of genuine rows at sf1 (38.3 s, output-row-bound, growing
+    // ~10x per decade on near-dup-dense fixtures). m11 collapses identical
+    // hashes first and emits linear output; it is the priced production
+    // serving row (the s13/s31 precedent applied to the phash family).
+    Vector("s13_knn_graph", "s32_kmeans_converged", "m05_phash_neardup")
 
   private def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 
