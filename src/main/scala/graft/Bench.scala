@@ -117,6 +117,11 @@ object Bench {
     // s22 sample prices the grading report (the metric joins), not a
     // re-run of all twelve retrievers.
     warmup("s22 eval runs")(ExtensionQueries6.s22RankingsRoot(spark, sfDir))
+    // d14/d19/d21 are analysis reports over the stored verified-pair
+    // table a deployment's candidate-verify job wrote (r16); d04's own
+    // entry prices that verify pass live, so the pre-build keeps every
+    // cost priced by exactly one entry.
+    warmup("verified pairs")(ExtensionQueries.verifiedPairsRoot(spark, sfDir))
     // One timed sample: seconds elapsed if the query ran to completion,
     // None if it threw — a fast failure must never masquerade as a fast
     // query (pre-r10, a pass-2 exception's elapsed time was min'd into the

@@ -599,7 +599,11 @@ object ExtensionQueries7 {
   private[graft] def minhashAccuracy(s: SparkSession, dir: String,
       positions: Int): DataFrame = {
     val feats = ExtensionQueries.docFeatures(s, dir)
-    val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+    // candidates + exact jaccard come from the stored verified-pair table
+    // (r16, the d14 note): this accuracy report reads the verify pass a
+    // previous job wrote; only the signature build runs live here
+    val vp = ExtensionQueries.verifiedPairs(s, dir)
+    val pairs = vp.select(col("doc_a"), col("doc_b"))
     // PACKED signatures: one positions-element array per doc, compared
     // element-wise per pair. The exploded (doc, pos) join shape measured
     // 35× at 10× data (each pair became ×positions shuffled rows through
@@ -616,10 +620,11 @@ object ExtensionQueries7 {
       .join(sa, col("doc_a") === col("a_id"))
       .join(sb, col("doc_b") === col("b_id"))
       .select(col("doc_a"), col("doc_b"),
-        aggregate(zip_with(col("sa"), col("sb"),
-          (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v).as("n_agree"))
-    val exact = Dedup.jaccardOnPairs(pairs, feats)
+        // native codegen'd agreement count (r16, same swap as d14) — the
+        // interpreted zip_with fold was the per-pair hot path here too
+        graft.functions.ArrayAgreeCount.agreeCount(col("sa"), col("sb"))
+          .cast("long").as("n_agree"))
+    val exact = vp
       .select(col("doc_a").as("ja"), col("doc_b").as("jb"), col("jaccard"))
     agree.join(exact,
         col("doc_a") === col("ja") && col("doc_b") === col("jb"))

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 batch: the native slot-agreement expression that replaced the
+  * interpreted zip_with fold in the MinHash-estimator family (d14/d20).
+  */
+class Round16Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- ArrayAgreeCount: exact parity with the portable fold ----
+
+  /** The fold ArrayAgreeCount fuses, spelled exactly as d14 had it. */
+  private def foldAgree(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+
+  test("agree_count equals the zip_with fold on every edge: partial " +
+      "agreement, length mismatch (padding counts 0), null elements, " +
+      "null array, empty arrays") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 9L, 3L)),
+      (Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[java.lang.Long](1L, 2L)),
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, null, 3L)),
+      (Seq[java.lang.Long](null, 2L), Seq[java.lang.Long](1L, 2L, 5L)),
+      (null, Seq[java.lang.Long](1L)),
+      (Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]),
+      (Seq.empty[java.lang.Long], Seq[java.lang.Long](7L)))
+    val df = rows.toDF("a", "b")
+      .select(
+        graft.functions.ArrayAgreeCount.agreeCount(col("a"), col("b"))
+          .as("fused"),
+        foldAgree(col("a"), col("b")).as("portable"))
+    val got = df.collect().map(r =>
+      (Option(r.get(0)), Option(r.get(1))))
+    got.zipWithIndex.foreach { case ((fused, portable), i) =>
+      assert(fused == portable, s"row $i: fused $fused vs fold $portable")
+    }
+    // and the expected literals, so the fold itself is what we think it is:
+    // null===null is null -> 0, padding -> 0, null array -> null
+    assert(got.map(_._1) === Seq(Some(3), Some(2), Some(2), Some(2),
+      Some(1), None, Some(0), Some(0)))
+  }
+
+  test("d14's estimate column is unchanged by the fused expression " +
+      "(whole-query parity on the real fixture)") {
+    val feats = ExtensionQueries.docFeatures(spark, dir)
+    val pairs = graft.operators.Dedup
+      .lshCandidatePairs(feats, bands = 4, rows = 3)
+      .select(col("doc_a"), col("doc_b"))
+    val mh = feats.select(col("id"),
+      array((0 until 12).map(j =>
+        graft.operators.TextOps.minhashAt(col("features"), j)): _*).as("mh"))
+    val joined = pairs
+      .join(mh.select(col("id").as("doc_a"), col("mh").as("mha")), "doc_a")
+      .join(mh.select(col("id").as("doc_b"), col("mh").as("mhb")), "doc_b")
+      .select(
+        graft.functions.ArrayAgreeCount.agreeCount(col("mha"), col("mhb"))
+          .as("fused"),
+        foldAgree(col("mha"), col("mhb")).as("portable"))
+    assert(joined.count() > 0)
+    assert(joined.filter(
+      not(col("fused") <=> col("portable"))).count() === 0L)
+  }
+}
