@@ -109,14 +109,16 @@ class Round13cSpec extends AnyFunSuite {
         "indistinguishable from rebuilding the whole catalog")
   }
 
-  test("q96 on orders: row counts and exact-NDV columns recount") {
+  test("q96 on orders: row counts recount; estimate accurate vs the " +
+      "spec's own exact distinct (the served catalog carries no truth)") {
     val cat = ExtensionQueries8.all("q96_column_stats_catalog")(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap
     val o = graft.sources.Tables.load(spark, dir, "orders")
     val n = o.count()
     assert(cat.values.forall(r => r.getLong(1) == n && r.getLong(2) == 0))
+    // r16: ndv_true is gone from every served catalog (production shape);
+    // the exact recount is the spec's to pay
     val trueKeys = o.select(countDistinct(col("o_orderkey"))).head.getLong(0)
-    assert(cat("o_orderkey").getLong(4) == trueKeys)
     // production-geometry estimate accuracy on the highest-card column
     val est = cat("o_orderkey").getDouble(3)
     assert(math.abs(est - trueKeys) <= 0.05 * trueKeys,

@@ -15,23 +15,37 @@ class Round15Spec extends AnyFunSuite {
 
   // ---- q99 / q96: the exact-NDV truth column moved out of the sweep ----
 
-  test("q99 sweep no longer carries ndv_true — the bench line prices the " +
-      "production ANALYZE; q96 keeps grading the estimate against truth") {
+  test("no catalog entry carries ndv_true (q96/q99/q101 price the " +
+      "production ANALYZE); the estimate still lands within 10% of the " +
+      "exact truth this spec computes itself") {
     val sweep = ExtensionQueries8.all("q99_lake_stats_sweep")(spark, dir)
     assert(!sweep.columns.contains("ndv_true"),
       "the production sweep must not pay an exact per-column distinct")
     assert(sweep.columns.contains("ndv_est"))
-    // the estimate-vs-truth grading lives where it is cheap and still
-    // oracle-checked: q96's single-table catalog carries BOTH columns,
-    // and the p=12 HLL estimate must land within 10% of the exact truth
-    // on every audited column (typical error at m=4096 is ~1.6%; small
-    // cardinalities are exact through the linear-counting branch)
+    // r16: q96/q101 dropped the truth column too — the accuracy grading
+    // lives HERE, paying the countDistinct at spec time, and the DuckDB
+    // oracle still recomputes the full HLL estimate cross-engine. The
+    // p=12 HLL estimate must land within 10% of the exact truth on every
+    // audited column (typical error at m=4096 is ~1.6%; small
+    // cardinalities are exact through the linear-counting branch).
+    for (q <- Seq("q96_column_stats_catalog", "q101_tx_stats_publish")) {
+      val served = ExtensionQueries8.all(q)(spark, dir)
+      assert(!served.columns.contains("ndv_true"),
+        s"$q must not pay the grading-only exact distinct")
+    }
     val rows = ExtensionQueries8.all("q96_column_stats_catalog")(spark, dir)
       .collect()
     assert(rows.nonEmpty)
+    val truthRows = ExtensionQueries8.ndvTruth(
+      ExtensionQueries8.catalogLongForm(
+        graft.sources.Tables.load(spark, dir, "orders"),
+        pmod(col("o_orderkey"),
+          lit(ExtensionQueries7.SketchShards.toLong)),
+        ExtensionQueries8.ordersAuditSpecs))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
       val est = r.getAs[Double]("ndv_est")
-      val truth = r.getAs[Long]("ndv_true")
+      val truth = truthRows(r.getString(0))
       if (truth == 0L) assert(est == 0.0, s"${r.getString(0)}: $est vs 0")
       else assert(math.abs(est - truth) / truth <= 0.10,
         s"${r.getString(0)}: ndv_est $est strays >10% from exact $truth")
