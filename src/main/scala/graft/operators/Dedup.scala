@@ -297,6 +297,14 @@ object Dedup {
       // be a literal no-op (both ops idempotent on the star set)
       converged = candidate &&
         next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // release the superseded round's checkpoint blocks NOW (r15
+      // advice): `next` is materialized and this round's certificate has
+      // run, so nothing references `ls` or the previous `edges` again —
+      // without this, O(log n) full edge sets stay pinned in the block
+      // manager until ContextCleaner GC
+      org.apache.spark.sql.graft.CheckpointBridge.releaseLocalCheckpoint(ls)
+      org.apache.spark.sql.graft.CheckpointBridge
+        .releaseLocalCheckpoint(edges)
       edges = next
       sig = nsig
     }

@@ -33,11 +33,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * version; the loser re-merges over the new tip taking the MAX version
   * per table — correct for the append-only artifact tables this catalog
   * exists for (append manifests are supersets, so the max pin contains
-  * both writers' rows). Tables maintained by commitReplace want one
-  * catalog writer, and since r15 that is ENFORCED, not advisory: a
-  * contended merge verifies the superset property per differing pin and
-  * fails loudly when a replace commit sits between them (see
-  * [[commitAllWrites]]).
+  * both writers' rows). Tables maintained by commitReplace want ONE
+  * catalog writer — that remains the stated contract. What the r15
+  * guard proves (scoped precisely, r16 advice): a CONCURRENT INTERLEAVE
+  * fails loudly — a contended merge verifies the superset property per
+  * differing pin and aborts when a replace commit sits between the two
+  * writers' version reads (see [[commitAllWrites]]). It does NOT
+  * validate read sets, so two replace writers whose transactions
+  * serialize cleanly (the second publishes after the first completes,
+  * computed from a stale read) commit without complaint — a serialized
+  * lost update is out of the guard's scope, which is why the one-writer
+  * contract stands for replace-maintained tables.
   */
 object TxCatalog {
 

@@ -576,15 +576,21 @@ class SessionEventTimeProcessor(gapSeconds: Double)
       timers: org.apache.spark.sql.streaming.TimerValues,
       folded: EventStreams.SessionState): Unit = {
     getHandle.listTimers().foreach(getHandle.deleteTimer)
-    // one fused ms conversion + 1 (r15 advice): the old
-    // `(lastSec*1000).toLong + (gap*1000).toLong` truncated each term's
-    // fractional milliseconds independently, and a timer at exactly
-    // lastSec+gap races the fold's STRICT gap rule (an event AT the
-    // boundary still extends the session — `sec - lastSec > gap` closes
-    // it). The first provably-unextendable instant is strictly after
-    // the boundary, so fire 1 ms past the fused truncation.
+    // one fused ms conversion, CEILed, + 1 (r15 advice, tightened r16):
+    // the old `(lastSec*1000).toLong + (gap*1000).toLong` truncated each
+    // term's fractional milliseconds independently, and a timer at
+    // exactly lastSec+gap races the fold's STRICT gap rule (an event AT
+    // the boundary still extends the session — `sec - lastSec > gap`
+    // closes it). truncate+1 still had a 1-ulp residue: when the true
+    // boundary is an exact millisecond and the double product rounds one
+    // ulp BELOW it, toLong+1 lands exactly ON the boundary ms. ceil+1 is
+    // strictly past it under any rounding — the sum and product are each
+    // correctly rounded (≲1.5 ulp combined, ~2e-4 ms at epoch
+    // magnitudes), so the +1 ms dominates; firing marginally late is
+    // safe (the session is unextendable from the boundary on), firing at
+    // or before it is the race.
     getHandle.registerTimer(
-      ((folded.lastSec + gapSeconds) * 1000).toLong + 1)
+      math.ceil((folded.lastSec + gapSeconds) * 1000).toLong + 1)
   }
 }
 

@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Deterministic release of a `localCheckpoint()`'d Dataset's block-manager
+  * storage. `Dataset.unpersist` cannot do this — a local checkpoint is not
+  * a CacheManager entry but persisted blocks behind the plan's
+  * [[LogicalRDD]] leaf (sql-private, hence this shim in the sql package
+  * namespace, the ColumnBridge pattern). Without an explicit release the
+  * superseded rounds of an iterative algorithm stay pinned until JVM GC
+  * lets ContextCleaner find them — O(log n) full edge sets of avoidable
+  * memory pressure on large graphs.
+  *
+  * DANGER: a localCheckpoint truncates lineage, so a released Dataset is
+  * UNRECOVERABLE — callers must only release frames no surviving plan
+  * references (see Dedup.starContractClusters: a round's inputs are
+  * released only after the next round's checkpoint is materialized and
+  * that round's convergence certificate has run).
+  */
+object CheckpointBridge {
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

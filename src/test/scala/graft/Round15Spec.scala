@@ -52,6 +52,48 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  // ---- fused catalog pass: the register bank row-equals the direct form ----
+
+  test("fused register path emits exactly hllRegRows' rows — only-seen " +
+      "buckets, null sentinel, byte rho math — on a fixture with nulls " +
+      "and an all-null column") {
+    // the direct equality HllRegsAgg's doc claims (r15 advice item):
+    // regsFrom(fusedCatalogAgg(longF)) must reproduce the groupBy(bucket)
+    // register derivation row-for-row, including the -1 null sentinel
+    // holding no register evidence and the all-null column emitting NO
+    // register rows at all
+    import spark.implicits._
+    val df = (0 until 100).map(i => (
+        i.toLong,
+        if (i % 5 == 0) null else s"cat_${i % 7}",
+        null: String)).toDF("id", "cat", "dead")
+    val nullS = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    val specs: Seq[ExtensionQueries8.ColSpec] = Seq(
+      ("id", col("id").cast("double"), nullS, col("id").cast("string")),
+      ("cat", nullD, col("cat"), col("cat")),
+      ("dead", nullD, col("dead"), col("dead")))
+    val longF = ExtensionQueries8.catalogLongForm(
+      df, pmod(col("id"), lit(4L)), specs)
+    val fused = ExtensionQueries8.regsFrom(
+        ExtensionQueries8.fusedCatalogAgg(longF))
+      .select(col("shard").cast("long"), col("seg"),
+        col("bucket").cast("long"), col("reg").cast("int"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toList
+    val direct = ExtensionQueries7.hllRegRows(
+        longF.filter(col("cval").isNotNull)
+          .withColumn("h", ExtensionQueries3.md5Hash48(col("cval"))),
+        ExtensionQueries7.HllRemBits12, Seq("shard", "seg"))
+      .select(col("shard").cast("long"), col("seg"),
+        col("bucket").cast("long"), col("reg").cast("int"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toList
+    assert(fused.nonEmpty, "fixture must produce register rows")
+    assert(fused == direct,
+      "fused register bank must row-equal the direct groupBy(bucket) form")
+    assert(!fused.exists(_(1) == "dead"),
+      "the all-null column must emit no register rows on either path")
+  }
+
   // ---- s22: stored-eval-run serving form ----
 
   test("s22 grouped grading over the stored eval runs equals the " +

@@ -47,6 +47,24 @@ class Round16Spec extends AnyFunSuite {
       Some(1), None, Some(0), Some(0)))
   }
 
+  test("star contraction releases superseded checkpoint rounds — only " +
+      "the final edge set survives in the block manager") {
+    import spark.implicits._
+    // a 40-chain takes several alternations; without the r16 release
+    // every round would leave TWO checkpointed edge sets pinned
+    val docs = (0L until 40L).toDF("id")
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = graft.operators.Dedup.starContractClusters(docs, pairs)
+    assert(labels.collect().forall(_.getLong(1) == 0L),
+      "chain must contract to one component rooted at 0")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    val leaked = (after -- before).size
+    assert(leaked <= 2,
+      s"superseded rounds must be released, found $leaked new persistent " +
+        "RDDs (expected at most the final edge set and its round input)")
+  }
+
   test("d14's estimate column is unchanged by the fused expression " +
       "(whole-query parity on the real fixture)") {
     val feats = ExtensionQueries.docFeatures(spark, dir)
