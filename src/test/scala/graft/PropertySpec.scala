@@ -54,6 +54,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("agree_count on random long arrays (mixed lengths, nulls): native " +
+      "== zip_with fold == plain Scala count") {
+    val elem: Gen[Option[Long]] = Gen.frequency(
+      9 -> Gen.choose(-5L, 5L).map(Some(_)), // small domain forces agreements
+      1 -> Gen.const(None))
+    val arr = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, elem))
+    val pairGen = Gen.zip(arr, arr)
+    val batch = samples(pairGen, 400)
+    val df = batch.map { case (a, b) =>
+      (a.map(_.map(Long.box).orNull), b.map(_.map(Long.box).orNull))
+    }.toDF("a", "b")
+    val native = df.select(
+        graft.functions.ArrayAgreeCount.agreeCount($"a", $"b"))
+      .as[Int].collect().toSeq
+    val fold = df.select(
+        aggregate(zip_with($"a", $"b", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v))
+      .as[Int].collect().toSeq
+    assert(native === fold)
+    val scala_ = batch.map { case (a, b) =>
+      a.zip(b).count { case (x, y) => x.isDefined && x == y } }
+    assert(native === scala_)
+  }
+
   test("RRF fusion on random rankings: fused score is the exact integer " +
       "sum of the arms' reciprocal ranks, and fusion order is total") {
     val rankingGen = for {
