@@ -281,16 +281,13 @@ object ExtensionQueries2 {
     // collect. Linear plan growth per iteration, same scale shape as the
     // d07 label-propagation loop.
     "g01_pagerank" -> ((s, dir) => {
+      // candidates come from the STORED verified-pair table (r16, the
+      // d14/d19/d21 pattern): centrality is a downstream analysis over
+      // the candidate graph the verify job already wrote — re-running
+      // the LSH self-join here re-priced generation d03 already prices.
       // persist the PAIRS, not just the edge union: the union reads its
-      // input twice (forward + reversed), which would execute the whole
-      // LSH candidate join twice before an edges-only cache could fill.
-      // Built from the candidate operator directly (same plan d03 sorts
-      // for its oracle — the feature cache is shared, the sort skipped);
-      // PageRank needs no pair order.
-      val feats = t(s, dir, "documents").select(col("doc_id").as("id"),
-        graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
-        .persist()
-      val pairs = graft.operators.Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+      // input twice (forward + reversed).
+      val pairs = ExtensionQueries.verifiedPairs(s, dir)
         .select(col("doc_a"), col("doc_b")).persist()
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

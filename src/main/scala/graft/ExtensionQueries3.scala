@@ -795,10 +795,9 @@ object ExtensionQueries3 {
     // (order edge endpoints by degree before joining) bounds the fanout
     // by the arboricity, same plan shape.
     "g02_triangles" -> ((s, dir) => {
-      val feats = t(s, dir, "documents").select(col("doc_id").as("id"),
-        graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
-        .persist()
-      val pairs = graft.operators.Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+      // stored verified-pair candidates (r16, the g01 note): triangle
+      // closure is a downstream analysis over the written pair table
+      val pairs = ExtensionQueries.verifiedPairs(s, dir)
         .select(col("doc_a"), col("doc_b")).persist()
       val e1 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       val e2 = pairs.select(col("doc_a").as("b2"), col("doc_b").as("c2"))

@@ -511,7 +511,11 @@ object ExtensionQueries5 {
     // intersection over the two feature arrays.
     "t27_containment" -> ((s, dir) => {
       val feats = ExtensionQueries.docFeatures(s, dir)
-      val pairs = graft.operators.Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+      // candidates from the stored verified-pair table (r16, the g01
+      // note); the per-pair intersection below is t27's OWN metric pass
+      // (containment, not jaccard) and stays live
+      val pairs = ExtensionQueries.verifiedPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
       val fa = feats.select(col("id").as("doc_a"), col("features").as("fa"))
       val fb = feats.select(col("id").as("doc_b"), col("features").as("fb"))
       pairs.join(fa, "doc_a").join(fb, "doc_b")

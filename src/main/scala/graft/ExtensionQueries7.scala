@@ -291,6 +291,7 @@ object ExtensionQueries7 {
     var executed = 0
     var stable = false
     while (!stable && executed < maxRounds) {
+      val prev = p
       val deg = p.select(col("doc_a").as("n"))
         .unionByName(p.select(col("doc_b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -301,6 +302,10 @@ object ExtensionQueries7 {
         .join(okB, col("doc_b") === col("ok_b"))
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint(true)
+      // the new round is eagerly materialized above, so the superseded
+      // working set's blocks can go now (r16, the starContract rule) —
+      // otherwise O(rounds) shrinking edge sets stay pinned till GC
+      org.apache.spark.sql.graft.CheckpointBridge.releaseLocalCheckpoint(prev)
       executed += 1
       val c = p.count()
       stable = c == prevCount
@@ -772,9 +777,9 @@ object ExtensionQueries7 {
       val docStats = docs.agg(count(lit(1)).as("n_docs"),
         countDistinct(md5(col("text"))).as("n_distinct_texts"),
         sum(col("n_chars")).as("sum_chars"))
-      val pairsCnt = Dedup
-        .lshCandidatePairs(ExtensionQueries.docFeatures(s, dir),
-          bands = 4, rows = 3)
+      // near-dup exposure counts rows of the stored verified-pair table
+      // (r16) — the datasheet reports on artifacts the pipeline wrote
+      val pairsCnt = ExtensionQueries.verifiedPairs(s, dir)
         .agg(count(lit(1)).as("n_pairs"))
       val langCnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       def metric(name: String, v: org.apache.spark.sql.Column) =
@@ -1328,8 +1333,10 @@ object ExtensionQueries7 {
     // semi-join-shaped filters over the EDGE set — linear per round,
     // never all-pairs, no driver state.
     "g03_kcore" -> ((s, dir) => {
-      val feats = ExtensionQueries.docFeatures(s, dir)
-      val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
+      // stored verified-pair candidates (r16, the g01 note): core
+      // peeling is a downstream analysis over the written pair table
+      val pairs = ExtensionQueries.verifiedPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
       val core = kcoreEdges(pairs, CoreK, CoreMaxRounds)
         .groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
       t(s, dir, "documents").select(col("doc_id"))

@@ -398,6 +398,10 @@ object Dedup {
     val it = pollSchedule(maxRounds).iterator
     while (!converged && it.hasNext) {
       val target = it.next()
+      // last poll's checkpointed labels (the initial projection on the
+      // first poll — a composite plan CheckpointBridge no-ops on);
+      // captured BEFORE the lazy edge rounds chain onto it
+      val pollStart = labels
       while (executed < target) {
         labels = edges
           .join(labels.withColumnRenamed("id", "__src"), col("src") === col("__src"))
@@ -407,6 +411,13 @@ object Dedup {
         executed += 1
       }
       val chained = labels.localCheckpoint()
+      // the PREVIOUS poll's label checkpoint (captured at loop top,
+      // BEFORE the lazy edge rounds chained onto it — the lazy chain's
+      // plan also references the shared edge checkpoint, which must
+      // live on; CheckpointBridge additionally refuses composite plans)
+      // is superseded once `chained` materializes
+      org.apache.spark.sql.graft.CheckpointBridge
+        .releaseLocalCheckpoint(pollStart)
       // one pointer jump on the materialized labels: rewrite
       // label(id) ← label(label(id)) — on a monotone pointer chain this
       // doubles every label's reach for one cheap doc-keyed self-join.
@@ -421,6 +432,9 @@ object Dedup {
       labels = chained.join(jumpTo, col("label") === col("__jid"))
         .select(col("id"), col("__jlabel").as("label"))
         .localCheckpoint()
+      // the jumped labels are materialized; the pre-jump checkpoint goes
+      org.apache.spark.sql.graft.CheckpointBridge
+        .releaseLocalCheckpoint(chained)
       val s = labelSum(labels)
       converged = (s, prevSum) match {
         case (Some(a), Some(b)) => a.compareTo(b) == 0

@@ -19,8 +19,16 @@ import org.apache.spark.sql.execution.LogicalRDD
   * that round's convergence certificate has run).
   */
 object CheckpointBridge {
+  /** Releases ONLY a bare checkpoint result — a Dataset whose whole
+    * analyzed plan is the single [[LogicalRDD]] a `localCheckpoint()`
+    * call returned. A composite plan is a silent no-op by design:
+    * walking into it would also unpersist OTHER live checkpoints it
+    * references (e.g. an iterative loop's shared edge set — the exact
+    * failure a first cut of this helper produced when handed a lazy
+    * chain instead of the chain's checkpoint).
+    */
   def releaseLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case l: LogicalRDD => l.rdd.unpersist(blocking = false)
       case _ => ()
     }
