@@ -47,6 +47,25 @@ class Round16Spec extends AnyFunSuite {
       Some(1), None, Some(0), Some(0)))
   }
 
+  test("stored verified-pair table row-equals the live derivation " +
+      "(candidates, band counts, unrounded jaccard)") {
+    // the artifact d14/d19/d21 and the graph analyses read must never
+    // drift from what d04's live path computes — same candidates, same
+    // n_shared_bands, bit-identical jaccard doubles through parquet
+    val feats = ExtensionQueries.docFeatures(spark, dir)
+    val pairs = graft.operators.Dedup
+      .lshCandidatePairs(feats, bands = 4, rows = 3)
+    val cols = Seq("doc_a", "doc_b", "n_shared_bands", "jaccard")
+    val live = graft.operators.Dedup.jaccardOnPairs(pairs, feats)
+      .select(cols.map(col): _*)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toList
+    val stored = ExtensionQueries.verifiedPairs(spark, dir)
+      .select(cols.map(col): _*)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toList
+    assert(live.nonEmpty)
+    assert(stored == live)
+  }
+
   test("star contraction releases superseded checkpoint rounds — only " +
       "the final edge set survives in the block manager") {
     import spark.implicits._
