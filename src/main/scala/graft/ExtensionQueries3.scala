@@ -422,8 +422,16 @@ object ExtensionQueries3 {
     * Output columns: `id_a`, `id_b`, `ph_a`, `ph_b`, and `<c>_a`/`<c>_b`
     * per carried column.
     */
+  /** `keep` is a row-local predicate over the joined pair columns
+    * (ph_a/ph_b and friends), applied BEFORE the dedup of band-pair
+    * multiplicity: row-local filters commute with distinct, and on
+    * near-dup-dense corpora the candidate join emits ~30× more rows
+    * than survive a hamming verdict (M11Probe, sf1: 113 M join rows →
+    * 28.3 M distinct candidates → 438 k hamming-≤6 pairs), so filtering
+    * first collapses the distinct's shuffle by that factor.
+    */
   private def phashBandPairCandidates(df: DataFrame, idCol: String,
-      carry: Seq[String] = Seq.empty): DataFrame = {
+      carry: Seq[String] = Seq.empty, keep: Column = lit(true)): DataFrame = {
     val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
     val keyed = df.select(Seq(col(idCol).as("id"), col("phash")) ++
         carry.map(col) :+
@@ -443,6 +451,7 @@ object ExtensionQueries3 {
         col("id_a") < col("id_b"))
       .select(Seq(col("id_a"), col("id_b"), col("ph_a"), col("ph_b")) ++
         carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+      .filter(keep)
       .distinct()
   }
 
@@ -633,8 +642,13 @@ object ExtensionQueries3 {
     // (rep_a = rep_b, hamming 0, within-class pair count): an isolated
     // class that near-dups no other hash is usually the corpus's
     // LARGEST dedup win, and a report built from cross-hash pairs alone
-    // would silently omit it. Linear output in distinct hashes; the
-    // giant class collapses to single rows. Same ≥2-band completeness
+    // would silently omit it. Since r16 the report emits NEAR-DUP pairs
+    // ONLY (hamming ≤ 6 — making the serving form match this design
+    // note, which r15's cut didn't: it listed every ≥2-band candidate
+    // with a verdict, 28.3 M rows at sf1 where only 438 k are dups —
+    // M11Probe), with the filter pushed BEFORE the candidate distinct
+    // so the shuffle collapses with the output. m05 (diag) remains the
+    // full candidate-with-verdict listing. Same ≥2-band completeness
     // rule as m05 for the hamming ≤ 6 verdict.
     "m11_phash_dedup_groups" -> ((s, dir) => {
       val hashes = graft.operators.Multimodal.dHash64(
@@ -643,10 +657,11 @@ object ExtensionQueries3 {
       val groups = hashes.groupBy(col("phash"))
         .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"))
         .persist() // both band-join sides read it; distinct-hash sized
+      val hamming = bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
       val cand = phashBandPairCandidates(
         groups.select(col("rep_id"), col("phash"), col("n_members")), "rep_id",
-        carry = Seq("n_members"))
-      val hamming = bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
+        carry = Seq("n_members"),
+        keep = hamming <= 6) // near-dups only, filtered before the distinct
       val pairRows = cand.select(
         col("id_a").as("rep_a"), col("id_b").as("rep_b"),
         col("n_members_a").as("n_a"), col("n_members_b").as("n_b"),
@@ -1458,7 +1473,9 @@ object ExtensionQueries3 {
              bit_count(xor(ph_a, ph_b)) <= 6 AS is_dup,
              CAST(n_a * n_b AS BIGINT) AS n_doc_pairs
       FROM pairs
-      WHERE n_shared_bands >= 2
+      -- near-dup pairs only (r16): the serving report lists dups, not
+      -- every banded candidate with a verdict
+      WHERE n_shared_bands >= 2 AND bit_count(xor(ph_a, ph_b)) <= 6
       UNION ALL
       -- exact-dup classes as self rows (rep_a = rep_b): an isolated
       -- class must still appear — it is usually the largest dedup win

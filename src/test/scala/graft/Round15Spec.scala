@@ -316,6 +316,11 @@ class Round15Spec extends AnyFunSuite {
         "the self row must carry the within-class pair count")
     }
     assert(selfRows.nonEmpty, "fixture must exercise the self-row path")
+    // r16: the serving report is near-dup-only — every emitted row is a
+    // dup (m05, the diag entry, keeps the full candidate-verdict listing)
+    assert(out.forall(r =>
+      r.getAs[Int]("hamming") <= 6 && r.getAs[Boolean]("is_dup")),
+      "m11 must emit only hamming-<=6 rows")
   }
 
   // ---- d07: star-contraction CC equals label propagation ----
