@@ -49,7 +49,10 @@ object Bench {
     "q97_join_skew_report",
     // round-14 representatives (appended)
     "d22_incremental_clusters", "s36_graph_walk_ann", "q99_lake_stats_sweep",
-    "e21_msprt", "q103_incremental_agg")
+    "e21_msprt", "q103_incremental_agg",
+    // round-16 representatives (appended): the near-dup-only grouped
+    // phash report and the stored-pair + native-agree estimator eval
+    "m11_phash_dedup_groups", "d14_minhash_estimate")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's
