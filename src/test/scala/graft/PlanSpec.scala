@@ -146,6 +146,22 @@ class PlanSpec extends AnyFunSuite {
         qe.executedPlan.toString)
   }
 
+  test("stored-pair consumers read the artifact, never re-derive the " +
+      "LSH candidates; the live entries still do") {
+    // r16 drift guard: d21/g01/g02/g03 are analyses over the written
+    // verified-pair table — a shingle_hashes explode reappearing in
+    // their plans means someone reverted them to re-running generation
+    // (d14/d19/t27 legitimately keep shingle_hashes for their own
+    // signature/array passes, so they are not asserted here)
+    for (q <- Seq("d21_dedup_threshold_sweep", "g01_pagerank",
+        "g02_triangles", "g03_kcore")) {
+      assert(!plan(q).contains("shingle_hashes"),
+        s"$q must read the stored verified-pair table")
+    }
+    // positive control: the generation entry derives candidates live
+    assert(plan("d03_lsh_candidates").contains("shingle_hashes"))
+  }
+
   test("t35 contamination report carries no broadcast hint — the eval " +
       "side is corpus-proportional, the planner sizes the join") {
     val qe = SparkEntry.queries("t35_contamination_report")(spark, dir)
