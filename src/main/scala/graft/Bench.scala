@@ -3,8 +3,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. `value` is the total seconds across all registered
-  * PRODUCTION queries (the two deliberately-superlinear diagnostics are
-  * timed too but reported under `diag`/`diag_sec` — see `diagnostics`);
+  * PRODUCTION queries (the deliberately-superlinear or output-bound
+  * diagnostics — see `diagnostics` — are timed too but reported under
+  * `diag`/`diag_sec`);
   * the `queries` map reports a fixed headline subset only, so the line
   * stays well under the harness's 2000-char output tail no matter how
   * many queries are registered (round 1's full 59-query map at full double

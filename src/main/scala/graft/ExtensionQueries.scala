@@ -683,9 +683,11 @@ object ExtensionQueries {
       // exact verify a previous job already ran — re-deriving LSH + exact
       // Jaccard here priced the same pass twice per bench run (d04 is the
       // entry that prices it live)
-      val vp = verifiedPairs(s, dir)
-      val pairs = vp.select(col("doc_a"), col("doc_b"))
-      val exact = vp.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // the exact jaccard rides ALONG the pair keys from the start (vp
+      // has one row per pair by construction), so no join-back against a
+      // second projection of the same table is ever needed (r16 review)
+      val pairs = verifiedPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
       val mh = feats.select(col("id"),
         array((0 until 12).map(j => TextOps.minhashAt(col("features"), j)): _*).as("mh"))
       // persist() the scored table (pre-sort, so the cached relation is
@@ -703,7 +705,6 @@ object ExtensionQueries {
         .withColumn("est",
           graft.functions.ArrayAgreeCount.agreeCount(col("mha"), col("mhb"))
             .cast("double") / 12)
-        .join(exact, Seq("doc_a", "doc_b"))
         .select(col("doc_a"), col("doc_b"),
           Agg.roundAt(col("est"), 4).as("est_jaccard"),
           Agg.roundAt(col("jaccard"), 4).as("jaccard"),

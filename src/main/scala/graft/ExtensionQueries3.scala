@@ -455,7 +455,10 @@ object ExtensionQueries3 {
       .distinct()
   }
 
-  private def phashBandVal(ph: Column, bnd: Int): Column =
+  // private[graft]: tools.M11Probe measures the same band geometry —
+  // sharing the extraction keeps the probe's denominators honest if the
+  // band width ever changes
+  private[graft] def phashBandVal(ph: Column, bnd: Int): Column =
     shiftrightunsigned(ph, 8 * bnd).bitwiseAND(lit(255L))
 
   /** Row-local shared-band count between `ph_a` and `ph_b` — replaces

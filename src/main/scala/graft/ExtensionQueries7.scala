@@ -607,8 +607,11 @@ object ExtensionQueries7 {
     // candidates + exact jaccard come from the stored verified-pair table
     // (r16, the d14 note): this accuracy report reads the verify pass a
     // previous job wrote; only the signature build runs live here
-    val vp = ExtensionQueries.verifiedPairs(s, dir)
-    val pairs = vp.select(col("doc_a"), col("doc_b"))
+    // the exact jaccard rides along the pair keys (one vp row per pair
+    // by construction) — no join-back against a second projection of
+    // the same table (r16 review, the d14 note)
+    val pairs = ExtensionQueries.verifiedPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
     // PACKED signatures: one positions-element array per doc, compared
     // element-wise per pair. The exploded (doc, pos) join shape measured
     // 35× at 10× data (each pair became ×positions shuffled rows through
@@ -621,18 +624,15 @@ object ExtensionQueries7 {
     // shared attribute ids would otherwise trip AMBIGUOUS_SELF_JOIN
     val sa = sig.select(col("id").as("a_id"), col("sig").as("sa"))
     val sb = sig.select(col("id").as("b_id"), col("sig").as("sb"))
-    val agree = pairs.select(col("doc_a"), col("doc_b"))
+    pairs
       .join(sa, col("doc_a") === col("a_id"))
       .join(sb, col("doc_b") === col("b_id"))
       .select(col("doc_a"), col("doc_b"),
         // native codegen'd agreement count (r16, same swap as d14) — the
         // interpreted zip_with fold was the per-pair hot path here too
         graft.functions.ArrayAgreeCount.agreeCount(col("sa"), col("sb"))
-          .cast("long").as("n_agree"))
-    val exact = vp
-      .select(col("doc_a").as("ja"), col("doc_b").as("jb"), col("jaccard"))
-    agree.join(exact,
-        col("doc_a") === col("ja") && col("doc_b") === col("jb"))
+          .cast("long").as("n_agree"),
+        col("jaccard"))
       .select(col("doc_a"), col("doc_b"), col("n_agree"),
         Agg.roundAt(col("n_agree").cast("double") / lit(positions), 6)
           .as("est_jaccard"),

@@ -25,8 +25,9 @@ object M11Probe {
     val dh = hashes.select(col("phash")).distinct().persist()
     val nDistinct = dh.count()
     val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
-    def bv(b: Int) = shiftrightunsigned(col("phash"), 8 * b)
-      .bitwiseAND(lit(255L))
+    // the same band extraction the m05/m11 queries use — the probe's
+    // denominators must describe the real pipeline
+    def bv(b: Int) = graft.ExtensionQueries3.phashBandVal(col("phash"), b)
     val keyed = dh.select(col("phash"),
       explode(array(bandPairs.map { case (i, j) =>
         struct(lit(i * 8 + j).as("bp"), bv(i).as("bvi"), bv(j).as("bvj"))

@@ -28,13 +28,16 @@ class Round15Spec extends AnyFunSuite {
     // p=12 HLL estimate must land within 10% of the exact truth on every
     // audited column (typical error at m=4096 is ~1.6%; small
     // cardinalities are exact through the linear-counting branch).
-    for (q <- Seq("q96_column_stats_catalog", "q101_tx_stats_publish")) {
-      val served = ExtensionQueries8.all(q)(spark, dir)
+    // one q96 build serves both the column check and the accuracy rows
+    // (each invocation rewrites the catalog artifacts on the fixture)
+    val q96 = ExtensionQueries8.all("q96_column_stats_catalog")(spark, dir)
+    val q101 = ExtensionQueries8.all("q101_tx_stats_publish")(spark, dir)
+    for ((q, served) <- Seq("q96_column_stats_catalog" -> q96,
+        "q101_tx_stats_publish" -> q101)) {
       assert(!served.columns.contains("ndv_true"),
         s"$q must not pay the grading-only exact distinct")
     }
-    val rows = ExtensionQueries8.all("q96_column_stats_catalog")(spark, dir)
-      .collect()
+    val rows = q96.collect()
     assert(rows.nonEmpty)
     val truthRows = ExtensionQueries8.ndvTruth(
       ExtensionQueries8.catalogLongForm(
