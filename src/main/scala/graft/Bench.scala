@@ -182,8 +182,9 @@ object Bench {
         .minOption
       best.map(v => s"\"$h\":${r3(v)}")
     }.mkString("{", ",", "}")
-    // `value`/`n_queries` cover the PRODUCTION queries; the two
-    // deliberately-superlinear diagnostics (see `diagnostics`) are timed
+    // `value`/`n_queries` cover the PRODUCTION queries; the
+    // deliberately-superlinear diagnostics (see `diagnostics` — currently
+    // s13, s32, m05) are timed
     // once and reported separately so the headline slope tracks paths a
     // deployment would actually run at scale — nothing is hidden, the
     // diag seconds are on the same line.

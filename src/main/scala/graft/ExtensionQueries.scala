@@ -204,7 +204,7 @@ object ExtensionQueries {
       val feats = docFeatures(s, dir)
       val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
       val root = graft.sources.Scratch.fresh(s,
-        s"verified_pairs_${new java.io.File(dir).getName}")
+        s"verified_pairs_${graft.sources.Scratch.dirTag(dir)}")
       Dedup.jaccardOnPairs(pairs, feats)
         .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
           col("jaccard"))
@@ -1099,7 +1099,7 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))),
 
     "m03_binary_source" -> ((s, dir) => {
-      val sink = graft.sources.Scratch.fresh(s, s"media_${new java.io.File(dir).getName}")
+      val sink = graft.sources.Scratch.fresh(s, s"media_${graft.sources.Scratch.dirTag(dir)}")
       Multimodal.writeBinaryFiles(
         Multimodal.mediaFromDocuments(t(s, dir, "documents")), sink)
       val decoded = Multimodal.decodeFeatures(Multimodal.fromBinaryFiles(s, sink))

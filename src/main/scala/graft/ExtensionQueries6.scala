@@ -62,7 +62,7 @@ object ExtensionQueries6 {
       require(methods.map(_._1) == AnnMethodNames,
         s"AnnMethodNames drifted from annMethods: ${methods.map(_._1)}")
       val root = graft.sources.Scratch.fresh(s,
-        s"s22_eval_runs_${new java.io.File(dir).getName}")
+        s"s22_eval_runs_${graft.sources.Scratch.dirTag(dir)}")
       val (exact, _) = ExtensionQueries5.gradedTruth(s, dir)
       exact.select(col("query_id"), col("vec_id"))
         .write.mode("overwrite").parquet(s"$root/truth")
@@ -345,7 +345,7 @@ object ExtensionQueries6 {
       val (cent, assigned) = graft.operators.Kmeans.fit(
         e.select(col("vec_id"), col("v")), k = IvfCells, iters = IvfIters)
       val sink = graft.sources.Scratch.fresh(s,
-        s"ivf_index_${new java.io.File(dir).getName}")
+        s"ivf_index_${graft.sources.Scratch.dirTag(dir)}")
       cent.write.mode("overwrite").parquet(s"$sink/centroids")
       assigned.write.mode("overwrite").parquet(s"$sink/assignments")
       val centS = s.read.parquet(s"$sink/centroids")

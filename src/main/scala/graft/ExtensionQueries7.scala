@@ -1055,7 +1055,7 @@ object ExtensionQueries7 {
     "s30_index_compaction" -> ((s, dir) => {
       import ExtensionQueries.IvfProbe
       val root = graft.sources.Scratch.fresh(s,
-        s"ivf_compact_${new java.io.File(dir).getName}")
+        s"ivf_compact_${graft.sources.Scratch.dirTag(dir)}")
       buildIvfLakeTables(s, dir, root)
       compactIvfIndex(s, root)
       val e = ExtensionQueries.embeddingsD(s, dir)
@@ -1171,7 +1171,7 @@ object ExtensionQueries7 {
         .select(col("event_type").as("seg"), h.as("h"))
       val shardRegs = hllShardRegs(segHash, HllRemBits12, SketchShards)
       val sink = graft.sources.Scratch.fresh(s,
-        s"hll_registers_${new java.io.File(dir).getName}")
+        s"hll_registers_${graft.sources.Scratch.dirTag(dir)}")
       shardRegs.write.mode("overwrite").partitionBy("shard").parquet(sink)
       // merge-on-read: register-max across shards — ONLY register rows
       val merged = s.read.parquet(sink)
@@ -1210,7 +1210,7 @@ object ExtensionQueries7 {
       val shardGrids = cmsShardGrids(words, CmsLakeDepth, CmsLakeWidth,
         SketchShards)
       val sink = graft.sources.Scratch.fresh(s,
-        s"cms_counters_${new java.io.File(dir).getName}")
+        s"cms_counters_${graft.sources.Scratch.dirTag(dir)}")
       shardGrids.write.mode("overwrite").partitionBy("shard").parquet(sink)
       val merged = s.read.parquet(sink)
         .groupBy(col("row_i"), col("bucket")).agg(sum(col("cnt")).as("cnt"))

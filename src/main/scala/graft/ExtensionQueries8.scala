@@ -137,7 +137,7 @@ object ExtensionQueries8 {
         Dedup.lshCandidatePairs(oldF, bands = 4, rows = 3),
         ExtensionQueries.ClusterMaxRounds)
       val root = graft.sources.Scratch.fresh(s,
-        s"d22_prior_${new java.io.File(dir).getName}")
+        s"d22_prior_${graft.sources.Scratch.dirTag(dir)}")
       graft.sources.Snapshots.commit(s, s"$root/assignments", prior)
       graft.sources.Snapshots.commit(s, s"$root/band_index",
         Dedup.bandFingerprints(oldF, bands = 4, rows = 3))
@@ -1173,7 +1173,7 @@ object ExtensionQueries8 {
       val corpus = docs.select(size(toks).cast("long").as("dl"))
         .agg(sum(col("dl")).as("S"), count(lit(1)).as("N"))
       val root = graft.sources.Scratch.fresh(s,
-        s"inv_index_${new java.io.File(dir).getName}")
+        s"inv_index_${graft.sources.Scratch.dirTag(dir)}")
       postings.write.mode("overwrite").partitionBy("pbucket")
         .parquet(s"$root/postings")
       termStats.write.mode("overwrite").parquet(s"$root/terms")
@@ -1226,7 +1226,7 @@ object ExtensionQueries8 {
     // line prices a full dedup shuffle that exists only to grade.
     "q96_column_stats_catalog" -> ((s, dir) => {
       val root = graft.sources.Scratch.fresh(s,
-        s"stats_catalog_${new java.io.File(dir).getName}")
+        s"stats_catalog_${graft.sources.Scratch.dirTag(dir)}")
       statsCatalog(s, t(s, dir, "orders"),
         pmod(col("o_orderkey"), lit(ExtensionQueries7.SketchShards.toLong)),
         ordersAuditSpecs, root, withTruth = false)
@@ -1247,7 +1247,7 @@ object ExtensionQueries8 {
     "q101_tx_stats_publish" -> ((s, dir) => {
       import graft.sources.TxCatalog
       val root = graft.sources.Scratch.fresh(s,
-        s"tx_catalog_${new java.io.File(dir).getName}")
+        s"tx_catalog_${graft.sources.Scratch.dirTag(dir)}")
       // the fused (tiny, |shards|·|cols|-row) aggregate is persisted
       // across the transaction's two member writes — nothing
       // |rows|×|cols|-sized is ever cached (statsCatalog's r15 rule),
@@ -1290,7 +1290,7 @@ object ExtensionQueries8 {
     // and Round15Spec's per-table accuracy bound.
     "q99_lake_stats_sweep" -> ((s, dir) => {
       val root = graft.sources.Scratch.fresh(s,
-        s"lake_catalog_${new java.io.File(dir).getName}")
+        s"lake_catalog_${graft.sources.Scratch.dirTag(dir)}")
       // tables audit independently, so their build jobs (two artifact
       // writes each) are submitted CONCURRENTLY — on a shared cluster
       // the small dims fill the slots the big facts leave idle; serial
@@ -1376,7 +1376,7 @@ object ExtensionQueries8 {
       import graft.sources.{Scratch, Snapshots}
       val o = t(s, dir, "orders")
       val root = Scratch.fresh(s,
-        s"ivm_agg_${new java.io.File(dir).getName}")
+        s"ivm_agg_${graft.sources.Scratch.dirTag(dir)}")
       val (tbl, view) = (s"$root/orders", s"$root/view")
       def agg(df: DataFrame): DataFrame =
         df.groupBy(col("o_orderstatus"))
@@ -1912,7 +1912,7 @@ object ExtensionQueries8 {
       val shardSamples = segHash.groupBy(col("shard"), col("seg"))
         .agg(kmvKeepU(col("h")).as("hs"))
       val sink = graft.sources.Scratch.fresh(s,
-        s"kmv_samples_${new java.io.File(dir).getName}")
+        s"kmv_samples_${graft.sources.Scratch.dirTag(dir)}")
       shardSamples.write.mode("overwrite").partitionBy("shard").parquet(sink)
       // merge-on-read: union-and-trim of ≤ shards bounded samples per seg
       val merged = s.read.parquet(sink)

@@ -192,7 +192,7 @@ object RelationalQueries2 {
     // surface end-to-end; the oracle reads the ORIGINAL parquet, so any
     // round-trip loss fails the hash.
     "q46_csv_roundtrip" -> ((s, dir) => {
-      val tmp = graft.sources.Scratch.fresh(s, s"csv_${new java.io.File(dir).getName}")
+      val tmp = graft.sources.Scratch.fresh(s, s"csv_${graft.sources.Scratch.dirTag(dir)}")
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("qty"), col("l_returnflag"),
@@ -213,7 +213,7 @@ object RelationalQueries2 {
     // JSON-lines sink + source round trip (doubles survive: Spark writes
     // shortest-round-trip representations). Same oracle-reads-parquet trick.
     "q47_json_roundtrip" -> ((s, dir) => {
-      val tmp = graft.sources.Scratch.fresh(s, s"json_${new java.io.File(dir).getName}")
+      val tmp = graft.sources.Scratch.fresh(s, s"json_${graft.sources.Scratch.dirTag(dir)}")
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           col("o_orderdate").cast("date").as("od"))
@@ -234,7 +234,7 @@ object RelationalQueries2 {
     // query's scan path and q56's sink). Oracle reads the ORIGINAL parquet,
     // so any round-trip loss fails the hash.
     "q57_orc_roundtrip" -> ((s, dir) => {
-      val tmp = graft.sources.Scratch.fresh(s, s"orc_${new java.io.File(dir).getName}")
+      val tmp = graft.sources.Scratch.fresh(s, s"orc_${graft.sources.Scratch.dirTag(dir)}")
       t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
         .repartition(s.sparkContext.defaultParallelism)
@@ -254,7 +254,7 @@ object RelationalQueries2 {
     // a driver-side listing pass; production tables pin the schema in a
     // catalog — this exercises the raw-path semantics.)
     "q58_schema_evolution" -> ((s, dir) => {
-      val tmp = graft.sources.Scratch.fresh(s, s"evo_${new java.io.File(dir).getName}")
+      val tmp = graft.sources.Scratch.fresh(s, s"evo_${graft.sources.Scratch.dirTag(dir)}")
       val part = t(s, dir, "part")
       part.filter(col("p_partkey") % 2 === 0)
         .select(col("p_partkey"), col("p_brand"))
@@ -284,7 +284,7 @@ object RelationalQueries2 {
       // cluster). persist() so the 6-table flagship pipeline runs ONCE:
       // the first append materializes the ~500-row summary, the second
       // reads it from cache instead of re-running the joins.
-      val sink = graft.sources.Scratch.fresh(s, s"append_${new java.io.File(dir).getName}")
+      val sink = graft.sources.Scratch.fresh(s, s"append_${graft.sources.Scratch.dirTag(dir)}")
       val summary = graft.pipeline.LocationSummary.build(s, dir).persist()
       try {
         graft.pipeline.LocationSummary.writeSummary(summary, sink)

@@ -52,7 +52,7 @@ object RelationalQueries4 {
     // between scanning a day and scanning the lake: partition on the
     // dominant access predicate (almost always event time).
     "q61_partition_pruned_lake" -> ((s, dir) => {
-      val tmp = graft.sources.Scratch.fresh(s, s"lake_${new java.io.File(dir).getName}")
+      val tmp = graft.sources.Scratch.fresh(s, s"lake_${graft.sources.Scratch.dirTag(dir)}")
       t(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         // spread the single-file fixture scan before the write, like q46
@@ -76,7 +76,7 @@ object RelationalQueries4 {
     // bit-for-bit against the oracle's replay; Round7Spec measures the
     // actual file-skip ratio the layout buys.
     "q62_zorder_layout" -> ((s, dir) => {
-      val tmp = graft.sources.Scratch.fresh(s, s"zorder_${new java.io.File(dir).getName}")
+      val tmp = graft.sources.Scratch.fresh(s, s"zorder_${graft.sources.Scratch.dirTag(dir)}")
       val src = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("qty"), col("l_returnflag"),
@@ -105,7 +105,7 @@ object RelationalQueries4 {
     // may only skip files the predicate proves empty. Round7Spec asserts
     // the candidate set is a strict subset.
     "q63_stats_index_scan" -> ((s, dir) => {
-      val tmp = graft.sources.Scratch.fresh(s, s"statsidx_${new java.io.File(dir).getName}")
+      val tmp = graft.sources.Scratch.fresh(s, s"statsidx_${graft.sources.Scratch.dirTag(dir)}")
       val src = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"),
           col("l_returnflag"),
@@ -130,8 +130,8 @@ object RelationalQueries4 {
     // aggregate hash-matching the original-table oracle proves the rewrite
     // lost nothing; Round7Spec asserts the file count actually dropped.
     "q64_compact_small_files" -> ((s, dir) => {
-      val small = graft.sources.Scratch.fresh(s, s"small_${new java.io.File(dir).getName}")
-      val packed = graft.sources.Scratch.fresh(s, s"packed_${new java.io.File(dir).getName}")
+      val small = graft.sources.Scratch.fresh(s, s"small_${graft.sources.Scratch.dirTag(dir)}")
+      val packed = graft.sources.Scratch.fresh(s, s"packed_${graft.sources.Scratch.dirTag(dir)}")
       t(s, dir, "documents").repartition(64)
         .write.mode("overwrite").parquet(small)
       val totalBytes = {
@@ -201,7 +201,7 @@ object RelationalQueries4 {
     // fails the hash. (Fixture text is newline- and tab-free; a real lake
     // escapes or length-prefixes.)
     "q71_text_source_roundtrip" -> ((s, dir) => {
-      val tmp = graft.sources.Scratch.fresh(s, s"text_${new java.io.File(dir).getName}")
+      val tmp = graft.sources.Scratch.fresh(s, s"text_${graft.sources.Scratch.dirTag(dir)}")
       t(s, dir, "documents")
         .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
         .repartition(s.sparkContext.defaultParallelism)
@@ -284,7 +284,7 @@ object RelationalQueries4 {
     // it" — and Round7Spec pins the historical view (v1 = even half only)
     // and crash isolation (an orphaned batch dir stays invisible).
     "q65_snapshot_read" -> ((s, dir) => {
-      val tbl = graft.sources.Scratch.fresh(s, s"snap_${new java.io.File(dir).getName}")
+      val tbl = graft.sources.Scratch.fresh(s, s"snap_${graft.sources.Scratch.dirTag(dir)}")
       val docs = t(s, dir, "documents")
       graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 === 0))
       graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 =!= 0))
@@ -305,7 +305,7 @@ object RelationalQueries4 {
     // filter the second commit wrote, so a leaked or missed batch fails
     // the hash; Round8Spec pins the replace-boundary refusal.
     "q74_snapshot_changes" -> ((s, dir) => {
-      val tbl = graft.sources.Scratch.fresh(s, s"snapdiff_${new java.io.File(dir).getName}")
+      val tbl = graft.sources.Scratch.fresh(s, s"snapdiff_${graft.sources.Scratch.dirTag(dir)}")
       val docs = t(s, dir, "documents")
       graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 === 0))
       graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 =!= 0))
@@ -328,7 +328,7 @@ object RelationalQueries4 {
     // hash; Round8Spec asserts the skip actually happens (candidates <
     // total files).
     "q76_bloom_index_scan" -> ((s, dir) => {
-      val tmp = graft.sources.Scratch.fresh(s, s"bloom_${new java.io.File(dir).getName}")
+      val tmp = graft.sources.Scratch.fresh(s, s"bloom_${graft.sources.Scratch.dirTag(dir)}")
       t(s, dir, "orders").repartitionByRange(16, col("o_orderdate"))
         .write.mode("overwrite").parquet(tmp)
       val idx = Layout.bloomIndex(s, tmp, "o_orderkey", mBits = BloomBits, k = BloomK)
@@ -353,7 +353,7 @@ object RelationalQueries4 {
     // delete-then-reappend ordering rule, and that compaction folds the
     // mask away.
     "q75_snapshot_delete" -> ((s, dir) => {
-      val tbl = graft.sources.Scratch.fresh(s, s"snapdel_${new java.io.File(dir).getName}")
+      val tbl = graft.sources.Scratch.fresh(s, s"snapdel_${graft.sources.Scratch.dirTag(dir)}")
       val docs = t(s, dir, "documents")
       graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 === 0))
       graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 =!= 0))
@@ -376,7 +376,7 @@ object RelationalQueries4 {
     // (box predicates skipping most files via per-file stats) is pinned in
     // Round10Spec where file geometry is observable.
     "q84_zorder_compact" -> ((s, dir) => {
-      val tbl = graft.sources.Scratch.fresh(s, s"zcomp_${new java.io.File(dir).getName}")
+      val tbl = graft.sources.Scratch.fresh(s, s"zcomp_${graft.sources.Scratch.dirTag(dir)}")
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"))
@@ -407,7 +407,7 @@ object RelationalQueries4 {
     // The oracle recomputes both sides from the raw table, so a line
     // misclassified in either direction fails the hash.
     "q83_corrupt_json" -> ((s, dir) => {
-      val tmp = graft.sources.Scratch.fresh(s, s"cjson_${new java.io.File(dir).getName}")
+      val tmp = graft.sources.Scratch.fresh(s, s"cjson_${graft.sources.Scratch.dirTag(dir)}")
       t(s, dir, "documents")
         .select(when(col("doc_id") % 7 === 0,
             concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": TRUNC")))
@@ -443,7 +443,7 @@ object RelationalQueries4 {
     // metadata (driver-side, planner-scale); each version's summary is
     // one aggregation.
     "q82_table_history" -> ((s, dir) => {
-      val tbl = graft.sources.Scratch.fresh(s, s"snaphist_${new java.io.File(dir).getName}")
+      val tbl = graft.sources.Scratch.fresh(s, s"snaphist_${graft.sources.Scratch.dirTag(dir)}")
       val docs = t(s, dir, "documents")
       graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 === 0))
       graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 2 =!= 0))
@@ -465,7 +465,7 @@ object RelationalQueries4 {
     // (an UPDATE, split into its two events, as every CDC protocol
     // transports it).
     "q81_change_events" -> ((s, dir) => {
-      val tbl = graft.sources.Scratch.fresh(s, s"snapev_${new java.io.File(dir).getName}")
+      val tbl = graft.sources.Scratch.fresh(s, s"snapev_${graft.sources.Scratch.dirTag(dir)}")
       val docs = t(s, dir, "documents")
       graft.sources.Snapshots.commit(s, tbl, docs)
       val changed = docs.filter(col("doc_id") % 5 === 0)
@@ -492,7 +492,7 @@ object RelationalQueries4 {
     // Round8Spec pins atomicity (one version), insert-of-new-keys, and
     // pre-upsert time travel.
     "q79_snapshot_upsert" -> ((s, dir) => {
-      val tbl = graft.sources.Scratch.fresh(s, s"snapup_${new java.io.File(dir).getName}")
+      val tbl = graft.sources.Scratch.fresh(s, s"snapup_${graft.sources.Scratch.dirTag(dir)}")
       val docs = t(s, dir, "documents")
       graft.sources.Snapshots.commit(s, tbl, docs)
       val changed = docs.filter(col("doc_id") % 5 === 0)
@@ -519,7 +519,7 @@ object RelationalQueries4 {
     // is one map-side-combinable aggregation; the bin join is
     // bins-sized. Oracle replays both versions from the raw table.
     "q78_drift_psi" -> ((s, dir) => {
-      val tbl = graft.sources.Scratch.fresh(s, s"psi_${new java.io.File(dir).getName}")
+      val tbl = graft.sources.Scratch.fresh(s, s"psi_${graft.sources.Scratch.dirTag(dir)}")
       val docs = t(s, dir, "documents")
       graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 3 =!= 0))
       graft.sources.Snapshots.commit(s, tbl, docs.filter(col("doc_id") % 3 === 0))
@@ -560,8 +560,8 @@ object RelationalQueries4 {
     // loudly; Round8Spec asserts per-partition file counts actually
     // dropped and that the compacted table still prunes.
     "q72_compact_partitioned" -> ((s, dir) => {
-      val small = graft.sources.Scratch.fresh(s, s"psmall_${new java.io.File(dir).getName}")
-      val packed = graft.sources.Scratch.fresh(s, s"ppacked_${new java.io.File(dir).getName}")
+      val small = graft.sources.Scratch.fresh(s, s"psmall_${graft.sources.Scratch.dirTag(dir)}")
+      val packed = graft.sources.Scratch.fresh(s, s"ppacked_${graft.sources.Scratch.dirTag(dir)}")
       t(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .repartition(16) // 16 small files per partition dir — ingest-shaped

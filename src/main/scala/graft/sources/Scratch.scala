@@ -29,6 +29,22 @@ object Scratch {
       .orElse(sys.env.get("SPARK_GRAFT_SCRATCH_DIR"))
       .getOrElse(System.getProperty("java.io.tmpdir"))
 
+  /** A scratch-name tag that identifies a fixture directory UNIQUELY, not
+    * just by basename: `<basename>_<8-hex of the absolute path>`. Every
+    * fixture-derived scratch name must use this instead of
+    * `new File(dir).getName` — two fixture roots with the same basename
+    * (`/data/a/sf1` vs `/data/b/sf1`) would otherwise resolve to the SAME
+    * scratch path, and a session-memoized artifact root (verified pairs,
+    * d22 prior, s22 eval runs) built for one would be silently overwritten
+    * by the other's build while the first memo entry still points at it.
+    * The hash is over the absolute path, so the tag is stable across calls
+    * within and across sessions on one host.
+    */
+  def dirTag(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    f"${new java.io.File(dir).getName}%s_${abs.hashCode & 0xffffffffL}%08x"
+  }
+
   /** An empty, freshly-created directory `<root>/graft_<appId>/<name>` —
     * cleared on every call so append-mode round-trips start from a clean
     * slate across verify re-runs WITHIN a session, while the `appId`
