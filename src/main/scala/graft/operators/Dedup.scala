@@ -508,10 +508,15 @@ object Dedup {
     val fb = withFeatures.select(col("id").as("doc_b"), col("features").as("fb"))
     // feature arrays are distinct-element by construction (shingle/char-gram
     // extractors dedup), so |a ∪ b| = |a| + |b| - |a ∩ b| — one
-    // array_intersect per pair instead of intersect + union halves the
-    // dominant per-pair cost (the arrays are ~n_chars long for char grams)
+    // intersection COUNT per pair instead of intersect + union halves the
+    // dominant per-pair cost (the arrays are ~n_chars long for char grams),
+    // and the count-only native expression (intersect_count) never
+    // materializes the intersection array size(array_intersect(...)) would
+    // build and discard — exact-parity pinned in Round16Spec
     pairs.join(fa, "doc_a").join(fb, "doc_b")
-      .withColumn("__overlap", size(array_intersect(col("fa"), col("fb"))).cast("double"))
+      .withColumn("__overlap",
+        graft.functions.LongIntersectCount
+          .intersectCount(col("fa"), col("fb")).cast("double"))
       .withColumn("jaccard",
         col("__overlap") / (size(col("fa")) + size(col("fb")) - col("__overlap")))
       .drop("fa", "fb", "__overlap")

@@ -57,7 +57,9 @@ object GraftExtensions {
     withIntArgs("minhash_bands", classOf[graft.functions.MinhashBands].getName, 3,
       (e, is) => graft.functions.MinhashBands(e.head, is.head, is(1))),
     withIntArgs("lsh_bucket", classOf[graft.functions.LshBucketExpr].getName, 3,
-      (e, is) => graft.functions.LshBucketExpr(e.head, is.head, is(1))))
+      (e, is) => graft.functions.LshBucketExpr(e.head, is.head, is(1))),
+    simple("intersect_count", classOf[graft.functions.LongIntersectCount].getName, 2,
+      e => graft.functions.LongIntersectCount(e(0), e(1))))
 
   private def simple(name: String, className: String, arity: Int,
                      build: Seq[Expression] => Expression): Registration =

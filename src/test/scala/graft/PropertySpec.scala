@@ -78,6 +78,29 @@ class PropertySpec extends AnyFunSuite {
     assert(native === scala_)
   }
 
+  test("intersect_count on random long arrays (duplicates, nulls): native " +
+      "== size(array_intersect) == plain Scala distinct-set count") {
+    val elem: Gen[Option[Long]] = Gen.frequency(
+      9 -> Gen.choose(-5L, 5L).map(Some(_)), // small domain forces overlap
+      1 -> Gen.const(None))
+    val arr = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, elem))
+    val pairGen = Gen.zip(arr, arr)
+    val batch = samples(pairGen, 400)
+    val df = batch.map { case (a, b) =>
+      (a.map(_.map(Long.box).orNull), b.map(_.map(Long.box).orNull))
+    }.toDF("a", "b")
+    val native = df.select(
+        graft.functions.LongIntersectCount.intersectCount($"a", $"b"))
+      .as[Int].collect().toSeq
+    val builtin = df.select(
+        size(array_intersect($"a", $"b")))
+      .as[Int].collect().toSeq
+    assert(native === builtin)
+    val scala_ = batch.map { case (a, b) =>
+      a.toSet.intersect(b.toSet).size } // Option[Long] sets: None models null
+    assert(native === scala_)
+  }
+
   test("RRF fusion on random rankings: fused score is the exact integer " +
       "sum of the arms' reciprocal ranks, and fusion order is total") {
     val rankingGen = for {

@@ -104,4 +104,51 @@ class Round16Spec extends AnyFunSuite {
     assert(joined.filter(
       not(col("fused") <=> col("portable"))).count() === 0L)
   }
+
+  // ---- LongIntersectCount: the count-only verify inner loop ----
+
+  test("jaccardOnPairs with the native intersect_count matches the " +
+      "size(array_intersect) form on the real fixture's candidate pairs " +
+      "(exact double equality — same counts, same arithmetic)") {
+    val feats = ExtensionQueries.docFeatures(spark, dir)
+    val pairs = graft.operators.Dedup
+      .lshCandidatePairs(feats, bands = 4, rows = 3)
+      .select(col("doc_a"), col("doc_b"))
+    val fa = feats.select(col("id").as("doc_a"), col("features").as("fa"))
+    val fb = feats.select(col("id").as("doc_b"), col("features").as("fb"))
+    val portable = pairs.join(fa, "doc_a").join(fb, "doc_b")
+      .withColumn("__overlap",
+        size(array_intersect(col("fa"), col("fb"))).cast("double"))
+      .withColumn("jaccard",
+        col("__overlap") / (size(col("fa")) + size(col("fb")) - col("__overlap")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val fused = graft.operators.Dedup.jaccardOnPairs(pairs, feats)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    assert(fused.count() > 0)
+    assert(fused.exceptAll(portable).isEmpty && portable.exceptAll(fused).isEmpty)
+  }
+
+  test("intersect_count is registered on the SQL surface") {
+    graft.plans.GraftExtensions.registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val got = spark.sql(
+      "SELECT intersect_count(array(1L, 2L, 2L, 3L), array(2L, 3L, 3L, 9L))")
+      .head().getInt(0)
+    assert(got === 2)
+  }
+
+  // ---- Scratch.dirTag: fixture-dir identity for memoized artifacts ----
+
+  test("dirTag distinguishes same-basename fixture dirs and is stable " +
+      "per dir (the memoized verified-pairs/d22-prior/s22-runs roots key " +
+      "scratch paths by it)") {
+    val a = new java.io.File("/tmp/graft_tag_a/sf1")
+    val b = new java.io.File("/tmp/graft_tag_b/sf1")
+    val ta = graft.sources.Scratch.dirTag(a.getPath)
+    val tb = graft.sources.Scratch.dirTag(b.getPath)
+    assert(ta !== tb, "same basename must not collapse to one scratch name")
+    assert(ta === graft.sources.Scratch.dirTag(a.getPath))
+    assert(ta.startsWith("sf1_"), "tag keeps the readable basename prefix")
+  }
 }
