@@ -926,6 +926,78 @@ class StreamingSpec extends AnyFunSuite {
       (ts("2024-01-01 01:00:00"), "click", 1L, 4.0),
       (ts("2024-01-01 02:00:00"), "view", 1L, 8.0)))
   }
+  test("streaming near-dup screen: the TWS form emits exactly the batch " +
+      "twin's hits (multiplicity included) across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the band plays on through the long winter evening"
+    val docs = Seq(
+      Doc(1L, ts("2024-01-01 00:00:00"), base),
+      Doc(2L, ts("2024-01-01 00:01:00"), base), // exact dup of 1
+      Doc(3L, ts("2024-01-01 00:02:00"),
+        base.replace("winter", "summer")), // near dup of 1/2
+      Doc(4L, ts("2024-01-01 00:03:00"),
+        "completely unrelated text about spark physical plans and " +
+          "shuffle partitions at scale with no shared shingles at all"),
+      // second micro-batch: another exact dup + a short no-shingle doc
+      Doc(5L, ts("2024-01-01 00:10:00"), base),
+      Doc(6L, ts("2024-01-01 00:11:00"), "one"))
+    val batches = Seq(docs.take(4), docs.drop(4))
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    def run(name: String, capK: Int) = {
+      val stream = MemoryStream[Doc]
+      val q = DocStreams.nearDupStream(stream.toDS(), capK = capK)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name)
+        .as[(Long, Long, Double, Int)].collect().sorted.toList
+    }
+    try {
+      val got = run("neardup_tws", 16)
+      val want = DocStreams.nearDupBatch(docs.toDF(), capK = 16)
+        .as[(Long, Long, Double, Int)].collect().sorted.toList
+      assert(got == want,
+        "stream must equal the batch twin hit-for-hit, band multiplicity included")
+      // the fixture exercises the semantics, not just emptiness:
+      val pairs = got.map(h => (h._1, h._2)).toSet
+      assert(pairs.contains((2L, 1L)), "exact dup flagged at ingest")
+      assert(pairs.contains((5L, 1L)) && pairs.contains((5L, 2L)),
+        "a later batch's dup hits the earlier batches' stored members")
+      assert(got.filter(h => h._1 == 2L && h._2 == 1L)
+        .forall(_._3 == 1.0), "exact dup estimates 1.0")
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+        "unrelated doc never hits")
+      assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L),
+        "a doc too short to shingle is dropped, not crashed on")
+
+      // cap semantics, pinned at capK=1: later exact dups still hit the
+      // FIRST member (matching is uncapped) but never each other
+      // (membership is) — and the batch twin prices the identical miss
+      val capped = run("neardup_tws_cap", 1)
+      val cappedPairs = capped.map(h => (h._1, h._2)).toSet
+      assert(cappedPairs.contains((2L, 1L)) && cappedPairs.contains((5L, 1L)))
+      assert(!cappedPairs.contains((5L, 2L)),
+        "capK=1: doc 2 never became a member, so doc 5 must not hit it")
+      val cappedWant = DocStreams.nearDupBatch(docs.toDF(), capK = 1)
+        .as[(Long, Long, Double, Int)].collect().sorted.toList
+      assert(capped == cappedWant)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
 }
 
 class MultimodalSpec extends AnyFunSuite {
