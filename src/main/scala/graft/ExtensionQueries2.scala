@@ -289,8 +289,14 @@ object ExtensionQueries2 {
       // input twice (forward + reversed).
       val pairs = ExtensionQueries.verifiedPairs(s, dir)
         .select(col("doc_a"), col("doc_b")).persist()
+      // repartition by src BEFORE caching: the cached InMemoryRelation
+      // then CARRIES hash(src) as its output partitioning, so all three
+      // iterations' edges⋈ranks joins reuse it and only the node-sized
+      // rank side shuffles per round — without it the full edge set
+      // (2×pairs, the big side) re-exchanges every iteration
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src"))
         .persist()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
