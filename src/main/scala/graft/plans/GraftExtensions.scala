@@ -58,8 +58,15 @@ object GraftExtensions {
       (e, is) => graft.functions.MinhashBands(e.head, is.head, is(1))),
     withIntArgs("lsh_bucket", classOf[graft.functions.LshBucketExpr].getName, 3,
       (e, is) => graft.functions.LshBucketExpr(e.head, is.head, is(1))),
+    // cast to array<bigint> exactly like the Column entry point: without
+    // it an integer-literal array (`array(1, 2)`) analyzes fine but
+    // getLong strides over 4-byte-packed elements at execution
     simple("intersect_count", classOf[graft.functions.LongIntersectCount].getName, 2,
-      e => graft.functions.LongIntersectCount(e(0), e(1))))
+      e => graft.functions.LongIntersectCount(
+        org.apache.spark.sql.catalyst.expressions.Cast(e(0),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.catalyst.expressions.Cast(e(1),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
 
   private def simple(name: String, className: String, arity: Int,
                      build: Seq[Expression] => Expression): Registration =

@@ -89,7 +89,7 @@ object DocStreams {
       .select(col("doc_id"), col("ts"), col("sig"),
         posexplode(col("__b")).as(Seq("band", "band_hash")))
       .select(col("band"), col("band_hash"), col("doc_id"),
-        (col("ts").cast("double") * 1000).cast("long").as("ts_ms"), col("sig"))
+        unix_millis(col("ts")).as("ts_ms"), col("sig"))
   }
 
   /** The streaming screen: emits a [[NearDupHit]] for every arrival whose
@@ -201,7 +201,7 @@ class NearDupProcessor(capK: Int, minEst: Double,
       if (stored.length < capK) stored += Member(a.doc_id, a.sig)
     }
     // one write per (bucket, batch), and only if anything joined
-    if (stored.length > n0) stored.drop(n0).foreach(members.appendValue)
+    if (stored.length > n0) members.appendList(stored.drop(n0).toArray)
     hits.result().iterator
   }
 }

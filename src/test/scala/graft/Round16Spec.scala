@@ -132,8 +132,11 @@ class Round16Spec extends AnyFunSuite {
     graft.plans.GraftExtensions.registrations.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // deliberately INT-literal arrays: the registration must cast to
+    // array<bigint> like the Column API, or getLong mis-strides the
+    // 4-byte-packed elements at execution
     val got = spark.sql(
-      "SELECT intersect_count(array(1L, 2L, 2L, 3L), array(2L, 3L, 3L, 9L))")
+      "SELECT intersect_count(array(1, 2, 2, 3), array(2, 3, 3, 9))")
       .head().getInt(0)
     assert(got === 2)
   }
