@@ -52,8 +52,9 @@ object Bench {
     "d22_incremental_clusters", "s36_graph_walk_ann", "q99_lake_stats_sweep",
     "e21_msprt", "q103_incremental_agg",
     // round-16 representatives (appended): the near-dup-only grouped
-    // phash report and the stored-pair + native-agree estimator eval
-    "m11_phash_dedup_groups", "d14_minhash_estimate")
+    // phash report, the stored-pair + native-agree estimator eval, and
+    // the ingest screen's batch replay
+    "m11_phash_dedup_groups", "d14_minhash_estimate", "d23_ingest_screen")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's

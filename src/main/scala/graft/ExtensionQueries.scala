@@ -670,6 +670,27 @@ object ExtensionQueries {
         .select(col("id").as("doc_id"), graft.functions.TextHash.simhash32(col("features")).as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // The ingest-time near-dup SCREEN's batch form (r16, the hash-gated
+    // half of streaming/DocStreams — StreamingSpec pins the stream
+    // emit-for-emit against THIS rule): arrivals in doc_id order, per
+    // LSH bucket only the first capK become members, every arrival
+    // matches against stored members by 12-slot signature agreement.
+    // This is the audit a deployment runs over a day's ingest — which
+    // docs were flagged, against whom, through which band — and it
+    // prices the screen's batch replay in the bench. Scale shape: one
+    // rank window per bucket + one rank-bounded bucket self-join; the
+    // capK bound keeps any hot bucket's pair term ≤ capK·|bucket|,
+    // never |bucket|².
+    "d23_ingest_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), to_timestamp(col("doc_id")).as("ts"),
+          col("text"))
+      graft.streaming.DocStreams.nearDupBatch(docs, capK = 16, minEst = 0.5)
+        .select(col("doc_id"), col("dup_of"),
+          Agg.roundAt(col("est_jaccard"), 4).as("est_jaccard"), col("band"))
+        .orderBy(col("doc_id"), col("dup_of"), col("band"))
+    }),
+
     // MinHash accuracy evaluation (the s08 recall-eval pattern for the
     // text side): estimated Jaccard = fraction of the 12 MinHash slots
     // that agree, laid against the exact shingle Jaccard on the same
@@ -1372,6 +1393,43 @@ object ExtensionQueries {
       JOIN doc_feat fa ON pairs.doc_a = fa.doc_id
       JOIN doc_feat fb ON pairs.doc_b = fb.doc_id
       ORDER BY doc_a, doc_b""",
+
+    // d23: the ingest screen's batch replay — bucket membership ranked by
+    // arrival (doc_id order), members capped at 16, matching uncapped.
+    "d23_ingest_screen" -> s"""
+      WITH $featuresCte,
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${bandSql(0)} AS bh FROM doc_feat
+        UNION ALL SELECT doc_id, 1, ${bandSql(1)} FROM doc_feat
+        UNION ALL SELECT doc_id, 2, ${bandSql(2)} FROM doc_feat
+        UNION ALL SELECT doc_id, 3, ${bandSql(3)} FROM doc_feat
+      ),
+      ranked AS (
+        SELECT doc_id, band_idx, bh,
+               row_number() OVER (PARTITION BY band_idx, bh
+                                  ORDER BY doc_id) AS rnk
+        FROM banded WHERE bh IS NOT NULL
+      ),
+      mh AS (
+        SELECT doc_id, [${(0 until 12).map(mhSql).mkString(", ")}] AS mh
+        FROM doc_feat
+      ),
+      hits AS (
+        SELECT l.doc_id AS doc_id, e.doc_id AS dup_of,
+               CAST(len(list_filter(range(1, 13),
+                 i -> ma.mh[CAST(i AS INTEGER)] = mb.mh[CAST(i AS INTEGER)])) AS DOUBLE) / 12
+                 AS est,
+               CAST(l.band_idx AS INTEGER) AS band
+        FROM ranked l JOIN ranked e
+          ON l.band_idx = e.band_idx AND l.bh = e.bh
+          AND e.rnk < l.rnk AND e.rnk <= 16
+        JOIN mh ma ON l.doc_id = ma.doc_id
+        JOIN mh mb ON e.doc_id = mb.doc_id
+      )
+      SELECT doc_id, dup_of,
+             floor(est * 10000 + 0.5) / 10000 AS est_jaccard, band
+      FROM hits WHERE est >= 0.5
+      ORDER BY doc_id, dup_of, band""",
 
     // d14: same candidate pairs; est = agreeing MinHash slots / 12 vs the
     // exact shingle Jaccard.
