@@ -998,6 +998,94 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("screen TTL: an idle bucket's members actually evict (the dup " +
+      "passes unflagged) and eviction re-opens capK room; the no-TTL " +
+      "control proves both against the same feed") {
+    // Same polling harness as the sessionizer TTL case: ProcessingTime
+    // bookkeeping batches never settle, so each phase carries its own
+    // fresh exact-dup MARKER pair and the sink is polled for the marker
+    // hit before asserting what the probe docs did (or did not) emit.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    type Hit = (Long, Long, Double, Int)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    def marker(n: Int) = s"marker$n one marker$n two marker$n three " +
+      s"marker$n four marker$n five marker$n six marker$n seven"
+    def phases(tag: String, sleeps: Seq[Long],
+        f: org.apache.spark.sql.Dataset[Doc] =>
+          org.apache.spark.sql.Dataset[DocStreams.NearDupHit]) = {
+      // probe docs 1, 2, 3 all carry textA; each phase i also feeds the
+      // exact-dup marker pair (100i, 100i+1) whose hit signals the
+      // phase fully processed
+      val batches = Seq(
+        (Seq(Doc(1L, ts("2024-01-01 00:00:01"), textA),
+          Doc(100L, ts("2024-01-01 00:00:02"), marker(1)),
+          Doc(101L, ts("2024-01-01 00:00:03"), marker(1))), (101L, 100L)),
+        (Seq(Doc(2L, ts("2024-01-01 00:01:01"), textA),
+          Doc(200L, ts("2024-01-01 00:01:02"), marker(2)),
+          Doc(201L, ts("2024-01-01 00:01:03"), marker(2))), (201L, 200L)),
+        (Seq(Doc(3L, ts("2024-01-01 00:02:01"), textA),
+          Doc(300L, ts("2024-01-01 00:02:02"), marker(3)),
+          Doc(301L, ts("2024-01-01 00:02:03"), marker(3))), (301L, 300L)))
+      val stream = MemoryStream[Doc]
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[Hit]()
+      import scala.jdk.CollectionConverters._
+      val q = f(stream.toDS()).writeStream.outputMode(OutputMode.Update())
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[DocStreams.NearDupHit],
+           _: Long) =>
+            df.collect().foreach(h =>
+              sink.add((h.doc_id, h.dup_of, h.est_jaccard, h.band)))
+        }
+        .start()
+      try batches.zip(sleeps).zipWithIndex.foreach { case (((b, mk), slp), i) =>
+        if (slp > 0) Thread.sleep(slp)
+        stream.addData(b: _*)
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (!sink.asScala.exists(h => (h._1, h._2) == mk) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        assert(sink.asScala.exists(h => (h._1, h._2) == mk),
+          s"${tag}_$i: marker $mk never arrived; " +
+            s"sink=${sink.asScala.toList.sorted}")
+      } finally q.stop()
+      sink.asScala.toList.map(h => (h._1, h._2)).toSet
+    }
+    try {
+      // no-TTL control at capK=1: doc 1 is the bucket's only member
+      // forever (cap full), so 2 and 3 both hit 1 and never each other
+      val ctl = phases("screen_ttl_ctl", sleeps = Seq(0, 100, 100),
+        ds => DocStreams.nearDupStream(ds, capK = 1))
+      assert(ctl.contains((2L, 1L)) && ctl.contains((3L, 1L)),
+        s"control must flag both later dups against the stored member: $ctl")
+      assert(!ctl.contains((3L, 2L)),
+        s"capK=1 without TTL: 2 never became a member: $ctl")
+      // TTL'd run, same feed, TTL between the two gaps: the 9 s sleep
+      // before phase 2 evicts doc 1 (4 s TTL), so 2 passes UNFLAGGED —
+      // and 2 takes the re-opened cap slot; phase 3 follows immediately
+      // (well inside the TTL), so 3 hits 2, not 1
+      val ttld = phases("screen_ttl", sleeps = Seq(0, 9000, 0),
+        ds => DocStreams.nearDupStreamTtl(ds,
+          java.time.Duration.ofSeconds(4), capK = 1))
+      assert(!ttld.contains((2L, 1L)),
+        s"the original evicted during the 9 s idle, its dup must pass " +
+          s"unflagged: $ttld")
+      assert(ttld.contains((3L, 2L)) && !ttld.contains((3L, 1L)),
+        s"eviction must re-open the capK slot for the next arrival: $ttld")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
 }
 
 class MultimodalSpec extends AnyFunSuite {
