@@ -785,6 +785,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotM == features(batch).collect().toSet && gotM.nonEmpty)
   }
 
+  test("screen checkpoint restart: recovered bucket members keep " +
+      "flagging post-restart dups exactly as an uninterrupted run") {
+    // The ingest screen's production restart concern: the capped
+    // ListState bucket members recovered from a checkpoint must flag a
+    // dup that arrives AFTER the restart against a member stored BEFORE
+    // it — emit-for-emit with an uninterrupted run over the same feed.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    type Hit = (Long, Long, Double, Int)
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val textB = "north south east west spring summer autumn winter " +
+      "morning noon evening night river mountain valley plain"
+    val batch1 = Seq(Doc(1L, ts("2024-01-01 00:00:01"), textA),
+      Doc(2L, ts("2024-01-01 00:00:02"), textA))
+    val batch2 = Seq(Doc(3L, ts("2024-01-01 00:01:01"), textA),
+      Doc(4L, ts("2024-01-01 00:01:02"), textB),
+      Doc(5L, ts("2024-01-01 00:01:03"), textB))
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      def run(ckpt: String, stream: MemoryStream[Doc],
+          buf: java.util.concurrent.ConcurrentLinkedQueue[Hit])
+          : org.apache.spark.sql.streaming.StreamingQuery =
+        DocStreams.nearDupStream(stream.toDS()).writeStream
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[DocStreams.NearDupHit],
+             _: Long) =>
+              df.collect().foreach(h => buf.add(
+                (h.doc_id, h.dup_of, h.est_jaccard, h.band)))
+          }.start()
+      def drained(buf: java.util.concurrent.ConcurrentLinkedQueue[Hit]) = {
+        val b = Seq.newBuilder[Hit]
+        buf.forEach(x => b += x)
+        b.result().sorted.toList
+      }
+      // reference: both batches through one uninterrupted query
+      val refBuf = new java.util.concurrent.ConcurrentLinkedQueue[Hit]()
+      val refCkpt = java.nio.file.Files
+        .createTempDirectory("graft-screen-ref").toString
+      val refStream = MemoryStream[Doc]
+      val qRef = run(refCkpt, refStream, refBuf)
+      Seq(batch1, batch2).foreach { b =>
+        refStream.addData(b: _*); qRef.processAllAvailable()
+      }
+      qRef.stop()
+      // test: batch 1, STOP, restart from the checkpoint, batch 2
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Hit]()
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-screen-restart").toString
+      val stream = MemoryStream[Doc]
+      val q1 = run(ckpt, stream, buf)
+      stream.addData(batch1: _*); q1.processAllAvailable(); q1.stop()
+      val q2 = run(ckpt, stream, buf)
+      stream.addData(batch2: _*); q2.processAllAvailable(); q2.stop()
+      val got = drained(buf)
+      assert(got == drained(refBuf),
+        "the restarted run must emit exactly the uninterrupted run's hits")
+      val pairs = got.map(h => (h._1, h._2)).toSet
+      assert(pairs.contains((3L, 1L)) && pairs.contains((3L, 2L)),
+        s"a post-restart dup must hit the RECOVERED pre-restart members: $pairs")
+      assert(pairs.contains((5L, 4L)),
+        "post-restart same-batch members must keep working too")
+    } finally {
+      priorProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("state-store rescale: restarting sessionizeTws from a checkpoint " +
       "under a DIFFERENT shuffle-partition count emits identical sessions") {
     // The production rescale concern (r14 verdict item 6): Structured
