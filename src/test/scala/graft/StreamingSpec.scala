@@ -1143,15 +1143,17 @@ class StreamingSpec extends AnyFunSuite {
         s"control must flag both later dups against the stored member: $ctl")
       assert(!ctl.contains((3L, 2L)),
         s"capK=1 without TTL: 2 never became a member: $ctl")
-      // TTL'd run, same feed, TTL between the two gaps: the 9 s sleep
-      // before phase 2 evicts doc 1 (4 s TTL), so 2 passes UNFLAGGED —
-      // and 2 takes the re-opened cap slot; phase 3 follows immediately
-      // (well inside the TTL), so 3 hits 2, not 1
-      val ttld = phases("screen_ttl", sleeps = Seq(0, 9000, 0),
+      // TTL'd run, same feed, TTL between the two gaps: the 20 s sleep
+      // before phase 2 evicts doc 1 (8 s TTL, 2.5x margin), so 2 passes
+      // UNFLAGGED — and 2 takes the re-opened cap slot; phase 3 follows
+      // immediately, so its read lands well inside 2's 8 s TTL even on
+      // a heavily loaded box (observed phase latency ~2 s), and 3 hits
+      // 2, not 1
+      val ttld = phases("screen_ttl", sleeps = Seq(0, 20000, 0),
         ds => DocStreams.nearDupStreamTtl(ds,
-          java.time.Duration.ofSeconds(4), capK = 1))
+          java.time.Duration.ofSeconds(8), capK = 1))
       assert(!ttld.contains((2L, 1L)),
-        s"the original evicted during the 9 s idle, its dup must pass " +
+        s"the original evicted during the 20 s idle, its dup must pass " +
           s"unflagged: $ttld")
       assert(ttld.contains((3L, 2L)) && !ttld.contains((3L, 1L)),
         s"eviction must re-open the capK slot for the next arrival: $ttld")
