@@ -202,10 +202,12 @@ object ExtensionQueries {
     // Scratch.fresh's delete+mkdir under the same path (see d22PriorRoot)
     verifiedPairsMemo.computeIfAbsent((s, dir), { _ =>
       val feats = docFeatures(s, dir)
-      val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
       val root = graft.sources.Scratch.fresh(s,
         s"verified_pairs_${graft.sources.Scratch.dirTag(dir)}")
-      Dedup.jaccardOnPairs(pairs, feats)
+      // fused candidate+verify pass (r17) — one pair-scale shuffle;
+      // Round16Spec pins this build row-equal, jaccard-bit-identical, to
+      // the split lshCandidatePairs→jaccardOnPairs derivation
+      Dedup.lshVerifiedPairs(feats, bands = 4, rows = 3)
         .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
           col("jaccard"))
         .write.mode("overwrite").parquet(root)
@@ -656,9 +658,11 @@ object ExtensionQueries {
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "d04_jaccard_neardup" -> ((s, dir) => {
-      val feats = docFeatures(s, dir)
-      val pairs = Dedup.lshCandidatePairs(feats, bands = 4, rows = 3)
-      Dedup.jaccardOnPairs(pairs, feats)
+      // fused candidate+verify (r17, Dedup.lshVerifiedPairs): exact
+      // Jaccard computed where the band self-join lands — feature arrays
+      // never shuffle at pair scale (the split form's verify joins carried
+      // doc_a's array through a |candidates|-row shuffle)
+      Dedup.lshVerifiedPairs(docFeatures(s, dir), bands = 4, rows = 3)
         .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
           Agg.roundAt(col("jaccard"), 4).as("jaccard"),
           (col("jaccard") >= 0.5).as("is_dup"))
@@ -685,7 +689,11 @@ object ExtensionQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), to_timestamp(col("doc_id")).as("ts"),
           col("text"))
-      graft.streaming.DocStreams.nearDupBatch(docs, capK = 16, minEst = 0.5)
+      // parameters come from the shared DocStreams constants — the oracle
+      // SQL interpolates the SAME values, so neither side can drift alone
+      graft.streaming.DocStreams.nearDupBatch(docs,
+        capK = graft.streaming.DocStreams.ScreenCapK,
+        minEst = graft.streaming.DocStreams.ScreenMinEst)
         .select(col("doc_id"), col("dup_of"),
           Agg.roundAt(col("est_jaccard"), 4).as("est_jaccard"), col("band"))
         .orderBy(col("doc_id"), col("dup_of"), col("band"))
@@ -747,9 +755,11 @@ object ExtensionQueries {
         // candidates at sf0.1 — LSH pruned nothing). 5-gram space is sparse
         // enough that candidates ≈ near-dups, which is the point of LSH.
         graft.functions.TextHash.charNgramHashes(col("text"), 5).as("features"))
-        .persist() // 4 consumers (pair join + jaccard verify); see docFeatures
-      val pairs = Dedup.lshCandidatePairs(feats, bands = 2, rows = 6)
-      Dedup.jaccardOnPairs(pairs, feats)
+        .persist() // both band-explode sides read it; see docFeatures
+      // fused candidate+verify (r17): char-5-gram arrays are ~n_chars
+      // longs, so keeping them OUT of the pair-scale verify shuffles
+      // matters even more here than for d04's word shingles
+      Dedup.lshVerifiedPairs(feats, bands = 2, rows = 6)
         .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
           Agg.roundAt(col("jaccard"), 4).as("jaccard"),
           (col("jaccard") >= 0.6).as("is_dup"))
@@ -1395,7 +1405,9 @@ object ExtensionQueries {
       ORDER BY doc_a, doc_b""",
 
     // d23: the ingest screen's batch replay — bucket membership ranked by
-    // arrival (doc_id order), members capped at 16, matching uncapped.
+    // arrival (doc_id order), members capped at ScreenCapK, matching
+    // uncapped; capK/minEst/slot count interpolate from the SAME DocStreams
+    // constants the engine query passes.
     "d23_ingest_screen" -> s"""
       WITH $featuresCte,
       banded AS (
@@ -1416,19 +1428,19 @@ object ExtensionQueries {
       ),
       hits AS (
         SELECT l.doc_id AS doc_id, e.doc_id AS dup_of,
-               CAST(len(list_filter(range(1, 13),
-                 i -> ma.mh[CAST(i AS INTEGER)] = mb.mh[CAST(i AS INTEGER)])) AS DOUBLE) / 12
-                 AS est,
+               CAST(len(list_filter(range(1, ${graft.streaming.DocStreams.Slots + 1}),
+                 i -> ma.mh[CAST(i AS INTEGER)] = mb.mh[CAST(i AS INTEGER)])) AS DOUBLE)
+                 / ${graft.streaming.DocStreams.Slots} AS est,
                CAST(l.band_idx AS INTEGER) AS band
         FROM ranked l JOIN ranked e
           ON l.band_idx = e.band_idx AND l.bh = e.bh
-          AND e.rnk < l.rnk AND e.rnk <= 16
+          AND e.rnk < l.rnk AND e.rnk <= ${graft.streaming.DocStreams.ScreenCapK}
         JOIN mh ma ON l.doc_id = ma.doc_id
         JOIN mh mb ON e.doc_id = mb.doc_id
       )
       SELECT doc_id, dup_of,
              floor(est * 10000 + 0.5) / 10000 AS est_jaccard, band
-      FROM hits WHERE est >= 0.5
+      FROM hits WHERE est >= ${graft.streaming.DocStreams.ScreenMinEst}
       ORDER BY doc_id, dup_of, band""",
 
     // d14: same candidate pairs; est = agreeing MinHash slots / 12 vs the

@@ -86,12 +86,21 @@ object IntersectCountImpl {
     val n = s.numElements()
     if (n == 0 || p.numElements() == 0) return 0
     // open addressing, linear probing, power-of-two capacity >= 2n;
-    // state: 0 = empty, 1 = filled, 2 = already counted
-    var cap = 4
-    while (cap < (n << 1)) cap <<= 1
-    val mask = cap - 1
-    val table = new Array[Long](cap)
-    val state = new Array[Byte](cap)
+    // state: 0 = empty, 1 = filled, 2 = already counted.
+    // Capacity math in Long: `n << 1` in Int overflows negative at
+    // n >= 2^30, the loop would exit at cap=4, and the insert loop would
+    // then spin forever once 4 distinct values fill the table — a hang,
+    // not an error. Unreachable for realistic shingle arrays, but the
+    // guard costs nothing.
+    var cap = 4L
+    while (cap < 2L * n) cap <<= 1
+    val capI = cap.toInt
+    // For n >= 2^30 the needed capacity exceeds the JVM array limit; the
+    // toInt-then-allocate below fails loudly (NegativeArraySizeException)
+    // instead of looping.
+    val mask = capI - 1
+    val table = new Array[Long](capI)
+    val state = new Array[Byte](capI)
     var setHasNull = false
     var i = 0
     while (i < n) {

@@ -500,8 +500,66 @@ object Dedup {
       .agg(max(col("n_shared_bands")).as("n_shared_bands"))
   }
 
+  /** Fused LSH candidate generation + exact-Jaccard verify (r17): the
+    * features ride the band explode, so the verify's intersection count
+    * runs WHERE THE BAND SELF-JOIN LANDS and the only pair-scale shuffle
+    * left is the narrow (doc_a, doc_b, count, jaccard) aggregation.
+    *
+    * Why this beats [[lshCandidatePairs]] → [[jaccardOnPairs]] at scale:
+    * the split form's verify joins the pair table back against features
+    * TWICE (by doc_a, then by doc_b), and the second join's INPUT is the
+    * first join's output — every candidate pair row carrying doc_a's full
+    * feature array through a pair-scale shuffle (~kB × |candidates|; at
+    * sf1 that is 6.7 M pairs × word-shingle arrays, the dominant bytes of
+    * d04's whole line — and the candidate:corpus ratio only grows with
+    * scale). The fused form never shuffles features at PAIR scale: each
+    * doc's array moves through the band shuffle `bands` times (corpus
+    * scale, fixed ×bands), collision rows compute jaccard in place, and
+    * the aggregation that dedups multi-band pairs shuffles three numbers
+    * per pair. The trade: a pair colliding in k>1 bands computes its
+    * intersection k times. Measured (FuseProbe, same-session A/B, sf1):
+    * word-shingle 4×3 split 5.7–6.5 s → fused 5.2 s even though the
+    * duplicate-compute factor is 3.0× (20.4 M collision rows over 6.7 M
+    * pairs) — the removed pair-scale array shuffle outweighs tripled
+    * codegen CPU; char-5-gram 2×6 split 2.5–3.0 → fused 2.3–2.6 s at
+    * factor 1.01. The factor is bounded by `bands` and the bytes win
+    * grows with the candidate:corpus ratio, so the gap widens with scale.
+    *
+    * `first(jaccard)` in the agg is safe for bit-identity: every collision
+    * row of a pair computes the same double from the same two arrays with
+    * the same expression. Round16Spec pins the stored verified-pair table
+    * (built through THIS path) row-equal, jaccard-bit-identical, to the
+    * split lshCandidatePairs→jaccardOnPairs derivation.
+    */
+  def lshVerifiedPairs(docs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = docs.select(col("id"), col("features"),
+      posexplode(graft.functions.TextHash.minhashBands(col("features"), bands, rows))
+        .as(Seq("band_idx", "bh")))
+    val a = banded.select(col("id").as("doc_a"), col("features").as("fa"),
+      col("band_idx"), col("bh"))
+    val b = banded.select(col("id").as("doc_b"), col("features").as("fb"),
+      col("band_idx").as("band_idx_b"), col("bh").as("bh_b"))
+    a.join(b, col("band_idx") === col("band_idx_b") && col("bh") === col("bh_b") &&
+        col("doc_a") < col("doc_b"))
+      // same expression pair as jaccardOnPairs — bit-identical doubles
+      .withColumn("__overlap",
+        graft.functions.LongIntersectCount
+          .intersectCount(col("fa"), col("fb")).cast("double"))
+      .withColumn("jaccard",
+        col("__overlap") / (size(col("fa")) + size(col("fb")) - col("__overlap")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"), first(col("jaccard")).as("jaccard"))
+  }
+
   /** Exact Jaccard similarity on candidate pairs (the verify step after LSH
     * candidate generation). `withFeatures`: (id, features).
+    *
+    * Prefer [[lshVerifiedPairs]] when the pairs come straight from the
+    * band self-join — it avoids shuffling feature arrays at pair scale.
+    * This form remains for callers whose pair set is NOT the raw LSH
+    * collision output (degree-capped graphs, externally stored pair
+    * tables) and as the independent derivation Round16Spec checks the
+    * fused path against.
     */
   def jaccardOnPairs(pairs: DataFrame, withFeatures: DataFrame): DataFrame = {
     val fa = withFeatures.select(col("id").as("doc_a"), col("features").as("fa"))

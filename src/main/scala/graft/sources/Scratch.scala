@@ -37,12 +37,19 @@ object Scratch {
     * scratch path, and a session-memoized artifact root (verified pairs,
     * d22 prior, s22 eval runs) built for one would be silently overwritten
     * by the other's build while the first memo entry still points at it.
-    * The hash is over the absolute path, so the tag is stable across calls
-    * within and across sessions on one host.
+    * The suffix is the first 16 hex chars of a SHA-256 over the absolute
+    * path — a 32-bit `String.hashCode` would reintroduce (with small but
+    * real probability) exactly the silent-collision failure this helper
+    * exists to prevent; 64 bits of a cryptographic digest makes an
+    * accidental collision between two fixture paths on one host a
+    * non-event. Stable across calls within and across sessions.
     */
   def dirTag(dir: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath
-    f"${new java.io.File(dir).getName}%s_${abs.hashCode & 0xffffffffL}%08x"
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = digest.take(8).map(b => f"$b%02x").mkString
+    s"${new java.io.File(dir).getName}_$hex"
   }
 
   /** An empty, freshly-created directory `<root>/graft_<appId>/<name>` —

@@ -71,6 +71,15 @@ object DocStreams {
   val Rows = 3
   val Slots: Int = Bands * Rows
 
+  /** The screen's default parameters — the ONE source of truth shared by
+    * [[nearDupStream]]/[[nearDupBatch]]'s defaults, the registered
+    * d23_ingest_screen query, and its DuckDB oracle SQL (which interpolates
+    * these, the bandSql/mhSql pattern). Hardcoding 16/0.5 on both sides let
+    * the engine and oracle silently desynchronize if either changed.
+    */
+  val ScreenCapK = 16
+  val ScreenMinEst = 0.5
+
   /** Project (doc_id, ts, text) to (doc_id, ts_ms, sig[12], band, band_hash)
     * — one row per band. All per-doc work is codegen'd expressions
     * (shingle_hashes / the minhash affine permutations); docs too short to
@@ -97,8 +106,8 @@ object DocStreams {
     * the 12 slots. `capK` bounds each bucket's member list (doc - see
     * object doc for both bounds' semantics).
     */
-  def nearDupStream(docs: Dataset[Doc], capK: Int = 16,
-      minEst: Double = 0.5): Dataset[NearDupHit] = {
+  def nearDupStream(docs: Dataset[Doc], capK: Int = ScreenCapK,
+      minEst: Double = ScreenMinEst): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     bandArrivals(docs.toDF()).as[BandArrival]
       .groupByKey(a => (a.band, a.band_hash))
@@ -116,7 +125,7 @@ object DocStreams {
     * also re-opens cap room: the member list reflects only live entries.
     */
   def nearDupStreamTtl(docs: Dataset[Doc], ttl: java.time.Duration,
-      capK: Int = 16, minEst: Double = 0.5): Dataset[NearDupHit] = {
+      capK: Int = ScreenCapK, minEst: Double = ScreenMinEst): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     bandArrivals(docs.toDF()).as[BandArrival]
       .groupByKey(a => (a.band, a.band_hash))
@@ -133,8 +142,8 @@ object DocStreams {
     * so it equals the stream whenever arrival order (ts, doc_id) is
     * consistent with batch order, which an in-order ingest feed is.
     */
-  def nearDupBatch(docs: DataFrame, capK: Int = 16,
-      minEst: Double = 0.5): DataFrame = {
+  def nearDupBatch(docs: DataFrame, capK: Int = ScreenCapK,
+      minEst: Double = ScreenMinEst): DataFrame = {
     val arr = bandArrivals(docs)
     val w = Window.partitionBy(col("band"), col("band_hash"))
       .orderBy(col("ts_ms"), col("doc_id"))
@@ -180,6 +189,15 @@ class NearDupProcessor(capK: Int, minEst: Double,
       rows: Iterator[BandArrival],
       timers: org.apache.spark.sql.streaming.TimerValues)
       : Iterator[NearDupHit] = {
+    // Materializes ONE (bucket, micro-batch) slice — bounded by
+    // micro-batch sizing (maxOffsetsPerTrigger etc.), NOT by corpus or
+    // bucket-lifetime size; per-arrival work after the sort stays
+    // O(capK·Slots). The sort is required for the arrival-order rule the
+    // batch twin pins (first capK arrivals become members): Spark hands
+    // this iterator in shuffle order, and processing out of order would
+    // admit different members than a replay. A deliberately hot bucket
+    // receiving most of a huge micro-batch pays an in-memory sort of that
+    // batch's rows (96 B signature each) — size triggers accordingly.
     val sorted = rows.toSeq.sortBy(a => (a.ts_ms, a.doc_id))
     if (sorted.isEmpty) return Iterator.empty
     val stored = if (members.exists())
