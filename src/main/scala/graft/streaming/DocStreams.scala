@@ -38,6 +38,15 @@ import graft.operators.TextOps
   *     ([[nearDupStreamTtl]]) — the dedupStream watermark tradeoff in TTL
   *     form: a duplicate arriving after its bucket idled past the TTL
   *     passes unflagged.
+  *   - Checkpointing (r17): run the screen with the RocksDB provider AND
+  *     `spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
+  *     .enabled=true`. The default full-snapshot upload scales with TOTAL
+  *     bucket-key state per micro-batch — exactly the thing that grows
+  *     with the corpus — while a changelog upload scales with the keys
+  *     the batch CHANGED (bounded by batch size), snapshots amortizing in
+  *     a background maintenance thread. Restart semantics are identical:
+  *     StreamingSpec pins batch-stop-restart emit-for-emit parity under
+  *     both modes and asserts the changelog files actually appear.
   *
   * A pair sharing several bands emits once per colliding band (the `band`
   * column says which); consumers dedupe by (doc_id, dup_of) — kept that

@@ -787,6 +787,30 @@ class StreamingSpec extends AnyFunSuite {
 
   test("screen checkpoint restart: recovered bucket members keep " +
       "flagging post-restart dups exactly as an uninterrupted run") {
+    screenRestartParity(Map.empty, requireChangelog = false)
+  }
+
+  test("screen checkpoint restart under RocksDB changelog checkpointing: " +
+      "same parity, and the checkpoint actually contains changelog files") {
+    // The production checkpoint mode for a state that grows with the
+    // bucket-key space (r17): full-snapshot uploads scale with TOTAL
+    // state per batch, changelog checkpointing uploads only the keys the
+    // batch changed (snapshots amortize in the background). The screen's
+    // restart semantics must be identical under it — and the .changelog
+    // assertion proves the knob took effect rather than being silently
+    // ignored by a renamed conf.
+    screenRestartParity(
+      Map("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled" -> "true"),
+      requireChangelog = true)
+  }
+
+  /** The screen restart-parity body, shared by the default-snapshot and
+    * changelog-checkpointing tests: batch 1, STOP, restart from the
+    * checkpoint, batch 2 — emit-for-emit with an uninterrupted run.
+    */
+  private def screenRestartParity(extraConfs: Map[String, String],
+      requireChangelog: Boolean): Unit = {
     // The ingest screen's production restart concern: the capped
     // ListState bucket members recovered from a checkpoint must flag a
     // dup that arrives AFTER the restart against a member stored BEFORE
@@ -806,9 +830,11 @@ class StreamingSpec extends AnyFunSuite {
       Doc(4L, ts("2024-01-01 00:01:02"), textB),
       Doc(5L, ts("2024-01-01 00:01:03"), textB))
     val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val priorProv = spark.conf.getOption(provKey)
+    val confKeys = provKey +: extraConfs.keys.toSeq
+    val prior = confKeys.map(k => k -> spark.conf.getOption(k)).toMap
     spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
+    extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       def run(ckpt: String, stream: MemoryStream[Doc],
           buf: java.util.concurrent.ConcurrentLinkedQueue[Hit])
@@ -854,10 +880,19 @@ class StreamingSpec extends AnyFunSuite {
         s"a post-restart dup must hit the RECOVERED pre-restart members: $pairs")
       assert(pairs.contains((5L, 4L)),
         "post-restart same-batch members must keep working too")
+      if (requireChangelog) {
+        val changelogs = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(ckpt, "state"))
+          .filter(p => p.toString.endsWith(".changelog"))
+          .count()
+        assert(changelogs > 0,
+          "changelog checkpointing was enabled but the checkpoint's state " +
+            "dir holds no .changelog files — the conf did not take effect")
+      }
     } finally {
-      priorProv match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None => spark.conf.unset(provKey)
+      prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }
