@@ -54,7 +54,10 @@ object Bench {
     // round-16 representatives (appended): the near-dup-only grouped
     // phash report, the stored-pair + native-agree estimator eval, and
     // the ingest screen's batch replay
-    "m11_phash_dedup_groups", "d14_minhash_estimate", "d23_ingest_screen")
+    "m11_phash_dedup_groups", "d14_minhash_estimate", "d23_ingest_screen",
+    // round-17 representative: the changed-shards-only nightly sweep
+    // (q99 stays listed above as the full-rebuild price)
+    "q104_incremental_lake_sweep")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's
@@ -137,6 +140,11 @@ object Bench {
     // entry prices that verify pass live, so the pre-build keeps every
     // cost priced by exactly one entry.
     warmup("verified pairs")(ExtensionQueries.verifiedPairsRoot(spark, sfDir))
+    // q104's serving contract (r17): the prior catalog lake pre-exists
+    // the ingest being priced — a deployment's previous nightly wrote it.
+    // q99's own entry keeps pricing the full-rebuild sweep.
+    warmup("lake catalog prior")(
+      ExtensionQueries8.lakeCatalogPriorRoot(spark, sfDir))
     // One timed sample: seconds elapsed if the query ran to completion,
     // None if it threw — a fast failure must never masquerade as a fast
     // query (pre-r10, a pass-2 exception's elapsed time was min'd into the

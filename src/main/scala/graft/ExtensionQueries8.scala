@@ -492,6 +492,69 @@ object ExtensionQueries8 {
     }
   }
 
+  /** The catalog shard lane every lake-sweep build keys on — ONE helper
+    * so q99's full sweep, the q104 prior build, and the q104 delta
+    * refresh cannot shard differently.
+    */
+  private[graft] def lakeShard(shardKey: String): Column =
+    pmod(col(shardKey).cast("long"),
+      lit(ExtensionQueries7.SketchShards.toLong))
+
+  /** q104's simulated nightly ingest: rows whose shard key ≡ 0
+    * (mod 2·SketchShards) — a strict SUBSET of catalog shard 0, so the
+    * incremental refresh touches exactly one of the 8 shard partitions
+    * per table AND the within-shard merge (prior rows + delta rows
+    * coexisting in shard 0) is genuinely exercised, not just the
+    * untouched-shard passthrough. A table with NO qualifying rows (no
+    * ingest today) is part of the contract — its refresh writes an
+    * empty artifact and serves unchanged; fixture keys start at 0 so
+    * every fixture table has a non-empty delta, and Round17Spec covers
+    * the empty case on a synthetic table.
+    */
+  private[graft] val IngestDeltaMod: Long =
+    2L * ExtensionQueries7.SketchShards
+
+  private[graft] def ingestDeltaPred(shardKey: String): Column =
+    pmod(col(shardKey).cast("long"), lit(IngestDeltaMod)) === 0
+
+  /** Session-scoped stored PRIOR catalog lake for q104's incremental
+    * sweep: the full shard-partitioned stats + NDV-register artifacts
+    * over yesterday's corpus (every row NOT in [[ingestDeltaPred]]'s
+    * delta), one subroot per [[LakeAudit]] table — the artifacts a
+    * deployment's previous nightly ANALYZE already wrote. Memoized per
+    * (session, fixture); Bench pre-builds it untimed so q104 prices
+    * only what a real nightly pays — aggregate the ingest delta, append
+    * its shard rows, serve the merged catalog — while q99's own entry
+    * keeps pricing the full-rebuild sweep (the d07/d22 accounting
+    * split).
+    */
+  private val lakePriorMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private[graft] def lakeCatalogPriorRoot(s: SparkSession, dir: String)
+      : String = {
+    lakePriorMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    // computeIfAbsent: a concurrent duplicate build would interleave
+    // Scratch.fresh's delete+mkdir under the same path (see d22PriorRoot)
+    lakePriorMemo.computeIfAbsent((s, dir), { _ =>
+      val root = graft.sources.Scratch.fresh(s,
+        s"lake_catalog_prior_${graft.sources.Scratch.dirTag(dir)}")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.DurationInt
+      Await.result(Future.sequence(LakeAudit.map {
+        case (tbl, shardKey, cols) => Future {
+          writeCatalogShards(
+            catalogLongForm(
+              t(s, dir, tbl).filter(!ingestDeltaPred(shardKey)),
+              lakeShard(shardKey), cols.map(auditSpec)),
+            s"$root/$tbl", "overwrite")
+        }
+      }), 30.minutes)
+      root
+    })
+  }
+
   /** s36 beam-search geometry. Entry points are the [[WalkEntryN]]
     * smallest vec_ids (a fixed, data-independent rule — production graph
     * ANN uses medoid or hub entries; any deterministic choice serves,
@@ -1301,10 +1364,57 @@ object ExtensionQueries8 {
       import scala.concurrent.duration.DurationInt
       Await.result(Future.sequence(LakeAudit.map {
         case (tbl, shardKey, cols) => Future {
-          statsCatalog(s, t(s, dir, tbl),
-              pmod(col(shardKey).cast("long"),
-                lit(ExtensionQueries7.SketchShards.toLong)),
+          statsCatalog(s, t(s, dir, tbl), lakeShard(shardKey),
               cols.map(auditSpec), s"$root/$tbl", withTruth = false)
+            .withColumn("table_name", lit(tbl))
+        }
+      }), 30.minutes).reduce(_.unionByName(_))
+        .select(col("table_name"), col("col_name"), col("n_rows"),
+          col("n_null"), col("ndv_est"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+        .orderBy(col("table_name"), col("col_name"))
+    }),
+
+    // INCREMENTAL whole-lake sweep (q104, r17): the nightly a deployment
+    // actually runs. q99 re-analyzes every shard of every table per run
+    // — the full-rebuild price, and it keeps pricing that (the d07/d22
+    // split). This entry prices the incremental form: the prior
+    // shard-partitioned catalog artifacts PRE-EXIST (the memoized
+    // [[lakeCatalogPriorRoot]], pre-built untimed in Bench), today's
+    // ingest delta ([[ingestDeltaPred]] — a strict subset of shard 0)
+    // is aggregated ALONE through the same fused one-pass build, its
+    // per-shard rows land beside the prior's (append-as-new-files:
+    // the delta root is separate so re-runs are idempotent and the
+    // prior stays immutable), and the serve-side merge — sum/min/max
+    // for stats, register-max for NDV — makes the catalog BYTE-EQUAL
+    // to q99's full rebuild (Round17Spec pins it; the oracle is q99's
+    // verbatim). Per-ingest cost is O(Δ·|cols|) compute + |changed
+    // shards| artifact files, never a corpus re-scan: at 100 TB the
+    // sweep drops from re-reading the lake to reading the day's
+    // ingest. Tables whose delta is empty (no ingest today) write an
+    // empty artifact and serve unchanged — the explicit-schema read
+    // covers the no-files case.
+    "q104_incremental_lake_sweep" -> ((s, dir) => {
+      val prior = lakeCatalogPriorRoot(s, dir)
+      val deltaRoot = graft.sources.Scratch.fresh(s,
+        s"lake_catalog_delta_${graft.sources.Scratch.dirTag(dir)}")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.DurationInt
+      Await.result(Future.sequence(LakeAudit.map {
+        case (tbl, shardKey, cols) => Future {
+          writeCatalogShards(
+            catalogLongForm(t(s, dir, tbl).filter(ingestDeltaPred(shardKey)),
+              lakeShard(shardKey), cols.map(auditSpec)),
+            s"$deltaRoot/$tbl", "overwrite")
+          val pStats = s.read.parquet(s"$prior/$tbl/stats")
+          val pRegs = s.read.parquet(s"$prior/$tbl/ndv_regs")
+          val dStats = s.read.schema(pStats.schema)
+            .parquet(s"$deltaRoot/$tbl/stats")
+          val dRegs = s.read.schema(pRegs.schema)
+            .parquet(s"$deltaRoot/$tbl/ndv_regs")
+          serveCatalogFrom(None, pStats.unionByName(dStats),
+              pRegs.unionByName(dRegs))
             .withColumn("table_name", lit(tbl))
         }
       }), 30.minutes).reduce(_.unionByName(_))
@@ -2114,7 +2224,12 @@ object ExtensionQueries8 {
   // VERBATIM and is appended post-construction — a map literal cannot
   // reference its own entries.
   lazy val oracles: Map[String, String] = oraclesBase +
-    ("q101_tx_stats_publish" -> oraclesBase("q96_column_stats_catalog"))
+    ("q101_tx_stats_publish" -> oraclesBase("q96_column_stats_catalog")) +
+    // q104's catalog is byte-equal to q99's full rebuild by merge algebra
+    // (Round17Spec pins it), so its oracle is q99's full-table replay
+    // VERBATIM — the incremental path must be indistinguishable from the
+    // one-shot sweep (the q103 IVM rule applied to the catalog lake)
+    ("q104_incremental_lake_sweep" -> oraclesBase("q99_lake_stats_sweep"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
 

@@ -38,6 +38,54 @@ class Round17Spec extends AnyFunSuite {
     assert(fused == split)
   }
 
+  test("q104's incremental lake sweep is byte-equal to q99's full " +
+      "rebuild — prior artifacts + delta-only refresh merge to the same " +
+      "catalog (the full sweep is the truth the incremental path serves)") {
+    // the merge algebra must make the two indistinguishable: stats by
+    // sum/min/max, NDV by register-max, ndv_est from identical merged
+    // registers — so every column including the estimate DOUBLE matches
+    val full = ExtensionQueries8.all("q99_lake_stats_sweep")(spark, dir)
+      .collect().map(_.toSeq).toList
+    val incr = ExtensionQueries8.all("q104_incremental_lake_sweep")(spark, dir)
+      .collect().map(_.toSeq).toList
+    assert(full.nonEmpty)
+    assert(incr == full)
+  }
+
+  test("a table with an EMPTY ingest delta (no rows today) writes an " +
+      "empty artifact and serves its prior catalog unchanged") {
+    // every fixture table's delta is non-empty (keys start at 0), so the
+    // no-ingest nightly is pinned here on a synthetic table: the delta
+    // write produces a file-less dir and the explicit-schema read must
+    // yield zero rows, leaving the served catalog equal to prior-only
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = Seq((1L, "a"), (2L, "b"), (17L, "c")).toDF("k", "v")
+    val specs = Seq(ExtensionQueries8.auditSpec(
+        ExtensionQueries8.AuditCol("k", "int")),
+      ExtensionQueries8.auditSpec(ExtensionQueries8.AuditCol("v", "str")))
+    val root = graft.sources.Scratch.fresh(spark, "r17_empty_delta")
+    ExtensionQueries8.writeCatalogShards(
+      ExtensionQueries8.catalogLongForm(rows,
+        ExtensionQueries8.lakeShard("k"), specs), s"$root/prior", "overwrite")
+    ExtensionQueries8.writeCatalogShards(
+      ExtensionQueries8.catalogLongForm(rows.filter(lit(false)),
+        ExtensionQueries8.lakeShard("k"), specs), s"$root/delta", "overwrite")
+    val pStats = spark.read.parquet(s"$root/prior/stats")
+    val pRegs = spark.read.parquet(s"$root/prior/ndv_regs")
+    val dStats = spark.read.schema(pStats.schema)
+      .parquet(s"$root/delta/stats")
+    val dRegs = spark.read.schema(pRegs.schema)
+      .parquet(s"$root/delta/ndv_regs")
+    assert(dStats.count() === 0L && dRegs.count() === 0L)
+    val merged = ExtensionQueries8.serveCatalogFrom(None,
+      pStats.unionByName(dStats), pRegs.unionByName(dRegs))
+      .collect().map(_.toSeq).toList
+    val priorOnly = ExtensionQueries8.serveCatalogFrom(None, pStats, pRegs)
+      .collect().map(_.toSeq).toList
+    assert(merged == priorOnly && merged.nonEmpty)
+  }
+
   test("lshVerifiedPairs emits each candidate pair ONCE with the " +
       "multi-band collision count, never one row per colliding band") {
     import spark.implicits._
