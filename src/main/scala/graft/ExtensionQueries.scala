@@ -1129,6 +1129,17 @@ object ExtensionQueries {
         .toDF()
         .orderBy(col("doc_id"))),
 
+    // m03 sink-coalesce decision (r17, closing the q56/m03 audit item):
+    // target-byte output coalescing does NOT apply here — one .bin file
+    // per record IS the operator's contract (the binaryFile-source path
+    // a media lake's raw zone uses), so the file count is the row count
+    // by design. The write path already amortizes the per-file create
+    // latency across tasks and skips Hadoop's local-FS overhead (see
+    // Multimodal.writeBinaryFiles); the residual sf1 swing (7.4 s
+    // typical, one 22 s outlier observed r17) tracks filesystem state —
+    // 50 k creates+deletes per run — not plan shape. Batched small-object
+    // storage (payload as a parquet binary column) is the OTHER path and
+    // is what every downstream m-query (m04-m11) already consumes.
     "m03_binary_source" -> ((s, dir) => {
       val sink = graft.sources.Scratch.fresh(s, s"media_${graft.sources.Scratch.dirTag(dir)}")
       Multimodal.writeBinaryFiles(

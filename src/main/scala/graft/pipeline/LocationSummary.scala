@@ -229,15 +229,31 @@ object LocationSummary {
 
   /** Append-mode sink, the engine's `summary_zip_code` equivalent
     * (`App.scala:265-270`).
+    *
+    * The `rebalance` hint (r17) coalesces the output to TARGET-BYTE-sized
+    * files before the write: AQE measures the actual shuffle bytes at
+    * runtime and packs partitions to
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` (64 MB default) —
+    * no driver-side row/size estimate, no collect. Without it every
+    * append emits one file per upstream partition (the flagship summary
+    * arrived in |shuffle partitions| slivers: 32 ~20 KB files per append
+    * on the driver config), and a table appended nightly accumulates
+    * thousands of sub-block files whose per-file open cost dominates
+    * every read-back. Row content is untouched — q56's oracle hash pins
+    * that — only the file layout changes.
     */
   def writeSummary(df: DataFrame, outPath: String): Unit =
-    df.write.mode("append").parquet(outPath)
+    df.hint("rebalance").write.mode("append").parquet(outPath)
 
   /** Partitioned append sink — the 100 TB shape: one directory per STATE so
     * downstream readers prune partitions instead of scanning history.
+    * Rebalancing BY the partition column packs each state's output into
+    * target-byte files instead of |shuffle partitions| slivers per state
+    * dir (the small-file problem multiplied by partition fan-out).
     */
   def writeSummaryPartitioned(df: DataFrame, outPath: String): Unit =
-    df.write.mode("append").partitionBy("STATE").parquet(outPath)
+    df.hint("rebalance", col("STATE")).write.mode("append")
+      .partitionBy("STATE").parquet(outPath)
 
   /** Catalog-managed append sink — the Spark-native equivalent of the
     * reference's named-warehouse-table append (`App.scala:265-270`,

@@ -166,6 +166,14 @@ class PipelineSpec extends AnyFunSuite {
     graft.pipeline.LocationSummary.writeSummary(df, tmp)
     graft.pipeline.LocationSummary.writeSummary(df, tmp)
     assert(spark.read.parquet(tmp).count() == 2 * n)
+    // the rebalance hint (r17) must coalesce each tiny append to ONE
+    // target-byte-sized file, not one sliver per shuffle partition —
+    // without it this KB-scale summary would land in up to
+    // |shuffle partitions| files per append
+    val files = new java.io.File(tmp).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.length == 2,
+      s"expected 1 coalesced file per append, got ${files.length}")
   }
 
   test("partitioned sink lays out STATE= directories and round-trips") {
