@@ -1130,9 +1130,14 @@ class StreamingSpec extends AnyFunSuite {
       "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
     def marker(n: Int) = s"marker$n one marker$n two marker$n three " +
       s"marker$n four marker$n five marker$n six marker$n seven"
+    // per-phase (data-added, marker-seen) nanos — the observable bracket
+    // around each phase's state writes/reads, used to detect a box so
+    // loaded the TTL assertions become inconclusive (see below)
+    val phaseTimes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     def phases(tag: String, sleeps: Seq[Long],
         f: org.apache.spark.sql.Dataset[Doc] =>
           org.apache.spark.sql.Dataset[DocStreams.NearDupHit]) = {
+      phaseTimes.clear()
       // probe docs 1, 2, 3 all carry textA; each phase i also feeds the
       // exact-dup marker pair (100i, 100i+1) whose hit signals the
       // phase fully processed
@@ -1159,13 +1164,15 @@ class StreamingSpec extends AnyFunSuite {
         .start()
       try batches.zip(sleeps).zipWithIndex.foreach { case (((b, mk), slp), i) =>
         if (slp > 0) Thread.sleep(slp)
+        val added = System.nanoTime()
         stream.addData(b: _*)
-        val deadline = System.nanoTime() + 120e9.toLong
+        val deadline = added + 120e9.toLong
         while (!sink.asScala.exists(h => (h._1, h._2) == mk) &&
             System.nanoTime() < deadline) Thread.sleep(50)
         assert(sink.asScala.exists(h => (h._1, h._2) == mk),
           s"${tag}_$i: marker $mk never arrived; " +
             s"sink=${sink.asScala.toList.sorted}")
+        phaseTimes += ((added, System.nanoTime()))
       } finally q.stop()
       sink.asScala.toList.map(h => (h._1, h._2)).toSet
     }
@@ -1190,6 +1197,21 @@ class StreamingSpec extends AnyFunSuite {
       assert(!ttld.contains((2L, 1L)),
         s"the original evicted during the 20 s idle, its dup must pass " +
           s"unflagged: $ttld")
+      // Phase 3's read must land inside doc 2's 8 s TTL for the
+      // re-opened-slot assertions to be meaningful. Doc 2's state write
+      // happened no earlier than phase 2's addData; phase 3's read no
+      // later than its marker hit — so if (marker-3 seen − phase-2
+      // added) ≤ TTL the read was provably in budget. A box loaded
+      // enough to blow that bracket makes the outcome genuinely
+      // inconclusive: CANCEL (visible, non-flaky) instead of failing —
+      // the eviction direction above is sleep-dominated and stays
+      // asserted regardless of load.
+      val inBudget =
+        phaseTimes(2)._2 - phaseTimes(1)._1 <= 8e9.toLong
+      if (!inBudget && !(ttld.contains((3L, 2L)) && !ttld.contains((3L, 1L))))
+        cancel(f"phase 3 landed ${(phaseTimes(2)._2 - phaseTimes(1)._1) / 1e9}%.1f s " +
+          "after phase 2 — outside doc 2's 8 s TTL budget under load; " +
+          "re-run on a quieter box")
       assert(ttld.contains((3L, 2L)) && !ttld.contains((3L, 1L)),
         s"eviction must re-open the capK slot for the next arrival: $ttld")
     } finally {
