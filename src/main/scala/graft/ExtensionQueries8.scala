@@ -331,6 +331,31 @@ object ExtensionQueries8 {
     fused.select(col("shard"), col("seg"), col("n_rows"), col("n_null"),
       col("min_num"), col("max_num"), col("min_str"), col("max_str"))
 
+  /** The written artifact schemas as read back (data fields in file
+    * order, the `shard` partition column appended) — the EXPLICIT read
+    * schemas for artifact roots that may hold no files at all: a table
+    * with no ingest today (empty delta) or no prior rows (first-ever
+    * nightly). Schema inference throws on a file-less root; an explicit
+    * schema yields the empty frame the merge algebra treats as the
+    * identity. Round17Spec pins both against what a real write
+    * round-trips, so they cannot drift from [[statsFrom]]/[[regsFrom]].
+    */
+  private[graft] val statsArtifactSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("seg", StringType), StructField("n_rows", LongType),
+      StructField("n_null", LongType), StructField("min_num", DoubleType),
+      StructField("max_num", DoubleType), StructField("min_str", StringType),
+      StructField("max_str", StringType), StructField("shard", IntegerType)))
+  }
+
+  private[graft] val regsArtifactSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("seg", StringType), StructField("bucket", LongType),
+      StructField("reg", IntegerType), StructField("shard", IntegerType)))
+  }
+
   /** The register artifact projected from the fused pass — identical
     * rows and types to the old groupBy(bucket) form ([[ExtensionQueries7
     * .hllRegRows]]'s geometry; only SEEN buckets emit).
@@ -514,8 +539,15 @@ object ExtensionQueries8 {
   private[graft] val IngestDeltaMod: Long =
     2L * ExtensionQueries7.SketchShards
 
+  // TOTAL predicate (r17 review): a NULL (or uncastable) shard key makes
+  // the raw comparison NULL, and a row for which both `pred` and `!pred`
+  // are null-filtered out would land in NEITHER the prior nor the delta —
+  // silently breaking the pinned byte-equality with the full rebuild.
+  // coalesce(…, false) routes null-keyed rows to the prior side, where
+  // the full build's null shard group already counts them.
   private[graft] def ingestDeltaPred(shardKey: String): Column =
-    pmod(col(shardKey).cast("long"), lit(IngestDeltaMod)) === 0
+    coalesce(pmod(col(shardKey).cast("long"), lit(IngestDeltaMod)) === 0,
+      lit(false))
 
   /** Session-scoped stored PRIOR catalog lake for q104's incremental
     * sweep: the full shard-partitioned stats + NDV-register artifacts
@@ -1407,11 +1439,15 @@ object ExtensionQueries8 {
             catalogLongForm(t(s, dir, tbl).filter(ingestDeltaPred(shardKey)),
               lakeShard(shardKey), cols.map(auditSpec)),
             s"$deltaRoot/$tbl", "overwrite")
-          val pStats = s.read.parquet(s"$prior/$tbl/stats")
-          val pRegs = s.read.parquet(s"$prior/$tbl/ndv_regs")
-          val dStats = s.read.schema(pStats.schema)
+          // explicit schemas on BOTH sides: either root may be file-less
+          // (no ingest today / no prior rows), where inference throws
+          val pStats = s.read.schema(statsArtifactSchema)
+            .parquet(s"$prior/$tbl/stats")
+          val pRegs = s.read.schema(regsArtifactSchema)
+            .parquet(s"$prior/$tbl/ndv_regs")
+          val dStats = s.read.schema(statsArtifactSchema)
             .parquet(s"$deltaRoot/$tbl/stats")
-          val dRegs = s.read.schema(pRegs.schema)
+          val dRegs = s.read.schema(regsArtifactSchema)
             .parquet(s"$deltaRoot/$tbl/ndv_regs")
           serveCatalogFrom(None, pStats.unionByName(dStats),
               pRegs.unionByName(dRegs))

@@ -90,14 +90,12 @@ object IntersectCountImpl {
     // Capacity math in Long: `n << 1` in Int overflows negative at
     // n >= 2^30, the loop would exit at cap=4, and the insert loop would
     // then spin forever once 4 distinct values fill the table — a hang,
-    // not an error. Unreachable for realistic shingle arrays, but the
-    // guard costs nothing.
+    // not an error. With Long math, any n > 2^29 needs cap = 2^31, whose
+    // toInt-then-allocate below fails loudly instead. Unreachable for
+    // realistic shingle arrays, but the guard costs nothing.
     var cap = 4L
     while (cap < 2L * n) cap <<= 1
     val capI = cap.toInt
-    // For n >= 2^30 the needed capacity exceeds the JVM array limit; the
-    // toInt-then-allocate below fails loudly (NegativeArraySizeException)
-    // instead of looping.
     val mask = capI - 1
     val table = new Array[Long](capI)
     val state = new Array[Byte](capI)

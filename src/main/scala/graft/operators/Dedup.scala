@@ -47,9 +47,18 @@ object Dedup {
     * to — re-banding history would mean re-reading corpus text.
     */
   def bandFingerprints(docs: DataFrame, bands: Int, rows: Int): DataFrame =
-    docs.select(col("id"),
+    bandFingerprints(docs, bands, rows, Nil)
+
+  /** [[bandFingerprints]] carrying extra columns through the explode —
+    * the ONE home of the banding expression, so candidate generation and
+    * the fused verify ([[lshVerifiedPairs]], which carries `features`)
+    * cannot drift apart.
+    */
+  def bandFingerprints(docs: DataFrame, bands: Int, rows: Int,
+      carry: Seq[String]): DataFrame =
+    docs.select(col("id") +: carry.map(col) :+
       posexplode(graft.functions.TextHash.minhashBands(col("features"), bands, rows))
-        .as(Seq("band_idx", "bh")))
+        .as(Seq("band_idx", "bh")): _*)
 
   /** Incremental [[lshCandidatePairs]]: candidates for a NEW batch against
     * an already-deduplicated corpus. The historical side enters PRE-BANDED
@@ -532,9 +541,7 @@ object Dedup {
     * split lshCandidatePairs→jaccardOnPairs derivation.
     */
   def lshVerifiedPairs(docs: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val banded = docs.select(col("id"), col("features"),
-      posexplode(graft.functions.TextHash.minhashBands(col("features"), bands, rows))
-        .as(Seq("band_idx", "bh")))
+    val banded = bandFingerprints(docs, bands, rows, carry = Seq("features"))
     val a = banded.select(col("id").as("doc_a"), col("features").as("fa"),
       col("band_idx"), col("bh"))
     val b = banded.select(col("id").as("doc_b"), col("features").as("fb"),

@@ -53,13 +53,16 @@ class Round17Spec extends AnyFunSuite {
   }
 
   test("a table with an EMPTY ingest delta (no rows today) writes an " +
-      "empty artifact and serves its prior catalog unchanged") {
-    // every fixture table's delta is non-empty (keys start at 0), so the
-    // no-ingest nightly is pinned here on a synthetic table: the delta
-    // write produces a file-less dir and the explicit-schema read must
-    // yield zero rows, leaving the served catalog equal to prior-only
+      "empty artifact and serves its prior catalog unchanged; an empty " +
+      "PRIOR (first-ever nightly) serves delta-only; the declared " +
+      "artifact schemas match what a real write round-trips") {
+    // the fixture tables all have non-empty deltas AND non-empty priors,
+    // so both degenerate nightlies are pinned here on a synthetic table:
+    // a file-less artifact root must read as the empty frame (explicit
+    // schema — inference throws on no files) and the merge treats it as
+    // the identity
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.lit
     val rows = Seq((1L, "a"), (2L, "b"), (17L, "c")).toDF("k", "v")
     val specs = Seq(ExtensionQueries8.auditSpec(
         ExtensionQueries8.AuditCol("k", "int")),
@@ -67,23 +70,80 @@ class Round17Spec extends AnyFunSuite {
     val root = graft.sources.Scratch.fresh(spark, "r17_empty_delta")
     ExtensionQueries8.writeCatalogShards(
       ExtensionQueries8.catalogLongForm(rows,
-        ExtensionQueries8.lakeShard("k"), specs), s"$root/prior", "overwrite")
+        ExtensionQueries8.lakeShard("k"), specs), s"$root/full", "overwrite")
     ExtensionQueries8.writeCatalogShards(
       ExtensionQueries8.catalogLongForm(rows.filter(lit(false)),
-        ExtensionQueries8.lakeShard("k"), specs), s"$root/delta", "overwrite")
-    val pStats = spark.read.parquet(s"$root/prior/stats")
-    val pRegs = spark.read.parquet(s"$root/prior/ndv_regs")
-    val dStats = spark.read.schema(pStats.schema)
-      .parquet(s"$root/delta/stats")
-    val dRegs = spark.read.schema(pRegs.schema)
-      .parquet(s"$root/delta/ndv_regs")
-    assert(dStats.count() === 0L && dRegs.count() === 0L)
-    val merged = ExtensionQueries8.serveCatalogFrom(None,
-      pStats.unionByName(dStats), pRegs.unionByName(dRegs))
+        ExtensionQueries8.lakeShard("k"), specs), s"$root/none", "overwrite")
+    // the declared read schemas must be exactly what a real write
+    // round-trips (name -> type; nullability differs by inference)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name -> f.dataType).toList
+    assert(shape(spark.read.parquet(s"$root/full/stats").schema).toSet ==
+      shape(ExtensionQueries8.statsArtifactSchema).toSet)
+    assert(shape(spark.read.parquet(s"$root/full/ndv_regs").schema).toSet ==
+      shape(ExtensionQueries8.regsArtifactSchema).toSet)
+    val fStats = spark.read.schema(ExtensionQueries8.statsArtifactSchema)
+      .parquet(s"$root/full/stats")
+    val fRegs = spark.read.schema(ExtensionQueries8.regsArtifactSchema)
+      .parquet(s"$root/full/ndv_regs")
+    val eStats = spark.read.schema(ExtensionQueries8.statsArtifactSchema)
+      .parquet(s"$root/none/stats")
+    val eRegs = spark.read.schema(ExtensionQueries8.regsArtifactSchema)
+      .parquet(s"$root/none/ndv_regs")
+    assert(eStats.count() === 0L && eRegs.count() === 0L)
+    val fullOnly = ExtensionQueries8.serveCatalogFrom(None, fStats, fRegs)
       .collect().map(_.toSeq).toList
-    val priorOnly = ExtensionQueries8.serveCatalogFrom(None, pStats, pRegs)
+    // empty delta: prior ∪ empty == prior
+    val emptyDelta = ExtensionQueries8.serveCatalogFrom(None,
+      fStats.unionByName(eStats), fRegs.unionByName(eRegs))
       .collect().map(_.toSeq).toList
-    assert(merged == priorOnly && merged.nonEmpty)
+    // empty prior: empty ∪ delta == delta
+    val emptyPrior = ExtensionQueries8.serveCatalogFrom(None,
+      eStats.unionByName(fStats), eRegs.unionByName(fRegs))
+      .collect().map(_.toSeq).toList
+    assert(fullOnly.nonEmpty)
+    assert(emptyDelta == fullOnly && emptyPrior == fullOnly)
+  }
+
+  test("a NULL shard key routes to the prior side (total predicate) and " +
+      "the split prior+delta catalog still equals the full build") {
+    // a row whose shard key is null makes the raw mod-16 comparison
+    // null; without coalesce the row would pass NEITHER filter and
+    // silently vanish from the incremental catalog while the full build
+    // counts it in the null shard group
+    import spark.implicits._
+    val rows = Seq((Some(1L), "a"), (Some(16L), "b"), (None, "c"))
+      .toDF("k", "v")
+    assert(rows.filter(ExtensionQueries8.ingestDeltaPred("k")).count() === 1L)
+    assert(rows.filter(!ExtensionQueries8.ingestDeltaPred("k")).count() === 2L,
+      "the null-keyed row must land on the prior side, not nowhere")
+    val specs = Seq(ExtensionQueries8.auditSpec(
+        ExtensionQueries8.AuditCol("k", "int")),
+      ExtensionQueries8.auditSpec(ExtensionQueries8.AuditCol("v", "str")))
+    val root = graft.sources.Scratch.fresh(spark, "r17_null_key")
+    def build(df: org.apache.spark.sql.DataFrame, name: String) = {
+      ExtensionQueries8.writeCatalogShards(
+        ExtensionQueries8.catalogLongForm(df,
+          ExtensionQueries8.lakeShard("k"), specs), s"$root/$name",
+        "overwrite")
+      (spark.read.schema(ExtensionQueries8.statsArtifactSchema)
+        .parquet(s"$root/$name/stats"),
+       spark.read.schema(ExtensionQueries8.regsArtifactSchema)
+        .parquet(s"$root/$name/ndv_regs"))
+    }
+    val (fS, fR) = build(rows, "full")
+    val (pS, pR) = build(rows.filter(!ExtensionQueries8.ingestDeltaPred("k")),
+      "prior")
+    val (dS, dR) = build(rows.filter(ExtensionQueries8.ingestDeltaPred("k")),
+      "delta")
+    val full = ExtensionQueries8.serveCatalogFrom(None, fS, fR)
+      .collect().map(_.toSeq).toList
+    val split = ExtensionQueries8.serveCatalogFrom(None,
+      pS.unionByName(dS), pR.unionByName(dR))
+      .collect().map(_.toSeq).toList
+    assert(full.nonEmpty && split == full)
+    // n_rows must include the null-keyed row
+    assert(full.exists(r => r.head == "k" && r(1) == 3L))
   }
 
   test("lshVerifiedPairs emits each candidate pair ONCE with the " +

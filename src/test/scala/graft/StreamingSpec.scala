@@ -881,10 +881,11 @@ class StreamingSpec extends AnyFunSuite {
       assert(pairs.contains((5L, 4L)),
         "post-restart same-batch members must keep working too")
       if (requireChangelog) {
-        val changelogs = java.nio.file.Files
+        val walk = java.nio.file.Files
           .walk(java.nio.file.Paths.get(ckpt, "state"))
-          .filter(p => p.toString.endsWith(".changelog"))
-          .count()
+        val changelogs =
+          try walk.filter(p => p.toString.endsWith(".changelog")).count()
+          finally walk.close()
         assert(changelogs > 0,
           "changelog checkpointing was enabled but the checkpoint's state " +
             "dir holds no .changelog files — the conf did not take effect")
