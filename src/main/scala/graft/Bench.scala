@@ -55,9 +55,10 @@ object Bench {
     // phash report, the stored-pair + native-agree estimator eval, and
     // the ingest screen's batch replay
     "m11_phash_dedup_groups", "d14_minhash_estimate", "d23_ingest_screen",
-    // round-17 representative: the changed-shards-only nightly sweep
-    // (q99 stays listed above as the full-rebuild price)
-    "q104_incremental_lake_sweep")
+    // round-17 representatives: the changed-shards-only nightly sweep
+    // (q99 stays listed above as the full-rebuild price) and the
+    // incremental verified-pair maintenance (d04 prices the full verify)
+    "q104_incremental_lake_sweep", "d24_incremental_verify")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's

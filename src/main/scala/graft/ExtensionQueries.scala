@@ -699,6 +699,58 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("dup_of"), col("band"))
     }),
 
+    // INCREMENTAL maintenance of the stored verified-pair table (d24,
+    // r17): the nightly that keeps the artifact d14/d19/d21 and the
+    // graph family read CURRENT without ever re-verifying history — the
+    // q104 changed-only pattern applied to the dedup lake. The prior
+    // pair table and the prior band-fingerprint index PRE-EXIST (the
+    // stored verified-pair artifact restricted to old×old — byte-equal
+    // to a prior-only build, since a pair's band collisions and jaccard
+    // don't depend on other docs — and d22's stored index; a deployment
+    // reads yesterday's artifacts, the fixture derives them). The day's
+    // ingest (id % 4 == 0, the d17/d22 convention) generates ONLY
+    // delta×index and delta×delta candidates from the stored index
+    // (history is never re-banded), exact-verifies just those pairs,
+    // writes them beside the prior rows (separate idempotent delta
+    // root), and the union IS the full table: every pair has ≥1 end in
+    // either the old or new corpus, so old×old (stored) ∪ delta-touching
+    // (tonight) is exhaustive and the oracle replays the FULL
+    // candidate+verify derivation over all docs. Per-night cost is
+    // O(Δ·collisions + Δ-pair verifies); d04 prices the full rebuild.
+    // Honest fixture accounting (sf1 measured: 5.95 s vs d04's ~5.2):
+    // the d17/d22 ingest convention is a QUARTER of the corpus — the
+    // stored index was built for id % 4 ≠ 0, so the delta cannot shrink
+    // independently — which makes ~44 % of all pairs delta-touching
+    // (1 − (3/4)²), and both forms pay the same full-table output sort
+    // (the reader's serve, not the maintenance). The incremental win
+    // scales with 1/Δ: at a real nightly's Δ ≪ 1 % the verify term
+    // vanishes while d04's rebuild term doesn't.
+    "d24_incremental_verify" -> ((s, dir) => {
+      val feats = docFeatures(s, dir)
+      val prior = verifiedPairs(s, dir)
+        .filter(col("doc_a") % 4 =!= 0 && col("doc_b") % 4 =!= 0)
+      val index = graft.sources.Snapshots.readLatest(s,
+        s"${ExtensionQueries8.d22PriorRoot(s, dir)}/band_index")
+      val delta = feats.filter(col("id") % 4 === 0)
+      val newPairs = Dedup.incrementalCandidatePairs(index, delta,
+          bands = 4, rows = 3)
+        .select(least(col("doc_new"), col("doc_matched")).as("doc_a"),
+          greatest(col("doc_new"), col("doc_matched")).as("doc_b"),
+          col("n_shared_bands"))
+      val deltaRoot = graft.sources.Scratch.fresh(s,
+        s"d24_delta_${graft.sources.Scratch.dirTag(dir)}")
+      Dedup.jaccardOnPairs(newPairs, feats)
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          col("jaccard"))
+        .write.mode("overwrite").parquet(deltaRoot)
+      prior.select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          col("jaccard"))
+        .unionByName(s.read.parquet(deltaRoot))
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+          Agg.roundAt(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // MinHash accuracy evaluation (the s08 recall-eval pattern for the
     // text side): estimated Jaccard = fraction of the 12 MinHash slots
     // that agree, laid against the exact shingle Jaccard on the same
@@ -1410,6 +1462,33 @@ object ExtensionQueries {
              (CAST(len(list_intersect(fa.features, fb.features)) AS DOUBLE)
                     / len(list_distinct(list_concat(fa.features, fb.features)))) >= 0.5
                AS is_dup
+      FROM pairs
+      JOIN doc_feat fa ON pairs.doc_a = fa.doc_id
+      JOIN doc_feat fb ON pairs.doc_b = fb.doc_id
+      ORDER BY doc_a, doc_b""",
+
+    // d24: the incrementally-maintained pair table must be
+    // indistinguishable from the full candidate+verify derivation over
+    // ALL docs (the q103/q104 IVM rule applied to the dedup lake) — the
+    // oracle replays the full rebuild, never the incremental path.
+    "d24_incremental_verify" -> s"""
+      WITH $featuresCte,
+      banded AS (
+        SELECT doc_id, 0 AS band_idx, ${bandSql(0)} AS bh FROM doc_feat
+        UNION ALL SELECT doc_id, 1, ${bandSql(1)} FROM doc_feat
+        UNION ALL SELECT doc_id, 2, ${bandSql(2)} FROM doc_feat
+        UNION ALL SELECT doc_id, 3, ${bandSql(3)} FROM doc_feat
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, n_shared_bands,
+             floor((CAST(len(list_intersect(fa.features, fb.features)) AS DOUBLE)
+                    / len(list_distinct(list_concat(fa.features, fb.features)))) * 10000 + 0.5) / 10000
+               AS jaccard
       FROM pairs
       JOIN doc_feat fa ON pairs.doc_a = fa.doc_id
       JOIN doc_feat fb ON pairs.doc_b = fb.doc_id

@@ -105,6 +105,22 @@ class Round17Spec extends AnyFunSuite {
     assert(emptyDelta == fullOnly && emptyPrior == fullOnly)
   }
 
+  test("d24's incrementally-maintained pair table equals the full fused " +
+      "derivation over all docs (stored old-pairs + delta-only verify " +
+      "is exhaustive and value-identical)") {
+    import org.apache.spark.sql.functions.col
+    val incr = ExtensionQueries.all("d24_incremental_verify")(spark, dir)
+      .collect().map(_.toSeq).toList
+    val feats = ExtensionQueries.docFeatures(spark, dir)
+    val full = graft.operators.Dedup.lshVerifiedPairs(feats, 4, 3)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        graft.operators.Agg.roundAt(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .collect().map(_.toSeq).toList
+    assert(full.nonEmpty)
+    assert(incr == full)
+  }
+
   test("a NULL shard key routes to the prior side (total predicate) and " +
       "the split prior+delta catalog still equals the full build") {
     // a row whose shard key is null makes the raw mod-16 comparison
