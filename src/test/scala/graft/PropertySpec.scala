@@ -101,6 +101,36 @@ class PropertySpec extends AnyFunSuite {
     assert(native === scala_)
   }
 
+  test("lshVerifiedPairs on random corpora and geometries row-equals the " +
+      "split lshCandidatePairs -> jaccardOnPairs derivation (pairs, band " +
+      "counts, bit-identical jaccard)") {
+    // small feature domain forces real band collisions; distinct-element
+    // arrays match the extractors' contract (shingle/char-gram dedup)
+    val corpusGen = for {
+      n <- Gen.choose(3, 10)
+      feats <- Gen.listOfN(n, for {
+        k <- Gen.choose(1, 8)
+        vs <- Gen.listOfN(k, Gen.choose(0L, 11L))
+      } yield vs.distinct)
+      bands <- Gen.choose(2, 4)
+      rows <- Gen.choose(2, 3)
+    } yield (feats, bands, rows)
+    for ((feats, bands, rows) <- samples(corpusGen, 10)) {
+      val df = feats.zipWithIndex
+        .map { case (f, i) => (i.toLong, f) }.toDF("id", "features")
+      val cols = Seq("doc_a", "doc_b", "n_shared_bands", "jaccard")
+      val fused = Dedup.lshVerifiedPairs(df, bands, rows)
+        .select(cols.map(col): _*)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toList
+      val split = Dedup.jaccardOnPairs(
+          Dedup.lshCandidatePairs(df, bands, rows), df)
+        .select(cols.map(col): _*)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toList
+      assert(fused == split,
+        s"fused/split divergence at bands=$bands rows=$rows on $feats")
+    }
+  }
+
   test("RRF fusion on random rankings: fused score is the exact integer " +
       "sum of the arms' reciprocal ranks, and fusion order is total") {
     val rankingGen = for {
