@@ -178,6 +178,20 @@ object ExtensionQueries {
       graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
       .persist()
 
+  /** d17/d22/d24 ingest convention: doc keys ≡ 0 (mod [[IngestMod]]) play
+    * the day's crawl; the rest are the already-processed corpus. The split
+    * is load-bearing ACROSS queries — d24 reads d22's stored band index,
+    * so both must agree on which docs that index was built for — which is
+    * why it lives here once instead of as a literal in five bodies.
+    * [[ingestDelta]]/[[priorCorpus]] are total complements (the fixture's
+    * doc_id is non-null, so the mod never null-routes a row out of both).
+    */
+  private[graft] val IngestMod = 4
+  private[graft] def ingestDelta(id: org.apache.spark.sql.Column) =
+    id % IngestMod === 0
+  private[graft] def priorCorpus(id: org.apache.spark.sql.Column) =
+    id % IngestMod =!= 0
+
   /** Session-scoped stored verified-pair table for the word-shingle LSH
     * family: (doc_a, doc_b, n_shared_bands, jaccard-unrounded) over the
     * bands=4/rows=3 candidates — the artifact a deployment's candidate-
@@ -728,10 +742,10 @@ object ExtensionQueries {
     "d24_incremental_verify" -> ((s, dir) => {
       val feats = docFeatures(s, dir)
       val prior = verifiedPairs(s, dir)
-        .filter(col("doc_a") % 4 =!= 0 && col("doc_b") % 4 =!= 0)
+        .filter(priorCorpus(col("doc_a")) && priorCorpus(col("doc_b")))
       val index = graft.sources.Snapshots.readLatest(s,
         s"${ExtensionQueries8.d22PriorRoot(s, dir)}/band_index")
-      val delta = feats.filter(col("id") % 4 === 0)
+      val delta = feats.filter(ingestDelta(col("id")))
       val newPairs = Dedup.incrementalCandidatePairs(index, delta,
           bands = 4, rows = 3)
         .select(least(col("doc_new"), col("doc_matched")).as("doc_a"),

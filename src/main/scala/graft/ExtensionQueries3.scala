@@ -592,8 +592,9 @@ object ExtensionQueries3 {
         .persist()
       graft.operators.Dedup.incrementalCandidatePairs(
           graft.operators.Dedup.bandFingerprints(
-            feats.filter(col("id") % 4 =!= 0), bands = 4, rows = 3),
-          feats.filter(col("id") % 4 === 0),
+            feats.filter(ExtensionQueries.priorCorpus(col("id"))),
+            bands = 4, rows = 3),
+          feats.filter(ExtensionQueries.ingestDelta(col("id"))),
           bands = 4, rows = 3)
         .orderBy(col("doc_new"), col("doc_matched"))
     }),
@@ -1365,8 +1366,8 @@ object ExtensionQueries3 {
         UNION ALL SELECT doc_id, 2, ${ExtensionQueries.bandSql(2)} FROM doc_feat
         UNION ALL SELECT doc_id, 3, ${ExtensionQueries.bandSql(3)} FROM doc_feat
       ),
-      nb AS (SELECT * FROM banded WHERE doc_id % 4 = 0),
-      ob AS (SELECT * FROM banded WHERE doc_id % 4 <> 0),
+      nb AS (SELECT * FROM banded WHERE doc_id % ${ExtensionQueries.IngestMod} = 0),
+      ob AS (SELECT * FROM banded WHERE doc_id % ${ExtensionQueries.IngestMod} <> 0),
       nvo AS (
         SELECT n.doc_id AS doc_new, o.doc_id AS doc_matched,
                count(*) AS n_shared_bands, TRUE AS vs_existing

@@ -132,7 +132,7 @@ object ExtensionQueries8 {
     d22PriorMemo.computeIfAbsent((s, dir), { _ =>
       import graft.operators.Dedup
       val oldF = ExtensionQueries.docFeatures(s, dir)
-        .filter(col("id") % 4 =!= 0)
+        .filter(ExtensionQueries.priorCorpus(col("id")))
       val prior = Dedup.labelClusters(oldF.select("id"),
         Dedup.lshCandidatePairs(oldF, bands = 4, rows = 3),
         ExtensionQueries.ClusterMaxRounds)
@@ -1890,7 +1890,7 @@ object ExtensionQueries8 {
       val prior = graft.sources.Snapshots.readLatest(s, s"$root/assignments")
       val index = graft.sources.Snapshots.readLatest(s, s"$root/band_index")
       val feats = ExtensionQueries.docFeatures(s, dir)
-      val delta = feats.filter(col("id") % 4 === 0)
+      val delta = feats.filter(ExtensionQueries.ingestDelta(col("id")))
       val stars = prior.select(col("id").as("doc_a"), col("label").as("doc_b"))
       // delta-touching edges only; history enters pre-banded from the
       // STORED index (d17's contract — corpus text is never re-hashed)
