@@ -65,8 +65,24 @@ object ScaleUp {
     val plans: Seq[(String, DataFrame)] = Seq(
       "region" -> src("region"),
       "nation" -> src("nation"),
-      "customer" -> rep(src("customer"))(shiftKeys("c_custkey")),
-      "supplier" -> rep(src("supplier"))(shiftKeys("s_suppkey")),
+      // Entity names re-derive from the SHIFTED key (copy 0 is untouched:
+      // %09d of a sub-1e9 key reproduces the fixture's own name): a real
+      // 10x registry has 10x DISTINCT entities, not every name duplicated
+      // 10x — name reuse makes any name-keyed blocking/linkage block grow
+      // with the copy count and its pairwise term quadratic in it, the
+      // tabular twin of the document-text near-dup clique note below.
+      "customer" -> rep(src("customer")) { (df, i) =>
+        val shifted = shiftKeys("c_custkey")(df, i)
+        if (i == 0) shifted
+        else shifted.withColumn("c_name",
+          format_string("Customer#%09d", col("c_custkey")))
+      },
+      "supplier" -> rep(src("supplier")) { (df, i) =>
+        val shifted = shiftKeys("s_suppkey")(df, i)
+        if (i == 0) shifted
+        else shifted.withColumn("s_name",
+          format_string("Supplier#%09d", col("s_suppkey")))
+      },
       "part" -> rep(src("part"))(shiftKeys("p_partkey")),
       "orders" -> rep(src("orders"))(shiftKeys("o_orderkey", "o_custkey")),
       "lineitem" -> rep(src("lineitem"))(

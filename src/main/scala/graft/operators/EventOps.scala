@@ -40,4 +40,48 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"),
         Agg.roundAt(max(sec) - min(sec), 3).as("duration_secs"))
   }
+
+  /** Distributed sweep-line: max concurrent CLOSED intervals per aligned
+    * `bucketMicros`-wide time bucket, plus the bucket's net change.
+    *
+    * The textbook sweep (sort ALL boundary events globally, running-sum
+    * the +1/−1 deltas) is a single total order — one partition at 100 TB.
+    * The two-level form keeps the data-scale work partitioned:
+    *
+    *   1. within each bucket, the local prefix maxima/net run in parallel
+    *      (one shuffle on the bucket key, ordered windows inside it);
+    *   2. the cross-bucket base (concurrency entering each bucket) is a
+    *      prefix sum over the PER-BUCKET nets — span/width rows, bounded
+    *      by the time span, never by data volume;
+    *   3. peak(bucket) = base + local max, since every global running-sum
+    *      value inside a bucket is base + a local prefix.
+    *
+    * Ties order +1 before −1 at the same microsecond; the departure delta
+    * sits at end+1, so two intervals touching at an endpoint count as
+    * concurrent (closed-interval semantics, matching
+    * JoinOps.intervalOverlapJoin). Buckets with no boundary events carry
+    * no row (their concurrency is constant and equal to the next emitted
+    * base).
+    */
+  def peakConcurrencyByBucket(intervals: DataFrame, startUs: String,
+      endUs: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val deltas = intervals.select(col(startUs).as("us"), lit(1L).as("delta"))
+      .unionAll(intervals.select((col(endUs) + 1).as("us"),
+        lit(-1L).as("delta")))
+      .withColumn("bucket", expr(s"us div $bucketMicros"))
+    val inBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("us").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBucket = deltas
+      .withColumn("run", sum(col("delta")).over(inBucket))
+      .groupBy(col("bucket"))
+      .agg(max(col("run")).as("local_max"), sum(col("delta")).as("net"))
+    val beforeBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perBucket
+      .withColumn("base", coalesce(sum(col("net")).over(beforeBucket), lit(0L)))
+      .select(col("bucket"), (col("base") + col("local_max")).as("peak"),
+        col("net"))
+  }
 }

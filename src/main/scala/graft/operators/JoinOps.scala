@@ -115,4 +115,47 @@ object JoinOps {
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ rightVals.map(v => col("__rv").getField(v).as(v)): _*)
   }
+
+  /** Data×data interval OVERLAP join — no equi key on either side, both
+    * sides corpus-scale, so neither broadcast (q36's shape) nor a plain
+    * range theta-join (a cartesian at 100 TB) survives. The classic
+    * bucket decomposition instead: each interval explodes into the
+    * aligned `bucketMicros`-wide time buckets it touches, the join is a
+    * plain EQUI-join on the bucket id plus the exact closed-interval
+    * overlap predicate — one hash shuffle on a key both sides share, the
+    * shape Catalyst already knows how to scale (AQE handles a hot bucket
+    * as ordinary join skew).
+    *
+    * Dedup-free pair attribution: a pair overlapping across several
+    * buckets would emit once per shared bucket, and `distinct` on the
+    * output is a second pair-scale shuffle. Instead each pair is kept
+    * ONLY in the bucket containing `max(lStart, rStart)` — that instant
+    * lies inside both intervals whenever they overlap (max(starts) ≤
+    * min(ends)), so exactly one exploded bucket row qualifies and the
+    * join output needs no dedup at all.
+    *
+    * `lStart`/`lEnd`/`rStart`/`rEnd` are epoch-micros Long columns
+    * (closed intervals, start ≤ end); bucket math is exact integer `div`
+    * (non-negative epochs). Column names across the two sides must be
+    * disjoint. Pick `bucketMicros` near the typical interval length: the
+    * explode factor is len/bucket + 1 per row, bucket occupancy rises as
+    * the width shrinks.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    def buckets(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bucket",
+        explode(sequence(expr(s"$s div $bucketMicros"),
+          expr(s"$e div $bucketMicros"))))
+    val lb = buckets(left, lStart, lEnd)
+    val rb = buckets(right, rStart, rEnd)
+    lb.join(rb,
+        lb("__bucket") === rb("__bucket") &&
+        col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        lb("__bucket") === expr(
+          s"greatest($lStart, $rStart) div $bucketMicros"))
+      .drop("__bucket")
+  }
 }

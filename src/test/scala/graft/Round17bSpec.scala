@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 second batch: the two new join families — the data×data
+  * interval-overlap join (JoinOps.intervalOverlapJoin) and blocked record
+  * linkage (operators.Linkage). The overlap join's contract is checked
+  * against the naive theta join on adversarial geometry (multi-bucket
+  * spans, pairs sharing several buckets, closed-endpoint touching); the
+  * plan check pins that the production query never degrades to the
+  * theta-join fallback (BroadcastNestedLoopJoin / CartesianProduct).
+  */
+class Round17bSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  import graft.operators.{JoinOps, Linkage}
+
+  private val W = 1000L
+
+  /** Deterministic pseudo-random closed intervals: lengths from sub-bucket
+    * to many-bucket so pairs overlap across several shared buckets (the
+    * dedup-free attribution's hard case).
+    */
+  private def intervals(seed: Int, n: Int, prefix: String) = {
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      val start = rnd.nextLong(10 * W)
+      val len = rnd.nextLong(4 * W)
+      (i.toLong, start, start + len)
+    }
+    spark.createDataFrame(rows).toDF(s"${prefix}_id", s"${prefix}_s",
+      s"${prefix}_e")
+  }
+
+  test("intervalOverlapJoin equals the naive theta join on random " +
+      "multi-bucket intervals, one row per overlapping pair") {
+    val l = intervals(1, 150, "l")
+    val r = intervals(2, 150, "r")
+    val bucketed = JoinOps.intervalOverlapJoin(l, r, "l_s", "l_e",
+        "r_s", "r_e", W)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val naive = l.crossJoin(r)
+      .filter(col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(naive.length > 1000, "fixture geometry should overlap densely")
+    // exactly once per pair: multi-bucket-shared overlaps do not duplicate
+    assert(bucketed.length == bucketed.distinct.length)
+    assert(bucketed.sorted.toSeq == naive.sorted.toSeq)
+  }
+
+  test("intervalOverlapJoin closed-interval semantics: endpoint touching " +
+      "counts as overlap, one-past misses, across a bucket boundary") {
+    val l = spark.createDataFrame(Seq((1L, 0L, W))).toDF("l_id", "l_s", "l_e")
+    val r = spark.createDataFrame(Seq(
+      (10L, W, 2 * W),      // touches l's end exactly (next bucket)
+      (11L, W + 1, 2 * W),  // one past: no overlap
+      (12L, 0L, 0L)         // touches l's start exactly, zero-length
+    )).toDF("r_id", "r_s", "r_e")
+    val got = JoinOps.intervalOverlapJoin(l, r, "l_s", "l_e", "r_s", "r_e", W)
+      .select("r_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 12L))
+  }
+
+  test("blockedCandidates: a pair co-keyed by BOTH passes appears once; " +
+      "a pair only the second pass keys is found; null block keys drop " +
+      "their row from that pass only") {
+    val a = spark.createDataFrame(Seq(
+      (1L, "x", "p"), (2L, "y", "q"), (3L, null.asInstanceOf[String], "r")))
+      .toDF("a_id", "a_k1", "a_k2")
+    val b = spark.createDataFrame(Seq(
+      (10L, "x", "p"),  // meets 1 in both passes -> once
+      (11L, "z", "q"),  // meets 2 only via k2
+      (12L, null.asInstanceOf[String], "r")))  // meets 3 only via k2
+      .toDF("b_id", "b_k1", "b_k2")
+    val got = Linkage.blockedCandidates(a, b,
+        Seq((col("a_k1"), col("b_k1")), (col("a_k2"), col("b_k2"))))
+      .select("a_id", "b_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
+  test("block purging drops an oversized block whole (either side over " +
+      "the cap kills the pass's pairs) and leaves bounded blocks alone") {
+    val a = spark.createDataFrame(
+      (1L to 5L).map(i => (i, "hot")) :+ (6L, "cold"))
+      .toDF("a_id", "a_k")
+    val b = spark.createDataFrame(Seq((10L, "hot"), (11L, "cold")))
+      .toDF("b_id", "b_k")
+    // cap 4: the 5-member hot block purges on a's side even though b's
+    // side has one member; cold (1x1) survives
+    val got = Linkage.blockedCandidates(a, b,
+        Seq((col("a_k"), col("b_k"))), maxSide = 4)
+      .select("a_id", "b_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == Seq((6L, 11L)))
+    // no cap: all 5 hot pairs + cold
+    val uncapped = Linkage.blockedCandidates(a, b,
+        Seq((col("a_k"), col("b_k")))).count()
+    assert(uncapped == 6)
+  }
+
+  test("bestMatch keeps exactly one row per left id: min distance, then " +
+      "min tie-break key") {
+    val scored = spark.createDataFrame(Seq(
+      (1L, 30L, 2), (1L, 20L, 1), (1L, 10L, 1),  // dist tie at 1 -> key 10
+      (2L, 40L, 0)))
+      .toDF("a_key", "b_key", "distance")
+    val got = Linkage.bestMatch(scored, "a_key", "distance", "b_key")
+      .select("a_key", "b_key").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 10L), (2L, 40L)))
+  }
+
+  test("peakConcurrencyByBucket equals the single-order global sweep on " +
+      "random multi-bucket intervals (per-bucket peak AND net)") {
+    val iv = intervals(7, 300, "x")
+    val got = graft.operators.EventOps
+      .peakConcurrencyByBucket(iv, "x_s", "x_e", W)
+      .select("bucket", "peak", "net").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // naive: one global order over every boundary delta, running sum,
+    // per-bucket max + net
+    val deltas = iv.select("x_s", "x_e").collect().flatMap { r =>
+      Seq((r.getLong(0), 1L), (r.getLong(1) + 1, -1L))
+    }.sortBy { case (us, d) => (us, -d) }
+    var run = 0L
+    val byBucket = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Long)]
+    deltas.foreach { case (us, d) =>
+      run += d
+      val b = us / W
+      val (mx, net) = byBucket.getOrElse(b, (Long.MinValue, 0L))
+      byBucket(b) = (math.max(mx, run), net + d)
+    }
+    val naive = byBucket.toSeq.map { case (b, (mx, net)) => (b, mx, net) }
+      .sortBy(_._1)
+    assert(got.nonEmpty && got == naive)
+    // the geometry genuinely overlaps (peak > 1 somewhere)
+    assert(got.exists(_._2 > 1))
+  }
+
+  test("e22's physical plan never falls back to the theta join: no " +
+      "CartesianProduct, no BroadcastNestedLoopJoin") {
+    val df = ExtensionQueries9.all("e22_incident_exposure")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("d25 emits one best match per even-key customer at edit distance " +
+      ">= 1 (the odd side can never carry the same name)") {
+    val out = ExtensionQueries9.all("d25_record_linkage")(spark, dir)
+      .collect()
+    val evens = graft.sources.Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % 2 === 0).count()
+    assert(out.length == evens)
+    assert(out.map(_.getAs[Long]("a_key")).distinct.length == out.length)
+    assert(out.forall { r =>
+      val d = r.getAs[Int]("distance")
+      d >= 1 && d <= ExtensionQueries9.LinkMaxDist
+    })
+  }
+}
