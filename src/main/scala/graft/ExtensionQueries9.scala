@@ -291,8 +291,13 @@ object ExtensionQueries9 {
 
     // Concurrency replay: the textbook single-order sweep — the engine's
     // two-level split (per-bucket local maxima + bounded cross-bucket
-    // base prefix) must reproduce it exactly. Same +1-before-−1 tie
-    // order, same end+1 departure (closed intervals).
+    // base prefix) must reproduce it exactly. Same −1-before-+1 tie
+    // order (the departure at us ended strictly before the arrival at
+    // us began), same end+1 departure (closed intervals), same
+    // carried-in base competing in the max when the bucket's first
+    // delta sits past the bucket start (run before the bucket's first
+    // delta = the previous bucket's closing run, lagged with a 0
+    // default for the first bucket).
     "e23_peak_concurrency" -> s"""
       WITH e AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -323,13 +328,26 @@ object ExtensionQueries9 {
         SELECT s_end + 1, -1 FROM sess
       ),
       r AS (
-        SELECT us // $IncidentWinMicros AS bucket, delta,
-               sum(delta) OVER (ORDER BY us, delta DESC
+        SELECT us // $IncidentWinMicros AS bucket, us, delta,
+               sum(delta) OVER (ORDER BY us, delta
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
         FROM d
+      ),
+      pb AS (
+        SELECT bucket, max(run) AS max_run, sum(delta) AS net,
+               min(us) AS first_us
+        FROM r GROUP BY bucket
+      ),
+      wb AS (
+        SELECT *, sum(net) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - net
+               AS base
+        FROM pb
       )
       SELECT bucket * $IncidentWinMicros AS w_start,
-             CAST(max(run) AS BIGINT) AS peak,
-             CAST(sum(delta) AS BIGINT) AS net
-      FROM r GROUP BY bucket ORDER BY w_start""")
+             CAST(CASE WHEN first_us > bucket * $IncidentWinMicros
+                       THEN greatest(max_run, base)
+                       ELSE max_run END AS BIGINT) AS peak,
+             CAST(net AS BIGINT) AS net
+      FROM wb ORDER BY w_start""")
 }

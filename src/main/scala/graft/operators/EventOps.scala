@@ -56,12 +56,19 @@ object EventOps {
     *   3. peak(bucket) = base + local max, since every global running-sum
     *      value inside a bucket is base + a local prefix.
     *
-    * Ties order +1 before −1 at the same microsecond; the departure delta
-    * sits at end+1, so two intervals touching at an endpoint count as
-    * concurrent (closed-interval semantics, matching
-    * JoinOps.intervalOverlapJoin). Buckets with no boundary events carry
-    * no row (their concurrency is constant and equal to the next emitted
-    * base).
+    * The departure delta sits at end+1 (closed intervals, matching
+    * JoinOps.intervalOverlapJoin), so at one microsecond a −1 orders
+    * BEFORE a +1: the departing interval ended strictly before the
+    * arriving one began, and the opposite order would count two
+    * adjacent, non-overlapping intervals as concurrent. Two endpoint-
+    * touching intervals never tie (the −1 lands one past the +1) and do
+    * count as concurrent. Concurrency at an instant t is base + (all
+    * bucket deltas at us ≤ t); when the bucket's first delta sits past
+    * the bucket's start, the carried-in base itself is attained on
+    * [bucketStart, firstDelta) and competes in the max — a
+    * departure-only bucket peaks at base, not base−1. Buckets with no
+    * boundary events carry no row (their concurrency is constant and
+    * equal to the next emitted base).
     */
   def peakConcurrencyByBucket(intervals: DataFrame, startUs: String,
       endUs: String, bucketMicros: Long): DataFrame = {
@@ -71,17 +78,24 @@ object EventOps {
         lit(-1L).as("delta")))
       .withColumn("bucket", expr(s"us div $bucketMicros"))
     val inBucket = Window.partitionBy(col("bucket"))
-      .orderBy(col("us").asc, col("delta").desc)
+      .orderBy(col("us").asc, col("delta").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val perBucket = deltas
       .withColumn("run", sum(col("delta")).over(inBucket))
       .groupBy(col("bucket"))
-      .agg(max(col("run")).as("local_max"), sum(col("delta")).as("net"))
+      .agg(max(col("run")).as("local_max"), sum(col("delta")).as("net"),
+        min(col("us")).as("first_us"))
     val beforeBucket = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     perBucket
       .withColumn("base", coalesce(sum(col("net")).over(beforeBucket), lit(0L)))
-      .select(col("bucket"), (col("base") + col("local_max")).as("peak"),
+      // the bare base is only attained when some instant precedes the
+      // bucket's first delta
+      .withColumn("local_peak",
+        when(col("first_us") > col("bucket") * bucketMicros,
+          greatest(col("local_max"), lit(0L)))
+          .otherwise(col("local_max")))
+      .select(col("bucket"), (col("base") + col("local_peak")).as("peak"),
         col("net"))
   }
 }

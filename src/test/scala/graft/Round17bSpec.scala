@@ -112,32 +112,68 @@ class Round17bSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10L), (2L, 40L)))
   }
 
-  test("peakConcurrencyByBucket equals the single-order global sweep on " +
-      "random multi-bucket intervals (per-bucket peak AND net)") {
+  /** Brute-force stabbing truth for peak concurrency: within a bucket the
+    * concurrency function is piecewise constant, changing only at delta
+    * instants, so its max over the bucket is attained at the bucket start
+    * or at a delta instant inside it — count intervals containing each
+    * candidate instant directly, no sweep formulation shared with the
+    * operator.
+    */
+  private def stabbingPeaks(iv: Seq[(Long, Long)], w: Long) = {
+    val deltaUs = iv.flatMap { case (s, e) => Seq(s, e + 1) }
+    val buckets = deltaUs.map(_ / w).distinct.sorted
+    buckets.map { b =>
+      val points = (b * w) +: deltaUs.filter(u => u / w == b)
+      val peak = points.map(t => iv.count { case (s, e) =>
+        s <= t && t <= e }.toLong).max
+      (b, peak)
+    }
+  }
+
+  test("peakConcurrencyByBucket equals brute-force interval stabbing " +
+      "(per-bucket peak) and conserves net deltas, on random " +
+      "multi-bucket intervals") {
     val iv = intervals(7, 300, "x")
     val got = graft.operators.EventOps
       .peakConcurrencyByBucket(iv, "x_s", "x_e", W)
       .select("bucket", "peak", "net").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
-    // naive: one global order over every boundary delta, running sum,
-    // per-bucket max + net
-    val deltas = iv.select("x_s", "x_e").collect().flatMap { r =>
-      Seq((r.getLong(0), 1L), (r.getLong(1) + 1, -1L))
-    }.sortBy { case (us, d) => (us, -d) }
-    var run = 0L
-    val byBucket = scala.collection.mutable.LinkedHashMap
-      .empty[Long, (Long, Long)]
-    deltas.foreach { case (us, d) =>
-      run += d
-      val b = us / W
-      val (mx, net) = byBucket.getOrElse(b, (Long.MinValue, 0L))
-      byBucket(b) = (math.max(mx, run), net + d)
-    }
-    val naive = byBucket.toSeq.map { case (b, (mx, net)) => (b, mx, net) }
-      .sortBy(_._1)
-    assert(got.nonEmpty && got == naive)
+    val raw = iv.select("x_s", "x_e").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val truth = stabbingPeaks(raw, W)
+    assert(got.nonEmpty && got.map(x => (x._1, x._2)) == truth)
+    // nets telescope: total sums to zero (every +1 has its -1)
+    assert(got.map(_._3).sum == 0L)
     // the geometry genuinely overlaps (peak > 1 somewhere)
     assert(got.exists(_._2 > 1))
+  }
+
+  test("peakConcurrencyByBucket boundary semantics: adjacent intervals " +
+      "(end+1 == start) are NOT concurrent, endpoint-touching ones ARE, " +
+      "and a departure-only bucket peaks at the carried-in base") {
+    // A=[0, W-1], B=[W, 5W]: adjacent, never overlap -> peak 1 everywhere
+    val adjacent = spark.createDataFrame(Seq(
+      (0L, W - 1), (W, 5 * W))).toDF("x_s", "x_e")
+    val gotAdj = graft.operators.EventOps
+      .peakConcurrencyByBucket(adjacent, "x_s", "x_e", W)
+      .select("peak").collect().map(_.getLong(0)).max
+    assert(gotAdj == 1L)
+    // A=[0, W], B=[W, 5W]: touch at W (closed) -> peak 2 in bucket 1
+    val touching = spark.createDataFrame(Seq(
+      (0L, W), (W, 5 * W))).toDF("x_s", "x_e")
+    val gotTouch = graft.operators.EventOps
+      .peakConcurrencyByBucket(touching, "x_s", "x_e", W)
+      .select("peak").collect().map(_.getLong(0)).max
+    assert(gotTouch == 2L)
+    // A=[0, 1.5W): bucket 1 holds only A's departure, yet A is open
+    // through half of it — peak there is 1 (the base), not 0
+    val departing = spark.createDataFrame(Seq(
+      (0L, (3 * W) / 2 - 1))).toDF("x_s", "x_e")
+    val gotDep = graft.operators.EventOps
+      .peakConcurrencyByBucket(departing, "x_s", "x_e", W)
+      .select("bucket", "peak").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(gotDep == Seq((0L, 1L), (1L, 1L)))
   }
 
   test("e22's physical plan never falls back to the theta join: no " +
