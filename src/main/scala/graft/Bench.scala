@@ -61,7 +61,8 @@ object Bench {
     "q104_incremental_lake_sweep", "d24_incremental_verify",
     // round-17 second batch: blocked record linkage, the data×data
     // interval-overlap join, and the two-level sweep-line
-    "d25_record_linkage", "e22_incident_exposure", "e23_peak_concurrency")
+    "d25_record_linkage", "d26_sorted_neighborhood",
+    "e22_incident_exposure", "e23_peak_concurrency")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's

@@ -40,6 +40,12 @@ object ExtensionQueries9 {
     */
   val LinkMaxBlock = 64
 
+  /** d26 sorted-neighborhood window: records from opposite feeds within
+    * this many positions of each other in the merged name order are
+    * candidates.
+    */
+  val SnmWindow = 8
+
   /** e22 incident definition: the [[IncidentTopN]] busiest
     * [[IncidentWinSec]]-second aligned windows by error-event count
     * (ties broken by window position). Top-N rather than a fixed count
@@ -96,6 +102,35 @@ object ExtensionQueries9 {
           (namePrefix("a"), namePrefix("b")),
           (profileKey("a"), profileKey("b"))),
         maxSide = LinkMaxBlock)
+      val scored = cands
+        .withColumn("distance", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("distance") <= LinkMaxDist)
+      Linkage.bestMatch(scored, "a_key", "distance", "b_key")
+        .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
+          col("distance"))
+        .orderBy(col("a_key"))
+    }),
+
+    // Sorted-neighborhood linkage (d26): blocking's classic complement
+    // on the same two keyless feeds as d25 — both sides merge into ONE
+    // totally-ordered list on the entity name and records from opposite
+    // feeds within SnmWindow positions pair up. Where d25's blocks need
+    // a key to match EXACTLY, the sorted neighborhood tolerates
+    // key-local noise (close names sort together with no block key
+    // agreeing), and candidate volume is ≤ 2·window per record BY
+    // CONSTRUCTION — no purging needed. Scale shape: global positions
+    // via the two-phase range-partition + per-partition rank +
+    // bounded-offset prefix (Linkage.withGlobalPositions — never a
+    // one-partition global window), then the positional band join as
+    // the e22 bucket decomposition. Same verify + resolution as d25.
+    "d26_sorted_neighborhood" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+      val b = c.filter(col("c_custkey") % 2 =!= 0)
+        .select(col("c_custkey").as("b_key"), col("c_name").as("b_name"))
+      val cands = Linkage.sortedNeighborhood(a, b,
+        col("a_name"), col("b_name"), "a_key", "b_key", SnmWindow)
       val scored = cands
         .withColumn("distance", levenshtein(col("a_name"), col("b_name")))
         .filter(col("distance") <= LinkMaxDist)
@@ -225,6 +260,46 @@ object ExtensionQueries9 {
           SELECT a_key, a_name, b_key, b_name FROM ap JOIN bp
             ON a_prof = b_prof
         )
+      ),
+      scored AS (
+        SELECT *, levenshtein(a_name, b_name) AS distance FROM cand
+        WHERE levenshtein(a_name, b_name) <= $LinkMaxDist
+      ),
+      best AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY a_key ORDER BY distance, b_key) AS rk
+        FROM scored
+      )
+      SELECT a_key, a_name, b_key, b_name,
+             CAST(distance AS INTEGER) AS distance
+      FROM best WHERE rk = 1 ORDER BY a_key""",
+
+    // Sorted-neighborhood replay: one merged row_number order (name,
+    // side, id — the same total order), the |Δpos| ≤ window pairing,
+    // the same Levenshtein threshold and best-match rank.
+    "d26_sorted_neighborhood" -> s"""
+      WITH a AS (
+        SELECT c_custkey AS a_key, c_name AS a_name
+        FROM customer WHERE c_custkey % 2 = 0
+      ),
+      b AS (
+        SELECT c_custkey AS b_key, c_name AS b_name
+        FROM customer WHERE c_custkey % 2 <> 0
+      ),
+      u AS (
+        SELECT a_name AS k, 0 AS side, a_key AS id FROM a
+        UNION ALL
+        SELECT b_name, 1, b_key FROM b
+      ),
+      p AS (
+        SELECT *, row_number() OVER (ORDER BY k, side, id) AS pos FROM u
+      ),
+      cand AS (
+        SELECT pa.id AS a_key, pa.k AS a_name, pb.id AS b_key,
+               pb.k AS b_name
+        FROM p pa JOIN p pb
+          ON pa.side = 0 AND pb.side = 1
+         AND abs(pa.pos - pb.pos) <= $SnmWindow
       ),
       scored AS (
         SELECT *, levenshtein(a_name, b_name) AS distance FROM cand

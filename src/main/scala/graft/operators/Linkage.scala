@@ -69,6 +69,82 @@ object Linkage {
     }.reduce(_ unionByName _).distinct()
   }
 
+  /** Global 1-based positions of `df` under `order` (which must be a
+    * TOTAL order — include a unique tie-break column), appended as `pos`.
+    *
+    * `row_number` over an unpartitioned window is a single partition at
+    * 100 TB. The scalable two-phase form instead: range-repartition on
+    * the order (contiguous, ordered key ranges per partition — equal
+    * tuples land together, and the order is total so tuples are unique),
+    * rank WITHIN each partition in parallel, then add per-partition
+    * offsets — a prefix sum over the per-partition counts, which is
+    * #partitions rows, bounded by the cluster, never by data. The offset
+    * table is explicitly broadcast back (it is partition-count-sized by
+    * construction).
+    */
+  def withGlobalPositions(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val withRn = parted.withColumn("__rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__pid")).orderBy(order: _*)))
+    val offsets = withRn.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid").as("__opid"), col("__off"))
+    withRn.join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn("pos", col("__off") + col("__rn"))
+      .drop("__pid", "__opid", "__rn", "__off", "__cnt")
+  }
+
+  /** Sorted-neighborhood candidate generation, blocking's classic
+    * complement: merge both sides into ONE totally-ordered list on the
+    * sort key and pair records from opposite sides within `window`
+    * positions of each other. Where blocking needs keys to match
+    * EXACTLY, the sorted neighborhood tolerates key-local noise — close
+    * keys sort together even when no block key agrees.
+    *
+    * Scale shape: positions via [[withGlobalPositions]] (no global
+    * window), then the positional band-join runs as the same aligned
+    * bucket decomposition as JoinOps.intervalOverlapJoin — bucket =
+    * pos div window, the left side explodes to its three admissible
+    * buckets {b−1, b, b+1}, a plain equi-join meets them, and the exact
+    * |Δpos| ≤ window filter lands each pair exactly once (the right
+    * bucket is single-valued). Candidate volume is ≤ 2·window per
+    * record by construction — linear in the corpus at ANY window.
+    *
+    * `aId`/`bId` are unique per side; output is the two sides' columns
+    * for each candidate pair (names must be disjoint).
+    */
+  def sortedNeighborhood(a: DataFrame, b: DataFrame,
+      aSort: Column, bSort: Column, aId: String, bId: String,
+      window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val merged = a.select(aSort.as("__k"), lit(0).as("__side"),
+        col(aId).cast("long").as("__id"))
+      .unionByName(b.select(bSort.as("__k"), lit(1).as("__side"),
+        col(bId).cast("long").as("__id")))
+    // total order: key, then side, then the per-side unique id
+    val pos = withGlobalPositions(merged,
+      Seq(col("__k"), col("__side"), col("__id")))
+    val pa = pos.filter(col("__side") === 0)
+      .select(col("__id").as("__aid"), col("pos").as("__apos"),
+        explode(sequence(expr(s"pos div $window - 1"),
+          expr(s"pos div $window + 1"))).as("__bucket"))
+    val pb = pos.filter(col("__side") === 1)
+      .select(col("__id").as("__bid"), col("pos").as("__bpos"),
+        expr(s"pos div $window").as("__bucket"))
+    val pairs = pa.join(pb, "__bucket")
+      .filter(abs(col("__apos") - col("__bpos")) <= window)
+      .select(col("__aid"), col("__bid"))
+    a.join(pairs, col(aId) === col("__aid"))
+      .join(b, col("__bid") === col(bId))
+      .drop("__aid", "__bid")
+  }
+
   /** Resolution: keep each left record's best-scoring candidate —
     * smallest `distance`, ties broken by the smallest `tieBreak` (a
     * right-side unique id, for determinism). One shuffle on the left id.

@@ -176,6 +176,46 @@ class Round17bSpec extends AnyFunSuite {
     assert(gotDep == Seq((0L, 1L), (1L, 1L)))
   }
 
+  test("withGlobalPositions equals the one-partition global row_number " +
+      "under the same total order, including duplicate keys") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 500L).map(i => (i, rnd.nextInt(40).toString))
+    val df = spark.createDataFrame(rows).toDF("id", "k")
+    val got = Linkage.withGlobalPositions(df, Seq(col("k"), col("id")))
+      .select("id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val truth = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got == truth)
+  }
+
+  test("sortedNeighborhood pairs exactly the opposite-side records " +
+      "within the window of the merged total order, each pair once") {
+    val rnd = new scala.util.Random(13)
+    val aRows = (0L until 120L).map(i => (i * 2, rnd.nextInt(30).toString))
+    val bRows = (0L until 120L).map(i => (i * 2 + 1, rnd.nextInt(30).toString))
+    val a = spark.createDataFrame(aRows).toDF("a_key", "a_name")
+    val b = spark.createDataFrame(bRows).toDF("b_key", "b_name")
+    val w = 4
+    val got = Linkage.sortedNeighborhood(a, b, col("a_name"), col("b_name"),
+        "a_key", "b_key", w)
+      .select("a_key", "b_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // naive: merged (k, side, id) total order, all cross-side pairs with
+    // |Δpos| <= w
+    val merged = (aRows.map { case (id, k) => (k, 0, id) } ++
+      bRows.map { case (id, k) => (k, 1, id) })
+      .sortBy { case (k, s, id) => (k, s, id) }.zipWithIndex
+    val naive = for {
+      ((ka, sa, ia), pa) <- merged if sa == 0
+      ((kb, sb, ib), pb) <- merged if sb == 1
+      if math.abs(pa - pb) <= w
+    } yield (ia, ib)
+    assert(got.length == got.distinct.length)
+    assert(got.sorted.toSeq == naive.sorted.toSeq)
+    assert(naive.nonEmpty)
+  }
+
   test("e22's physical plan never falls back to the theta join: no " +
       "CartesianProduct, no BroadcastNestedLoopJoin") {
     val df = ExtensionQueries9.all("e22_incident_exposure")(spark, dir)
