@@ -62,7 +62,8 @@ object Bench {
     // round-17 second batch: blocked record linkage, the data×data
     // interval-overlap join, and the two-level sweep-line
     "d25_record_linkage", "d26_sorted_neighborhood",
-    "e22_incident_exposure", "e23_peak_concurrency")
+    "e22_incident_exposure", "e23_peak_concurrency",
+    "t39_weighted_sample")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's

@@ -46,6 +46,22 @@ object ExtensionQueries9 {
     */
   val SnmWindow = 8
 
+  /** t39 sample size (< the 500-doc oracle fixtures, so selection is a
+    * genuine cut at every scale the oracle runs).
+    */
+  val SampleK = 200
+
+  /** t39 hash-seed prefix, decoupling the sampling uniform from every
+    * other md5Hash48 use of doc_id.
+    */
+  val SampleSeed = "ws"
+
+  /** ln(2^48) as one spliced double literal (48·ln2, computed once in the
+    * JVM and rendered shortest-round-trip into both engines — identical
+    * bits by construction).
+    */
+  val Ln2x48: Double = 48.0 * graft.functions.DetLn.Ln2
+
   /** e22 incident definition: the [[IncidentTopN]] busiest
     * [[IncidentWinSec]]-second aligned windows by error-event count
     * (ties broken by window position). Top-N rather than a fixed count
@@ -109,6 +125,34 @@ object ExtensionQueries9 {
         .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
           col("distance"))
         .orderBy(col("a_key"))
+    }),
+
+    // Deterministic weighted sampling WITHOUT replacement (t39): the
+    // Efraimidis–Spirakis one-pass reservoir — each doc draws a uniform
+    // u from the portable 48-bit hash and ranks by ln(u)/w (the log form
+    // of u^(1/w)); the top-K ranked docs are EXACTLY a weighted sample
+    // without replacement, inclusion probability ∝ weight (here n_chars,
+    // size-proportional corpus subsampling — the draw d15's
+    // proportional-threshold mixture cannot give: a fixed sample SIZE,
+    // weights respected, no replacement, no RNG). Determinism: u =
+    // (h+1)/2^48 so ln u = DetLn(h+1) − 48·ln2 — every transcendental is
+    // the shared DetLn over a positive integer, identical bits in both
+    // engines; the divide by w and the subtraction are IEEE
+    // correctly-rounded on identical inputs. Scale shape: one scan, one
+    // TakeOrdered top-K (per-partition heaps, never a global sort) —
+    // the 100 TB corpus never shuffles.
+    "t39_weighted_sample" -> ((s, dir) => {
+      val h = ExtensionQueries3.md5Hash48(
+        concat(lit(s"$SampleSeed:"), col("doc_id").cast("string")))
+      val score = (graft.functions.DetLn.detLn(h + 1) - lit(Ln2x48)) /
+        col("n_chars").cast("double")
+      t(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").as("weight"), score.as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(SampleK)
+        .orderBy(col("doc_id"))
     }),
 
     // Sorted-neighborhood linkage (d26): blocking's classic complement
@@ -273,6 +317,21 @@ object ExtensionQueries9 {
       SELECT a_key, a_name, b_key, b_name,
              CAST(distance AS INTEGER) AS distance
       FROM best WHERE rk = 1 ORDER BY a_key""",
+
+    // Weighted-sample replay: the same 48-bit uniform, the same DetLn
+    // rendering of ln(u), the same rank-and-cut.
+    "t39_weighted_sample" -> s"""
+      WITH scored AS (
+        SELECT doc_id, source, n_chars AS weight,
+               (${graft.functions.DetLn.detLnSql(
+                 s"CAST(('0x' || substr(md5('$SampleSeed:' || doc_id), 1, 12)) AS BIGINT) + 1")}
+                - $Ln2x48) / CAST(n_chars AS DOUBLE) AS score
+        FROM documents WHERE n_chars > 0
+      ),
+      cut AS (
+        SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $SampleK
+      )
+      SELECT doc_id, source, weight, score FROM cut ORDER BY doc_id""",
 
     // Sorted-neighborhood replay: one merged row_number order (name,
     // side, id — the same total order), the |Δpos| ≤ window pairing,

@@ -216,6 +216,36 @@ class Round17bSpec extends AnyFunSuite {
     assert(naive.nonEmpty)
   }
 
+  test("t39 weighted sample equals the Scala-reference Efraimidis-" +
+      "Spirakis computation: same keys (bit-identical doubles), same " +
+      "top-K cut, and the heaviest docs are genuinely over-represented") {
+    val out = ExtensionQueries9.all("t39_weighted_sample")(spark, dir)
+      .collect()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def h48(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${ExtensionQueries9.SampleSeed}:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val ref = docs.filter(_._2 > 0).map { case (id, w) =>
+      val lnU = graft.functions.DetLn.detLnScala(h48(id) + 1) -
+        ExtensionQueries9.Ln2x48
+      (id, lnU / w.toDouble)
+    }
+    val refTop = ref.sortBy { case (id, s) => (-s, id) }
+      .take(ExtensionQueries9.SampleK).sortBy(_._1)
+    assert(out.length == ExtensionQueries9.SampleK)
+    assert(out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Double]("score"))).toSeq == refTop.toSeq)
+    // weight proportionality, coarsely: the selected docs' mean weight
+    // exceeds the corpus mean (inclusion probability grows with weight)
+    val selMean = out.map(_.getAs[Long]("weight")).sum.toDouble / out.length
+    val allMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(selMean > allMean)
+  }
+
   test("e22's physical plan never falls back to the theta join: no " +
       "CartesianProduct, no BroadcastNestedLoopJoin") {
     val df = ExtensionQueries9.all("e22_incident_exposure")(spark, dir)
