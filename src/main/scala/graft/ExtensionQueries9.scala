@@ -62,6 +62,11 @@ object ExtensionQueries9 {
     */
   val Ln2x48: Double = 48.0 * graft.functions.DetLn.Ln2
 
+  /** t40 per-stratum sample size (each fixture source has 25 docs at the
+    * oracle scales, so every stratum genuinely cuts).
+    */
+  val StratumK = 15
+
   /** e22 incident definition: the [[IncidentTopN]] busiest
     * [[IncidentWinSec]]-second aligned windows by error-event count
     * (ties broken by window position). Top-N rather than a fixed count
@@ -152,6 +157,32 @@ object ExtensionQueries9 {
           col("n_chars").as("weight"), score.as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(SampleK)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified weighted sampling (t40): t39's Efraimidis–Spirakis key
+    // cut PER STRATUM — exactly StratumK docs per source, inclusion
+    // within each stratum ∝ n_chars, no replacement, no RNG. The
+    // per-source quota a mixture design (t34) hands to the sampler:
+    // t39 fills a GLOBAL budget (heavy sources can dominate), t40
+    // enforces the per-source allocation. Scale shape: the global
+    // TakeOrdered becomes one rank window partitioned by source — a
+    // single keyed shuffle, per-stratum heaps never meet.
+    "t40_stratified_sample" -> ((s, dir) => {
+      val h = ExtensionQueries3.md5Hash48(
+        concat(lit(s"$SampleSeed:"), col("doc_id").cast("string")))
+      val score = (graft.functions.DetLn.detLn(h + 1) - lit(Ln2x48)) /
+        col("n_chars").cast("double")
+      t(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").as("weight"), score.as("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("score").desc, col("doc_id").asc)))
+        .filter(col("rk") <= StratumK)
+        .select(col("doc_id"), col("source"), col("weight"), col("score"),
+          col("rk").cast("int").as("rk"))
         .orderBy(col("doc_id"))
     }),
 
@@ -332,6 +363,23 @@ object ExtensionQueries9 {
         SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $SampleK
       )
       SELECT doc_id, source, weight, score FROM cut ORDER BY doc_id""",
+
+    // Stratified-sample replay: identical scores, rank within source.
+    "t40_stratified_sample" -> s"""
+      WITH scored AS (
+        SELECT doc_id, source, n_chars AS weight,
+               (${graft.functions.DetLn.detLnSql(
+                 s"CAST(('0x' || substr(md5('$SampleSeed:' || doc_id), 1, 12)) AS BIGINT) + 1")}
+                - $Ln2x48) / CAST(n_chars AS DOUBLE) AS score
+        FROM documents WHERE n_chars > 0
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+      )
+      SELECT doc_id, source, weight, score, CAST(rk AS INTEGER) AS rk
+      FROM ranked WHERE rk <= $StratumK ORDER BY doc_id""",
 
     // Sorted-neighborhood replay: one merged row_number order (name,
     // side, id — the same total order), the |Δpos| ≤ window pairing,

@@ -263,7 +263,24 @@ class PlanSpec extends AnyFunSuite {
       // daily peeking are thousands of rows however big the fact is);
       // the data-sized cumulative sums below it are PARTITIONED (by
       // variant)
-      "e21_msprt" -> "monitor rows are calendar-bounded (one per day)")
+      "e21_msprt" -> "monitor rows are calendar-bounded (one per day)",
+      // ranks the per-10-min error-window counts — one row per aligned
+      // time bucket out of an aggregate, span/width-bounded (~4.3k for
+      // the fixture's 30-day span) however big the event volume
+      "e22_incident_exposure" ->
+        "error-window counts are span-bounded (one row per time bucket)",
+      // the cross-bucket base prefix cumulates PER-BUCKET nets — one row
+      // per aligned time bucket out of an aggregate (the whole point of
+      // the two-level sweep: the data-scale prefix work is PARTITIONED
+      // by bucket, only the bucket summary crosses)
+      "e23_peak_concurrency" ->
+        "per-bucket nets are span-bounded (one row per time bucket)",
+      // withGlobalPositions' offset prefix cumulates per-shuffle-
+      // partition COUNTS — one row per partition out of an aggregate,
+      // cluster-bounded; the data-scale rank window is PARTITIONED (by
+      // __pid)
+      "d26_sorted_neighborhood" ->
+        "offset prefix is partition-count-bounded (one row per shuffle partition)")
     def boundedBelow(p: SparkPlan): Boolean = p match {
       case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
            _: TakeOrderedAndProjectExec => true

@@ -246,6 +246,36 @@ class Round17bSpec extends AnyFunSuite {
     assert(selMean > allMean)
   }
 
+  test("t40 takes exactly StratumK docs per source, each stratum's cut " +
+      "consistent with t39's global keys restricted to that source") {
+    val out = ExtensionQueries9.all("t40_stratified_sample")(spark, dir)
+      .collect()
+    val perSource = out.groupBy(_.getAs[String]("source"))
+      .map { case (s, rows) => s -> rows.length }
+    assert(perSource.values.forall(_ == ExtensionQueries9.StratumK))
+    assert(perSource.size == 20)
+    // within a stratum, the selected set is the top-K by (score desc,
+    // doc_id) of that source's docs — cross-check one stratum against
+    // independently recomputed keys
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .filter(col("source") === "src3")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def h48(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${ExtensionQueries9.SampleSeed}:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val refTop = docs.filter(_._2 > 0).map { case (id, w) =>
+      (id, (graft.functions.DetLn.detLnScala(h48(id) + 1) -
+        ExtensionQueries9.Ln2x48) / w.toDouble)
+    }.sortBy { case (id, s) => (-s, id) }
+      .take(ExtensionQueries9.StratumK).map(_._1).sorted.toSeq
+    val gotSrc3 = out.filter(_.getAs[String]("source") == "src3")
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(gotSrc3 == refTop)
+  }
+
   test("e22's physical plan never falls back to the theta join: no " +
       "CartesianProduct, no BroadcastNestedLoopJoin") {
     val df = ExtensionQueries9.all("e22_incident_exposure")(spark, dir)
