@@ -67,6 +67,14 @@ object ExtensionQueries9 {
     */
   val StratumK = 15
 
+  /** m12 curation flags, 1e6 fixed-point: a channel is too dark below
+    * mean 64, near-flat below population variance 1000 (both cut the
+    * fixture's image population meaningfully — ~30% each side at
+    * sf0.01).
+    */
+  val DarkMeanFp = 64L * 1000000L
+  val FlatVarFp = 1000L * 1000000L
+
   /** e22 incident definition: the [[IncidentTopN]] busiest
     * [[IncidentWinSec]]-second aligned windows by error-event count
     * (ties broken by window position). Top-N rather than a fixed count
@@ -159,6 +167,22 @@ object ExtensionQueries9 {
         .limit(SampleK)
         .orderBy(col("doc_id"))
     }),
+
+    // Per-channel image statistics (m12): the brightness/contrast
+    // curation gate a vision pipeline runs before training — per
+    // (image, channel), exact integer Σbyte/Σbyte² through the REAL PPM
+    // decode, mean and population variance as 1e6 fixed-point, and the
+    // too-dark / near-flat flags that drop no-signal images. Completes
+    // the image-quality lane beside m11's duplicate lens (dedup finds
+    // the same image twice; this finds images not worth keeping once).
+    // Scale shape: embarrassingly parallel partition-local decode (the
+    // m02/m07 shape), zero shuffle before the output sort.
+    "m12_image_channel_stats" -> ((s, dir) =>
+      graft.operators.Multimodal.channelStats(
+        graft.operators.Multimodal.mediaFromDocuments(
+          t(s, dir, "documents")),
+        DarkMeanFp, FlatVarFp).toDF()
+        .orderBy(col("doc_id"), col("channel"))),
 
     // Stratified weighted sampling (t40): t39's Efraimidis–Spirakis key
     // cut PER STRATUM — exactly StratumK docs per source, inclusion
@@ -363,6 +387,49 @@ object ExtensionQueries9 {
         SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $SampleK
       )
       SELECT doc_id, source, weight, score FROM cut ORDER BY doc_id""",
+
+    // Channel-stats replay: every pixel byte re-read from the text
+    // raster (the m04 convention: chars == bytes for the ASCII fixture,
+    // rpad truncates-or-pads to exactly W·H·3), the same integer
+    // fixed-point mean/variance, flags on the same integers.
+    "m12_image_channel_stats" -> s"""
+      WITH img AS (
+        SELECT doc_id,
+               rpad(text, ${3 * graft.operators.Multimodal.ImgW *
+                 graft.operators.Multimodal.ImgH}, ' ') AS raster
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+      ),
+      ch AS (
+        SELECT doc_id, c AS channel,
+               CAST(list_sum(list_transform(range(0, ${graft.operators
+                 .Multimodal.ImgW * graft.operators.Multimodal.ImgH}),
+                 i -> ascii(substr(raster,
+                   CAST(i * 3 + c AS INTEGER) + 1, 1)))) AS BIGINT) AS psum,
+               CAST(list_sum(list_transform(range(0, ${graft.operators
+                 .Multimodal.ImgW * graft.operators.Multimodal.ImgH}),
+                 i -> ascii(substr(raster, CAST(i * 3 + c AS INTEGER) + 1, 1))
+                    * ascii(substr(raster,
+                        CAST(i * 3 + c AS INTEGER) + 1, 1)))) AS BIGINT)
+                 AS psumsq
+        FROM img, (SELECT unnest([0, 1, 2]) AS c)
+      ),
+      fp AS (
+        SELECT doc_id, CAST(channel AS INTEGER) AS channel, psum, psumsq,
+               psum * 1000000 // ${graft.operators.Multimodal.ImgW *
+                 graft.operators.Multimodal.ImgH} AS mean_fp,
+               (${graft.operators.Multimodal.ImgW *
+                 graft.operators.Multimodal.ImgH} * psumsq - psum * psum)
+                 * 1000000
+                 // ${(graft.operators.Multimodal.ImgW.toLong *
+                   graft.operators.Multimodal.ImgH) *
+                   (graft.operators.Multimodal.ImgW.toLong *
+                     graft.operators.Multimodal.ImgH)} AS var_fp
+        FROM ch
+      )
+      SELECT doc_id, channel, psum, psumsq, mean_fp, var_fp,
+             mean_fp < $DarkMeanFp AS too_dark,
+             var_fp < $FlatVarFp AS low_contrast
+      FROM fp ORDER BY doc_id, channel""",
 
     // Stratified-sample replay: identical scores, rank within source.
     "t40_stratified_sample" -> s"""

@@ -149,6 +149,44 @@ object Multimodal {
     }
   }
 
+  case class ChannelStats(doc_id: Long, channel: Int, psum: Long,
+      psumsq: Long, mean_fp: Long, var_fp: Long, too_dark: Boolean,
+      low_contrast: Boolean)
+
+  /** Per-channel image statistics through the REAL [[Ppm]] decode — the
+    * brightness/contrast curation gate a vision pipeline runs before
+    * training (too-dark and near-flat images carry no signal and skew
+    * normalization): exact integer Σbyte / Σbyte² per channel, mean and
+    * population variance as 1e6 fixed-point (n·Σb² − (Σb)² ≥ 0 by
+    * Cauchy–Schwarz, and all magnitudes stay far under 2^63 at any
+    * raster the PPM header admits for this fixture's 16×9), flags on the
+    * fixed-point values so both engines compare identical integers.
+    * Partition-local decode, zero shuffle before the caller's sort.
+    */
+  def channelStats(media: Dataset[MediaRecord], darkMeanFp: Long,
+      flatVarFp: Long): Dataset[ChannelStats] = {
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "image").flatMap { r =>
+      val img = Ppm.parse(r.payload)
+      val n = img.width * img.height
+      (0 until 3).map { c =>
+        var s = 0L
+        var sq = 0L
+        var i = 0
+        while (i < n) {
+          val b = (img.pixels(i * 3 + c) & 0xff).toLong
+          s += b
+          sq += b * b
+          i += 1
+        }
+        val meanFp = s * 1000000L / n
+        val varFp = (n * sq - s * s) * 1000000L / (n.toLong * n)
+        ChannelStats(r.doc_id, c, s, sq, meanFp, varFp,
+          meanFp < darkMeanFp, varFp < flatVarFp)
+      }
+    }
+  }
+
   /** Thumbnail output row: geometry + exact channel sums + the md5 of the
     * re-encoded thumbnail PPM, so the oracle pins the exact bytes of the
     * resized image, not just aggregates.

@@ -276,6 +276,32 @@ class Round17bSpec extends AnyFunSuite {
     assert(gotSrc3 == refTop)
   }
 
+  test("m12 channel stats: every image emits 3 channel rows, sums match " +
+      "a direct byte recount of one doc's raster, and both flags fire " +
+      "in both directions on the fixture") {
+    val out = ExtensionQueries9.all("m12_image_channel_stats")(spark, dir)
+      .collect()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 0).select("doc_id", "text").collect()
+    assert(out.length == docs.length * 3)
+    // recount one raster by hand: text space-padded/truncated to W*H*3
+    val w = graft.operators.Multimodal.ImgW
+    val h = graft.operators.Multimodal.ImgH
+    val d0 = docs.minBy(_.getLong(0))
+    val raster = d0.getString(1).padTo(w * h * 3, ' ').take(w * h * 3)
+    (0 until 3).foreach { c =>
+      val bytes = (0 until w * h).map(i => raster(i * 3 + c).toLong)
+      val row = out.find(r => r.getAs[Long]("doc_id") == d0.getLong(0) &&
+        r.getAs[Int]("channel") == c).get
+      assert(row.getAs[Long]("psum") == bytes.sum)
+      assert(row.getAs[Long]("psumsq") == bytes.map(b => b * b).sum)
+    }
+    Seq("too_dark", "low_contrast").foreach { f =>
+      assert(out.exists(_.getAs[Boolean](f)), s"$f never fires")
+      assert(out.exists(!_.getAs[Boolean](f)), s"$f always fires")
+    }
+  }
+
   test("e22's physical plan never falls back to the theta join: no " +
       "CartesianProduct, no BroadcastNestedLoopJoin") {
     val df = ExtensionQueries9.all("e22_incident_exposure")(spark, dir)
