@@ -67,6 +67,28 @@ object ExtensionQueries9 {
     */
   val StratumK = 15
 
+  /** The t39/t40 Efraimidis–Spirakis key, ONE home for both engines (the
+    * IngestMod rule): ln(u)/w over documents' (doc_id, n_chars), u from
+    * the seeded 48-bit hash. Changing the seed, the +1 offset, or the
+    * ln-key formula here changes the global AND stratified cuts
+    * together — four call sites cannot drift.
+    */
+  private def samplingScore: org.apache.spark.sql.Column = {
+    val h = ExtensionQueries3.md5Hash48(
+      concat(lit(s"$SampleSeed:"), col("doc_id").cast("string")))
+    (graft.functions.DetLn.detLn(h + 1) - lit(Ln2x48)) /
+      col("n_chars").cast("double")
+  }
+
+  /** The oracle's `scored` CTE body mirroring [[samplingScore]]. */
+  private def samplingScoredCte: String = s"""scored AS (
+        SELECT doc_id, source, n_chars AS weight,
+               (${graft.functions.DetLn.detLnSql(
+                 s"CAST(('0x' || substr(md5('$SampleSeed:' || doc_id), 1, 12)) AS BIGINT) + 1")}
+                - $Ln2x48) / CAST(n_chars AS DOUBLE) AS score
+        FROM documents WHERE n_chars > 0
+      )"""
+
   /** m12 curation flags, 1e6 fixed-point: a channel is too dark below
     * mean 64, near-flat below population variance 1000 (both cut the
     * fixture's image population meaningfully — ~30% each side at
@@ -154,19 +176,14 @@ object ExtensionQueries9 {
     // correctly-rounded on identical inputs. Scale shape: one scan, one
     // TakeOrdered top-K (per-partition heaps, never a global sort) —
     // the 100 TB corpus never shuffles.
-    "t39_weighted_sample" -> ((s, dir) => {
-      val h = ExtensionQueries3.md5Hash48(
-        concat(lit(s"$SampleSeed:"), col("doc_id").cast("string")))
-      val score = (graft.functions.DetLn.detLn(h + 1) - lit(Ln2x48)) /
-        col("n_chars").cast("double")
+    "t39_weighted_sample" -> ((s, dir) =>
       t(s, dir, "documents")
         .filter(col("n_chars") > 0)
         .select(col("doc_id"), col("source"),
-          col("n_chars").as("weight"), score.as("score"))
+          col("n_chars").as("weight"), samplingScore.as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(SampleK)
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // Per-channel image statistics (m12): the brightness/contrast
     // curation gate a vision pipeline runs before training — per
@@ -193,14 +210,10 @@ object ExtensionQueries9 {
     // TakeOrdered becomes one rank window partitioned by source — a
     // single keyed shuffle, per-stratum heaps never meet.
     "t40_stratified_sample" -> ((s, dir) => {
-      val h = ExtensionQueries3.md5Hash48(
-        concat(lit(s"$SampleSeed:"), col("doc_id").cast("string")))
-      val score = (graft.functions.DetLn.detLn(h + 1) - lit(Ln2x48)) /
-        col("n_chars").cast("double")
       t(s, dir, "documents")
         .filter(col("n_chars") > 0)
         .select(col("doc_id"), col("source"),
-          col("n_chars").as("weight"), score.as("score"))
+          col("n_chars").as("weight"), samplingScore.as("score"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("source"))
             .orderBy(col("score").desc, col("doc_id").asc)))
@@ -376,13 +389,7 @@ object ExtensionQueries9 {
     // Weighted-sample replay: the same 48-bit uniform, the same DetLn
     // rendering of ln(u), the same rank-and-cut.
     "t39_weighted_sample" -> s"""
-      WITH scored AS (
-        SELECT doc_id, source, n_chars AS weight,
-               (${graft.functions.DetLn.detLnSql(
-                 s"CAST(('0x' || substr(md5('$SampleSeed:' || doc_id), 1, 12)) AS BIGINT) + 1")}
-                - $Ln2x48) / CAST(n_chars AS DOUBLE) AS score
-        FROM documents WHERE n_chars > 0
-      ),
+      WITH $samplingScoredCte,
       cut AS (
         SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $SampleK
       )
@@ -433,13 +440,7 @@ object ExtensionQueries9 {
 
     // Stratified-sample replay: identical scores, rank within source.
     "t40_stratified_sample" -> s"""
-      WITH scored AS (
-        SELECT doc_id, source, n_chars AS weight,
-               (${graft.functions.DetLn.detLnSql(
-                 s"CAST(('0x' || substr(md5('$SampleSeed:' || doc_id), 1, 12)) AS BIGINT) + 1")}
-                - $Ln2x48) / CAST(n_chars AS DOUBLE) AS score
-        FROM documents WHERE n_chars > 0
-      ),
+      WITH $samplingScoredCte,
       ranked AS (
         SELECT *, row_number() OVER (
           PARTITION BY source ORDER BY score DESC, doc_id) AS rk

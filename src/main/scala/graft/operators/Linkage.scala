@@ -97,7 +97,7 @@ object Linkage {
       .select(col("__pid").as("__opid"), col("__off"))
     withRn.join(broadcast(offsets), col("__pid") === col("__opid"))
       .withColumn("pos", col("__off") + col("__rn"))
-      .drop("__pid", "__opid", "__rn", "__off", "__cnt")
+      .drop("__pid", "__opid", "__rn", "__off")
   }
 
   /** Sorted-neighborhood candidate generation, blocking's classic
@@ -123,6 +123,17 @@ object Linkage {
       aSort: Column, bSort: Column, aId: String, bId: String,
       window: Int): DataFrame = {
     require(window > 0, "window must be positive")
+    // the long cast below would silently NULL a non-numeric id — losing
+    // the order's unique tie-break AND emptying the payload re-join —
+    // so refuse anything but integral id columns up front
+    def integral(df: DataFrame, c: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(Set("byte", "short", "integer", "long")
+          .contains(dt.typeName),
+        s"$c must be an integral id column, found ${dt.typeName}")
+    }
+    integral(a, aId)
+    integral(b, bId)
     val merged = a.select(aSort.as("__k"), lit(0).as("__side"),
         col(aId).cast("long").as("__id"))
       .unionByName(b.select(bSort.as("__k"), lit(1).as("__side"),

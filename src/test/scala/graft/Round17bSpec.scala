@@ -142,7 +142,14 @@ class Round17bSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val truth = stabbingPeaks(raw, W)
     assert(got.nonEmpty && got.map(x => (x._1, x._2)) == truth)
-    // nets telescope: total sums to zero (every +1 has its -1)
+    // exact per-bucket nets, independently: arrivals bucket by start,
+    // departures by end+1
+    val netTruth = got.map { case (b, _, _) =>
+      b -> (raw.count(_._1 / W == b).toLong -
+        raw.count(iv => (iv._2 + 1) / W == b).toLong)
+    }.toMap
+    assert(got.forall { case (b, _, net) => net == netTruth(b) })
+    // and they telescope: total sums to zero (every +1 has its -1)
     assert(got.map(_._3).sum == 0L)
     // the geometry genuinely overlaps (peak > 1 somewhere)
     assert(got.exists(_._2 > 1))
