@@ -317,6 +317,21 @@ class Round17bSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop"))
   }
 
+  test("t40's rank filter pushes into the shuffle as WindowGroupLimit " +
+      "(per-stratum top-K heaps, never full-stratum sorts at the limit)") {
+    val plan = ExtensionQueries9.all("t40_stratified_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("d25's plan stays equi-join shaped: no CartesianProduct, no " +
+      "BroadcastNestedLoopJoin anywhere in blocking/verify/resolution") {
+    val plan = ExtensionQueries9.all("d25_record_linkage")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoop"))
+  }
+
   test("d25 emits one best match per even-key customer at edit distance " +
       ">= 1 (the odd side can never carry the same name)") {
     val out = ExtensionQueries9.all("d25_record_linkage")(spark, dir)
