@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
 import graft.operators.{JoinOps, Linkage}
 import graft.sources.Tables
 
-/** Round-17 additions: the two join families the registry still lacked —
-  * record linkage (blocked fuzzy matching across tables with no shared
-  * key) and a data×data interval-overlap join (no equi key, neither side
-  * broadcast). Same contract as every extension file: deterministic
-  * results (integer/fixed-point aggregates, canonical ORDER BY), each
-  * query carrying a DuckDB oracle.
+/** Round-17 additions — the operator families the registry still lacked:
+  * record linkage (d25 blocked+purged, d26 sorted-neighborhood), the
+  * data×data interval-overlap join (e22), distributed sweep-line
+  * concurrency (e23), Efraimidis–Spirakis weighted sampling (t39 global
+  * budget, t40 per-stratum), and the per-channel image curation gate
+  * (m12). Same contract as every extension file: deterministic results
+  * (integer/fixed-point aggregates, canonical ORDER BY), each query
+  * carrying a DuckDB oracle.
   */
 object ExtensionQueries9 {
 
@@ -115,9 +117,9 @@ object ExtensionQueries9 {
     // systems that share no key — here the customer registry split into
     // two feeds (even/odd keys) standing in for CRM-vs-billing extracts.
     // The tabular twin of the d02–d04 text pipeline, same two-phase scale
-    // shape: BLOCKING equi-joins (a 17-char name prefix pass + a
-    // (nation, segment, balance-bucket) profile pass — the LSH-band
-    // analog; all-pairs never runs, the pairwise term is Σ|A_k|·|B_k|
+    // shape: BLOCKING equi-joins (an all-but-the-last-character name
+    // pass + a (nation, segment, balance-bucket) profile pass — the
+    // LSH-band analog; all-pairs never runs, the pairwise term is Σ|A_k|·|B_k|
     // over block keys), union deduped ONCE before scoring, then VERIFY =
     // codegen'd Levenshtein ≤ 2 and best-match resolution per left
     // record (min distance, then min right key). Blocking recall < 1 is
