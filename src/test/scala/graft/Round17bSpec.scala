@@ -34,19 +34,27 @@ class Round17bSpec extends AnyFunSuite {
   }
 
   test("intervalOverlapJoin equals the naive theta join on random " +
-      "multi-bucket intervals, one row per overlapping pair") {
+      "multi-bucket intervals, one row per overlapping pair — across " +
+      "bucket widths incl. the degenerate decompositions") {
     val l = intervals(1, 150, "l")
     val r = intervals(2, 150, "r")
-    val bucketed = JoinOps.intervalOverlapJoin(l, r, "l_s", "l_e",
-        "r_s", "r_e", W)
-      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
     val naive = l.crossJoin(r)
       .filter(col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
       .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(naive.length > 1000, "fixture geometry should overlap densely")
-    // exactly once per pair: multi-bucket-shared overlaps do not duplicate
-    assert(bucketed.length == bucketed.distinct.length)
-    assert(bucketed.sorted.toSeq == naive.sorted.toSeq)
+    // width 37: ragged alignment; W: the intended scale; 20 000·W: every
+    // interval lands in one bucket (the join degenerates to a single
+    // shared key, attribution still unique)
+    Seq(37L, W, 20000 * W).foreach { w =>
+      val bucketed = JoinOps.intervalOverlapJoin(l, r, "l_s", "l_e",
+          "r_s", "r_e", w)
+        .select("l_id", "r_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      // exactly once per pair: multi-bucket-shared overlaps do not
+      // duplicate at any width
+      assert(bucketed.length == bucketed.distinct.length, s"width $w")
+      assert(bucketed.sorted.toSeq == naive.sorted.toSeq, s"width $w")
+    }
   }
 
   test("intervalOverlapJoin closed-interval semantics: endpoint touching " +
