@@ -64,7 +64,7 @@ object Bench {
     "d25_record_linkage", "d26_sorted_neighborhood",
     "e22_incident_exposure", "e23_peak_concurrency",
     "t39_weighted_sample", "t40_stratified_sample",
-    "m12_image_channel_stats")
+    "m12_image_channel_stats", "t41_mixture_sample")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's

@@ -91,6 +91,9 @@ object ExtensionQueries9 {
         FROM documents WHERE n_chars > 0
       )"""
 
+  /** t41 total sample budget, apportioned across sources by weight. */
+  val MixtureBudget = 300
+
   /** m12 curation flags, 1e6 fixed-point: a channel is too dark below
     * mean 64, near-flat below population variance 1000 (both cut the
     * fixture's image population meaningfully — ~30% each side at
@@ -222,6 +225,45 @@ object ExtensionQueries9 {
         .filter(col("rk") <= StratumK)
         .select(col("doc_id"), col("source"), col("weight"), col("score"),
           col("rk").cast("int").as("rk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Mixture-budget sampling (t41): the t34→t40 loop closed — a GLOBAL
+    // budget apportioned across sources by weight (largest-remainder /
+    // Hamilton method: base = floor(B·w/W), the B−Σbase leftovers go to
+    // the largest fractional remainders, ties by source — exact integer
+    // arithmetic, |alloc − quota| < 1 guaranteed), then each source's
+    // allocation filled by the deterministic Efraimidis–Spirakis cut.
+    // t39 fills a budget ignoring sources, t40 fixes K per source; t41
+    // is what a training run actually executes: the designed mixture,
+    // enforced to the document. Scale shape: the allocation table is
+    // source-cardinality rows out of one aggregate (its rank window is
+    // bounded by construction); docs take one source-keyed rank window
+    // and a broadcast-sized alloc join — the corpus shuffles once.
+    "t41_mixture_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("n_chars") > 0)
+      val ws = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("w"))
+      val a1 = ws.crossJoin(ws.agg(sum(col("w")).as("wtot")))
+        .withColumn("base", expr(s"$MixtureBudget * w div wtot"))
+        .withColumn("rem", expr(s"($MixtureBudget * w) % wtot"))
+      val a2 = a1.withColumn("xrk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)))
+      val alloc = a2.crossJoin(a2.agg(sum(col("base")).as("bsum")))
+        .withColumn("alloc",
+          (col("base") + when(col("xrk") <= lit(MixtureBudget) - col("bsum"),
+            1L).otherwise(0L)).cast("int"))
+        .select(col("source").as("a_source"), col("alloc"))
+      docs
+        .select(col("doc_id"), col("source"),
+          col("n_chars").as("weight"), samplingScore.as("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("score").desc, col("doc_id").asc)))
+        .join(alloc, col("source") === col("a_source"))
+        .filter(col("rk") <= col("alloc"))
+        .select(col("doc_id"), col("source"), col("weight"), col("score"),
+          col("rk").cast("int").as("rk"), col("alloc"))
         .orderBy(col("doc_id"))
     }),
 
@@ -450,6 +492,43 @@ object ExtensionQueries9 {
       )
       SELECT doc_id, source, weight, score, CAST(rk AS INTEGER) AS rk
       FROM ranked WHERE rk <= $StratumK ORDER BY doc_id""",
+
+    // Mixture-sample replay: same integer apportionment (floor quotas,
+    // largest-remainder leftovers, source tie-break), same scores, same
+    // per-source rank cut.
+    "t41_mixture_sample" -> s"""
+      WITH ws AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+        FROM documents WHERE n_chars > 0 GROUP BY 1
+      ),
+      tot AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM ws),
+      a1 AS (
+        SELECT source, w,
+               $MixtureBudget * w // wtot AS base,
+               ($MixtureBudget * w) % wtot AS rem
+        FROM ws, tot
+      ),
+      a2 AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS xrk
+        FROM a1
+      ),
+      bs AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM a2),
+      alloc AS (
+        SELECT source,
+               CAST(base + CASE WHEN xrk <= $MixtureBudget - bsum
+                                THEN 1 ELSE 0 END AS INTEGER) AS alloc
+        FROM a2, bs
+      ),
+      $samplingScoredCte,
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+      )
+      SELECT doc_id, r.source, weight, score,
+             CAST(rk AS INTEGER) AS rk, alloc
+      FROM ranked r JOIN alloc a ON r.source = a.source
+      WHERE rk <= alloc ORDER BY doc_id""",
 
     // Sorted-neighborhood replay: one merged row_number order (name,
     // side, id — the same total order), the |Δpos| ≤ window pairing,

@@ -280,7 +280,13 @@ class PlanSpec extends AnyFunSuite {
       // cluster-bounded; the data-scale rank window is PARTITIONED (by
       // __pid)
       "d26_sorted_neighborhood" ->
-        "offset prefix is partition-count-bounded (one row per shuffle partition)")
+        "offset prefix is partition-count-bounded (one row per shuffle partition)",
+      // the apportionment's remainder rank runs over the per-source
+      // allocation table — one row per source out of an aggregate,
+      // source-cardinality-bounded; the doc-level rank window is
+      // PARTITIONED (by source)
+      "t41_mixture_sample" ->
+        "allocation table is source-cardinality-bounded (one row per source)")
     def boundedBelow(p: SparkPlan): Boolean = p match {
       case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
            _: TakeOrderedAndProjectExec => true

@@ -291,6 +291,31 @@ class Round17bSpec extends AnyFunSuite {
     assert(gotSrc3 == refTop)
   }
 
+  test("t41 apportionment: allocations sum exactly to the budget, every " +
+      "source's count equals its alloc, and each alloc sits within 1 of " +
+      "its exact quota") {
+    val out = ExtensionQueries9.all("t41_mixture_sample")(spark, dir)
+      .collect()
+    assert(out.length == ExtensionQueries9.MixtureBudget)
+    val perSource = out.groupBy(_.getAs[String]("source"))
+      .map { case (s, rows) =>
+        val alloc = rows.head.getAs[Int]("alloc")
+        assert(rows.length == alloc, s"$s emitted ${rows.length} != $alloc")
+        s -> alloc.toLong
+      }
+    assert(perSource.values.sum == ExtensionQueries9.MixtureBudget.toLong)
+    // quota bound: |alloc - B*w/W| < 1 for every source
+    val w = graft.sources.Tables.load(spark, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .groupBy("source").agg(sum("n_chars").as("w")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("w")).toMap
+    val wtot = w.values.sum.toDouble
+    perSource.foreach { case (s, alloc) =>
+      val quota = ExtensionQueries9.MixtureBudget * w(s) / wtot
+      assert(math.abs(alloc - quota) < 1.0, s"$s alloc=$alloc quota=$quota")
+    }
+  }
+
   test("m12 channel stats: every image emits 3 channel rows, sums match " +
       "a direct byte recount of one doc's raster, and both flags fire " +
       "in both directions on the fixture") {
