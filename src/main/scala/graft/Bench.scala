@@ -64,7 +64,10 @@ object Bench {
     "d25_record_linkage", "d26_sorted_neighborhood",
     "e22_incident_exposure", "e23_peak_concurrency",
     "t39_weighted_sample", "t40_stratified_sample",
-    "m12_image_channel_stats", "t41_mixture_sample")
+    "m12_image_channel_stats", "t41_mixture_sample",
+    // round-18 representative: the purge-cap design table (prices d25's
+    // LinkMaxBlock choice; its own cost is the gridMax row's blocking)
+    "d27_linkage_cap_tuning")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's
@@ -113,10 +116,25 @@ object Bench {
     // first touches a table absorbs its listing+footer+disk cost and the
     // per-query numbers are noise (flagship measured 2.5 s warmed vs 5.8 s
     // when it happened to run first).
+    // count(col) per column, one pass: a bare count() reads only parquet
+    // footers and row-group metadata, leaving every COLUMN PAGE cold —
+    // measured r18 on an idle box: the first full-registry run after a
+    // cold cache totaled 308.7 s vs 219.4 s for the identical back-to-back
+    // second run, the gap concentrated in whichever queries first decoded
+    // each table's wide columns. Reading every column's values (null
+    // checks force page decode) makes the first-pass `value` total
+    // comparable round-over-round instead of hostage to cache state.
     // per-table try: one absent/broken table must not abort warming the rest
-    graft.sources.Tables.all.foreach(t =>
-      try graft.sources.Tables.load(spark, sfDir, t).count()
-      catch { case _: Throwable => () })
+    locally {
+      import org.apache.spark.sql.functions.{col, count}
+      graft.sources.Tables.all.foreach(t =>
+        try {
+          val df = graft.sources.Tables.load(spark, sfDir, t)
+          val aggs = df.columns.map(c => count(col(c)))
+          df.agg(aggs.head, aggs.tail: _*).collect()
+        }
+        catch { case _: Throwable => () })
+    }
     try SparkEntry.queries("q01_dim_decode_join")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // d22's serving contract: the prior converged assignment and band

@@ -48,6 +48,44 @@ object ExtensionQueries9 {
     */
   val SnmWindow = 8
 
+  /** d27 purge-cap grid: the maxSide choices the design table prices
+    * (caps 1 and 2 exist so the table discriminates even at the small
+    * oracle scales where typical blocks hold a handful of rows; the top
+    * of the grid brackets the production LinkMaxBlock choice).
+    */
+  val LinkCapGrid = Seq(1, 2, 4, 8, 16, 32, 64, 128)
+
+  /** d25/d27 linkage fixture — ONE home (the IngestMod rule) for the two
+    * keyless feeds and both blocking keys, so the production query (d25)
+    * and the purge-cap design table (d27) can never drift apart: the
+    * customer registry split into even/odd keys standing in for
+    * CRM-vs-billing extracts.
+    */
+  private def linkSide(c: DataFrame, p: String, even: Boolean): DataFrame = c
+    .filter(if (even) col("c_custkey") % 2 === 0
+            else col("c_custkey") % 2 =!= 0)
+    .select(col("c_custkey").as(s"${p}_key"),
+      col("c_name").as(s"${p}_name"),
+      col("c_nationkey").as(s"${p}_nation"),
+      col("c_mktsegment").as(s"${p}_segment"),
+      col("c_acctbal").as(s"${p}_acctbal"))
+
+  /** The (nation, segment, balance-bucket) profile blocking key; see
+    * [[LinkBalShift]] for the non-negative-regime shift.
+    */
+  private def linkProfileKey(p: String): org.apache.spark.sql.Column =
+    concat_ws(":",
+      col(s"${p}_nation"), col(s"${p}_segment"),
+      expr(s"CAST(floor(${p}_acctbal + $LinkBalShift) AS BIGINT)" +
+        " div 1000"))
+
+  /** The all-but-the-last-character name blocking key — length-aware, so
+    * the block frees exactly one trailing digit (≤ 10 keys) no matter how
+    * wide the entity's id printed.
+    */
+  private def linkNamePrefix(p: String): org.apache.spark.sql.Column =
+    expr(s"substr(${p}_name, 1, length(${p}_name) - 1)")
+
   /** t39 sample size (< the 500-doc oracle fixtures, so selection is a
     * genuine cut at every scale the oracle runs).
     */
@@ -135,28 +173,11 @@ object ExtensionQueries9 {
     // pass (self-bounding ≤ 10-key blocks) carries the matches.
     "d25_record_linkage" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      def side(p: String, even: Boolean) = c
-        .filter(if (even) col("c_custkey") % 2 === 0
-                else col("c_custkey") % 2 =!= 0)
-        .select(col("c_custkey").as(s"${p}_key"),
-          col("c_name").as(s"${p}_name"),
-          col("c_nationkey").as(s"${p}_nation"),
-          col("c_mktsegment").as(s"${p}_segment"),
-          col("c_acctbal").as(s"${p}_acctbal"))
-      def profileKey(p: String) = concat_ws(":",
-        col(s"${p}_nation"), col(s"${p}_segment"),
-        expr(s"CAST(floor(${p}_acctbal + $LinkBalShift) AS BIGINT)" +
-          " div 1000"))
-      // name pass: all but the last character — length-aware, so the
-      // block frees exactly one trailing digit (≤ 10 keys) no matter how
-      // wide the entity's id printed
-      def namePrefix(p: String) =
-        expr(s"substr(${p}_name, 1, length(${p}_name) - 1)")
       val cands = Linkage.blockedCandidates(
-        side("a", even = true), side("b", even = false),
+        linkSide(c, "a", even = true), linkSide(c, "b", even = false),
         Seq(
-          (namePrefix("a"), namePrefix("b")),
-          (profileKey("a"), profileKey("b"))),
+          (linkNamePrefix("a"), linkNamePrefix("b")),
+          (linkProfileKey("a"), linkProfileKey("b"))),
         maxSide = LinkMaxBlock)
       val scored = cands
         .withColumn("distance", levenshtein(col("a_name"), col("b_name")))
@@ -294,6 +315,98 @@ object ExtensionQueries9 {
         .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
           col("distance"))
         .orderBy(col("a_key"))
+    }),
+
+    // Purge-cap design table (d27): the decision d25's LinkMaxBlock=64
+    // encodes, PRICED instead of asserted — for every cap in
+    // LinkCapGrid, what the blocking scheme keeps and what it finds:
+    // per pass the joint blocks surviving the cap and their pair term
+    // Σ na·nb (the join cost the cap bounds), and across passes the
+    // DEDUPLICATED candidate count plus the verified matches
+    // (Levenshtein ≤ LinkMaxDist) those candidates contain (the recall
+    // the cap buys). The d20 discipline applied to linkage: candidate
+    // volume is the cost axis, matches found the quality axis, and a
+    // deployment cites the row, not a guess. One evaluation per pair:
+    // block memberships are counted ONCE per pass; each candidate is
+    // generated once at the grid's loosest cap carrying min-over-passes
+    // of its block's max(side) — the smallest cap that admits it — so
+    // the per-cap table is a cumulative sum over a ≤|grid|-row
+    // aggregate, never a re-run of blocking per cap. Scale shape: two
+    // keyed count aggregates + the same bounded equi-joins as d25 at
+    // cap gridMax (the table's own cost is the gridMax row's cost);
+    // every post-pair structure is grid- or block-cardinality-sized.
+    "d27_linkage_cap_tuning" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val a = linkSide(c, "a", even = true)
+      val b = linkSide(c, "b", even = false)
+      val gridMax = LinkCapGrid.max
+      val capsLit = array(LinkCapGrid.map(lit(_)): _*)
+      // smallest grid cap admitting a block of max side m (null: none)
+      def firstCap(m: org.apache.spark.sql.Column) =
+        LinkCapGrid.foldRight(lit(null).cast("int")) { (cp, acc) =>
+          when(m <= cp, lit(cp)).otherwise(acc)
+        }
+      // cumulative per-cap table out of a ≤|grid|-row first-cap
+      // aggregate: explode each row to every cap ≥ its first cap, union
+      // a zero row per cap so empty caps still appear
+      def perCap(stats: DataFrame, c1: String, c2: String,
+          out1: String, out2: String) = {
+        val zeros = LinkCapGrid.map(cp => (cp, 0L, 0L)).toDF("cap", c1, c2)
+        stats
+          .select(explode(capsLit).as("cap"), col("first_cap"),
+            col(c1), col(c2))
+          .filter(col("cap") >= col("first_cap"))
+          .select("cap", c1, c2)
+          .unionByName(zeros)
+          .groupBy("cap")
+          .agg(sum(col(c1)).as(out1), sum(col(c2)).as(out2))
+      }
+      // per-pass joint-block stats (block-key cardinality, tiny)
+      def blockStats(keyA: org.apache.spark.sql.Column,
+          keyB: org.apache.spark.sql.Column) = {
+        val ga = a.groupBy(keyA.as("k")).agg(count(lit(1)).as("na"))
+          .filter(col("k").isNotNull)
+        val gb = b.groupBy(keyB.as("k")).agg(count(lit(1)).as("nb"))
+          .filter(col("k").isNotNull)
+        ga.join(gb, "k")
+          .select(firstCap(greatest(col("na"), col("nb"))).as("first_cap"),
+            (col("na") * col("nb")).as("p"))
+          .filter(col("first_cap").isNotNull)
+          .groupBy("first_cap")
+          .agg(count(lit(1)).as("blocks"), sum(col("p")).as("pairs"))
+      }
+      // candidates at the loosest grid cap, each carrying the smallest
+      // cap that admits it through SOME pass (membership window shares
+      // the join's own shuffle key — the blockedCandidates shape)
+      def passPairs(keyA: org.apache.spark.sql.Column,
+          keyB: org.apache.spark.sql.Column) = {
+        val ka = a.withColumn("k", keyA)
+          .withColumn("na", count(lit(1)).over(Window.partitionBy(col("k"))))
+          .filter(col("k").isNotNull && col("na") <= gridMax)
+        val kb = b.withColumn("k", keyB)
+          .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("k"))))
+          .filter(col("k").isNotNull && col("nb") <= gridMax)
+        ka.join(kb, "k")
+          .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"),
+            greatest(col("na"), col("nb")).as("route_max"))
+      }
+      val candAgg = passPairs(linkNamePrefix("a"), linkNamePrefix("b"))
+        .unionByName(passPairs(linkProfileKey("a"), linkProfileKey("b")))
+        .groupBy("a_key", "a_name", "b_key", "b_name")
+        .agg(min(col("route_max")).as("min_max"))
+        .select(firstCap(col("min_max")).as("first_cap"),
+          when(levenshtein(col("a_name"), col("b_name")) <= LinkMaxDist,
+            1L).otherwise(0L).as("mt"))
+        .groupBy("first_cap")
+        .agg(count(lit(1)).as("cands"), sum(col("mt")).as("matches"))
+      perCap(blockStats(linkNamePrefix("a"), linkNamePrefix("b")),
+          "blocks", "pairs", "name_blocks", "name_pairs")
+        .join(perCap(blockStats(linkProfileKey("a"), linkProfileKey("b")),
+          "blocks", "pairs", "profile_blocks", "profile_pairs"), "cap")
+        .join(perCap(candAgg, "cands", "matches",
+          "n_candidates", "n_matches"), "cap")
+        .orderBy("cap")
     }),
 
     // Incident-exposure interval join (e22): which user sessions ran
@@ -569,6 +682,77 @@ object ExtensionQueries9 {
       SELECT a_key, a_name, b_key, b_name,
              CAST(distance AS INTEGER) AS distance
       FROM best WHERE rk = 1 ORDER BY a_key""",
+
+    // Cap-table replay: per-pass block counts once, candidates at the
+    // loosest grid cap with min-over-passes max(side), one verify, and
+    // the per-cap cumulation as inequality joins against the literal
+    // grid (DuckDB-side convenience — the tables joined are grid- or
+    // block-cardinality-sized).
+    "d27_linkage_cap_tuning" -> s"""
+      WITH a AS (
+        SELECT c_custkey AS a_key, c_name AS a_name,
+               c_nationkey AS a_nation, c_mktsegment AS a_segment,
+               c_acctbal AS a_acctbal
+        FROM customer WHERE c_custkey % 2 = 0
+      ),
+      b AS (
+        SELECT c_custkey AS b_key, c_name AS b_name,
+               c_nationkey AS b_nation, c_mktsegment AS b_segment,
+               c_acctbal AS b_acctbal
+        FROM customer WHERE c_custkey % 2 <> 0
+      ),
+      an AS (SELECT a_key, a_name,
+               substr(a_name, 1, length(a_name) - 1) AS k FROM a),
+      bn AS (SELECT b_key, b_name,
+               substr(b_name, 1, length(b_name) - 1) AS k FROM b),
+      ap AS (SELECT a_key, a_name, a_nation || ':' || a_segment || ':' ||
+               (CAST(floor(a_acctbal + $LinkBalShift) AS BIGINT) // 1000)
+               AS k FROM a),
+      bp AS (SELECT b_key, b_name, b_nation || ':' || b_segment || ':' ||
+               (CAST(floor(b_acctbal + $LinkBalShift) AS BIGINT) // 1000)
+               AS k FROM b),
+      cna AS (SELECT k, count(*) AS na FROM an GROUP BY 1),
+      cnb AS (SELECT k, count(*) AS nb FROM bn GROUP BY 1),
+      cpa AS (SELECT k, count(*) AS na FROM ap GROUP BY 1),
+      cpb AS (SELECT k, count(*) AS nb FROM bp GROUP BY 1),
+      caps AS (SELECT unnest([${LinkCapGrid.mkString(", ")}]) AS cap),
+      bkn AS (SELECT greatest(na, nb) AS m, na * nb AS p
+              FROM cna JOIN cnb USING (k)),
+      bkp AS (SELECT greatest(na, nb) AS m, na * nb AS p
+              FROM cpa JOIN cpb USING (k)),
+      aggn AS (SELECT cap, count(m) AS name_blocks,
+                 coalesce(CAST(sum(p) AS BIGINT), 0) AS name_pairs
+               FROM caps LEFT JOIN bkn ON m <= cap GROUP BY cap),
+      aggp AS (SELECT cap, count(m) AS profile_blocks,
+                 coalesce(CAST(sum(p) AS BIGINT), 0) AS profile_pairs
+               FROM caps LEFT JOIN bkp ON m <= cap GROUP BY cap),
+      pn AS (SELECT an.a_key, an.a_name, bn.b_key, bn.b_name,
+               greatest(cna.na, cnb.nb) AS rm
+             FROM an JOIN bn USING (k) JOIN cna USING (k)
+               JOIN cnb USING (k)
+             WHERE cna.na <= ${LinkCapGrid.max}
+               AND cnb.nb <= ${LinkCapGrid.max}),
+      pp AS (SELECT ap.a_key, ap.a_name, bp.b_key, bp.b_name,
+               greatest(cpa.na, cpb.nb) AS rm
+             FROM ap JOIN bp USING (k) JOIN cpa USING (k)
+               JOIN cpb USING (k)
+             WHERE cpa.na <= ${LinkCapGrid.max}
+               AND cpb.nb <= ${LinkCapGrid.max}),
+      cand AS (SELECT a_key, a_name, b_key, b_name, min(rm) AS min_max
+               FROM (SELECT * FROM pn UNION ALL SELECT * FROM pp)
+               GROUP BY 1, 2, 3, 4),
+      ver AS (SELECT min_max,
+                CASE WHEN levenshtein(a_name, b_name) <= $LinkMaxDist
+                     THEN 1 ELSE 0 END AS mt
+              FROM cand),
+      aggc AS (SELECT cap, count(min_max) AS n_candidates,
+                 coalesce(CAST(sum(mt) AS BIGINT), 0) AS n_matches
+               FROM caps LEFT JOIN ver ON min_max <= cap GROUP BY cap)
+      SELECT caps.cap, name_blocks, name_pairs, profile_blocks,
+             profile_pairs, n_candidates, n_matches
+      FROM caps JOIN aggn USING (cap) JOIN aggp USING (cap)
+        JOIN aggc USING (cap)
+      ORDER BY cap""",
 
     // Incident-exposure replay: same aligned windows (integer-micros
     // div), same top-N tie rule, e11's session CTE, a plain closed-

@@ -145,6 +145,12 @@ object JoinOps {
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0, "bucketMicros must be positive")
+    // the temp bucket column would silently REPLACE a caller column of
+    // the same name (withColumn semantics) and the final drop would then
+    // remove the caller's data — wrong results with no error; refuse loudly
+    require(!left.columns.contains("__bucket") &&
+        !right.columns.contains("__bucket"),
+      "__bucket is reserved by intervalOverlapJoin; rename the input column")
     def buckets(df: DataFrame, s: String, e: String) =
       df.withColumn("__bucket",
         explode(sequence(expr(s"$s div $bucketMicros"),

@@ -55,6 +55,11 @@ object Linkage {
       blockings: Seq[(Column, Column)],
       maxSide: Int = Int.MaxValue): DataFrame = {
     require(blockings.nonEmpty, "at least one blocking pass")
+    // the temp key/count columns would silently replace same-named caller
+    // columns (withColumn semantics) and corrupt the output — refuse loudly
+    for (df <- Seq(a, b); c <- Seq("__bk", "__n"))
+      require(!df.columns.contains(c),
+        s"$c is reserved by blockedCandidates; rename the input column")
     def bounded(df: DataFrame, key: Column) = {
       val keyed = df.withColumn("__bk", key)
       if (maxSide == Int.MaxValue) keyed
@@ -83,6 +88,13 @@ object Linkage {
     * construction).
     */
   def withGlobalPositions(df: DataFrame, order: Seq[Column]): DataFrame = {
+    // `pos` is the OUTPUT column and the internals are temps: any of them
+    // already present would be silently replaced (withColumn) and then a
+    // caller keying on its own `pos` — sortedNeighborhood's exact shape —
+    // would pair on the wrong order with no error; refuse loudly
+    for (c <- Seq("pos", "__pid", "__rn", "__off", "__opid", "__cnt"))
+      require(!df.columns.contains(c),
+        s"$c is reserved by withGlobalPositions; rename the input column")
     val parted = df.repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
     val withRn = parted.withColumn("__rn", row_number().over(
@@ -123,6 +135,13 @@ object Linkage {
       aSort: Column, bSort: Column, aId: String, bId: String,
       window: Int): DataFrame = {
     require(window > 0, "window must be positive")
+    // the pair-id temps are joined back against the caller's frames; a
+    // same-named caller column would make the join-back ambiguous (or, for
+    // __apos/__bpos/__bucket, silently feed the band filter) — refuse loudly
+    for (df <- Seq(a, b); c <- Seq("__aid", "__bid", "__apos", "__bpos",
+        "__bucket"))
+      require(!df.columns.contains(c),
+        s"$c is reserved by sortedNeighborhood; rename the input column")
     // the long cast below would silently NULL a non-numeric id — losing
     // the order's unique tie-break AND emptying the payload re-join —
     // so refuse anything but integral id columns up front

@@ -157,10 +157,19 @@ object Multimodal {
     * brightness/contrast curation gate a vision pipeline runs before
     * training (too-dark and near-flat images carry no signal and skew
     * normalization): exact integer Σbyte / Σbyte² per channel, mean and
-    * population variance as 1e6 fixed-point (n·Σb² − (Σb)² ≥ 0 by
-    * Cauchy–Schwarz, and all magnitudes stay far under 2^63 at any
-    * raster the PPM header admits for this fixture's 16×9), flags on the
-    * fixed-point values so both engines compare identical integers.
+    * population variance as 1e6 fixed-point, flags on the fixed-point
+    * values so both engines compare identical integers.
+    *
+    * Exactness at ANY decodable raster, not just the fixture's 16×9: the
+    * accumulators Σb / Σb² are Long (exact up to ~2^45 pixels, far past
+    * any allocatable raster), but the variance numerator n·Σb² − (Σb)²
+    * overflows a Long above ~24k pixels, so the products run in BigInt
+    * and the final fixed-point values convert with `longValueExact` —
+    * mean ≤ 255e6 and population variance ≤ (255²/4)e6 always fit, and
+    * anything violating that contract fails LOUDLY instead of shipping a
+    * silently-wrapped statistic. `n` is computed in Long (an Int
+    * width×height product could wrap on an adversarial header before
+    * Ppm.parse's length check caught it).
     * Partition-local decode, zero shuffle before the caller's sort.
     */
   def channelStats(media: Dataset[MediaRecord], darkMeanFp: Long,
@@ -168,19 +177,25 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter(col("media_type") === "image").flatMap { r =>
       val img = Ppm.parse(r.payload)
-      val n = img.width * img.height
+      val n = img.width.toLong * img.height
+      require(n > 0 && 3 * n == img.pixels.length,
+        s"raster ${img.width}x${img.height} does not match payload length " +
+          s"${img.pixels.length}")
+      // pixels.length fits an Int, so nI and every i*3+c index do too
+      val nI = n.toInt
       (0 until 3).map { c =>
         var s = 0L
         var sq = 0L
         var i = 0
-        while (i < n) {
+        while (i < nI) {
           val b = (img.pixels(i * 3 + c) & 0xff).toLong
           s += b
           sq += b * b
           i += 1
         }
-        val meanFp = s * 1000000L / n
-        val varFp = (n * sq - s * s) * 1000000L / (n.toLong * n)
+        val meanFp = (BigInt(s) * 1000000L / n).bigInteger.longValueExact()
+        val varFp = ((BigInt(n) * sq - BigInt(s) * s) * 1000000L /
+          (BigInt(n) * n)).bigInteger.longValueExact()
         ChannelStats(r.doc_id, c, s, sq, meanFp, varFp,
           meanFp < darkMeanFp, varFp < flatVarFp)
       }
