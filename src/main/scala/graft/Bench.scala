@@ -65,9 +65,10 @@ object Bench {
     "e22_incident_exposure", "e23_peak_concurrency",
     "t39_weighted_sample", "t40_stratified_sample",
     "m12_image_channel_stats", "t41_mixture_sample",
-    // round-18 representative: the purge-cap design table (prices d25's
+    // round-18 representatives: the purge-cap design table (prices d25's
     // LinkMaxBlock choice; its own cost is the gridMax row's blocking)
-    "d27_linkage_cap_tuning")
+    // and entity formation over the verified match graph
+    "d27_linkage_cap_tuning", "d28_entity_groups")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's

@@ -409,6 +409,39 @@ object ExtensionQueries9 {
         .orderBy("cap")
     }),
 
+    // Entity groups (d28): the linkage family's last stage — the
+    // verified match graph collapsed into ENTITIES. d25 answers "which
+    // record over there is this record?" (best match per record, a 1:1
+    // read-out); d28 answers "which records, across BOTH feeds, are the
+    // same real-world thing?": connected components over ALL verified
+    // matches (dist ≤ LinkMaxDist, pre-resolution — two records joined
+    // through a chain of matches are one entity even when they never
+    // matched directly), every record labeled with its component's
+    // minimum key as the canonical entity id; unmatched records are
+    // their own singleton entity. Reuses the d07 cluster engine
+    // (star-contraction to the min-label fixed point, O(log diameter)
+    // alternations, memoized) on the purged blocking's match edges —
+    // blocking → verify → resolution → ENTITY FORMATION, the full ER
+    // pipeline. Scale shape: candidates are block-purged equi-joins
+    // (never all-pairs), the component pass is the same bounded-round
+    // machinery d07 runs at corpus scale.
+    "d28_entity_groups" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val matches = Linkage.blockedCandidates(
+          linkSide(c, "a", even = true), linkSide(c, "b", even = false),
+          Seq(
+            (linkNamePrefix("a"), linkNamePrefix("b")),
+            (linkProfileKey("a"), linkProfileKey("b"))),
+          maxSide = LinkMaxBlock)
+        .filter(levenshtein(col("a_name"), col("b_name")) <= LinkMaxDist)
+        .select(col("a_key").as("doc_a"), col("b_key").as("doc_b"))
+      graft.operators.Dedup.labelClusters(
+          c.select(col("c_custkey").as("id")), matches,
+          maxRounds = ExtensionQueries.ClusterMaxRounds)
+        .select(col("id").as("record_key"), col("label").as("entity_id"))
+        .orderBy(col("record_key"))
+    }),
+
     // Incident-exposure interval join (e22): which user sessions ran
     // through a platform incident, with no shared key between the two
     // interval sets — sessions are per-user, incidents are global. The
@@ -682,6 +715,83 @@ object ExtensionQueries9 {
       SELECT a_key, a_name, b_key, b_name,
              CAST(distance AS INTEGER) AS distance
       FROM best WHERE rk = 1 ORDER BY a_key""",
+
+    // Entity-group replay: d25's candidate CTEs (same QUALIFY purge),
+    // the verify filter, then TRUE connected components via a recursive
+    // reachability CTE (UNION-dedup'd label flooding: every (record,
+    // reachable-label) pair, then min per record). Depth-INDEPENDENT on
+    // purpose — the linkage match graph chains profile cliques through
+    // name cliques and its diameter at sf0.01 already exceeds the d07
+    // oracle's unrolled ClusterRounds (measured: the 8-round replay
+    // under-merged entity 1110's chain), so a fixed-round mirror would
+    // pin the wrong thing; the engine side is the exact fixed point by
+    // construction (Round18Spec union-find) and the oracle now is too.
+    // The closure's row count is Σ per-component size² — fine at the
+    // compared scales (the driver never oracle-compares above sf0.01).
+    "d28_entity_groups" -> s"""
+      WITH RECURSIVE a AS (
+        SELECT c_custkey AS a_key, c_name AS a_name,
+               c_nationkey AS a_nation, c_mktsegment AS a_segment,
+               c_acctbal AS a_acctbal
+        FROM customer WHERE c_custkey % 2 = 0
+      ),
+      b AS (
+        SELECT c_custkey AS b_key, c_name AS b_name,
+               c_nationkey AS b_nation, c_mktsegment AS b_segment,
+               c_acctbal AS b_acctbal
+        FROM customer WHERE c_custkey % 2 <> 0
+      ),
+      ap AS (
+        SELECT *, a_nation || ':' || a_segment || ':' ||
+               CAST(floor(a_acctbal + $LinkBalShift) AS BIGINT) // 1000
+               AS a_prof
+        FROM a QUALIFY count(*) OVER (PARTITION BY a_nation, a_segment,
+          CAST(floor(a_acctbal + $LinkBalShift) AS BIGINT) // 1000)
+          <= $LinkMaxBlock
+      ),
+      bp AS (
+        SELECT *, b_nation || ':' || b_segment || ':' ||
+               CAST(floor(b_acctbal + $LinkBalShift) AS BIGINT) // 1000
+               AS b_prof
+        FROM b QUALIFY count(*) OVER (PARTITION BY b_nation, b_segment,
+          CAST(floor(b_acctbal + $LinkBalShift) AS BIGINT) // 1000)
+          <= $LinkMaxBlock
+      ),
+      an AS (
+        SELECT * FROM a QUALIFY count(*) OVER (
+          PARTITION BY substr(a_name, 1, length(a_name) - 1))
+          <= $LinkMaxBlock
+      ),
+      bn AS (
+        SELECT * FROM b QUALIFY count(*) OVER (
+          PARTITION BY substr(b_name, 1, length(b_name) - 1))
+          <= $LinkMaxBlock
+      ),
+      cand AS (
+        SELECT DISTINCT a_key, a_name, b_key, b_name FROM (
+          SELECT a_key, a_name, b_key, b_name FROM an JOIN bn
+            ON substr(a_name, 1, length(a_name) - 1)
+             = substr(b_name, 1, length(b_name) - 1)
+          UNION ALL
+          SELECT a_key, a_name, b_key, b_name FROM ap JOIN bp
+            ON a_prof = b_prof
+        )
+      ),
+      m AS (
+        SELECT a_key, b_key FROM cand
+        WHERE levenshtein(a_name, b_name) <= $LinkMaxDist
+      ),
+      edges AS (
+        SELECT a_key AS src, b_key AS dst FROM m
+        UNION ALL SELECT b_key, a_key FROM m
+      ),
+      reach(id, label) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
+      )
+      SELECT id AS record_key, min(label) AS entity_id
+      FROM reach GROUP BY id ORDER BY record_key""",
 
     // Cap-table replay: per-pass block counts once, candidates at the
     // loosest grid cap with min-over-passes max(side), one verify, and

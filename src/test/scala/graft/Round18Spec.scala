@@ -15,6 +15,25 @@ class Round18Spec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   import graft.operators.{JoinOps, Linkage, Multimodal, Ppm}
 
+  // the d25/d27/d28 linkage fixture, re-derived here independently of
+  // ExtensionQueries9's private helpers (cross-formulation on purpose)
+  private lazy val cust =
+    graft.sources.Tables.load(spark, dir, "customer")
+  private def side(p: String, even: Boolean) = cust
+    .filter(if (even) col("c_custkey") % 2 === 0
+            else col("c_custkey") % 2 =!= 0)
+    .select(col("c_custkey").as(s"${p}_key"),
+      col("c_name").as(s"${p}_name"),
+      col("c_nationkey").as(s"${p}_nation"),
+      col("c_mktsegment").as(s"${p}_segment"),
+      col("c_acctbal").as(s"${p}_acctbal"))
+  private def prof(p: String) = concat_ws(":",
+    col(s"${p}_nation"), col(s"${p}_segment"),
+    expr(s"CAST(floor(${p}_acctbal + ${ExtensionQueries9.LinkBalShift})" +
+      s" AS BIGINT) div 1000"))
+  private def pre(p: String) =
+    expr(s"substr(${p}_name, 1, length(${p}_name) - 1)")
+
   private def iv(prefix: String, extra: String*) = {
     import spark.implicits._
     val base = Seq((1L, 0L, 10L)).toDF(s"${prefix}_id", s"${prefix}_s",
@@ -132,20 +151,6 @@ class Round18Spec extends AnyFunSuite {
     // each probed cap and count its distinct candidates + verified
     // matches — the design table must price exactly what the operator
     // would do
-    val c = graft.sources.Tables.load(spark, dir, "customer")
-    def side(p: String, even: Boolean) = c
-      .filter(if (even) col("c_custkey") % 2 === 0
-              else col("c_custkey") % 2 =!= 0)
-      .select(col("c_custkey").as(s"${p}_key"),
-        col("c_name").as(s"${p}_name"),
-        col("c_nationkey").as(s"${p}_nation"),
-        col("c_mktsegment").as(s"${p}_segment"),
-        col("c_acctbal").as(s"${p}_acctbal"))
-    def prof(p: String) = concat_ws(":",
-      col(s"${p}_nation"), col(s"${p}_segment"),
-      expr(s"CAST(floor(${p}_acctbal + ${ExtensionQueries9.LinkBalShift})" +
-        s" AS BIGINT) div 1000"))
-    def pre(p: String) = expr(s"substr(${p}_name, 1, length(${p}_name) - 1)")
     for (cap <- Seq(1, 8, 64)) {
       val cands = Linkage.blockedCandidates(
         side("a", even = true), side("b", even = false),
@@ -169,5 +174,44 @@ class Round18Spec extends AnyFunSuite {
     val at64 = out.find(_.getAs[Int]("cap") == ExtensionQueries9
       .LinkMaxBlock).get
     assert(at64.getAs[Long]("n_matches") > 0)
+  }
+
+  test("d28 entity groups equal an exact driver-side union-find over the " +
+      "same verified match edges (true connected components, not bounded " +
+      "rounds), label every record, and use the component-min id") {
+    val out = ExtensionQueries9.all("d28_entity_groups")(spark, dir)
+      .collect()
+    assert(out.length == cust.count())
+    val labels = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent exact formulation: collect the verified matches (tiny
+    // at sf0.001) and union-find them on the driver
+    val matches = Linkage.blockedCandidates(
+        side("a", even = true), side("b", even = false),
+        Seq((pre("a"), pre("b")), (prof("a"), prof("b"))),
+        maxSide = ExtensionQueries9.LinkMaxBlock)
+      .filter(levenshtein(col("a_name"), col("b_name")) <=
+        ExtensionQueries9.LinkMaxDist)
+      .select(col("a_key"), col("b_key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(matches.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    matches.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    // exact components: every record's entity = min key reachable from it
+    val expected = labels.keys.map(k => k -> find(k)).toMap
+    assert(labels == expected,
+      s"engine labels differ from exact union-find on " +
+        s"${labels.count(kv => expected(kv._1) != kv._2)} records")
+    // structural: the entity id is a member (its own label) and the min
+    out.groupBy(_.getLong(1)).foreach { case (label, rows) =>
+      assert(rows.map(_.getLong(0)).min == label)
+    }
   }
 }
