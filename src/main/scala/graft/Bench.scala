@@ -66,9 +66,11 @@ object Bench {
     "t39_weighted_sample", "t40_stratified_sample",
     "m12_image_channel_stats", "t41_mixture_sample",
     // round-18 representatives: the purge-cap design table (prices d25's
-    // LinkMaxBlock choice; its own cost is the gridMax row's blocking)
-    // and entity formation over the verified match graph
-    "d27_linkage_cap_tuning", "d28_entity_groups")
+    // LinkMaxBlock choice; its own cost is the gridMax row's blocking),
+    // entity formation over the verified match graph, and the
+    // incremental entity maintenance pass (d28 prices the full rebuild)
+    "d27_linkage_cap_tuning", "d28_entity_groups",
+    "d29_incremental_entities")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's
@@ -154,6 +156,10 @@ object Bench {
           s"sample will pay the build): ${e.getMessage}")
       }
     warmup("d22 stored prior")(ExtensionQueries8.d22PriorRoot(spark, sfDir))
+    // d29's serving contract: the prior entity table and name-key index
+    // pre-exist the ingest being priced (yesterday's build job); d28's
+    // own entry prices the full rebuild.
+    warmup("d29 prior entities")(ExtensionQueries9.d29PriorRoot(spark, sfDir))
     // s22's serving contract (r15): the per-family eval runs and the
     // brute truth are stored artifacts a deployment's index-eval jobs
     // wrote on their own cadences — each family's live serving cost is

@@ -107,6 +107,53 @@ object ExtensionQueries9 {
     */
   val StratumK = 15
 
+  private val d29PriorMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Session-scoped stored artifacts for d29's incremental entity
+    * maintenance (the d22PriorRoot pattern — in a deployment, written by
+    * yesterday's build job): the PRIOR corpus's converged entity table
+    * and its name-key index (pre-keyed rows, so per-ingest maintenance
+    * never re-derives the corpus's blocking keys — d17's band-index
+    * contract applied to linkage). Prior = customer keys outside the
+    * shared [[ExtensionQueries.ingestDelta]] convention. NAME LANE ONLY,
+    * by contract: the purged profile lane cannot be maintained
+    * incrementally — a delta pushing a block past the cap RETRACTS that
+    * block's pairs from the full recompute, but star edges bake the old
+    * connectivity in, so incremental equality is provable only for
+    * purge-free blocking (the name pass is self-bounding ≤ 10 per side
+    * by construction); capped lanes belong to the nightly full rebuild
+    * (d28), exactly the q99/q104 split.
+    */
+  private[graft] def d29PriorRoot(s: SparkSession, dir: String): String = {
+    d29PriorMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    d29PriorMemo.computeIfAbsent((s, dir), { _ =>
+      val prior = t(s, dir, "customer")
+        .filter(ExtensionQueries.priorCorpus(col("c_custkey")))
+      val pa = linkSide(prior, "a", even = true)
+        .withColumn("k", linkNamePrefix("a"))
+        .select(col("k"), col("a_key").as("key"), col("a_name").as("name"),
+          lit(0).as("side"))
+      val pb = linkSide(prior, "b", even = false)
+        .withColumn("k", linkNamePrefix("b"))
+        .select(col("k"), col("b_key").as("key"), col("b_name").as("name"),
+          lit(1).as("side"))
+      val matches = pa.join(pb.select(col("k"), col("key").as("bkey"),
+            col("name").as("bname")), "k")
+        .filter(levenshtein(col("name"), col("bname")) <= LinkMaxDist)
+        .select(col("key").as("doc_a"), col("bkey").as("doc_b"))
+      val entities = graft.operators.Dedup.labelClusters(
+        prior.select(col("c_custkey").as("id")), matches,
+        ExtensionQueries.ClusterMaxRounds)
+      val root = graft.sources.Scratch.fresh(s,
+        s"d29_prior_${graft.sources.Scratch.dirTag(dir)}")
+      graft.sources.Snapshots.commit(s, s"$root/entities", entities)
+      graft.sources.Snapshots.commit(s, s"$root/name_index",
+        pa.unionByName(pb))
+      root
+    })
+  }
+
   /** The t39/t40 Efraimidis–Spirakis key, ONE home for both engines (the
     * IngestMod rule): ln(u)/w over documents' (doc_id, n_chars), u from
     * the seeded 48-bit hash. Changing the seed, the +1 offset, or the
@@ -438,6 +485,55 @@ object ExtensionQueries9 {
       graft.operators.Dedup.labelClusters(
           c.select(col("c_custkey").as("id")), matches,
           maxRounds = ExtensionQueries.ClusterMaxRounds)
+        .select(col("id").as("record_key"), col("label").as("entity_id"))
+        .orderBy(col("record_key"))
+    }),
+
+    // Incremental entity MAINTENANCE (d29): the d22 discipline applied
+    // to the linkage family — when the day's new records arrive, update
+    // the converged ENTITY TABLE itself without re-matching history.
+    // SERVING FORM: the prior entity assignment and the prior corpus's
+    // name-key index are read from stored Snapshots tables (built once
+    // per session by [[d29PriorRoot]]; in a deployment, by yesterday's
+    // build job), so this query prices ONLY the per-ingest pass: key the
+    // delta, join it against the stored index (plus delta×delta), verify
+    // the new candidates, and propagate over { prior-entity star edges ∪
+    // new match edges }. Stars preserve exactly the prior components'
+    // connectivity, so the result provably equals a full re-match of the
+    // whole corpus — including a delta record BRIDGING two previously
+    // separate entities — while prior×prior matching never runs again.
+    // NAME LANE ONLY by contract (see [[d29PriorRoot]]): purged lanes
+    // can retract pairs when a delta crosses the cap, which star edges
+    // cannot un-bake; those belong to the nightly full rebuild (d28).
+    // The oracle is the purge-free name-lane full recompute — equality
+    // IS the contract.
+    "d29_incremental_entities" -> ((s, dir) => {
+      val root = d29PriorRoot(s, dir)
+      val priorEnt = graft.sources.Snapshots.readLatest(s, s"$root/entities")
+      val index = graft.sources.Snapshots.readLatest(s, s"$root/name_index")
+      val full = t(s, dir, "customer")
+      val deltaC = full.filter(ExtensionQueries.ingestDelta(col("c_custkey")))
+      val dA = linkSide(deltaC, "a", even = true)
+        .withColumn("k", linkNamePrefix("a"))
+        .select(col("k"), col("a_key").as("key"), col("a_name").as("name"))
+      val dB = linkSide(deltaC, "b", even = false)
+        .withColumn("k", linkNamePrefix("b"))
+        .select(col("k"), col("b_key").as("key"), col("b_name").as("name"))
+      val pA = index.filter(col("side") === 0).select("k", "key", "name")
+      val pB = index.filter(col("side") === 1).select("k", "key", "name")
+      // every new match has a delta record on some side, exactly once:
+      // deltaA × (priorB ∪ deltaB), plus priorA × deltaB
+      def pairs(l: DataFrame, r: DataFrame) = l
+        .join(r.select(col("k"), col("key").as("rkey"),
+          col("name").as("rname")), "k")
+        .filter(levenshtein(col("name"), col("rname")) <= LinkMaxDist)
+        .select(col("key").as("doc_a"), col("rkey").as("doc_b"))
+      val newEdges = pairs(dA, pB.unionByName(dB)).unionByName(pairs(pA, dB))
+      val stars = priorEnt.select(col("id").as("doc_a"),
+        col("label").as("doc_b"))
+      graft.operators.Dedup.labelClusters(
+          full.select(col("c_custkey").as("id")),
+          stars.unionByName(newEdges), ExtensionQueries.ClusterMaxRounds)
         .select(col("id").as("record_key"), col("label").as("entity_id"))
         .orderBy(col("record_key"))
     }),
@@ -779,6 +875,37 @@ object ExtensionQueries9 {
       ),
       m AS (
         SELECT a_key, b_key FROM cand
+        WHERE levenshtein(a_name, b_name) <= $LinkMaxDist
+      ),
+      edges AS (
+        SELECT a_key AS src, b_key AS dst FROM m
+        UNION ALL SELECT b_key, a_key FROM m
+      ),
+      reach(id, label) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
+      )
+      SELECT id AS record_key, min(label) AS entity_id
+      FROM reach GROUP BY id ORDER BY record_key""",
+
+    // Incremental-entity oracle: the purge-free NAME-LANE full
+    // recompute over the whole corpus — the incremental maintenance
+    // pass must land byte-equal to re-matching everything (true-
+    // fixpoint recursive reachability, as d28).
+    "d29_incremental_entities" -> s"""
+      WITH RECURSIVE a AS (
+        SELECT c_custkey AS a_key, c_name AS a_name
+        FROM customer WHERE c_custkey % 2 = 0
+      ),
+      b AS (
+        SELECT c_custkey AS b_key, c_name AS b_name
+        FROM customer WHERE c_custkey % 2 <> 0
+      ),
+      m AS (
+        SELECT a_key, b_key FROM a JOIN b
+          ON substr(a_name, 1, length(a_name) - 1)
+           = substr(b_name, 1, length(b_name) - 1)
         WHERE levenshtein(a_name, b_name) <= $LinkMaxDist
       ),
       edges AS (

@@ -214,4 +214,48 @@ class Round18Spec extends AnyFunSuite {
       assert(rows.map(_.getLong(0)).min == label)
     }
   }
+
+  test("d29 incremental entity maintenance equals the purge-free " +
+      "name-lane full recompute (exact union-find over ALL matches at " +
+      "once — a derivation sharing nothing with the stars+delta pass), " +
+      "and the delta genuinely attaches to prior entities") {
+    val out = ExtensionQueries9.all("d29_incremental_entities")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == cust.count())
+    val labels = out.toMap
+    // independent full recompute: every name-lane match of the WHOLE
+    // corpus in one pass, union-found on the driver (the bridge case for
+    // the shared stars+delta propagation engine is pinned adversarially
+    // in Round13cSpec; the name lane's prefix cliques are complete, so
+    // this fixture exercises attach, not bridge)
+    val a = side("a", even = true).withColumn("k", pre("a"))
+      .select(col("k"), col("a_key"), col("a_name"))
+    val b = side("b", even = false).withColumn("k", pre("b"))
+      .select(col("k"), col("b_key"), col("b_name"))
+    val matches = a.join(b, "k")
+      .filter(levenshtein(col("a_name"), col("b_name")) <=
+        ExtensionQueries9.LinkMaxDist)
+      .select(col("a_key"), col("b_key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    matches.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val expected = labels.keys.map(k => k -> find(k)).toMap
+    assert(labels == expected,
+      s"incremental labels differ from the full recompute on " +
+        s"${labels.count(kv => expected(kv._1) != kv._2)} records")
+    // the ingest convention is live: some entity holds BOTH a delta
+    // record (key % IngestMod == 0) and a prior record
+    val byEntity = out.groupBy(_._2)
+    assert(byEntity.exists { case (_, members) =>
+      members.exists(_._1 % 4 == 0) && members.exists(_._1 % 4 != 0)
+    }, "no entity spans the delta/prior split — the convention is dead")
+  }
 }
