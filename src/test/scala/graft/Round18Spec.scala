@@ -258,4 +258,15 @@ class Round18Spec extends AnyFunSuite {
       members.exists(_._1 % 4 == 0) && members.exists(_._1 % 4 != 0)
     }, "no entity spans the delta/prior split — the convention is dead")
   }
+
+  test("d27/d28/d29 plans stay equi-join shaped: no CartesianProduct, " +
+      "no BroadcastNestedLoopJoin anywhere") {
+    for (q <- Seq("d27_linkage_cap_tuning", "d28_entity_groups",
+        "d29_incremental_entities")) {
+      val plan = ExtensionQueries9.all(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoop"), s"$q:\n$plan")
+    }
+  }
 }
