@@ -36,6 +36,7 @@ object ScaleUp {
     val srcDir = args(0)
     val outDir = args(1)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val shiftDays = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,12 +45,25 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scaleAll(spark, srcDir, outDir, factor)
+    scaleAll(spark, srcDir, outDir, factor, shiftDays)
     spark.stop()
   }
 
+  /** `shiftDays` > 0 makes event TIME grow with data volume: copy i's
+    * events shift by i·shiftDays days, so 10× data occupies 10× the time
+    * span at CONSTANT density (shiftDays = the source span, 30 days,
+    * tiles copies edge to edge). The default 0 keeps the historical
+    * behavior — every copy inside the source's fixed span — so standing
+    * fixtures (graft_sf1/graft_sf10) stay comparable round-over-round;
+    * span-proportional fixtures exist to grade operators whose cost is
+    * interval-DENSITY-driven (e22's all-windows exposure join: a fixed
+    * span inflates density 10×/decade and pair counts ~100×/decade,
+    * which no real corpus does). Per-user sessions are unaffected
+    * (user_id shifts with the copy, so a copy's sessions relocate
+    * together, never merging across copies).
+    */
   def scaleAll(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, shiftDays: Int = 0): Unit = {
     def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
 
     /** Union `factor` shifted copies of `df`. `shift(df, i)` must return
@@ -87,7 +101,12 @@ object ScaleUp {
       "orders" -> rep(src("orders"))(shiftKeys("o_orderkey", "o_custkey")),
       "lineitem" -> rep(src("lineitem"))(
         shiftKeys("l_orderkey", "l_partkey", "l_suppkey")),
-      "events" -> rep(src("events"))(shiftKeys("event_id", "user_id")),
+      "events" -> rep(src("events")) { (df, i) =>
+        val shifted = shiftKeys("event_id", "user_id")(df, i)
+        if (shiftDays == 0 || i == 0) shifted
+        else shifted.withColumn("ts",
+          col("ts") + expr(s"INTERVAL '${i.toLong * shiftDays}' DAY"))
+      },
       "documents" -> rep(src("documents")) { (df, i) =>
         val shifted = shiftKeys("doc_id")(df, i)
         if (i == 0) shifted
