@@ -70,7 +70,11 @@ object Bench {
     // entity formation over the verified match graph, and the
     // incremental entity maintenance pass (d28 prices the full rebuild)
     "d27_linkage_cap_tuning", "d28_entity_groups",
-    "d29_incremental_entities")
+    "d29_incremental_entities",
+    // the walk composition (IVF entries + symmetric edges) that the
+    // clustered-decade grading showed is the only configuration with
+    // real recall there
+    "s39_graph_walk_ivf_sym")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's

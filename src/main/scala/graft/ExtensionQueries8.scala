@@ -626,8 +626,8 @@ object ExtensionQueries8 {
     * exactly what HNSW's upper layers buy — s22's graph_walk vs
     * graph_walk_ivf rows price the difference.
     */
-  private[graft] def graphWalkIvf(s: SparkSession, dir: String): DataFrame =
-    walkFrom(s, dir, (q, e) => {
+  private[graft] val ivfWalkSeeds: (DataFrame, DataFrame) => DataFrame =
+    (q, e) => {
       import org.apache.spark.sql.expressions.Window
       import graft.operators.VectorOps
       val (cent, assigned) = graft.operators.Kmeans.fit(
@@ -649,7 +649,26 @@ object ExtensionQueries8 {
         .filter(col("prn") <= ExtensionQueries.IvfProbe)
         .select(col("query_id"), col("cell"))
       qcells.join(heads, Seq("cell")).select(col("query_id"), col("vec_id"))
-    })
+    }
+
+  private[graft] def graphWalkIvf(s: SparkSession, dir: String): DataFrame =
+    walkFrom(s, dir, ivfWalkSeeds)
+
+  /** s39: IVF-routed entries AND symmetric edges — the composition.
+    * Measured at the clustered decade (tools/WalkProbe on a 20k-vector
+    * 10-cluster ScaleUp clusterBoost fixture): neither half suffices
+    * alone — s36's fixed entries read recall@5 0.02 (blind entries),
+    * s37's query-aware entries still 0.02 on the DIRECTED capped graph
+    * (the walk lands in the right region — purity 0.80 — then strands
+    * on anti-hub reachability), s38's symmetric edges from blind
+    * entries reach only 0.18; the composition reads 0.57 at the same
+    * beam/hops (saturating by hops 6). The 200-point Round15Spec
+    * fixture cannot see this — directed walks still succeed there —
+    * which is exactly why the clustered DECADE grading existed as a
+    * carried item.
+    */
+  private[graft] def graphWalkIvfSym(s: SparkSession, dir: String): DataFrame =
+    walkFrom(s, dir, ivfWalkSeeds, symmetric = true)
 
   /** s38: the walk over the SYMMETRIZED capped graph — s36's fixed
     * entries, but every stored edge is traversable in BOTH directions
@@ -751,9 +770,18 @@ object ExtensionQueries8 {
     * [[ExtensionQueries.IvfIters]]), each query's probe cells, the
     * rank-1 capped member per cell as its entry.
     */
-  private[graft] def graphWalkIvfSql: String = {
+  private[graft] def graphWalkIvfSql: String =
+    walkSql(ivfEntriesCtes)
+
+  /** [[graphWalkIvfSym]]'s replay: the IVF entry CTEs over the
+    * symmetrized edge CTE — both halves verbatim from s37/s38.
+    */
+  private[graft] def graphWalkIvfSymSql: String =
+    walkSql(ivfEntriesCtes, symmetric = true)
+
+  private def ivfEntriesCtes: String = {
     val iters = ExtensionQueries.IvfIters
-    walkSql(s"""${ExtensionQueries.kmTrainingCtes(
+    s"""${ExtensionQueries.kmTrainingCtes(
         ExtensionQueries.IvfCells, iters)},
       heads AS (
         SELECT cell, vec_id FROM (
@@ -778,7 +806,7 @@ object ExtensionQueries8 {
         ) p WHERE prn <= ${ExtensionQueries.IvfProbe}
       ),
       w0 AS (SELECT qc.query_id, h.vec_id FROM qcells qc
-             JOIN heads h ON qc.cell = h.cell)""")
+             JOIN heads h ON qc.cell = h.cell)"""
   }
 
   /** The shared walk-chain SQL: `entriesCtes` must define `w0(query_id,
@@ -1622,6 +1650,19 @@ object ExtensionQueries8 {
     // corpus pass, and s22's graded table prices the lift beside
     // graph_walk at identical beam/hops.
     "s38_graph_walk_sym" -> ((s, dir) => graphWalkSym(s, dir)),
+
+    // Hierarchical bidirectional walk (s39, r18): s37's IVF-routed
+    // entries over s38's symmetrized edges — the composition, added
+    // after grading the family at a CLUSTERED decade (tools/WalkProbe
+    // on a 20k-vector 10-cluster ScaleUp clusterBoost fixture) showed
+    // neither half suffices alone: query-aware entries on the directed
+    // graph land in the right region then strand on anti-hub
+    // reachability (recall@5 0.02 at purity 0.80), symmetric edges
+    // from blind fixed entries read 0.18, the composition 0.57 at
+    // identical beam/hops. This is the configuration HNSW actually
+    // ships (upper-layer routing + bidirectional links) — see
+    // [[graphWalkIvfSym]].
+    "s39_graph_walk_ivf_sym" -> ((s, dir) => graphWalkIvfSym(s, dir)),
 
     // Auto-salted join (q100): q26 applies a FIXED salt factor; this
     // closes the q97 → q26 loop — the factor is chosen by the skew
@@ -2713,6 +2754,9 @@ object ExtensionQueries8 {
 
     // Bidirectional-walk replay: s36's chain, edge CTE symmetrized.
     "s38_graph_walk_sym" -> graphWalkSymSql,
+
+    // Composition replay: IVF entry CTEs over the symmetrized edge CTE.
+    "s39_graph_walk_ivf_sym" -> graphWalkIvfSymSql,
 
     // Difference replay: q87's segment CTEs + θ-trim, EXCEPT instead of
     // UNION/INTERSECT. 2^48 = 281474976710656 exactly in both engines.

@@ -37,6 +37,7 @@ object ScaleUp {
     val outDir = args(1)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val shiftDays = args.lift(3).map(_.toInt).getOrElse(0)
+    val clusterBoost = args.lift(4).map(_.toDouble).getOrElse(0.0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,7 +46,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scaleAll(spark, srcDir, outDir, factor, shiftDays)
+    scaleAll(spark, srcDir, outDir, factor, shiftDays, clusterBoost)
     spark.stop()
   }
 
@@ -62,8 +63,21 @@ object ScaleUp {
     * (user_id shifts with the copy, so a copy's sessions relocate
     * together, never merging across copies).
     */
+  /** `clusterBoost` > 0 plants CLUSTER structure in the scaled
+    * embeddings: copy i ≥ 1 adds boost·‖v‖ to two copy-specific
+    * dimensions ((7i, 7i+1) mod 64) on top of the rotation, so the
+    * copies become `factor` well-separated directional clusters with
+    * the copy index as ground truth (copy 0 stays the original
+    * isotropic background, preserving ScaleUp's copy-0-is-the-fixture
+    * contract). The registered fixture's embeddings are isotropic —
+    * no kNN graph over them is navigable and walk recall reads ~chance
+    * (r14's recorded ~0.07) — so clustered variants exist to grade the
+    * s36/s37/s38 walk family's recall at a REAL decade the way
+    * Round15Spec grades it at 200 constructed points. Opt-in only; the
+    * default 0.0 keeps standing fixtures byte-comparable.
+    */
   def scaleAll(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int, shiftDays: Int = 0): Unit = {
+      factor: Int, shiftDays: Int = 0, clusterBoost: Double = 0.0): Unit = {
     def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
 
     /** Union `factor` shifted copies of `df`. `shift(df, i)` must return
@@ -131,9 +145,23 @@ object ScaleUp {
           // rotate by i: element j of the copy is element (j+i) mod 64 of
           // the original — distinct vectors, same norm and per-dim family
           val d = 64
-          shifted.withColumn("embedding",
+          val rotated = shifted.withColumn("embedding",
             transform(sequence(lit(0), lit(d - 1)), j =>
               element_at(col("embedding"), ((j + i) % d + 1).cast("int"))))
+          if (clusterBoost == 0.0) rotated
+          else {
+            val (d1, d2) = ((7 * i) % d, (7 * i + 1) % d)
+            rotated
+              .withColumn("__nrm", sqrt(aggregate(col("embedding"),
+                lit(0.0d), (a, x) => a + x.cast("double") * x.cast("double"))))
+              .withColumn("embedding",
+                transform(col("embedding"), (x, j) =>
+                  when(j === d1 || j === d2,
+                    (x.cast("double") + lit(clusterBoost) * col("__nrm"))
+                      .cast("float"))
+                    .otherwise(x)))
+              .drop("__nrm")
+          }
         }
       })
 
