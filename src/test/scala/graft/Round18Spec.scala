@@ -259,6 +259,62 @@ class Round18Spec extends AnyFunSuite {
     }, "no entity spans the delta/prior split — the convention is dead")
   }
 
+  test("the d29 contract boundary is real: under a PURGED lane, a delta " +
+      "that pushes a block past the cap makes stars+delta DIVERGE from " +
+      "the full recompute — incremental maintenance of capped blocking " +
+      "is impossible, not merely unimplemented") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // one block key shared by everyone; cap = 2 per side. Prior corpus:
+    // 2 left + 2 right (block admitted, all pairs match) -> one prior
+    // entity {1,2,3,4}. Delta: a third left record -> the full
+    // recompute's block now holds 3 > cap on the left and is PURGED
+    // WHOLE (no matches at all: five singleton entities), but the
+    // incremental pass cannot retract the prior entity's connectivity.
+    val cap = 2
+    def feed(ids: Seq[Long], p: String) =
+      ids.toDF(s"${p}_key").withColumn(s"${p}_name", lit("k"))
+    def entities(matches: DataFrame, all: Seq[Long]): Map[Long, Long] = {
+      val pairs = matches.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      all.map(k => k -> find(k)).toMap
+    }
+    def blocked(a: DataFrame, b: DataFrame) = Linkage.blockedCandidates(
+      a, b, Seq((col("a_name"), col("b_name"))), maxSide = cap)
+      .select(col("a_key"), col("b_key"))
+    // prior: left {1,3}, right {2,4} -> block sides 2/2, admitted
+    val priorFull = entities(
+      blocked(feed(Seq(1L, 3L), "a"), feed(Seq(2L, 4L), "b")),
+      Seq(1L, 2L, 3L, 4L))
+    assert(priorFull.values.toSet.size == 1, s"prior must merge: $priorFull")
+    // full recompute WITH the delta (left gains 5): block purged whole
+    val fullNow = entities(
+      blocked(feed(Seq(1L, 3L, 5L), "a"), feed(Seq(2L, 4L), "b")),
+      Seq(1L, 2L, 3L, 4L, 5L))
+    assert(fullNow.values.toSet.size == 5,
+      s"the crossed cap must purge the whole block: $fullNow")
+    // incremental: prior-entity star edges + delta-touching edges (the
+    // delta's own block view also purges — but the STARS keep the old
+    // connectivity that the full recompute just retracted)
+    val stars = priorFull.toSeq.toDF("s", "t")
+      .select(col("s").as("a_key"), col("t").as("b_key"))
+    val incremental = entities(stars, Seq(1L, 2L, 3L, 4L, 5L))
+    assert(incremental != fullNow,
+      "stars+delta must DIVERGE from the full recompute here — if this " +
+        "ever passes as equal, the d29 name-lane-only contract can be " +
+        "widened")
+    assert(incremental.filter(_._1 <= 4L).values.toSet.size == 1,
+      "the stars bake in exactly the retracted connectivity")
+  }
+
   test("d27/d28/d29 plans stay equi-join shaped: no CartesianProduct, " +
       "no BroadcastNestedLoopJoin anywhere") {
     for (q <- Seq("d27_linkage_cap_tuning", "d28_entity_groups",
