@@ -253,6 +253,14 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map(n => s""""$n"""").mkString(""","failed":[""", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${prodRes.size},"hmode":"min2warm","queries":$qs,"diag_sec":$diagSec,"diag":$diagJson$failedJson,"sf":"$sfDir"}""")
+    // Truncation-proof trailer (r19, verdict item 3): the harness keeps
+    // only the LAST ~2000 chars of stdout, and r18's capture clipped the
+    // long line above mid-JSON — losing the `value` printed at its front
+    // (BENCH_r18.json `parsed: null`). This short self-sufficient line is
+    // emitted LAST, so any tail capture ends with a complete parseable
+    // JSON object carrying the headline total regardless of how much of
+    // the per-query map survived.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${prodRes.size},"hmode":"min2warm","diag_sec":$diagSec,"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.catalog.clearCache()
     spark.stop()
   }

@@ -50,7 +50,10 @@ object ScaleUp {
     spark.stop()
   }
 
-  /** `shiftDays` > 0 makes event TIME grow with data volume: copy i's
+  /** Opt-in fixture-variant knobs (both default off; defaults keep
+    * standing fixtures byte-comparable round-over-round):
+    *
+    * `shiftDays` > 0 makes event TIME grow with data volume: copy i's
     * events shift by i·shiftDays days, so 10× data occupies 10× the time
     * span at CONSTANT density (shiftDays = the source span, 30 days,
     * tiles copies edge to edge). The default 0 keeps the historical
@@ -62,8 +65,8 @@ object ScaleUp {
     * which no real corpus does). Per-user sessions are unaffected
     * (user_id shifts with the copy, so a copy's sessions relocate
     * together, never merging across copies).
-    */
-  /** `clusterBoost` > 0 plants CLUSTER structure in the scaled
+    *
+    * `clusterBoost` > 0 plants CLUSTER structure in the scaled
     * embeddings: copy i ≥ 1 adds boost·‖v‖ to two copy-specific
     * dimensions ((7i, 7i+1) mod 64) on top of the rotation, so the
     * copies become `factor` well-separated directional clusters with
@@ -73,11 +76,16 @@ object ScaleUp {
     * no kNN graph over them is navigable and walk recall reads ~chance
     * (r14's recorded ~0.07) — so clustered variants exist to grade the
     * s36/s37/s38 walk family's recall at a REAL decade the way
-    * Round15Spec grades it at 200 constructed points. Opt-in only; the
-    * default 0.0 keeps standing fixtures byte-comparable.
+    * Round15Spec grades it at 200 constructed points.
     */
   def scaleAll(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int, shiftDays: Int = 0, clusterBoost: Double = 0.0): Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    // negative values would silently produce backwards-shifted timestamps
+    // / anti-boosted embeddings — refuse rather than write a broken fixture
+    require(shiftDays >= 0, s"shiftDays must be >= 0, got $shiftDays")
+    require(clusterBoost >= 0.0,
+      s"clusterBoost must be >= 0.0, got $clusterBoost")
     def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
 
     /** Union `factor` shifted copies of `df`. `shift(df, i)` must return

@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
   * `runMain graft.tools.WalkProbe <clusteredDir> [queriesPerCluster]` —
   * prints, per entry rule (s36 fixed entries / s38 symmetric edges),
   * recall@5 vs brute truth and cluster purity@5.
+  *
+  * Intended fixture size: the 20k-vector clustered decade (sf0.1 ×10,
+  * clusterBoost). The brute-force truth below is a non-equi join of
+  * every query against the FULL corpus — |q|·|corpus| cosine
+  * evaluations — fine at 20k, quadratic-ish beyond it, so the probe
+  * fails fast above [[MaxCorpus]] instead of running for hours.
   */
 object WalkProbe {
+  /** Corpus-size bound for the brute-truth non-equi join (see object doc). */
+  val MaxCorpus = 200000L
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val perCluster = args.lift(1).map(_.toInt).getOrElse(2)
@@ -36,9 +45,16 @@ object WalkProbe {
       .select(col("vec_id").as("src"), col("neighbor").as("dst"))
       .persist()
     val e = ExtensionQueries.embeddingsD(spark, dir)
+    val nE = e.count()
+    require(nE <= MaxCorpus,
+      s"WalkProbe's brute truth is |q|x|corpus| cosines — corpus has $nE " +
+        s"vectors, bound is $MaxCorpus; point it at the 20k clustered decade")
     val copies = e.select((col("vec_id") / lit(graft.ScaleUp.KeyShift))
       .cast("long").as("c")).distinct().collect().map(_.getLong(0)).sorted
-    // queries: the perCluster smallest ids of each copy-cluster
+    // queries: per copy-cluster, perCluster ids starting at offset 5 —
+    // PAST the WalkEntryN=4 smallest ids the fixed-entry rule uses as
+    // seeds, so a query is never its own entry point (which would hand
+    // the fixed-entry rules a free hit at rank 1)
     val qIds = copies.flatMap(c =>
       (5 until 5 + perCluster).map(k => c * graft.ScaleUp.KeyShift + k))
     val q = e.filter(col("vec_id").isin(qIds: _*))
