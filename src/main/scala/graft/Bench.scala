@@ -74,7 +74,11 @@ object Bench {
     // the walk composition (IVF entries + symmetric edges) that the
     // clustered-decade grading showed is the only configuration with
     // real recall there
-    "s39_graph_walk_ivf_sym")
+    "s39_graph_walk_ivf_sym",
+    // round-19 representatives: the stored-artifact serve of the same
+    // walk (s39 stays listed as the live-build price) and the
+    // incremental graph maintenance pass (s31 prices the full build)
+    "s40_graph_walk_stored", "s41_incremental_graph")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's
@@ -181,6 +185,11 @@ object Bench {
     // q99's own entry keeps pricing the full-rebuild sweep.
     warmup("lake catalog prior")(
       ExtensionQueries8.lakeCatalogPriorRoot(spark, sfDir))
+    // s40/s41's serving contracts (r19): the stored graph artifacts and
+    // the prior graph index pre-exist — written by the nightly build job;
+    // s31/s39's own entries price the live builds.
+    warmup("s40 stored graph")(ExtensionQueries10.s40Root(spark, sfDir))
+    warmup("s41 prior graph index")(ExtensionQueries10.s41PriorRoot(spark, sfDir))
     // One timed sample: seconds elapsed if the query ran to completion,
     // None if it threw — a fast failure must never masquerade as a fast
     // query (pre-r10, a pass-2 exception's elapsed time was min'd into the

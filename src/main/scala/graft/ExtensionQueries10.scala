@@ -1,0 +1,343 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-19 additions: the stored + incrementally-maintained graph-ANN
+  * serving family — the one LLM-pipeline family whose 100 TB artifact
+  * story was still build-per-session (r18 verdict item 1).
+  *
+  * s40 persists the symmetrized occupancy-capped kNN graph, the IVF
+  * entry heads, and the codebook as versioned Snapshots tables (the
+  * s24/q94 stored-artifact pattern) and registers the serving row that
+  * reads ONLY stored artifacts — row-equal to s39's live-build form by
+  * construction (training is deterministic and doubles round-trip
+  * parquet bit-exactly; Round19Spec pins the equality, and the shared
+  * oracle is the hash gate).
+  *
+  * s41 applies the d17/d22/d29 incremental-maintenance discipline to the
+  * stored graph: the day's delta vectors attach through delta×stored-index
+  * candidate joins plus an occupancy-cap re-rank per touched cell — never
+  * a prior×prior re-match — and the maintained edge table PROVABLY equals
+  * the fixed-codebook rebuild (the oracle; proof sketch at
+  * [[maintainGraph]]). What is NOT maintainable this way is pinned as
+  * contract, d29-style: retraining the codebook moves every cell
+  * boundary, so codebook refresh belongs to the nightly full rebuild
+  * (s31/s39's path), exactly the d28/d29 and q99/q104 split.
+  */
+object ExtensionQueries10 {
+
+  import ExtensionQueries.{IvfCells, IvfIters, IvfProbe}
+  import ExtensionQueries3.GraphCapR
+
+  private val s40Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Session-scoped stored SERVING artifacts for s40 (in a deployment:
+    * written by the nightly graph-build job): the symmetrized capped
+    * edge set, the per-cell entry heads, and the codebook, each a
+    * versioned Snapshots table. The edge set is s31's capped graph
+    * symmetrized at BUILD time (out ∪ reversed, deduplicated) — the
+    * symmetrization is a projection of stored edges (≤ 2·n·R rows), and
+    * persisting the projected form means the serve pays zero per-query
+    * union/distinct. Heads and codebook are cells-bounded (≤ k rows).
+    * computeIfAbsent for the same reason as [[ExtensionQueries8
+    * .d22PriorRoot]]: a racing duplicate build would interleave
+    * Scratch.fresh's delete+mkdir under one path.
+    */
+  private[graft] def s40Root(s: SparkSession, dir: String): String = {
+    s40Memo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    s40Memo.computeIfAbsent((s, dir), { _ =>
+      val e = ExtensionQueries.embeddingsD(s, dir)
+      val (cent, assigned) = graft.operators.Kmeans.fit(
+        e.select(col("vec_id"), col("v")), k = IvfCells, iters = IvfIters)
+      val raw = ExtensionQueries3.knnGraph(s, dir, IvfProbe, Some(GraphCapR))
+        .select(col("vec_id").as("src"), col("neighbor").as("dst"))
+      val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val root = graft.sources.Scratch.fresh(s,
+        s"s40_graph_${graft.sources.Scratch.dirTag(dir)}")
+      graft.sources.Snapshots.commit(s, s"$root/edges", sym)
+      graft.sources.Snapshots.commit(s, s"$root/heads",
+        ExtensionQueries8.ivfHeads(cent, assigned))
+      graft.sources.Snapshots.commit(s, s"$root/centroids", cent)
+      root
+    })
+  }
+
+  private val s41Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Session-scoped stored PRIOR index for s41 (in a deployment: written
+    * by yesterday's graph-build job over yesterday's corpus — every
+    * vector outside the shared [[ExtensionQueries.ingestDelta]]
+    * convention): the codebook, the occupancy-capped posting lists WITH
+    * vectors (what IVF stores — cell scans never touch the raw corpus),
+    * the probe index with vectors (the s24 assignments-with-vectors
+    * artifact fanned by nprobe, so the maintenance pass reads affected
+    * vectors from the index instead of re-passing the corpus), and the
+    * prior capped graph's edges. Posting is cells·R-bounded; probes and
+    * edges are linear in the prior corpus (nprobe·n and 3·n rows).
+    */
+  private[graft] def s41PriorRoot(s: SparkSession, dir: String): String = {
+    s41Memo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    s41Memo.computeIfAbsent((s, dir), { _ =>
+      val prior = ExtensionQueries.embeddingsD(s, dir)
+        .filter(ExtensionQueries.priorCorpus(col("vec_id")))
+        .select(col("vec_id"), col("v"))
+      val (cent, assigned) = graft.operators.Kmeans.fit(
+        prior, k = IvfCells, iters = IvfIters)
+      val posting = ExtensionQueries3.cappedPosting(assigned, cent,
+        Some(GraphCapR))
+      val probes = ExtensionQueries3.graphProbes(prior, cent, IvfProbe)
+      // persist: probes feeds both the edge build below and the commit;
+      // posting likewise — without it the candidate join re-runs per sink
+      posting.persist(); probes.persist()
+      val edges = ExtensionQueries3.knnGraphEdges(probes, posting)
+      val root = graft.sources.Scratch.fresh(s,
+        s"s41_prior_${graft.sources.Scratch.dirTag(dir)}")
+      graft.sources.Snapshots.commit(s, s"$root/centroids", cent)
+      graft.sources.Snapshots.commit(s, s"$root/posting", posting)
+      graft.sources.Snapshots.commit(s, s"$root/probes", probes)
+      graft.sources.Snapshots.commit(s, s"$root/edges", edges)
+      root
+    })
+  }
+
+  /** The incremental graph-maintenance pass: fold a delta of new vectors
+    * into a stored capped-kNN-graph index under a FIXED codebook, and
+    * return the maintained edge table.
+    *
+    * Steps (all delta-driven — prior×prior candidate work never re-runs):
+    *  1. assign each delta vector to its nearest stored centroid (the
+    *     s30 IVF-insert rule) — its posting cell and probe cells;
+    *  2. re-rank the occupancy cap of each TOUCHED cell over
+    *     (stored top-R ∪ that cell's delta members);
+    *  3. a touched cell is CHANGED iff a delta member entered its top-R
+    *     (otherwise the re-rank provably returns the stored list:
+    *     stored members dominate the union's ranking);
+    *  4. affected vectors = delta vectors ∪ prior vectors whose stored
+    *     probe index reaches a changed cell; ONLY their edges are
+    *     recomputed, over the updated posting lists — eviction is
+    *     handled exactly because a prober of a changed cell re-ranks
+    *     from the cell's full new list, never by patching stored rows
+    *     (a stored edge to an evicted member has no stored rank-4
+    *     fallback, so per-edge patching cannot be exact);
+    *  5. splice: stored edges for unaffected vectors ∪ recomputed rows.
+    *
+    * EQUALITY (the s41 oracle, pinned on constructed eviction geometry
+    * by Round19Spec): the result equals the graph rebuilt from scratch
+    * over the full corpus under the SAME codebook and membership rule.
+    * Cap exactness: top-R(P ∪ D) = top-R(top-R(P) ∪ D) — any prior
+    * member outside the stored cap has ≥ R stored members above it, all
+    * present in the union, so it cannot enter the new top-R. Probe sets
+    * are a pure function of the fixed codebook, so prior probe rows
+    * never move; a vector none of whose probed cells changed has an
+    * unchanged candidate set, so its stored edges are the rebuild's
+    * rows verbatim.
+    *
+    * CONTRACT (what incremental maintenance cannot do): refresh the
+    * codebook. Retraining moves every cell boundary — membership,
+    * probes, caps — which retracts candidate pairs globally; that is
+    * the nightly rebuild (s31/s39/s40's build). The d29 name-lane
+    * ruling, applied to geometry.
+    *
+    * Scale shape: per-ingest work is |delta| assignments (k-row
+    * broadcast), a cap re-rank bounded by touched·(R+delta-per-cell),
+    * and an edge recompute bounded by |probers of changed cells|·R·
+    * nprobe candidate rows. Nothing here scans the prior corpus — the
+    * probe index carries affected vectors' values — and the only
+    * corpus-proportional term, |affected|, is the true damage radius of
+    * the ingest: at production cell counts (cells ~ n/targetCellSize) a
+    * bounded delta touches a bounded cell set; the fixture's 8 cells
+    * make every cell change at ANY delta (affected = everyone), which
+    * prices the worst case — still cheaper than the rebuild by the
+    * whole training phase (see PLANS.md r19 for the measured split).
+    */
+  private[graft] def maintainGraph(
+      cent: DataFrame,    // (cell, cv) — the stored codebook
+      posting: DataFrame, // (vec_b, vb, cell_b) — stored capped posting
+      probes: DataFrame,  // (vec_a, va, cell) — stored probe index
+      edges: DataFrame,   // (vec_id, rank, neighbor, cell, cos) — stored graph
+      delta: DataFrame,   // (vec_id, v) — the day's new vectors
+      nprobe: Int, capR: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.VectorOps
+    val assignD = graft.operators.Kmeans.assign(delta, cent)
+      .select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("cell").as("cell_b"))
+      .persist()
+    val touched = assignD.select(col("cell_b")).distinct()
+    val wCap = Window.partitionBy(col("cell_b"))
+      .orderBy(col("bcos").desc, col("vec_b").asc)
+    val touchedCap = posting
+      .join(broadcast(touched), Seq("cell_b"), "left_semi")
+      .unionByName(assignD)
+      .join(broadcast(cent.select(col("cell").as("cell_b"), col("cv"))),
+        Seq("cell_b"))
+      .withColumn("bcos", VectorOps.cosineFast(col("vb"), col("cv")))
+      .withColumn("brn", row_number().over(wCap))
+      .filter(col("brn") <= capR)
+      .select(col("vec_b"), col("vb"), col("cell_b"))
+      .persist()
+    // changed ⇔ a delta member entered the cell's top-R (delta and prior
+    // ids are disjoint by the ingest convention, so membership in assignD
+    // identifies the delta rows)
+    val changed = touchedCap
+      .join(assignD.select(col("vec_b")), Seq("vec_b"), "left_semi")
+      .select(col("cell_b")).distinct()
+    val capAfter = posting
+      .join(broadcast(changed), Seq("cell_b"), "left_anti")
+      .unionByName(
+        touchedCap.join(broadcast(changed), Seq("cell_b"), "left_semi"))
+    val probesD = ExtensionQueries3.graphProbes(delta, cent, nprobe)
+    // affected: no broadcast hint — bounded by the ingest's damage radius,
+    // corpus-proportional only in the worst case (let AQE decide)
+    val affected = probes
+      .join(broadcast(changed.select(col("cell_b").as("cell"))),
+        Seq("cell"), "left_semi")
+      .select(col("vec_a"))
+      .unionByName(probesD.select(col("vec_a")))
+      .distinct()
+    val recomputed = ExtensionQueries3.knnGraphEdges(
+      probes.unionByName(probesD).join(affected, Seq("vec_a"), "left_semi"),
+      capAfter)
+    edges
+      .join(affected.select(col("vec_a").as("vec_id")), Seq("vec_id"),
+        "left_anti")
+      .unionByName(recomputed)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Stored graph-ANN serving (s40): the s39 walk over STORED artifacts
+    // only — symmetrized capped edges, IVF entry heads, codebook, each a
+    // versioned Snapshots table written by the (nightly) build job. The
+    // serve routes each query over the stored codebook (k-row broadcast),
+    // enters at the probed cells' stored heads, and beam-walks the stored
+    // edge set: O(beam · degree · hops) per query, independent of n, and
+    // — unlike s39's live-build row, which prices trainer + graph build
+    // per session — this row prices ONLY the serve, which is what a
+    // deployment pays per request. Its oracle is s39's verbatim, and
+    // Round19Spec pins row-equality with the live-build form: the storage
+    // round trip changes nothing (the s24 contract, applied to the graph
+    // family).
+    "s40_graph_walk_stored" -> ((s, dir) => {
+      val root = s40Root(s, dir)
+      val g = graft.sources.Snapshots.readLatest(s, s"$root/edges")
+      val cent = graft.sources.Snapshots.readLatest(s, s"$root/centroids")
+      val heads = graft.sources.Snapshots.readLatest(s, s"$root/heads")
+      val e = ExtensionQueries.embeddingsD(s, dir)
+      val q = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val seeds = ExtensionQueries8.ivfQCells(q, cent)
+        .join(heads, Seq("cell"))
+        .select(col("query_id"), col("vec_id"))
+      ExtensionQueries8.walkOver(g, e, q, (_, _) => seeds)
+    }),
+
+    // Incremental graph maintenance (s41): fold the day's ingest into the
+    // STORED graph index — delta×stored-index candidate edges + an
+    // occupancy-cap re-rank per touched cell, recomputing only the
+    // affected vectors' rows — instead of rebuilding trainer + graph over
+    // the whole corpus (s31/s39's build, which stays the nightly
+    // codebook-refresh path). The maintained table PROVABLY equals the
+    // fixed-codebook rebuild (proof sketch at maintainGraph; Round19Spec
+    // pins it on constructed eviction geometry where per-edge patching
+    // would be wrong); the oracle IS that rebuild — prior corpus trains
+    // the codebook, the full corpus is membered/probed under it, capped,
+    // and edge-ranked from scratch. Equality is the contract, exactly
+    // d29's shape: what cannot be maintained (codebook refresh) is pinned
+    // to the nightly rebuild, not approximated.
+    "s41_incremental_graph" -> ((s, dir) => {
+      val root = s41PriorRoot(s, dir)
+      def a(name: String) =
+        graft.sources.Snapshots.readLatest(s, s"$root/$name")
+      maintainGraph(a("centroids"), a("posting"), a("probes"), a("edges"),
+          ExtensionQueries.embeddingsD(s, dir)
+            .filter(ExtensionQueries.ingestDelta(col("vec_id")))
+            .select(col("vec_id"), col("v")),
+          IvfProbe, GraphCapR)
+        .orderBy(col("vec_id"), col("rank"))
+    }))
+
+  // ---- DuckDB SQL mirrors ----
+
+  /** s41's oracle: the fixed-codebook full rebuild. The codebook trains
+    * on the PRIOR corpus (CTE `e` — kmTrainingCtes' training input);
+    * prior membership is the training assignment (a$iters, what the
+    * stored index holds), delta membership is the nearest-centroid
+    * insert (the s30 rule); the full corpus is probed under the stored
+    * codebook; cap and edge ranking are knnGraphSql's verbatim shapes
+    * over that membership. The engine's incremental pass must reproduce
+    * this from stored artifacts + the delta alone.
+    */
+  private def s41RebuildSql: String = {
+    import ExtensionQueries.dotSql
+    val iters = IvfIters
+    val mod = ExtensionQueries.IngestMod
+    def cosSql(a: String, b: String) =
+      s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+    s"""
+      WITH ef AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),
+      e AS (SELECT vec_id, v FROM ef WHERE vec_id % $mod <> 0),${
+        ExtensionQueries.kmTrainingCtes(IvfCells, iters)},
+      dassign AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT d.vec_id, d.v, c.cell,
+                 row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                   ${cosSql("d.v", "c.cv")} DESC, c.cell ASC) AS rn
+          FROM (SELECT vec_id, v FROM ef WHERE vec_id % $mod = 0) d
+          CROSS JOIN c$iters c
+        ) t WHERE rn = 1
+      ),
+      member AS (
+        SELECT vec_id, v, cell FROM a$iters
+        UNION ALL
+        SELECT vec_id, v, cell FROM dassign
+      ),
+      posting AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT b.vec_id, b.v, b.cell,
+                 row_number() OVER (PARTITION BY b.cell ORDER BY
+                   ${cosSql("b.v", "c.cv")} DESC, b.vec_id ASC) AS brn
+          FROM member b JOIN c$iters c ON b.cell = c.cell
+        ) x WHERE brn <= $GraphCapR
+      ),
+      probes AS (
+        SELECT vec_a, va, cell FROM (
+          SELECT f.vec_id AS vec_a, f.v AS va, c.cell,
+                 row_number() OVER (PARTITION BY f.vec_id ORDER BY
+                   ${cosSql("f.v", "c.cv")} DESC, c.cell ASC) AS prn
+          FROM ef f CROSS JOIN c$iters c
+        ) p WHERE prn <= $IvfProbe
+      ),
+      scored AS (
+        SELECT p.vec_a, b.vec_id AS vec_b, b.cell,
+               floor((${cosSql("p.va", "b.v")}) * 1000000 + 0.5)
+                 / 1000000 AS cos
+        FROM probes p
+        JOIN posting b
+          ON p.cell = b.cell AND p.vec_a <> b.vec_id
+      ),
+      ranked AS (
+        SELECT vec_a, vec_b, cell, cos,
+               row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC)
+                 AS rank
+        FROM scored
+      )
+      SELECT vec_a AS vec_id, CAST(rank AS INTEGER) AS rank, vec_b AS neighbor,
+             cell, cos
+      FROM ranked WHERE rank <= 3
+      ORDER BY vec_id, rank"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    // Stored-serving replay: s39's oracle VERBATIM — the round trip
+    // through storage must change nothing (the s24 precedent).
+    "s40_graph_walk_stored" -> ExtensionQueries8.graphWalkIvfSymSql,
+    "s41_incremental_graph" -> s41RebuildSql)
+}

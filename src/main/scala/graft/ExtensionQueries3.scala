@@ -53,17 +53,37 @@ object ExtensionQueries3 {
       VectorOps.toDouble(col("embedding")).as("v"))
     val (cent, assigned) = Kmeans.fit(e,
       k = ExtensionQueries.IvfCells, iters = ExtensionQueries.IvfIters)
+    knnGraphEdges(graphProbes(e, cent, nprobe),
+        cappedPosting(assigned, cent, capR))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** The probe index: each vector's top-`nprobe` cells over `cent` →
+    * (vec_a, va, cell). Factored out of [[knnGraph]] (r19) so s41's
+    * stored-graph maintenance can persist it as an artifact and key the
+    * ingest delta by the SAME rule; the ops are knnGraph's verbatim.
+    */
+  private[graft] def graphProbes(e: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("vec_a"))
       .orderBy(col("ccos").desc, col("cell").asc)
-    val probes = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    e.select(col("vec_id").as("vec_a"), col("v").as("va"))
       .crossJoin(broadcast(cent))
       .withColumn("ccos", VectorOps.cosineFast(col("va"), col("cv")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("vec_a"), col("va"), col("cell"))
-    val posting0 = assigned.select(col("vec_id").as("vec_b"),
+  }
+
+  /** Posting lists from a membership table (vec_id, v, cell), optionally
+    * occupancy-capped → (vec_b, vb, cell_b). Factored out of [[knnGraph]]
+    * (r19) for the same reason as [[graphProbes]].
+    */
+  private[graft] def cappedPosting(member: DataFrame, cent: DataFrame,
+      capR: Option[Int]): DataFrame = {
+    val posting0 = member.select(col("vec_id").as("vec_b"),
       col("v").as("vb"), col("cell").as("cell_b"))
-    val b = capR match {
+    capR match {
       case Some(r) =>
         // occupancy cap: rank members within their cell by proximity to
         // the centroid, keep top R — posting lists become bounded state
@@ -78,16 +98,26 @@ object ExtensionQueries3 {
           .select(col("vec_b"), col("vb"), col("cell_b"))
       case None => posting0
     }
+  }
+
+  /** The edge ranking over a probe index × posting lists: per vector,
+    * the top-3 candidates by rounded cosine → (vec_id, rank, neighbor,
+    * cell, cos), UNORDERED (callers add their own ORDER BY — [[knnGraph]]
+    * sorts; s41's maintenance unions recomputed rows with stored ones
+    * first).
+    */
+  private[graft] def knnGraphEdges(probes: DataFrame,
+      posting: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cos").desc, col("vec_b").asc)
-    probes.join(b, col("cell") === col("cell_b") && col("vec_a") =!= col("vec_b"))
+    probes.join(posting,
+        col("cell") === col("cell_b") && col("vec_a") =!= col("vec_b"))
       .withColumn("cos",
         Agg.roundAt(VectorOps.cosineFast(col("va"), col("vb")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("vec_a").as("vec_id"), col("rank"), col("vec_b").as("neighbor"),
         col("cell_b").as("cell"), col("cos"))
-      .orderBy(col("vec_id"), col("rank"))
   }
 
   /** DuckDB replay of [[knnGraph]], cap-parameterized — shared by the s13

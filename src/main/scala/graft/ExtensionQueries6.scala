@@ -36,7 +36,7 @@ object ExtensionQueries6 {
     "ivf_label", "ivf_learned", "pq", "ivfpq",
     "int8_stage1", "int8_rescore", "binary_stage1", "binary_rescore",
     "graph_full", "graph_capped", "graph_walk", "graph_walk_ivf",
-    "graph_walk_sym")
+    "graph_walk_sym", "graph_walk_ivf_sym")
 
   private val s22Memo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
@@ -111,6 +111,13 @@ object ExtensionQueries6 {
       // traversal buys over graph_walk at identical beam/hops — the
       // reachability gap Round15Spec's clustered fixture measures
       "graph_walk_sym" -> ExtensionQueries8.graphWalkSym(s, dir)
+        .select(col("query_id"), col("vec_id"), col("rank")),
+      // the composition (r19, closing the r18 verdict's gap): the
+      // clustered-decade grading showed IVF entries and symmetric edges
+      // only deliver TOGETHER (recall@5 0.57 vs ≤ 0.18 for either half
+      // — WalkProbe, PLANS.md r18), so the standing index-selection
+      // table must carry the configuration a deployment would pick
+      "graph_walk_ivf_sym" -> ExtensionQueries8.graphWalkIvfSym(s, dir)
         .select(col("query_id"), col("vec_id"), col("rank")))
   }
 
@@ -465,7 +472,9 @@ object ExtensionQueries6 {
       "graph_walk_ivf" ->
         s"(SELECT query_id, vec_id, rank FROM (${ExtensionQueries8.graphWalkIvfSql}) gwi)",
       "graph_walk_sym" ->
-        s"(SELECT query_id, vec_id, rank FROM (${ExtensionQueries8.graphWalkSymSql}) gws)")
+        s"(SELECT query_id, vec_id, rank FROM (${ExtensionQueries8.graphWalkSymSql}) gws)",
+      "graph_walk_ivf_sym" ->
+        s"(SELECT query_id, vec_id, rank FROM (${ExtensionQueries8.graphWalkIvfSymSql}) gwis)")
   }
 
   /** The graph oracles emit (vec_id, rank, neighbor, …); restrict to the

@@ -628,28 +628,46 @@ object ExtensionQueries8 {
     */
   private[graft] val ivfWalkSeeds: (DataFrame, DataFrame) => DataFrame =
     (q, e) => {
-      import org.apache.spark.sql.expressions.Window
-      import graft.operators.VectorOps
       val (cent, assigned) = graft.operators.Kmeans.fit(
         e.select(col("vec_id"), col("v")),
         k = ExtensionQueries.IvfCells, iters = ExtensionQueries.IvfIters)
-      val wCap = Window.partitionBy(col("cell"))
-        .orderBy(col("bcos").desc, col("vec_id").asc)
-      val heads = assigned
-        .join(broadcast(cent.select(col("cell"), col("cv"))), Seq("cell"))
-        .withColumn("bcos", VectorOps.cosineFast(col("v"), col("cv")))
-        .withColumn("brn", row_number().over(wCap))
-        .filter(col("brn") === 1)
-        .select(col("cell"), col("vec_id"))
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("ccos").desc, col("cell").asc)
-      val qcells = q.crossJoin(broadcast(cent))
-        .withColumn("ccos", VectorOps.cosineFast(col("qv"), col("cv")))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= ExtensionQueries.IvfProbe)
-        .select(col("query_id"), col("cell"))
-      qcells.join(heads, Seq("cell")).select(col("query_id"), col("vec_id"))
+      ivfQCells(q, cent).join(ivfHeads(cent, assigned), Seq("cell"))
+        .select(col("query_id"), col("vec_id"))
     }
+
+  /** The per-cell entry heads (rank-1 row of s31's occupancy cap):
+    * (cell, vec_id). Factored out of [[ivfWalkSeeds]] (r19) so s40 can
+    * persist the heads as a stored serving artifact; ops verbatim.
+    */
+  private[graft] def ivfHeads(cent: DataFrame, assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.VectorOps
+    val wCap = Window.partitionBy(col("cell"))
+      .orderBy(col("bcos").desc, col("vec_id").asc)
+    assigned
+      .join(broadcast(cent.select(col("cell"), col("cv"))), Seq("cell"))
+      .withColumn("bcos", VectorOps.cosineFast(col("v"), col("cv")))
+      .withColumn("brn", row_number().over(wCap))
+      .filter(col("brn") === 1)
+      .select(col("cell"), col("vec_id"))
+  }
+
+  /** Each query's [[ExtensionQueries.IvfProbe]] nearest cells over a
+    * centroid table: (query_id, cell). Factored out of [[ivfWalkSeeds]]
+    * (r19) — s40's serve routes queries over the STORED centroids with
+    * exactly this rule.
+    */
+  private[graft] def ivfQCells(q: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.VectorOps
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    q.crossJoin(broadcast(cent))
+      .withColumn("ccos", VectorOps.cosineFast(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= ExtensionQueries.IvfProbe)
+      .select(col("query_id"), col("cell"))
+  }
 
   private[graft] def graphWalkIvf(s: SparkSession, dir: String): DataFrame =
     walkFrom(s, dir, ivfWalkSeeds)

@@ -125,7 +125,8 @@ class Round12Spec extends AnyFunSuite {
       "int8_stage1", "int8_rescore", "binary_stage1", "binary_rescore",
       "graph_full", "graph_capped", // graph rows added r13 (the s31 cap price)
       "graph_walk", "graph_walk_ivf", // walk serving added r14 (s36/s37)
-      "graph_walk_sym"))              // bidirectional walk added r15 (s38)
+      "graph_walk_sym",               // bidirectional walk added r15 (s38)
+      "graph_walk_ivf_sym"))          // the composition added r19 (s39)
     assert(rows.size == methods.size * 3) // one row per (method, query)
     for (q <- 0L to 2L; fam <- Seq("int8", "binary")) {
       val (n2, r2) = rows((s"${fam}_rescore", q))
