@@ -76,9 +76,11 @@ object Bench {
     // real recall there
     "s39_graph_walk_ivf_sym",
     // round-19 representatives: the stored-artifact serve of the same
-    // walk (s39 stays listed as the live-build price) and the
-    // incremental graph maintenance pass (s31 prices the full build)
-    "s40_graph_walk_stored", "s41_incremental_graph")
+    // walk (s39 stays listed as the live-build price), the incremental
+    // graph maintenance pass (s31 prices the full build), and the
+    // per-ingest serving-coverage audit
+    "s40_graph_walk_stored", "s41_incremental_graph",
+    "s42_graph_coverage")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's

@@ -154,13 +154,20 @@ object ExtensionQueries10 {
     * prices the worst case — still cheaper than the rebuild by the
     * whole training phase (see PLANS.md r19 for the measured split).
     */
-  private[graft] def maintainGraph(
+  /** The posting half of the maintenance pass (steps 1–3 above), shared
+    * by s41's edge maintenance and s42's coverage audit: `assignD` the
+    * delta's cell assignments (keyed as posting rows), `changed` the
+    * cells whose capped list actually moved, `capAfter` the maintained
+    * posting lists.
+    */
+  private[graft] case class MaintainedIndex(
+      assignD: DataFrame, changed: DataFrame, capAfter: DataFrame)
+
+  private[graft] def maintainPosting(
       cent: DataFrame,    // (cell, cv) — the stored codebook
       posting: DataFrame, // (vec_b, vb, cell_b) — stored capped posting
-      probes: DataFrame,  // (vec_a, va, cell) — stored probe index
-      edges: DataFrame,   // (vec_id, rank, neighbor, cell, cos) — stored graph
       delta: DataFrame,   // (vec_id, v) — the day's new vectors
-      nprobe: Int, capR: Int): DataFrame = {
+      capR: Int): MaintainedIndex = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.VectorOps
     val assignD = graft.operators.Kmeans.assign(delta, cent)
@@ -190,18 +197,29 @@ object ExtensionQueries10 {
       .join(broadcast(changed), Seq("cell_b"), "left_anti")
       .unionByName(
         touchedCap.join(broadcast(changed), Seq("cell_b"), "left_semi"))
+    MaintainedIndex(assignD, changed, capAfter)
+  }
+
+  private[graft] def maintainGraph(
+      cent: DataFrame,    // (cell, cv) — the stored codebook
+      posting: DataFrame, // (vec_b, vb, cell_b) — stored capped posting
+      probes: DataFrame,  // (vec_a, va, cell) — stored probe index
+      edges: DataFrame,   // (vec_id, rank, neighbor, cell, cos) — stored graph
+      delta: DataFrame,   // (vec_id, v) — the day's new vectors
+      nprobe: Int, capR: Int): DataFrame = {
+    val idx = maintainPosting(cent, posting, delta, capR)
     val probesD = ExtensionQueries3.graphProbes(delta, cent, nprobe)
     // affected: no broadcast hint — bounded by the ingest's damage radius,
     // corpus-proportional only in the worst case (let AQE decide)
     val affected = probes
-      .join(broadcast(changed.select(col("cell_b").as("cell"))),
+      .join(broadcast(idx.changed.select(col("cell_b").as("cell"))),
         Seq("cell"), "left_semi")
       .select(col("vec_a"))
       .unionByName(probesD.select(col("vec_a")))
       .distinct()
     val recomputed = ExtensionQueries3.knnGraphEdges(
       probes.unionByName(probesD).join(affected, Seq("vec_a"), "left_semi"),
-      capAfter)
+      idx.capAfter)
     edges
       .join(affected.select(col("vec_a").as("vec_id")), Seq("vec_id"),
         "left_anti")
@@ -259,27 +277,77 @@ object ExtensionQueries10 {
             .select(col("vec_id"), col("v")),
           IvfProbe, GraphCapR)
         .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // Graph serving-coverage audit (s42): the per-ingest monitoring row a
+    // deployment alarms on after s41's maintenance pass — per lane
+    // (prior/delta): how many vectors sit in some capped posting list
+    // (in-cap: candidates for anyone's edges), how many have DIRECTED
+    // in-edges in the maintained graph (reachable as a walk result
+    // without symmetrization — the anti-hub count that motivated s38;
+    // a vector with zero in-edges is invisible to a directed walk no
+    // matter the hop budget), and how many stored cap members this
+    // ingest EVICTED (the churn the occupancy cap trades for bounded
+    // posting state). A delta vector that never enters a cap is ingested
+    // but UNSERVABLE until the nightly rebuild — exactly the number that
+    // decides the rebuild cadence. Scale shape: three id-projections of
+    // the maintained artifacts joined to the corpus's (vec_id, lane)
+    // pair, one |lanes|-row aggregate; nothing rescans vectors.
+    "s42_graph_coverage" -> ((s, dir) => {
+      val root = s41PriorRoot(s, dir)
+      def a(name: String) =
+        graft.sources.Snapshots.readLatest(s, s"$root/$name")
+      val cent = a("centroids"); val posting = a("posting")
+      val probes = a("probes"); val edges = a("edges")
+      val e = ExtensionQueries.embeddingsD(s, dir)
+      val delta = e.filter(ExtensionQueries.ingestDelta(col("vec_id")))
+        .select(col("vec_id"), col("v"))
+      val idx = maintainPosting(cent, posting, delta, GraphCapR)
+      val maintained = maintainGraph(cent, posting, probes, edges, delta,
+        IvfProbe, GraphCapR)
+      val inCap = idx.capAfter.select(col("vec_b").as("vec_id"))
+        .distinct().withColumn("in_cap", lit(1L))
+      val reach = maintained.select(col("neighbor").as("vec_id"))
+        .distinct().withColumn("reachable", lit(1L))
+      val evicted = posting.select(col("vec_b"), col("cell_b"))
+        .join(idx.capAfter.select(col("vec_b"), col("cell_b")),
+          Seq("vec_b", "cell_b"), "left_anti")
+        .select(col("vec_b").as("vec_id"))
+        .distinct().withColumn("evicted", lit(1L))
+      e.select(col("vec_id"),
+          when(ExtensionQueries.ingestDelta(col("vec_id")), "delta")
+            .otherwise("prior").as("lane"))
+        .join(inCap, Seq("vec_id"), "left")
+        .join(reach, Seq("vec_id"), "left")
+        .join(evicted, Seq("vec_id"), "left")
+        .groupBy(col("lane"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(coalesce(col("in_cap"), lit(0L))).as("n_in_cap"),
+          sum(coalesce(col("reachable"), lit(0L))).as("n_reachable"),
+          sum(coalesce(col("evicted"), lit(0L))).as("n_evicted"))
+        .orderBy(col("lane"))
     }))
 
   // ---- DuckDB SQL mirrors ----
 
-  /** s41's oracle: the fixed-codebook full rebuild. The codebook trains
-    * on the PRIOR corpus (CTE `e` — kmTrainingCtes' training input);
-    * prior membership is the training assignment (a$iters, what the
-    * stored index holds), delta membership is the nearest-centroid
-    * insert (the s30 rule); the full corpus is probed under the stored
-    * codebook; cap and edge ranking are knnGraphSql's verbatim shapes
-    * over that membership. The engine's incremental pass must reproduce
-    * this from stored artifacts + the delta alone.
-    */
-  private def s41RebuildSql: String = {
+  private def cosSql(a: String, b: String): String = {
     import ExtensionQueries.dotSql
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  }
+
+  /** The fixed-codebook rebuild's CTE chain, shared by the s41 and s42
+    * oracles (ONE home — the IngestMod rule): `ef` the full corpus, `e`
+    * the prior corpus (kmTrainingCtes' training input), training CTEs,
+    * `dassign` the delta's nearest-centroid insert (the s30 rule),
+    * `member` the full membership (prior = the training assignment
+    * a$iters — what the stored index holds), `posting` the capped
+    * lists, `probes` the full corpus's probe index, `ranked` the edge
+    * ranking — knnGraphSql's verbatim shapes over that membership.
+    */
+  private def rebuildChainCtes: String = {
     val iters = IvfIters
     val mod = ExtensionQueries.IngestMod
-    def cosSql(a: String, b: String) =
-      s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
-    s"""
-      WITH ef AS (
+    s"""ef AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
       ),
@@ -328,16 +396,72 @@ object ExtensionQueries10 {
                row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC)
                  AS rank
         FROM scored
-      )
+      )"""
+  }
+
+  /** s41's oracle: the fixed-codebook full rebuild. The engine's
+    * incremental pass must reproduce this from stored artifacts + the
+    * delta alone (see [[rebuildChainCtes]] for the chain).
+    */
+  private def s41RebuildSql: String = s"""
+      WITH $rebuildChainCtes
       SELECT vec_a AS vec_id, CAST(rank AS INTEGER) AS rank, vec_b AS neighbor,
              cell, cos
       FROM ranked WHERE rank <= 3
       ORDER BY vec_id, rank"""
+
+  /** s42's oracle: the same coverage arithmetic over the fixed-codebook
+    * rebuild's CTEs ([[rebuildChainCtes]] — the maintained artifacts
+    * provably equal the rebuild's, so the audit must reproduce from the
+    * rebuild what the engine reads off the maintained tables), plus the
+    * STORED (prior-only) cap for the eviction count.
+    */
+  private def s42CoverageSql: String = {
+    val iters = IvfIters
+    val mod = ExtensionQueries.IngestMod
+    s"""
+      WITH $rebuildChainCtes,
+      stored_cap AS (
+        SELECT vec_id, cell FROM (
+          SELECT b.vec_id, b.cell,
+                 row_number() OVER (PARTITION BY b.cell ORDER BY
+                   ${cosSql("b.v", "c.cv")} DESC, b.vec_id ASC) AS brn
+          FROM a$iters b JOIN c$iters c ON b.cell = c.cell
+        ) x WHERE brn <= $GraphCapR
+      ),
+      lanes AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % $mod = 0 THEN 'delta' ELSE 'prior' END AS lane
+        FROM ef
+      ),
+      in_cap AS (SELECT DISTINCT vec_id FROM posting),
+      reach AS (
+        SELECT DISTINCT vec_b AS vec_id FROM ranked WHERE rank <= 3
+      ),
+      evict AS (
+        SELECT DISTINCT s.vec_id FROM stored_cap s
+        LEFT JOIN posting p ON s.vec_id = p.vec_id AND s.cell = p.cell
+        WHERE p.vec_id IS NULL
+      )
+      SELECT l.lane,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(CASE WHEN ic.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_in_cap,
+             CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_reachable,
+             CAST(sum(CASE WHEN ev.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_evicted
+      FROM lanes l
+      LEFT JOIN in_cap ic ON l.vec_id = ic.vec_id
+      LEFT JOIN reach r ON l.vec_id = r.vec_id
+      LEFT JOIN evict ev ON l.vec_id = ev.vec_id
+      GROUP BY 1 ORDER BY 1"""
   }
 
   val oracles: Map[String, String] = Map(
     // Stored-serving replay: s39's oracle VERBATIM — the round trip
     // through storage must change nothing (the s24 precedent).
     "s40_graph_walk_stored" -> ExtensionQueries8.graphWalkIvfSymSql,
-    "s41_incremental_graph" -> s41RebuildSql)
+    "s41_incremental_graph" -> s41RebuildSql,
+    "s42_graph_coverage" -> s42CoverageSql)
 }

@@ -159,4 +159,35 @@ class Round19Spec extends AnyFunSuite {
   test("s22's method table includes graph_walk_ivf_sym") {
     assert(ExtensionQueries6.AnnMethodNames.contains("graph_walk_ivf_sym"))
   }
+
+  // ---- s42: coverage audit consistency ----
+
+  test("s42's coverage audit is consistent with the maintained artifacts") {
+    val rows = ExtensionQueries10.all("s42_graph_coverage")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("delta", "prior"))
+    val n = ExtensionQueries.embeddingsD(spark, dir).count()
+    assert(rows.values.map(_._1).sum == n, "lanes must partition the corpus")
+    // the prior index never evicts its own lane's rows FOR the delta
+    // lane; evictions land on prior members only
+    assert(rows("delta")._4 == 0L)
+    for ((lane, (nv, inCap, reach, ev)) <- rows) {
+      assert(inCap <= nv && reach <= nv && ev <= nv, s"$lane counts bounded")
+    }
+    // in-cap delta members are exactly the cap's delta rows
+    val root = ExtensionQueries10.s41PriorRoot(spark, dir)
+    val posting = graft.sources.Snapshots.readLatest(spark, s"$root/posting")
+    val cent = graft.sources.Snapshots.readLatest(spark, s"$root/centroids")
+    val delta = ExtensionQueries.embeddingsD(spark, dir)
+      .filter(ExtensionQueries.ingestDelta(col("vec_id")))
+      .select(col("vec_id"), col("v"))
+    val idx = ExtensionQueries10.maintainPosting(cent, posting, delta,
+      GraphCapR)
+    val deltaInCap = idx.capAfter
+      .join(delta.select(col("vec_id").as("vec_b")), Seq("vec_b"),
+        "left_semi")
+      .select(col("vec_b")).distinct().count()
+    assert(rows("delta")._2 == deltaInCap)
+  }
 }
