@@ -103,10 +103,28 @@ object MaintProbe {
     }
     val equal = maintained.exceptAll(rebuilt).count() == 0 &&
       rebuilt.exceptAll(maintained).count() == 0
+    // the scale-invariant WORK term: candidate rows each approach scores
+    // (wall at small n is Spark job-scheduling, not data — these counts
+    // are what actually grow with the corpus)
+    val idx = ExtensionQueries10.maintainPosting(cent, posting, delta, capR)
+    val probesD = ExtensionQueries3.graphProbes(delta, cent, nprobe)
+    val affectedIds = probes
+      .join(broadcast(idx.changed.select(col("cell_b").as("cell"))),
+        Seq("cell"), "left_semi").select(col("vec_a"))
+      .unionByName(probesD.select(col("vec_a"))).distinct()
+    val candMaint = probes.unionByName(probesD)
+      .join(affectedIds, Seq("vec_a"), "left_semi")
+      .join(idx.capAfter.select(col("cell_b").as("cell")), Seq("cell"))
+      .count()
+    val candRebuild = ExtensionQueries3.graphProbes(e, cent, nprobe)
+      .join(ExtensionQueries3.cappedPosting(member, cent, Some(capR))
+        .select(col("cell_b").as("cell")), Seq("cell"))
+      .count()
     println(f"MAINTPROBE dir=$dir n=$n k=$k deltaMod=$deltaMod " +
       f"delta=$nDelta capR=$capR nprobe=$nprobe touched=$touched " +
       f"changed=$changed affected=$affected " +
       f"affectedFrac=${affected.toDouble / n}%.3f rows=$maintRows " +
+      f"candMaint=$candMaint candRebuild=$candRebuild " +
       f"maintSec=$maintSec%.2f rebuildSec=$rebuildSec%.2f " +
       f"trainRebuildSec=$trainSec%.2f equal=$equal")
     spark.stop()
