@@ -77,10 +77,11 @@ object Bench {
     "s39_graph_walk_ivf_sym",
     // round-19 representatives: the stored-artifact serve of the same
     // walk (s39 stays listed as the live-build price), the incremental
-    // graph maintenance pass (s31 prices the full build), and the
-    // per-ingest serving-coverage audit
+    // graph maintenance pass (s31 prices the full build), the
+    // per-ingest serving-coverage audit, and the intraday
+    // maintain-then-serve loop
     "s40_graph_walk_stored", "s41_incremental_graph",
-    "s42_graph_coverage")
+    "s42_graph_coverage", "s43_graph_walk_maintained")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's

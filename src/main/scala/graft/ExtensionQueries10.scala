@@ -279,6 +279,50 @@ object ExtensionQueries10 {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // Serving from the MAINTAINED artifacts (s43): the ingest→maintain→
+    // serve loop closed with no rebuild anywhere — s41's maintained
+    // directed graph symmetrized (a projection, the s38/s40 rule), entry
+    // heads re-read as the rank-1 rows of the MAINTAINED caps, queries
+    // routed over the unchanged stored codebook, and the s39 beam walk
+    // served over the result. This is the intraday serving path a
+    // deployment runs between nightly rebuilds: the day's vectors are
+    // walkable (enterable through their cells' heads, traversable
+    // through their re-ranked edges) the moment the maintenance pass
+    // lands. The oracle walks the fixed-codebook REBUILD's graph and
+    // heads — equality holds because the maintained artifacts provably
+    // equal the rebuild's (s41's contract), so the walk over them must
+    // match hop for hop. Scale shape: maintenance as s41; the serve is
+    // s40's O(beam · degree · hops) per query, independent of n.
+    "s43_graph_walk_maintained" -> ((s, dir) => {
+      val root = s41PriorRoot(s, dir)
+      def a(name: String) =
+        graft.sources.Snapshots.readLatest(s, s"$root/$name")
+      val cent = a("centroids")
+      val e = ExtensionQueries.embeddingsD(s, dir)
+      val delta = e.filter(ExtensionQueries.ingestDelta(col("vec_id")))
+        .select(col("vec_id"), col("v"))
+      val idx = maintainPosting(cent, a("posting"), delta, GraphCapR)
+      val maintained = maintainGraph(cent, a("posting"), a("probes"),
+        a("edges"), delta, IvfProbe, GraphCapR)
+      val raw = maintained
+        .select(col("vec_id").as("src"), col("neighbor").as("dst"))
+      val g = raw
+        .union(raw.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      // entry heads over the MAINTAINED caps: rank-1 per cell = rank-1
+      // of the full fixed-codebook membership (the cap preserves top-R
+      // order, so its first row is the membership's first row)
+      val heads = ExtensionQueries8.ivfHeads(cent,
+        idx.capAfter.select(col("vec_b").as("vec_id"),
+          col("vb").as("v"), col("cell_b").as("cell")))
+      val q = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val seeds = ExtensionQueries8.ivfQCells(q, cent)
+        .join(heads, Seq("cell"))
+        .select(col("query_id"), col("vec_id"))
+      ExtensionQueries8.walkOver(g, e, q, (_, _) => seeds)
+    }),
+
     // Graph serving-coverage audit (s42): the per-ingest monitoring row a
     // deployment alarms on after s41's maintenance pass — per lane
     // (prior/delta): how many vectors sit in some capped posting list
@@ -458,10 +502,85 @@ object ExtensionQueries10 {
       GROUP BY 1 ORDER BY 1"""
   }
 
+  /** s43's oracle: the s39-shaped beam walk over the fixed-codebook
+    * REBUILD's symmetrized edges and heads — one flat WITH sharing
+    * [[rebuildChainCtes]] (the maintained artifacts provably equal the
+    * rebuild's, so the walk over them must match hop for hop). The walk
+    * chain mirrors ExtensionQueries8.walkSql's shapes with the FULL
+    * corpus `ef` as the scoring table (the chain's `e` is the prior
+    * training corpus — kmTrainingCtes hardcodes that name); walk CTEs
+    * stay w-prefixed clear of the training chain's c<i>/a<i>.
+    */
+  private def s43WalkMaintainedSql: String = {
+    import ExtensionQueries8.{WalkBeam, WalkHops}
+    val iters = IvfIters
+    def scoreCte(h: Int, from: String) = s"""
+      ws$h AS (
+        SELECT c.query_id, c.vec_id,
+               floor((${cosSql("q.qv", "f.v")}) * 1000000 + 0.5)
+                 / 1000000 AS cos
+        FROM $from c JOIN q ON c.query_id = q.query_id
+        JOIN ef f ON c.vec_id = f.vec_id
+        WHERE c.vec_id <> c.query_id
+      ),
+      wb$h AS (
+        SELECT query_id, vec_id, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rn FROM ws$h
+        ) x WHERE rn <= $WalkBeam
+      )"""
+    val hops = (1 to WalkHops).map { h =>
+      s"""
+      w$h AS (
+        SELECT DISTINCT query_id, vec_id FROM (
+          SELECT query_id, vec_id FROM wb${h - 1}
+          UNION ALL
+          SELECT b.query_id, g.dst AS vec_id
+          FROM wb${h - 1} b JOIN g ON g.src = b.vec_id
+        ) u
+      ),${scoreCte(h, s"w$h")}"""
+    }.mkString(",")
+    s"""
+      WITH $rebuildChainCtes,
+      g0 AS (SELECT vec_a AS src, vec_b AS dst FROM ranked WHERE rank <= 3),
+      g AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM g0
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM g0
+        ) u
+      ),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM ef WHERE vec_id <= 2),
+      heads AS (
+        SELECT cell, vec_id FROM (
+          SELECT b.cell, b.vec_id,
+                 row_number() OVER (PARTITION BY b.cell ORDER BY
+                   ${cosSql("b.v", "c.cv")} DESC, b.vec_id ASC) AS brn
+          FROM member b JOIN c$iters c ON b.cell = c.cell
+        ) h WHERE brn = 1
+      ),
+      qcells AS (
+        SELECT query_id, cell FROM (
+          SELECT q.query_id, c.cell,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC) AS prn
+          FROM q CROSS JOIN c$iters c
+        ) p WHERE prn <= $IvfProbe
+      ),
+      w0 AS (SELECT qc.query_id, h.vec_id FROM qcells qc
+             JOIN heads h ON qc.cell = h.cell),${scoreCte(0, "w0")},$hops
+      SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id ASC) AS rn FROM wb$WalkHops
+      ) f WHERE rn <= 5
+      ORDER BY query_id, rank"""
+  }
+
   val oracles: Map[String, String] = Map(
     // Stored-serving replay: s39's oracle VERBATIM — the round trip
     // through storage must change nothing (the s24 precedent).
     "s40_graph_walk_stored" -> ExtensionQueries8.graphWalkIvfSymSql,
     "s41_incremental_graph" -> s41RebuildSql,
-    "s42_graph_coverage" -> s42CoverageSql)
+    "s42_graph_coverage" -> s42CoverageSql,
+    "s43_graph_walk_maintained" -> s43WalkMaintainedSql)
 }

@@ -154,6 +154,41 @@ class Round19Spec extends AnyFunSuite {
       rebuiltEdges.orderBy(col("vec_id"), col("rank")).collect().toSeq)
   }
 
+  // ---- s43: serve from maintained ≡ serve from rebuilt ----
+
+  test("s43's walk over the maintained artifacts equals the walk over " +
+      "the fixed-codebook rebuild") {
+    val served = ExtensionQueries10.all("s43_graph_walk_maintained")(spark, dir)
+      .collect().toSeq
+    // the rebuild-side serve, constructed independently of the
+    // maintenance pass: fixed-codebook graph + heads from full membership
+    val e = ExtensionQueries.embeddingsD(spark, dir)
+      .select(col("vec_id"), col("v"))
+    val prior = e.filter(ExtensionQueries.priorCorpus(col("vec_id")))
+    val delta = e.filter(ExtensionQueries.ingestDelta(col("vec_id")))
+    val (cent, assigned) = graft.operators.Kmeans.fit(
+      prior, k = IvfCells, iters = IvfIters)
+    val member = assigned.unionByName(
+      graft.operators.Kmeans.assign(delta, cent))
+    val raw = ExtensionQueries3.knnGraphEdges(
+        ExtensionQueries3.graphProbes(e, cent, IvfProbe),
+        ExtensionQueries3.cappedPosting(member, cent, Some(GraphCapR)))
+      .select(col("vec_id").as("src"), col("neighbor").as("dst"))
+    val g = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val heads = ExtensionQueries8.ivfHeads(cent, member)
+    val q = ExtensionQueries.embeddingsD(spark, dir)
+      .filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val seeds = ExtensionQueries8.ivfQCells(q, cent)
+      .join(heads, Seq("cell")).select(col("query_id"), col("vec_id"))
+    val rebuiltServe = ExtensionQueries8.walkOver(g,
+        ExtensionQueries.embeddingsD(spark, dir), q, (_, _) => seeds)
+      .collect().toSeq
+    assert(served.nonEmpty && served == rebuiltServe,
+      "the intraday serve must match the rebuild-side serve hop for hop")
+  }
+
   // ---- s22 carries the composition row ----
 
   test("s22's method table includes graph_walk_ivf_sym") {
