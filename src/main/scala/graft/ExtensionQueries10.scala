@@ -306,9 +306,15 @@ object ExtensionQueries10 {
         a("edges"), delta, IvfProbe, GraphCapR)
       val raw = maintained
         .select(col("vec_id").as("src"), col("neighbor").as("dst"))
+      // persist: the beam loop references the edge set at EVERY hop, and
+      // without the cache each reference re-executes the whole
+      // maintenance DAG (walkFrom persists its edge set for the same
+      // reason — measured here: 35.3 s unpersisted vs ~3 s cached at
+      // sf0.1 standalone)
       val g = raw
         .union(raw.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
+        .persist()
       // entry heads over the MAINTAINED caps: rank-1 per cell = rank-1
       // of the full fixed-codebook membership (the cap preserves top-R
       // order, so its first row is the membership's first row)

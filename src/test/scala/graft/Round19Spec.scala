@@ -189,6 +189,34 @@ class Round19Spec extends AnyFunSuite {
       "the intraday serve must match the rebuild-side serve hop for hop")
   }
 
+  // ---- artifact lifecycle: publish the maintained graph as v2 ----
+
+  test("the maintained graph publishes as version 2 of the artifact " +
+      "tables — time travel to the prior build intact") {
+    // isolated scratch root: the session-shared s41PriorRoot must NOT be
+    // mutated (s41/s42/s43 read its latest version as 'the prior')
+    val prior = vecDf(priorRows)
+    val delta = vecDf(deltaRows)
+    val (posting, probes, edges) = buildIndex(prior)
+    val root = graft.sources.Scratch.fresh(spark, "r19_publish_test")
+    val v1 = graft.sources.Snapshots.commit(spark, s"$root/edges", edges)
+    assert(v1 == 1)
+    val maintained = ExtensionQueries10.maintainGraph(
+      centC, posting, probes, edges, delta, NProbe, CapR)
+    // the nightly/maintenance publication is a whole-table rewrite of
+    // the edge artifact (commitReplace): readers before the publish see
+    // v1, after see v2, and v1 stays time-travelable
+    val v2 = graft.sources.Snapshots.commitReplace(spark, s"$root/edges",
+      maintained)
+    assert(v2 == 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("vec_id"), col("rank")).collect().toSeq
+    assert(rows(graft.sources.Snapshots.readAsOf(spark, s"$root/edges", 1)) ==
+      rows(edges))
+    assert(rows(graft.sources.Snapshots.readLatest(spark, s"$root/edges")) ==
+      rows(maintained))
+  }
+
   // ---- s22 carries the composition row ----
 
   test("s22's method table includes graph_walk_ivf_sym") {
