@@ -81,7 +81,14 @@ object Bench {
     // per-ingest serving-coverage audit, and the intraday
     // maintain-then-serve loop
     "s40_graph_walk_stored", "s41_incremental_graph",
-    "s42_graph_coverage", "s43_graph_walk_maintained")
+    "s42_graph_coverage", "s43_graph_walk_maintained",
+    // round-20 representatives: the walk + coverage audit at
+    // production-shaped (corpus-scaled) cell counts — the pinned-geometry
+    // rows above stay as fixed-geometry regression anchors — and the
+    // steady-state serve from the PUBLISHED maintained artifact (s43
+    // stays listed as the fused intraday maintain+serve price)
+    "s44_graph_walk_scaled", "s45_graph_coverage_scaled",
+    "s46_graph_walk_published")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's
@@ -193,6 +200,10 @@ object Bench {
     // s31/s39's own entries price the live builds.
     warmup("s40 stored graph")(ExtensionQueries10.s40Root(spark, sfDir))
     warmup("s41 prior graph index")(ExtensionQueries10.s41PriorRoot(spark, sfDir))
+    // s46's serving contract (r20): the published maintained artifacts
+    // pre-exist the serve being priced — the maintenance pass wrote them
+    // (s41/s43 price that pass live); s46 prices the per-request read+walk.
+    warmup("s46 published graph")(ExtensionQueries11.s46Root(spark, sfDir))
     // One timed sample: seconds elapsed if the query ran to completion,
     // None if it threw — a fast failure must never masquerade as a fast
     // query (pre-r10, a pass-2 exception's elapsed time was min'd into the

@@ -163,6 +163,14 @@ object ExtensionQueries10 {
   private[graft] case class MaintainedIndex(
       assignD: DataFrame, changed: DataFrame, capAfter: DataFrame)
 
+  /** Cache ownership (r19 advice item 2, measured r20): the persists here
+    * are keyed by CANONICAL PLAN in Spark's CacheManager, and every
+    * invocation over the same stored root builds the identical plan — so
+    * repeated bench/Verify invocations reuse ONE cache entry per
+    * intermediate ("Asked to cache already cached data"), they do not
+    * accumulate copies. Round20Spec pins this: the persisted-RDD count is
+    * flat across repeated s42/s43 invocations. Session end clears the rest.
+    */
   private[graft] def maintainPosting(
       cent: DataFrame,    // (cell, cv) — the stored codebook
       posting: DataFrame, // (vec_b, vb, cell_b) — stored capped posting
@@ -200,14 +208,27 @@ object ExtensionQueries10 {
     MaintainedIndex(assignD, changed, capAfter)
   }
 
+  /** Convenience form: builds the [[MaintainedIndex]] itself. Callers that
+    * also need the index (s42's audit, s43's heads, s46's publication)
+    * pass a precomputed one to the 8-arg form instead, so the
+    * delta-assignment + cap re-rank DAG is constructed exactly once per
+    * body (r19 verdict item 3).
+    */
+  private[graft] def maintainGraph(
+      cent: DataFrame, posting: DataFrame, probes: DataFrame,
+      edges: DataFrame, delta: DataFrame,
+      nprobe: Int, capR: Int): DataFrame =
+    maintainGraph(cent, posting, probes, edges, delta, nprobe, capR,
+      maintainPosting(cent, posting, delta, capR))
+
   private[graft] def maintainGraph(
       cent: DataFrame,    // (cell, cv) — the stored codebook
       posting: DataFrame, // (vec_b, vb, cell_b) — stored capped posting
       probes: DataFrame,  // (vec_a, va, cell) — stored probe index
       edges: DataFrame,   // (vec_id, rank, neighbor, cell, cos) — stored graph
       delta: DataFrame,   // (vec_id, v) — the day's new vectors
-      nprobe: Int, capR: Int): DataFrame = {
-    val idx = maintainPosting(cent, posting, delta, capR)
+      nprobe: Int, capR: Int,
+      idx: MaintainedIndex): DataFrame = {
     val probesD = ExtensionQueries3.graphProbes(delta, cent, nprobe)
     // affected: no broadcast hint — bounded by the ingest's damage radius,
     // corpus-proportional only in the worst case (let AQE decide)
@@ -303,7 +324,7 @@ object ExtensionQueries10 {
         .select(col("vec_id"), col("v"))
       val idx = maintainPosting(cent, a("posting"), delta, GraphCapR)
       val maintained = maintainGraph(cent, a("posting"), a("probes"),
-        a("edges"), delta, IvfProbe, GraphCapR)
+        a("edges"), delta, IvfProbe, GraphCapR, idx)
       val raw = maintained
         .select(col("vec_id").as("src"), col("neighbor").as("dst"))
       // persist: the beam loop references the edge set at EVERY hop, and
@@ -359,7 +380,7 @@ object ExtensionQueries10 {
         .select(col("vec_id"), col("v"))
       val idx = maintainPosting(cent, posting, delta, GraphCapR)
       val maintained = maintainGraph(cent, posting, probes, edges, delta,
-        IvfProbe, GraphCapR)
+        IvfProbe, GraphCapR, idx)
       val inCap = idx.capAfter.select(col("vec_b").as("vec_id"))
         .distinct().withColumn("in_cap", lit(1L))
       val reach = maintained.select(col("neighbor").as("vec_id"))

@@ -121,9 +121,23 @@ object ExtensionQueries3 {
   }
 
   /** DuckDB replay of [[knnGraph]], cap-parameterized — shared by the s13
-    * and s31 oracles so the two texts cannot drift.
+    * and s31 oracles so the two texts cannot drift. `k` (r20) threads the
+    * cell count through the training CTEs for the scaled-geometry family
+    * (s44/s45); the default keeps every pre-r20 oracle's text.
     */
-  private[graft] def knnGraphSql(cap: Option[Int]): String = {
+  private[graft] def knnGraphSql(cap: Option[Int],
+      k: Int = ExtensionQueries.IvfCells): String = s"""
+      WITH ${knnGraphChainCtes(cap, k)}
+      SELECT vec_a AS vec_id, CAST(rank AS INTEGER) AS rank, vec_b AS neighbor,
+             cell, cos
+      FROM ranked WHERE rank <= 3
+      ORDER BY vec_id, rank"""
+
+  /** The WITH-chain of [[knnGraphSql]] (e → training → posting → probes →
+    * scored → ranked), factored (r20) so the scaled coverage audit (s45)
+    * can read counts off the SAME text instead of re-spelling the shapes.
+    */
+  private[graft] def knnGraphChainCtes(cap: Option[Int], k: Int): String = {
     val iters = ExtensionQueries.IvfIters
     val postingCte = cap match {
       case Some(r) => s"""
@@ -141,12 +155,10 @@ object ExtensionQueries3 {
       case None => s"""
       posting AS (SELECT vec_id, v, cell FROM a$iters),"""
     }
-    s"""
-      WITH e AS (
+    s"""e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
-      ),${ExtensionQueries.kmTrainingCtes(
-        ExtensionQueries.IvfCells, iters)},$postingCte
+      ),${ExtensionQueries.kmTrainingCtes(k, iters)},$postingCte
       probes AS (
         SELECT vec_a, va, cell FROM (
           SELECT e.vec_id AS vec_a, e.v AS va, c.cell,
@@ -173,11 +185,7 @@ object ExtensionQueries3 {
                row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC)
                  AS rank
         FROM scored
-      )
-      SELECT vec_a AS vec_id, CAST(rank AS INTEGER) AS rank, vec_b AS neighbor,
-             cell, cos
-      FROM ranked WHERE rank <= 3
-      ORDER BY vec_id, rank"""
+      )"""
   }
 
   /** Portable 16-bit uniform hash: the first four hex digits of md5(text)

@@ -789,18 +789,25 @@ object ExtensionQueries8 {
     * rank-1 capped member per cell as its entry.
     */
   private[graft] def graphWalkIvfSql: String =
-    walkSql(ivfEntriesCtes)
+    walkSql(ivfEntriesCtes())
 
   /** [[graphWalkIvfSym]]'s replay: the IVF entry CTEs over the
     * symmetrized edge CTE — both halves verbatim from s37/s38.
     */
   private[graft] def graphWalkIvfSymSql: String =
-    walkSql(ivfEntriesCtes, symmetric = true)
+    walkSql(ivfEntriesCtes(), symmetric = true)
 
-  private def ivfEntriesCtes: String = {
+  /** [[graphWalkIvfSymSql]] at an explicit cell count — the scaled
+    * family's oracle (s44, r20): the identical walk-chain text with `k`
+    * threaded through the graph and entry CTEs (one home, no drift).
+    */
+  private[graft] def graphWalkIvfSymSqlAt(k: Int): String =
+    walkSql(ivfEntriesCtes(k), symmetric = true, k = k)
+
+  private def ivfEntriesCtes(
+      k: Int = ExtensionQueries.IvfCells): String = {
     val iters = ExtensionQueries.IvfIters
-    s"""${ExtensionQueries.kmTrainingCtes(
-        ExtensionQueries.IvfCells, iters)},
+    s"""${ExtensionQueries.kmTrainingCtes(k, iters)},
       heads AS (
         SELECT cell, vec_id FROM (
           SELECT b.cell, b.vec_id,
@@ -836,7 +843,8 @@ object ExtensionQueries8 {
     * CTEs are `w`-prefixed to stay clear of the training chain's
     * c<i>/a<i> names.
     */
-  private def walkSql(entriesCtes: String, symmetric: Boolean = false): String = {
+  private def walkSql(entriesCtes: String, symmetric: Boolean = false,
+      k: Int = ExtensionQueries.IvfCells): String = {
     val dot = ExtensionQueries.dotSql("q.qv", "e.v")
     val qn = ExtensionQueries.dotSql("q.qv", "q.qv")
     val en = ExtensionQueries.dotSql("e.v", "e.v")
@@ -878,7 +886,7 @@ object ExtensionQueries8 {
       WITH g0 AS (
         SELECT vec_id AS src, neighbor AS dst
         FROM (${ExtensionQueries3.knnGraphSql(
-            cap = Some(ExtensionQueries3.GraphCapR))}) gg
+            cap = Some(ExtensionQueries3.GraphCapR), k = k)}) gg
       )$symCte,
       e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

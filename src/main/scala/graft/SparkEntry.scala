@@ -29,7 +29,8 @@ object SparkEntry {
       RelationalQueries3.all ++ RelationalQueries4.all ++ ExtensionQueries.all ++
       ExtensionQueries2.all ++ ExtensionQueries3.all ++ ExtensionQueries4.all ++
       ExtensionQueries5.all ++ ExtensionQueries6.all ++ ExtensionQueries7.all ++
-      ExtensionQueries8.all ++ ExtensionQueries9.all ++ ExtensionQueries10.all
+      ExtensionQueries8.all ++ ExtensionQueries9.all ++ ExtensionQueries10.all ++
+      ExtensionQueries11.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,7 +44,8 @@ object SparkEntry {
       ExtensionQueries3.oracles ++ ExtensionQueries4.oracles ++
       ExtensionQueries5.oracles ++ ExtensionQueries6.oracles ++
       ExtensionQueries7.oracles ++ ExtensionQueries8.oracles ++
-      ExtensionQueries9.oracles ++ ExtensionQueries10.oracles
+      ExtensionQueries9.oracles ++ ExtensionQueries10.oracles ++
+      ExtensionQueries11.oracles
 }
 
 /** DuckDB mirror of [[LocationSummary.build]] — same CTE structure, fixed

@@ -24,6 +24,12 @@ object MaintProbe {
     val dir = args(0)
     val k = args(1).toInt
     val deltaMod = args(2).toLong
+    // fail fast (the ScaleUp.scaleAll guard style, r19 advice): deltaMod=1
+    // empties the prior corpus (Kmeans.fit then dies obscurely on empty
+    // seeds) and deltaMod=0 is a runtime modulo error
+    require(deltaMod >= 2,
+      s"deltaMod must be >= 2 (got $deltaMod): vec_id % deltaMod == 0 is " +
+        "the delta, the rest the prior corpus")
     val capR = args.lift(3).map(_.toInt)
       .getOrElse(graft.ExtensionQueries3.GraphCapR)
     val nprobe = args.lift(4).map(_.toInt)
