@@ -88,7 +88,7 @@ object Bench {
     // steady-state serve from the PUBLISHED maintained artifact (s43
     // stays listed as the fused intraday maintain+serve price)
     "s44_graph_walk_scaled", "s45_graph_coverage_scaled",
-    "s46_graph_walk_published")
+    "s46_graph_walk_published", "s47_routed_assign_audit")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's

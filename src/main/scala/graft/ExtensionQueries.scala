@@ -320,15 +320,20 @@ object ExtensionQueries {
   val IvfIters = 2
   val IvfProbe = 2
 
-  /** DuckDB mirror of [[graft.operators.Kmeans.assign]] as a CTE. */
-  private def kmAssignCte(name: String, centCte: String): String = s"""
+  /** DuckDB mirror of [[graft.operators.Kmeans.assign]] as a CTE. The
+    * engine's r20 `max_by` form picks the same row: the aggregate's
+    * (ccos, −cell) lexicographic max IS this window's (cos desc, cell asc)
+    * first row.
+    */
+  private def kmAssignCte(name: String, centCte: String,
+      input: String = "e"): String = s"""
       $name AS (
         SELECT vec_id, v, cell FROM (
           SELECT e.vec_id, e.v, c.cell,
                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
                    (${dotSql("e.v", "c.cv")} / (sqrt(${dotSql("e.v", "e.v")}) * sqrt(${dotSql("c.cv", "c.cv")}))) DESC,
                    c.cell ASC) AS rn
-          FROM e CROSS JOIN $centCte c
+          FROM $input e CROSS JOIN $centCte c
         ) t WHERE rn = 1
       )"""
 
@@ -343,17 +348,25 @@ object ExtensionQueries {
         ) d GROUP BY cell
       )"""
 
-  /** The full deterministic training run c0 -> a1 -> c1 -> ... -> c_iters. */
-  private[graft] def kmTrainingCtes(k: Int, iters: Int): String = {
+  /** The full deterministic training run c0 -> a1 -> c1 -> ... -> c_iters.
+    * `prefix`/`input` (r20) train a second, independent chain in the same
+    * WITH — the coarse routing layer of s47 trains `s`-prefixed CTEs over
+    * the fine codebook (`input = "centv"`) without colliding with the
+    * corpus chain's seeds/c<i>/a<i> names; the defaults keep every
+    * pre-r20 oracle's text.
+    */
+  private[graft] def kmTrainingCtes(k: Int, iters: Int,
+      prefix: String = "", input: String = "e"): String = {
     val seeds = s"""
-      seeds AS (
+      ${prefix}seeds AS (
         SELECT CAST(row_number() OVER (ORDER BY ((vec_id % 1000003) * 427799) % 1000003, vec_id) - 1 AS INTEGER) AS cell, v
-        FROM e
+        FROM $input
         QUALIFY row_number() OVER (ORDER BY ((vec_id % 1000003) * 427799) % 1000003, vec_id) <= $k
       ),
-      c0 AS (SELECT cell, v AS cv FROM seeds)"""
+      ${prefix}c0 AS (SELECT cell, v AS cv FROM ${prefix}seeds)"""
     val rounds = (1 to iters).map { r =>
-      kmAssignCte(s"a$r", s"c${r - 1}") + "," + kmRecomputeCte(s"c$r", s"a$r")
+      kmAssignCte(s"${prefix}a$r", s"${prefix}c${r - 1}", input) + "," +
+        kmRecomputeCte(s"${prefix}c$r", s"${prefix}a$r")
     }
     (seeds +: rounds).mkString(",")
   }

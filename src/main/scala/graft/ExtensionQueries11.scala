@@ -52,6 +52,22 @@ object ExtensionQueries11 {
   private[graft] val OracleScaledCells: Int =
     ivfCellsFor(ExtensionQueries.OracleCorpusSize)
 
+  /** Probe width of s47's coarse routing layer (top-`SuperProbe`
+    * supercells per vector) — 2 for the same boundary-recovery reason as
+    * [[ExtensionQueries.IvfProbe]]: a vector near a supercell boundary
+    * keeps its true nearest fine centroid in reach one supercell over.
+    */
+  val SuperProbe = 2
+
+  /** Supercells for a k-cell codebook: ceil(sqrt(SuperProbe·k)) — the m
+    * minimizing the routed per-vector candidate count m + SuperProbe·k/m
+    * (coarse scan plus expected fine members of the probed supercells).
+    */
+  private[graft] def superCellsFor(k: Int): Int =
+    math.max(2, math.ceil(math.sqrt(SuperProbe.toDouble * k)).toInt)
+
+  private[graft] val OracleSuperCells: Int = superCellsFor(OracleScaledCells)
+
   /** The scaled-geometry index build shared by s44/s45: train at
     * [[ivfCellsFor]] cells over the full corpus, cap posting lists at
     * [[ExtensionQueries3.GraphCapR]], rank the capped kNN edges. All four
@@ -80,6 +96,39 @@ object ExtensionQueries11 {
       e.select(col("vec_id"), col("v")), cent, IvfProbe)
     val edges = ExtensionQueries3.knnGraphEdges(probes, posting)
     (e, k, cent, assigned, posting, edges)
+  }
+
+  /** s47's two-level routed argmax over a fine codebook `cent` (k cells):
+    * train `m` supercells over the CENTROIDS (k-row work — trivial at any
+    * scale), take the final membership of each fine centroid under the
+    * final coarse codebook (routing and membership must share one
+    * codebook, so this is a last [[graft.operators.Kmeans.assign]] pass,
+    * not fit's pre-recompute assignment), route each vector to its
+    * top-[[SuperProbe]] supercells, and argmax-cosine only among those
+    * supercells' fine members. Returns (vec_a, routed_cell, n_cand).
+    * Per-vector work: m + SuperProbe·k/m expected cosines vs the flat
+    * argmax's k; both broadcasts are codebook-bounded, the argmax is the
+    * map-side `max_by` (never a pair-scale shuffle).
+    */
+  private[graft] def routedAssign(e: DataFrame, cent: DataFrame,
+      m: Int): DataFrame = {
+    import graft.operators.{Kmeans, VectorOps}
+    val centE = cent.select(col("cell").as("vec_id"), col("cv").as("v"))
+    val (scent, _) = Kmeans.fit(centE, m, IvfIters)
+    val smember = Kmeans.assign(centE, scent)
+      .select(col("vec_id").as("fine_cell"), col("cell").as("supercell"))
+    val routes = ExtensionQueries3.graphProbes(e, scent, SuperProbe)
+      .select(col("vec_a"), col("va"), col("cell").as("supercell"))
+    routes
+      .join(broadcast(smember), Seq("supercell"))
+      .join(broadcast(cent.select(col("cell").as("fine_cell"), col("cv"))),
+        Seq("fine_cell"))
+      .withColumn("fcos", VectorOps.cosineFast(col("va"), col("cv")))
+      .groupBy(col("vec_a"))
+      .agg(max_by(col("fine_cell"),
+          struct(col("fcos"), (-col("fine_cell")).as("neg")))
+        .as("routed_cell"),
+        count(lit(1)).as("n_cand"))
   }
 
   private val s46Memo = new java.util.concurrent.ConcurrentHashMap[
@@ -223,9 +272,55 @@ object ExtensionQueries11 {
         .join(heads, Seq("cell"))
         .select(col("query_id"), col("vec_id"))
       ExtensionQueries8.walkOver(g, e, q, (_, _) => seeds)
+    }),
+
+    // Two-level (routed) assignment audit (s47): the design row for the
+    // ONE term of the scaled family that grows superlinearly — flat
+    // argmax assignment costs n·k cosines, and with k = n/48 that is
+    // n²/48 (this round found the old window-form assign HUNG on exactly
+    // that shape at the sf10 audit geometry before the max_by rewrite).
+    // The production fix is hierarchical routing, HNSW-over-centroids /
+    // two-level IMI shaped: cluster the k fine centroids into
+    // m = ceil(sqrt(2k)) supercells (training over k rows — trivial at
+    // any scale), route each vector to its top-2 supercells (n·m), then
+    // argmax only among those supercells' fine members (n·2k/m expected)
+    // — per-vector candidates drop from k to m + 2k/m ≈ 2·sqrt(2k), 23×
+    // fewer at the sf10 geometry (k=4167: 4167 → ~183). Routing is
+    // APPROXIMATE (a vector whose true cell hides in an unprobed
+    // supercell mis-assigns), so this row REPORTS the agreement against
+    // the exact flat argmax next to the candidate-count saving — the
+    // d27/s23 design-table discipline: grade the trade, don't bury it.
+    "s47_routed_assign_audit" -> ((s, dir) => {
+      import graft.operators.Kmeans
+      val e = ExtensionQueries.embeddingsD(s, dir)
+        .select(col("vec_id"), col("v"))
+      val k = ivfCellsFor(graft.sources.Tables.rowCount(s, dir, "embeddings"))
+      val m = superCellsFor(k)
+      val (cent, _) = Kmeans.fit(e, k, IvfIters)
+      val routed = routedAssign(e, cent, m)
+      val flat = Kmeans.assign(e, cent)
+        .select(col("vec_id").as("vec_a"), col("cell").as("flat_cell"))
+      flat.join(routed, Seq("vec_a"), "left")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("routed_cell") === col("flat_cell"), 1L)
+            .otherwise(0L)).as("n_agree"),
+          sum(col("n_cand")).as("cand_rows"))
+        .select(col("n_vectors"), lit(k).as("n_cells"),
+          lit(m).as("n_supercells"), col("n_agree"),
+          graft.operators.Agg.roundAt(
+            col("n_agree") * 100.0 / col("n_vectors"), 2).as("agree_pct"),
+          graft.operators.Agg.roundAt(
+            lit(m.toDouble) +
+              col("cand_rows").cast("double") / col("n_vectors"), 2)
+            .as("avg_cand_per_vec_routed"))
     }))
 
   // ---- DuckDB SQL mirrors ----
+
+  private def cosSql(a: String, b: String): String = {
+    import ExtensionQueries.dotSql
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  }
 
   /** s45's oracle: the scaled-k training + capped-posting + edge-ranking
     * chain ([[ExtensionQueries3.knnGraphChainCtes]] — the SAME text the
@@ -247,6 +342,76 @@ object ExtensionQueries11 {
                AS in_cap_pct
       FROM counts"""
 
+  /** s47's oracle: both training chains in one WITH (the corpus chain and
+    * the `s`-prefixed coarse chain over `centv` — kmTrainingCtes'
+    * prefix/input parameters exist for exactly this), the routed argmax
+    * as windowed rank-1 picks, LEFT-joined to the exact flat argmax.
+    */
+  private def s47RoutedSql: String = {
+    val k = OracleScaledCells
+    val m = OracleSuperCells
+    val iters = IvfIters
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ),${ExtensionQueries.kmTrainingCtes(k, iters)},
+      centv AS (SELECT cell AS vec_id, cv AS v FROM c$iters),${
+        ExtensionQueries.kmTrainingCtes(m, iters, prefix = "s",
+          input = "centv")},
+      smember AS (
+        SELECT vec_id AS fine_cell, cell AS supercell FROM (
+          SELECT cv0.vec_id, sc.cell,
+                 row_number() OVER (PARTITION BY cv0.vec_id ORDER BY
+                   ${cosSql("cv0.v", "sc.cv")} DESC, sc.cell ASC) AS rn
+          FROM centv cv0 CROSS JOIN sc$iters sc
+        ) t WHERE rn = 1
+      ),
+      routes AS (
+        SELECT vec_a, va, supercell FROM (
+          SELECT f.vec_id AS vec_a, f.v AS va, sc.cell AS supercell,
+                 row_number() OVER (PARTITION BY f.vec_id ORDER BY
+                   ${cosSql("f.v", "sc.cv")} DESC, sc.cell ASC) AS prn
+          FROM e f CROSS JOIN sc$iters sc
+        ) p WHERE prn <= $SuperProbe
+      ),
+      cand AS (
+        SELECT r.vec_a, r.va, sm.fine_cell
+        FROM routes r JOIN smember sm ON r.supercell = sm.supercell
+      ),
+      routedpick AS (
+        SELECT vec_a, fine_cell AS routed_cell, n_cand FROM (
+          SELECT c.vec_a, c.fine_cell,
+                 row_number() OVER (PARTITION BY c.vec_a ORDER BY
+                   ${cosSql("c.va", "fc.cv")} DESC, c.fine_cell ASC) AS rn,
+                 count(*) OVER (PARTITION BY c.vec_a) AS n_cand
+          FROM cand c JOIN c$iters fc ON c.fine_cell = fc.cell
+        ) t WHERE rn = 1
+      ),
+      flat AS (
+        SELECT vec_id, cell FROM (
+          SELECT f.vec_id, fc.cell,
+                 row_number() OVER (PARTITION BY f.vec_id ORDER BY
+                   ${cosSql("f.v", "fc.cv")} DESC, fc.cell ASC) AS rn
+          FROM e f CROSS JOIN c$iters fc
+        ) t WHERE rn = 1
+      ),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CASE WHEN rp.routed_cell = fl.cell THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_agree,
+               CAST(sum(rp.n_cand) AS BIGINT) AS cand_rows
+        FROM flat fl LEFT JOIN routedpick rp ON fl.vec_id = rp.vec_a
+      )
+      SELECT n_vectors, CAST($k AS INTEGER) AS n_cells,
+             CAST($m AS INTEGER) AS n_supercells, n_agree,
+             floor((n_agree * 100.0 / n_vectors) * 100 + 0.5) / 100
+               AS agree_pct,
+             floor(($m + CAST(cand_rows AS DOUBLE) / n_vectors) * 100 + 0.5)
+               / 100 AS avg_cand_per_vec_routed
+      FROM stats"""
+  }
+
   val oracles: Map[String, String] = Map(
     // s39's oracle chain with k scaled — the walk text is walkSql's
     // verbatim, k-parameterized (one home, no drift).
@@ -257,5 +422,6 @@ object ExtensionQueries11 {
     // artifacts provably equal the fixed-codebook rebuild's, and the
     // storage round trip changes nothing.
     "s46_graph_walk_published" ->
-      ExtensionQueries10.oracles("s43_graph_walk_maintained"))
+      ExtensionQueries10.oracles("s43_graph_walk_maintained"),
+    "s47_routed_assign_audit" -> s47RoutedSql)
 }

@@ -47,14 +47,28 @@ object Kmeans {
       .select(col("cell"), col("v").as("cv"))
   }
 
-  /** Assign every vector to its argmax-cosine centroid (cell asc tiebreak). */
+  /** Assign every vector to its argmax-cosine centroid (cell asc tiebreak).
+    *
+    * The argmax is a `max_by` AGGREGATE, not a window (r20): the ranking
+    * key struct (ccos, −cell) is a total order whose lexicographic max is
+    * exactly the window's (ccos desc, cell asc) first row — same values,
+    * same tie-break, same NaN-greatest semantics — but the aggregate
+    * combines MAP-SIDE, so the shuffle carries one row per vector where
+    * the window form shuffled the entire n·k scored cross join. At the
+    * fixture's k = 8 that was 8 rows per vector (invisible); at
+    * corpus-scaled cell counts (r20's ivfCellsFor: k = n/48) the window
+    * form became an n²/48-row shuffle — ~833M rows / ~460 GB at the
+    * sf10 audit geometry, found hung there — while this form's shuffle
+    * stays n rows at ANY k.
+    */
   def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = e.select(col("vec_id"), col("v"))
       .crossJoin(broadcast(centroids))
       .withColumn("ccos", VectorOps.cosineFast(col("v"), col("cv")))
-    Snapshot.latestPerKeyWindow(scored, Seq("vec_id"),
-        Seq(col("ccos").desc, col("cell").asc))
-      .select(col("vec_id"), col("v"), col("cell"))
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("cell")),
+        struct(col("ccos"), (-col("cell")).as("negcell"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.cell").as("cell"))
   }
 
   /** Exact-decimal per-(cell, dim) centroid recomputation. */
@@ -88,15 +102,18 @@ object Kmeans {
   }
 
   /** Per-group argmax-cosine assignment: centroids join on `grp` (still a
-    * broadcast — k×groups rows), rank windows over (grp, vec_id).
+    * broadcast — k×groups rows); the same map-side `max_by` argmax as
+    * [[assign]], keyed by (grp, vec_id).
     */
   def assignGrouped(e: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = e.select(col("grp"), col("vec_id"), col("v"))
       .join(broadcast(centroids), Seq("grp"))
       .withColumn("ccos", VectorOps.cosineFast(col("v"), col("cv")))
-    Snapshot.latestPerKeyWindow(scored, Seq("grp", "vec_id"),
-        Seq(col("ccos").desc, col("cell").asc))
-      .select(col("grp"), col("vec_id"), col("v"), col("cell"))
+    scored.groupBy(col("grp"), col("vec_id"))
+      .agg(max_by(struct(col("v"), col("cell")),
+        struct(col("ccos"), (-col("cell")).as("negcell"))).as("best"))
+      .select(col("grp"), col("vec_id"),
+        col("best.v").as("v"), col("best.cell").as("cell"))
   }
 
   /** Exact-decimal per-(grp, cell, dim) centroid recomputation. */

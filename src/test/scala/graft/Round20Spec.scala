@@ -96,6 +96,29 @@ class Round20Spec extends AnyFunSuite {
     assert(v1 == priorSym)
   }
 
+  test("s47's routed assignment audit: the candidate saving is real and " +
+      "the agreement is graded against the exact argmax") {
+    import ExtensionQueries11.{superCellsFor, SuperProbe}
+    assert(SuperProbe == 2)
+    assert(superCellsFor(11) == 5)     // oracle-scale geometry
+    assert(superCellsFor(4167) == 92)  // sf10 audit geometry
+    val row = ExtensionQueries11.all("s47_routed_assign_audit")(spark, dir)
+      .collect().head
+    val n = row.getAs[Long]("n_vectors")
+    val k = row.getAs[Int]("n_cells")
+    val m = row.getAs[Int]("n_supercells")
+    val agree = row.getAs[Long]("n_agree")
+    val pct = row.getAs[Double]("agree_pct")
+    val cand = row.getAs[Double]("avg_cand_per_vec_routed")
+    assert(n == 500L && k == 11 && m == 5)
+    assert(agree <= n && pct ==
+      math.floor(agree * 100.0 / n * 100 + 0.5) / 100)
+    assert(cand < k.toDouble,
+      s"routing must scan fewer candidates than flat argmax ($cand vs $k)")
+    assert(agree * 100.0 / n >= 60.0,
+      s"routing should mostly agree with the exact argmax, got $pct%")
+  }
+
   test("repeated maintenance-family invocations do not grow the " +
       "persisted-RDD set (idx threading + CacheManager plan dedupe)") {
     def runOnce(): Unit = {
