@@ -61,18 +61,36 @@ object ExtensionQueries3 {
   /** The probe index: each vector's top-`nprobe` cells over `cent` →
     * (vec_a, va, cell). Factored out of [[knnGraph]] (r19) so s41's
     * stored-graph maintenance can persist it as an artifact and key the
-    * ingest delta by the SAME rule; the ops are knnGraph's verbatim.
+    * ingest delta by the SAME rule.
+    *
+    * The top-nprobe pick is ROW-LOCAL (r20): the codebook rides along as
+    * ONE broadcast array-of-structs row, each vector scores all k cells
+    * in an array `transform` and keeps its top slice under the same
+    * (ccos desc, cell asc) total order the pre-r20 window ranked by —
+    * identical picks, but zero pair-scale shuffle. The window form
+    * shuffled the entire n·k scored cross join WITH the vector payload
+    * (at the r20 sf10 audit geometry, k = n/48 = 4167: ~833M rows /
+    * ~460 GB — found hung there, the same pathology as Kmeans.assign's);
+    * this form's only shuffle is the k-row collect_list. Ties: cell asc,
+    * exactly the window's; cosines of the fixture's non-zero vectors are
+    * never NaN, so the comparator's NaN-is-equal branch never decides.
     */
   private[graft] def graphProbes(e: DataFrame, cent: DataFrame,
       nprobe: Int): DataFrame = {
-    val wProbe = Window.partitionBy(col("vec_a"))
-      .orderBy(col("ccos").desc, col("cell").asc)
+    val centArr = cent
+      .agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
     e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", VectorOps.cosineFast(col("va"), col("cv")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select(col("vec_a"), col("va"), col("cell"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("top", slice(array_sort(
+        transform(col("cents"), c => struct(
+          VectorOps.cosineFast(col("va"), c.getField("cv")).as("ccos"),
+          c.getField("cell").as("cell"))),
+        (l, r) => when(l.getField("ccos") > r.getField("ccos"), lit(-1))
+          .when(l.getField("ccos") < r.getField("ccos"), lit(1))
+          .otherwise(l.getField("cell") - r.getField("cell"))),
+        1, nprobe))
+      .select(col("vec_a"), col("va"), explode(col("top")).as("pick"))
+      .select(col("vec_a"), col("va"), col("pick.cell").as("cell"))
   }
 
   /** Posting lists from a membership table (vec_id, v, cell), optionally
