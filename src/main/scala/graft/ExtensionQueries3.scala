@@ -71,9 +71,15 @@ object ExtensionQueries3 {
     * shuffled the entire n·k scored cross join WITH the vector payload
     * (at the r20 sf10 audit geometry, k = n/48 = 4167: ~833M rows /
     * ~460 GB — found hung there, the same pathology as Kmeans.assign's);
-    * this form's only shuffle is the k-row collect_list. Ties: cell asc,
-    * exactly the window's; cosines of the fixture's non-zero vectors are
-    * never NaN, so the comparator's NaN-is-equal branch never decides.
+    * this form's only shuffle is the k-row collect_list. The sort key is
+    * the (−ccos, cell) struct under array_sort's DEFAULT native struct
+    * ordering — ascending −ccos IS ccos desc, tie cell asc, exactly the
+    * window's order — because a lambda comparator evaluates an
+    * interpreted expression per COMPARISON (k·log k per vector; jstack
+    * at the sf10 geometry showed all 32 workers inside ArraySort's
+    * lambda), where the native ordering is a plain field compare.
+    * Cosines of the fixture's non-zero vectors are never NaN, so NaN
+    * placement (native: sorts last) never decides.
     */
   private[graft] def graphProbes(e: DataFrame, cent: DataFrame,
       nprobe: Int): DataFrame = {
@@ -83,11 +89,8 @@ object ExtensionQueries3 {
       .crossJoin(broadcast(centArr))
       .withColumn("top", slice(array_sort(
         transform(col("cents"), c => struct(
-          VectorOps.cosineFast(col("va"), c.getField("cv")).as("ccos"),
-          c.getField("cell").as("cell"))),
-        (l, r) => when(l.getField("ccos") > r.getField("ccos"), lit(-1))
-          .when(l.getField("ccos") < r.getField("ccos"), lit(1))
-          .otherwise(l.getField("cell") - r.getField("cell"))),
+          (-VectorOps.cosineFast(col("va"), c.getField("cv"))).as("negccos"),
+          c.getField("cell").as("cell")))),
         1, nprobe))
       .select(col("vec_a"), col("va"), explode(col("top")).as("pick"))
       .select(col("vec_a"), col("va"), col("pick.cell").as("cell"))
