@@ -290,6 +290,16 @@ object ExtensionQueries11 {
     // supercell mis-assigns), so this row REPORTS the agreement against
     // the exact flat argmax next to the candidate-count saving — the
     // d27/s23 design-table discipline: grade the trade, don't bury it.
+    // Measured (RouteProbe, r20): at the sf10 geometry (k=4167, m=92)
+    // routing is 8.4x faster wall (172.2 -> 20.6 s) at 22.8x fewer
+    // candidates, but agreement on the ISOTROPIC fixture reads 26.4% —
+    // random vectors have near-tied cosines to all centroids, so the
+    // exact argmax is itself noise and top-2-of-92 supercells cannot
+    // cover where the near-tie winner hides. On the clustered 20k
+    // fixture (the s36-s39 walk family's same finding: navigability
+    // requires cluster structure) agreement reads 93.8% at 6.2x fewer
+    // candidates. Production embedding corpora are clustered; the
+    // isotropic number is the honest worst case.
     "s47_routed_assign_audit" -> ((s, dir) => {
       import graft.operators.Kmeans
       val e = ExtensionQueries.embeddingsD(s, dir)

@@ -135,6 +135,12 @@ object ExtensionQueries3 {
         col("cell") === col("cell_b") && col("vec_a") =!= col("vec_b"))
       .withColumn("cos",
         Agg.roundAt(VectorOps.cosineFast(col("va"), col("vb")), 6))
+      // explicit pre-window projection (r20): the rank window only needs
+      // ids + cos, but without this the candidate rows ride its sort
+      // exchange WITH both 512-byte vectors — at the sf10 audit geometry
+      // (12.8M candidate rows) that is a ~14 GB spilling sort vs ~400 MB
+      // of ids; jstack showed the workers in UnsafeExternalSorter.spill
+      .select(col("vec_a"), col("vec_b"), col("cell_b"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("vec_a").as("vec_id"), col("rank"), col("vec_b").as("neighbor"),
