@@ -344,14 +344,11 @@ object ExtensionQueries10 {
           col("vb").as("v"), col("cell_b").as("cell")))
       val q = e.filter(col("vec_id") <= 2)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      // persist: hop h's beam DAG embeds every earlier hop's, so the
-      // hop-0 seed sub-DAG (the maintained-cap heads window + routing
-      // joins) re-executes once per hop without the cache — the same
-      // rule as the edge set above
+      // no persist (r21): walkOver materializes each hop's beam to a
+      // local relation, so the hop-0 seed sub-DAG executes exactly once
       val seeds = ExtensionQueries8.ivfQCells(q, cent)
         .join(heads, Seq("cell"))
         .select(col("query_id"), col("vec_id"))
-        .persist()
       ExtensionQueries8.walkOver(g, e, q, (_, _) => seeds)
     }),
 

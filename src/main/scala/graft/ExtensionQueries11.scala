@@ -216,12 +216,11 @@ object ExtensionQueries11 {
         .persist()
       val q = e.filter(col("vec_id") <= 2)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      // persist: the hop-0 seed sub-DAG (corpus-scale heads window +
-      // routing joins) likewise re-executes once per hop uncached
+      // no persist (r21): walkOver materializes each hop's beam to a
+      // local relation, so the hop-0 seed sub-DAG executes exactly once
       val seeds = ExtensionQueries8.ivfQCells(q, cent)
         .join(ExtensionQueries8.ivfHeads(cent, assigned), Seq("cell"))
         .select(col("query_id"), col("vec_id"))
-        .persist()
       ExtensionQueries8.walkOver(g, e, q, (_, _) => seeds)
     }),
 

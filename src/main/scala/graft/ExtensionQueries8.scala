@@ -734,6 +734,19 @@ object ExtensionQueries8 {
     * fixture's embeddings are isotropic, where no graph is navigable and
     * the honest walk recall read-off is ~chance). `g` is the directed
     * edge set (src, dst); `e` is (vec_id, v); `q` is (query_id, qv).
+    *
+    * Each hop's beam is MATERIALIZED to a driver-local relation (r21):
+    * the loop references `beam` twice per hop (the keep branch and the
+    * expansion join), so a lazy chain re-executes hop h−1's whole
+    * sub-DAG 2× per reference — 2^hops copies of the seed scoring by
+    * the last hop, which is also what made the walk rows' ANALYSIS cost
+    * grow (every .join re-analyzes the doubled tree). The beam is
+    * beamWidth·|queries| rows of (id, id, cos) — CONSTANT-size serving
+    * state, never data-scale (the fitConverged/ndvTruthLocal collect
+    * class) — so each hop now starts from a LocalRelation: plan depth,
+    * driver analysis, and executed work are all linear in hops. Values
+    * are untouched (collect round-trips the exact IEEE doubles); the
+    * full walk-family oracle gate re-ran green after the change.
     */
   private[graft] def walkOver(g: DataFrame, e: DataFrame, q: DataFrame,
       mkSeeds: (DataFrame, DataFrame) => DataFrame,
@@ -751,13 +764,19 @@ object ExtensionQueries8 {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select(col("query_id"), col("vec_id"), col("cos"))
-    var beam = scoreTop(mkSeeds(q, e), beamWidth)
+    // beamWidth·|q| rows to the driver, back as a LocalRelation (exact
+    // row values — see the doc comment's linearity argument)
+    def rematerialize(b: DataFrame): DataFrame = {
+      val s = b.sparkSession
+      s.createDataFrame(java.util.Arrays.asList(b.collect(): _*), b.schema)
+    }
+    var beam = rematerialize(scoreTop(mkSeeds(q, e), beamWidth))
     for (_ <- 1 to hops) {
       val cand = beam.select(col("query_id"), col("vec_id"))
         .union(beam.join(g, col("vec_id") === col("src"))
           .select(col("query_id"), col("dst").as("vec_id")))
         .distinct()
-      beam = scoreTop(cand, beamWidth)
+      beam = rematerialize(scoreTop(cand, beamWidth))
     }
     beam
       .withColumn("rank", row_number().over(w).cast("int"))

@@ -1,0 +1,46 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Batch plan dumper for the optimization rounds: writes each named
+  * query's `.explain("formatted")` output to `<outDir>/<query>_<tag>.txt`
+  * in ONE Spark session (graft.Explain pays a JVM+session per query).
+  *
+  * `runMain graft.tools.ExplainDump <sfDir> <outDir> <tag> <query...>`
+  */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: ExplainDump <sfDir> <outDir> <tag> <query...>")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val tag = args(2)
+    val names = args.drop(3).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      // run once first so stored-artifact roots exist and cached plans are
+      // in the state the bench sees (plans over persisted frames show
+      // InMemoryRelation exactly as they do in-suite)
+      val df = fn(spark, sfDir)
+      df.count()
+      val plan = fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      Files.write(Paths.get(outDir, s"${name}_$tag.txt"),
+        plan.getBytes(StandardCharsets.UTF_8))
+      System.err.println(s"[explaindump] wrote $name ($tag)")
+    }
+    spark.stop()
+  }
+}
