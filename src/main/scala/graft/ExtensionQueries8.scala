@@ -294,7 +294,20 @@ object ExtensionQueries8 {
     */
   private[graft] def writeCatalogShards(longF: DataFrame, root: String,
       mode: String): Unit = {
-    val fused = fusedCatalogAgg(longF).persist()
+    // repartition BY THE ARTIFACT'S OWN SHARD LANE before the persist
+    // (r21, guide §6 file sizing): the fused aggregate otherwise lands on
+    // |shuffle partitions| cache partitions, and the partitionBy writer
+    // then emits one file per (task, shard) pair — ~80 sliver files per
+    // artifact at the fixture, |tasks|·|shards| on a cluster — paying
+    // driver commit + read-back listing per sliver. Keyed on the shard
+    // column with |shards| partitions (a constant of the ARTIFACT
+    // geometry, not of the cluster), each shard directory gets exactly
+    // one file from both writes at any scale; the artifacts are
+    // |cols|·|shards|-row catalogs, so one file per shard is the right
+    // layout at 100 TB too. Values are untouched — the serve merges by
+    // (seg[, bucket]) wherever the rows land.
+    val fused = fusedCatalogAgg(longF)
+      .repartition(ExtensionQueries7.SketchShards, col("shard")).persist()
     try {
       statsFrom(fused).write.mode(mode).partitionBy("shard")
         .parquet(s"$root/stats")
@@ -1423,7 +1436,10 @@ object ExtensionQueries8 {
       val longF = catalogLongForm(t(s, dir, "orders"),
         pmod(col("o_orderkey"), lit(ExtensionQueries7.SketchShards.toLong)),
         ordersAuditSpecs)
-      val fused = fusedCatalogAgg(longF).persist()
+      // shard-aligned layout before the persist — writeCatalogShards'
+      // r21 rule: one file per shard dir instead of |tasks|·|shards|
+      val fused = fusedCatalogAgg(longF)
+        .repartition(ExtensionQueries7.SketchShards, col("shard")).persist()
       try {
         val (stats, regs) = catalogArtifacts(fused)
         TxCatalog.commitAll(s, s"$root/catalog",
