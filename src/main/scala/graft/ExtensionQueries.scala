@@ -173,9 +173,15 @@ object ExtensionQueries {
   // fixture dirs make distinct cached relations, the Verify/Bench mains
   // clearCache() before stopping, and the shared test JVM's caches die with
   // it — under memory pressure the disk tier evicts, never OOMs.
+  // spreadToCores before the heavy projection (r21): the fixture parquet
+  // is a single-row-group file, so the scan — and with it the shingle
+  // hashing for the WHOLE dedup family — ran as one task; the cache then
+  // pinned that 1-partition layout for every consumer. The spread is a
+  // no-op once the input has >= cores splits (production file counts).
   private[graft] def docFeatures(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id").as("id"),
-      graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
+    Tables.spreadToCores(t(s, dir, "documents"))
+      .select(col("doc_id").as("id"),
+        graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
       .persist()
 
   /** d17/d22/d24 ingest convention: doc keys ≡ 0 (mod [[IngestMod]]) play
@@ -239,9 +245,14 @@ object ExtensionQueries {
   // query reads the corpus side at least twice (index build + probe or
   // verify), and the float->double conversion would otherwise re-run per
   // reference.
+  // spreadToCores (r21): same single-row-group pathology as docFeatures —
+  // the cached corpus carried the scan's 1-partition layout, so every ANN
+  // query's pre-shuffle vector math (training assignments, probe scoring,
+  // brute-force cosines) ran single-threaded off the cache.
   private[graft] def embeddingsD(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").select(col("vec_id"), col("label"),
-      VectorOps.toDouble(col("embedding")).as("v"))
+    Tables.spreadToCores(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v"))
       .persist()
 
   /** Exact top-k per query, unrounded — s01's body, shared with the recall
@@ -713,7 +724,9 @@ object ExtensionQueries {
     // capK bound keeps any hot bucket's pair term ≤ capK·|bucket|,
     // never |bucket|².
     "d23_ingest_screen" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // spreadToCores (r21): the screen minhashes raw text straight off
+      // the single-row-group scan — single-task CPU without the spread
+      val docs = Tables.spreadToCores(t(s, dir, "documents"))
         .select(col("doc_id"), to_timestamp(col("doc_id")).as("ts"),
           col("text"))
       // parameters come from the shared DocStreams constants — the oracle

@@ -66,6 +66,25 @@ object Tables {
       else spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
+  /** Round-robin respread to the session's core count, applied ONLY when
+    * the input's split count cannot fill it (guide §2.5's unsplittable-
+    * input rule: the fixture parquets are single-row-group files, so the
+    * scan is 1 task no matter the split config, and every CPU-heavy
+    * per-row stage before the first exchange — tokenizing, shingle
+    * hashing, vector math — runs single-threaded; the same pathology as
+    * one gzip file on a cluster). A no-op whenever the scan already has
+    * >= defaultParallelism partitions, so at production file counts this
+    * adds NOTHING — no exchange, no plan change. Keyless repartition is
+    * deterministic (sort-before-repartition, SPARK-23207). Callers apply
+    * it where per-row work is heavy enough to dwarf one small shuffle —
+    * typically just before a `.persist()`, so the cache itself carries
+    * the parallel layout to every consumer.
+    */
+  def spreadToCores(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private val countMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
