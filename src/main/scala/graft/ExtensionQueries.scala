@@ -173,13 +173,15 @@ object ExtensionQueries {
   // fixture dirs make distinct cached relations, the Verify/Bench mains
   // clearCache() before stopping, and the shared test JVM's caches die with
   // it — under memory pressure the disk tier evicts, never OOMs.
-  // spreadToCores before the heavy projection (r21): the fixture parquet
-  // is a single-row-group file, so the scan — and with it the shingle
-  // hashing for the WHOLE dedup family — ran as one task; the cache then
-  // pinned that 1-partition layout for every consumer. The spread is a
-  // no-op once the input has >= cores splits (production file counts).
+  // r22: the r21 spreadToCores wrap here was REVERTED — the driver's full
+  // 32-core bench showed the repartitioned cache layout a net loss for the
+  // dedup family (d22 0.55x, d20 0.73x, d23 0.72x vs r20; every one faster
+  // at 8 cores): 32 tiny tasks per downstream stage cost more in
+  // scheduling than the single-task scan CPU they recovered. At production
+  // split counts the scan parallelizes by itself (guide §6.1), so the
+  // cache keeps the scan's own layout.
   private[graft] def docFeatures(s: SparkSession, dir: String): DataFrame =
-    Tables.spreadToCores(t(s, dir, "documents"))
+    t(s, dir, "documents")
       .select(col("doc_id").as("id"),
         graft.functions.TextHash.shingleHashes(col("text"), 2).as("features"))
       .persist()
@@ -245,12 +247,15 @@ object ExtensionQueries {
   // query reads the corpus side at least twice (index build + probe or
   // verify), and the float->double conversion would otherwise re-run per
   // reference.
-  // spreadToCores (r21): same single-row-group pathology as docFeatures —
-  // the cached corpus carried the scan's 1-partition layout, so every ANN
-  // query's pre-shuffle vector math (training assignments, probe scoring,
-  // brute-force cosines) ran single-threaded off the cache.
+  // r22: the r21 spreadToCores wrap here was REVERTED (see docFeatures) —
+  // net loss on the driver's 32-core bench (s33 0.44x, s30 0.64x, s36
+  // 0.63x, diag s32 9.8->16.1 s; all faster at 8 cores) and it broke
+  // PlanSpec's "quantization is shuffle-free" contract (s07 consumes this
+  // cache). The iterative trainers that dominate those lines run many
+  // stages over the cache, so 32 near-empty partitions multiply scheduling
+  // overhead per Lloyd iteration.
   private[graft] def embeddingsD(s: SparkSession, dir: String): DataFrame =
-    Tables.spreadToCores(t(s, dir, "embeddings"))
+    t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         VectorOps.toDouble(col("embedding")).as("v"))
       .persist()
@@ -724,9 +729,12 @@ object ExtensionQueries {
     // capK bound keeps any hot bucket's pair term ≤ capK·|bucket|,
     // never |bucket|².
     "d23_ingest_screen" -> ((s, dir) => {
-      // spreadToCores (r21): the screen minhashes raw text straight off
-      // the single-row-group scan — single-task CPU without the spread
-      val docs = Tables.spreadToCores(t(s, dir, "documents"))
+      // r22: r21's spreadToCores here reverted — the driver measured d23
+      // at 0.72x of its r20 time with the spread (and faster at 8 cores);
+      // the minhash pass is too small at fixture scale to amortize 32
+      // tasks per stage, and at production split counts the scan spreads
+      // itself.
+      val docs = t(s, dir, "documents")
         .select(col("doc_id"), to_timestamp(col("doc_id")).as("ts"),
           col("text"))
       // parameters come from the shared DocStreams constants — the oracle

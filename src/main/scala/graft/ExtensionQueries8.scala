@@ -2032,10 +2032,11 @@ object ExtensionQueries8 {
       // combine), so it stays unpersisted here; at 100 TB the count
       // tables would be built once at ingest (the q94/q95 stored-sketch
       // pattern) rather than cached in-session.
-      // spreadToCores (r21): all three pipelined re-scans tokenize +
-      // md5-hash raw text pre-shuffle — single-task off the
-      // single-row-group fixture scan without the spread
-      val toks = Tables.spreadToCores(t(s, dir, "documents"))
+      // r22: r21's spreadToCores here reverted with the other three sites
+      // — the spread change was a net loss on the driver's full 32-core
+      // bench and shuffled raw document text (the exchange moved the heavy
+      // column, not the narrow projection; guide §2.3).
+      val toks = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
         .withColumn("b", ExtensionQueries3.md5Hash48(col("term")) % B)

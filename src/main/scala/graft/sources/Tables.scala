@@ -66,24 +66,16 @@ object Tables {
       else spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
-  /** Round-robin respread to the session's core count, applied ONLY when
-    * the input's split count cannot fill it (guide §2.5's unsplittable-
-    * input rule: the fixture parquets are single-row-group files, so the
-    * scan is 1 task no matter the split config, and every CPU-heavy
-    * per-row stage before the first exchange — tokenizing, shingle
-    * hashing, vector math — runs single-threaded; the same pathology as
-    * one gzip file on a cluster). A no-op whenever the scan already has
-    * >= defaultParallelism partitions, so at production file counts this
-    * adds NOTHING — no exchange, no plan change. Keyless repartition is
-    * deterministic (sort-before-repartition, SPARK-23207). Callers apply
-    * it where per-row work is heavy enough to dwarf one small shuffle —
-    * typically just before a `.persist()`, so the cache itself carries
-    * the parallel layout to every consumer.
-    */
-  def spreadToCores(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  // r21's spreadToCores (round-robin respread of few-split scans to the
+  // session's core count) was removed in r22: the driver's full-registry
+  // 32-core bench measured it a net loss (first-pass total 311->475 s, the
+  // >10% regressions clustered exactly on its consumers, all of them faster
+  // at 8 cores), its df.rdd.getNumPartitions probe forced physical planning
+  // on every call, and the added Exchange broke PlanSpec's shuffle-free
+  // plan contract on s07. The single-split-fixture pathology it targeted is
+  // real (guide §2.5) but self-resolves at production file counts; where a
+  // specific consumer measurably needs intra-query parallelism, apply a
+  // local repartition of the NARROW projection inside that query instead.
 
   private val countMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
