@@ -88,7 +88,12 @@ object Bench {
     // steady-state serve from the PUBLISHED maintained artifact (s43
     // stays listed as the fused intraday maintain+serve price)
     "s44_graph_walk_scaled", "s45_graph_coverage_scaled",
-    "s46_graph_walk_published", "s47_routed_assign_audit")
+    "s46_graph_walk_published", "s47_routed_assign_audit",
+    // round-22 additions (appended, nothing removed/renamed): the two
+    // r21 walk-rewrite beneficiaries the verdict flagged as unmeasured —
+    // their 13k/24k-node before-plans collapsed with the beam-walk fix
+    // and the speedup must be on the driver's record, not narrated
+    "s37_graph_walk_ivf", "s38_graph_walk_sym")
 
   /** Deliberately-superlinear DIAGNOSTIC queries — each exists to price
     * its bounded production sibling (s13's uncapped kNN graph vs s31's
@@ -284,6 +289,25 @@ object Bench {
     // JSON object carrying the headline total regardless of how much of
     // the per-query map survived.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${prodRes.size},"hmode":"min2warm","diag_sec":$diagSec,"n_failed":${failed.size},"sf":"$sfDir"}""")
+    // r22 (verdict item 2): the FULL first-pass per-query map as a FILE —
+    // stdout stays the two lines above (the harness tails ~2000 chars, so
+    // the full map can never ride stdout), but a 475->311 s total swing in
+    // the ~180 non-headline queries was unattributable from driver
+    // artifacts in r21. bench_full.json makes every total auditable
+    // query-by-query; it is measurement output only — nothing reads it.
+    try {
+      val fp = results.collect { case (n, Some(v)) => s""""$n":${r3(v)}""" }
+        .toVector.sorted.mkString("{", ",", "}")
+      val m2 = (headline.filter(keep).flatMap { h =>
+        (results.get(h).flatten.toSeq ++ second.get(h).toSeq).minOption
+          .map(v => s""""$h":${r3(v)}""")
+      }).mkString("{", ",", "}")
+      val json = s"""{"sf":"$sfDir","cpus":$cpus,"hmode_first_pass":"cold-ish single sample","first_pass":$fp,"min2warm_headline":$m2,"diag":$diagJson,"total_first_pass_production":$total,"diag_sec":$diagSec$failedJson}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
     spark.catalog.clearCache()
     spark.stop()
   }
