@@ -79,7 +79,15 @@ object ExtensionQueries3 {
     * at the sf10 geometry showed all 32 workers inside ArraySort's
     * lambda), where the native ordering is a plain field compare.
     * Cosines of the fixture's non-zero vectors are never NaN, so NaN
-    * placement (native: sorts last) never decides.
+    * placement (native: sorts last) never decides. The invariant extends
+    * to CENTROIDS (r20 advice): a degenerate all-zero centroid (a cell
+    * mean summing exactly to zero in every dimension) would also yield
+    * NaN, and there the engine (NaN last — never probed) and the DuckDB
+    * window oracle (NaN first) would diverge. No trained centroid on the
+    * fixtures is zero (seeds are corpus vectors; recomputed cells average
+    * non-zero members), and exact-zero float sums across 64 dims require
+    * adversarial cancellation — but a deployment feeding adversarial
+    * vectors should filter NaN scores before the sort on BOTH engines.
     */
   private[graft] def graphProbes(e: DataFrame, cent: DataFrame,
       nprobe: Int): DataFrame = {
@@ -343,10 +351,14 @@ object ExtensionQueries3 {
   /** Portable 48-bit uniform hash: the first 12 hex digits of
     * md5(decimal-rendered value) — wide enough that birthday collisions
     * are negligible at fixture scale, and identical in both engines
-    * (collisions included).
+    * (collisions included). r22: computed by the native codegen'd
+    * [[graft.functions.Md5Hash48]] (bit-identical by construction —
+    * Round22Spec pins it against this original spelling), which drops the
+    * per-value hex render + substring + radix-16 string parse the
+    * `conv(substring(md5(..)))` chain paid in every sketch-build hot path.
     */
   private[graft] def md5Hash48(v: Column): Column =
-    conv(substring(md5(v.cast("string")), 1, 12), 16, 10).cast("long")
+    graft.functions.Md5Hash48.md5Hash48(v)
 
   /** s12 semantic-dedup near-duplicate threshold on ROUNDED cosine — the
     * same notion of "embedding near-dup" d06 uses on this fixture (planted
