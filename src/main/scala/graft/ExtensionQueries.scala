@@ -349,7 +349,7 @@ object ExtensionQueries {
                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
                    (${dotSql("e.v", "c.cv")} / (sqrt(${dotSql("e.v", "e.v")}) * sqrt(${dotSql("c.cv", "c.cv")}))) DESC,
                    c.cell ASC) AS rn
-          FROM $input e CROSS JOIN $centCte c
+          FROM ${if (input == "e") "e" else s"$input e"} CROSS JOIN $centCte c
         ) t WHERE rn = 1
       )"""
 

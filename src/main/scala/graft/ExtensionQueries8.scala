@@ -760,6 +760,16 @@ object ExtensionQueries8 {
     * driver analysis, and executed work are all linear in hops. Values
     * are untouched (collect round-trips the exact IEEE doubles); the
     * full walk-family oracle gate re-ran green after the change.
+    *
+    * EAGER semantics (r21 advice, documented): because each hop collects,
+    * CONSTRUCTING a walk query's DataFrame executes the whole walk — the
+    * returned frame is the final beam's LocalRelation ranking, not a lazy
+    * pipeline. Plan-only consumers (Explain, PlanSpec's all-queries sweep,
+    * ExplainDump) therefore pay the walk's execution just to look at the
+    * plan; that is the accepted price of the 2.4–3x serving win (the
+    * alternative — a lazily-initialized builder — would make the registry
+    * value stateful for no production benefit, since every production
+    * consumer acts on the frame anyway).
     */
   private[graft] def walkOver(g: DataFrame, e: DataFrame, q: DataFrame,
       mkSeeds: (DataFrame, DataFrame) => DataFrame,

@@ -60,6 +60,14 @@ object Kmeans {
     * form became an n²/48-row shuffle — ~833M rows / ~460 GB at the
     * sf10 audit geometry, found hung there — while this form's shuffle
     * stays n rows at ANY k.
+    *
+    * NULL-ordering caveat (r20 advice): `max_by` SKIPS rows whose ordering
+    * value is NULL, so a NULL vector or centroid (NULL ccos) would drop
+    * that candidate where the old window ranked it NULLS LAST. Embeddings
+    * and trained centroids are non-null by construction on every fixture
+    * and every [[recompute]] output (averages of non-null members), so the
+    * two forms pick identical rows; callers feeding nullable vectors must
+    * filter them first.
     */
   def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = e.select(col("vec_id"), col("v"))

@@ -32,10 +32,15 @@ object ExplainDump {
       val fn = graft.SparkEntry.queries(name)
       // run once first so stored-artifact roots exist and cached plans are
       // in the state the bench sees (plans over persisted frames show
-      // InMemoryRelation exactly as they do in-suite)
+      // InMemoryRelation exactly as they do in-suite). r22 (r21 advice):
+      // dump THE SAME QueryExecution the run used instead of invoking the
+      // builder a second time — a second invocation re-ran builder side
+      // effects (append-mode artifact writes double-appended; eager walk
+      // queries executed the whole walk again), so the dumped plan could
+      // differ from what a single in-suite run sees.
       val df = fn(spark, sfDir)
       df.count()
-      val plan = fn(spark, sfDir).queryExecution.explainString(
+      val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       Files.write(Paths.get(outDir, s"${name}_$tag.txt"),
         plan.getBytes(StandardCharsets.UTF_8))
